@@ -1,38 +1,536 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2),
+each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query; every
+computed column is aliased identically on both sides.
+
+Implementation lives in ``projet_big_data_boutin_danre_spark/``; this
+module only binds operators to the driver's TPC-H-ish testdata.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.functions.geo import haversine_km
+from projet_big_data_boutin_danre_spark.operators import (
+    cleaning,
+    pagination,
+    usage,
+)
+from projet_big_data_boutin_danre_spark.plans import SearchSpec, compile_search
+from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Timestamp → string normalization so Spark (session TZ = UTC) and
+# DuckDB (UTC-naive) hash identically.
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
+def _ts(col):
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: the reference usage-layer pipeline shape
+# (filter → derive → groupBy avg+count → broadcast-enrich join),
+# SURVEY.md §2 P1/P2/A1/J1 over lineitem ⋈ supplier.
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    lineitem = load_table(spark, SF0001, "lineitem")
+    supplier = load_table(spark, SF0001, "supplier")
+    filtered = lineitem.filter(
+        (F.col("l_quantity") > 9) & (F.col("l_extendedprice") > 1000)
+    ).withColumn("price_per_unit", F.col("l_extendedprice") / F.col("l_quantity"))
+    stats = filtered.groupBy("l_suppkey").agg(
+        F.round(F.avg("price_per_unit"), 2).alias("avg_price_per_unit"),
+        F.count(F.lit(1)).alias("nb_sales"),
+    )
+    return usage.enrich_left_join(
+        supplier, stats, "s_suppkey", "l_suppkey"
+    ).select("s_suppkey", "s_name", "avg_price_per_unit", "nb_sales")
+
+
+# ---------------------------------------------------------------------------
+# queries — each mirrors a SURVEY.md §2 operator (IDs in comments)
+# ---------------------------------------------------------------------------
+
+
+def q_market_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """P1+P2+A1 (compute_usage.py:42-57): filter → derive ratio →
+    groupBy avg+count."""
+    li = load_table(spark, sf, "lineitem")
+    filtered = li.filter(
+        (F.col("l_quantity") > 9)
+        & F.col("l_extendedprice").isNotNull()
+        & (F.col("l_extendedprice") > 1000)
+    ).withColumn("price_per_unit", F.col("l_extendedprice") / F.col("l_quantity"))
+    return usage.group_stats(
+        filtered,
+        key="l_suppkey",
+        value_col="price_per_unit",
+        avg_alias="avg_price_per_unit",
+        count_alias="nb_sales",
+        round_to=2,
+    )
+
+
+def q_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 (compute_usage.py:73-77): per-key stats broadcast left-joined
+    onto a dimension."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    # round(avg, 2) on doubles is engine-fragile at .xx5 boundaries
+    # (float sum order + round-repr differences). Compute it in exact
+    # integer cents with explicit half-up: floor((2*sum + n) / (2*n)).
+    cnt = F.count(F.lit(1))
+    sum_cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    avg_cents = F.floor(
+        (2 * sum_cents + cnt).cast("double") / (2 * cnt).cast("double")
+    )
+    stats = orders.groupBy("o_custkey").agg(
+        (avg_cents / F.lit(100.0)).alias("avg_totalprice"),
+        cnt.alias("nb_orders"),
+    )
+    return usage.enrich_left_join(customer, stats, "c_custkey", "o_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment", "avg_totalprice", "nb_orders"
+    )
+
+
+def q_keep_last_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 (raw_to_fmt_lbc.py:49-51): deterministic keep-last-per-key."""
+    ev = load_table(spark, sf, "events")
+    last = cleaning.keep_last_dedup(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return last.select(
+        "user_id", "event_id", _ts("ts").alias("ts_s"), "event_type", "value"
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P4 (index_to_es.py:227-244): isin + between + notnull chain."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10.0, 45.0)
+        & F.col("l_shipdate").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+def q_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P5/F1 (compute_usage.py:43): string-prefix predicate."""
+    part = load_table(spark, sf, "part")
+    return part.filter(F.col("p_type").startswith("STANDARD")).select(
+        "p_partkey", "p_name", "p_type", "p_size"
+    )
+
+
+def q_coercing_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """P6/F6 (raw_to_fmt_lbc.py:53): JSON field extract + coercing cast
+    (unparseable AND missing → 0)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        cleaning.coerce_numeric(F.get_json_object("props", "$.k")).alias("k_value"),
+    )
+
+
+def q_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """O1+O2 (utils.py:27,185): ORDER BY … LIMIT 50 OFFSET 100 with a
+    total order."""
+    orders = load_table(spark, sf, "orders")
+    return pagination.sort_page(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        limit=50,
+        page=3,
+    )
+
+
+def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 (raw_to_fmt_lbc.py:33-41): union-all with duplicates kept."""
+    orders = load_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O")
+    b = orders.filter(F.col("o_orderpriority").startswith("1"))
+    return a.unionByName(b).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_facet_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """A5 (model/search.py:6-35): grouped facet counts + max_pages."""
+    orders = load_table(spark, sf, "orders")
+    return usage.facet_totals(orders, "o_orderpriority", page_limit=35)
+
+
+def q_watermark_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """ST2+A3+O3 (lbc_fetcher.py:92-98): rows strictly after the
+    watermark; new watermark = max(ts)."""
+    import datetime as dt
+
+    ev = load_table(spark, sf, "events")
+    wm = dt.datetime(2024, 6, 1)
+    from projet_big_data_boutin_danre_spark.streaming import incremental_batch
+
+    fresh = incremental_batch(ev, "ts", wm)
+    return fresh.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.max(_ts(F.col("ts"))).alias("new_watermark"),
+    )
+
+
+def q_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """S6 (mixin/ad.py:6-21): predicate-pushdown point lookup."""
+    customer = load_table(spark, sf, "customer")
+    return usage.point_lookup(customer, "c_custkey", 42).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
+def q_two_step_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """J2 (mixin/user.py:18-26): 2-step dimension lookup as chained
+    broadcast left joins."""
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation").withColumnsRenamed(
+        {"n_nationkey": "c_nationkey"}
+    )
+    region = load_table(spark, sf, "region").withColumnsRenamed(
+        {"r_regionkey": "n_regionkey"}
+    )
+    return usage.two_step_lookup(
+        customer, nation, "c_nationkey", region, "n_regionkey"
+    ).select("c_custkey", "c_name", F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+
+
+def q_geo_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5/Q7 (utils.py:88-96): haversine radius predicate over synthetic
+    coordinates derived from keys (testdata has no geo columns)."""
+    customer = load_table(spark, sf, "customer")
+    pts = customer.select(
+        "c_custkey",
+        (F.lit(41.0) + ((F.col("c_custkey") * 7919) % 1000) / 100.0).alias("lat"),
+        (F.lit(-5.0) + ((F.col("c_custkey") * 104729) % 1500) / 100.0).alias("lng"),
+    )
+    dist = haversine_km(
+        F.col("lat"), F.col("lng"), F.lit(48.8566), F.lit(2.3522)
+    )
+    return pts.withColumn("dist_km", F.round(dist, 3)).filter(
+        F.col("dist_km") <= 500.0
+    )
+
+
+def q_search_spec(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1+Q3+Q4+Q10 (§2.8): SearchSpec → filter/sort/page compiler over
+    the documents table."""
+    docs = load_table(spark, sf, "documents")
+    spec = SearchSpec(
+        text="spark",
+        enums={"lang": ["en", "fr"]},
+        ranges={"n_chars": (100.0, None)},
+        sort_by="n_chars",
+        sort_asc=False,
+        limit=20,
+        page=2,
+        text_cols=("text",),
+        id_col="doc_id",
+    )
+    return compile_search(docs, spec).select("doc_id", "lang", "n_chars")
+
+
+def q_top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """O1 generalized (§2.5): windowed top-k per key (k=5)."""
+    orders = load_table(spark, sf, "orders")
+    return pagination.top_k_per_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=5,
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 extended: the classic pricing-summary aggregate (multi-agg
+    groupBy — the engine's OLAP backbone)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Window/lag sessionization (engine extension; streaming analog is
+    session_window): new session when gap > 30 min."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    sess = with_flag.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(_ts(F.col("ts"))).alias("session_end"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets rollup (engine extension over A1)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot expressed as portable conditional aggregation."""
+    ev = load_table(spark, sf, "events")
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(*agg)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "market_stats": q_market_stats,
+        "enrichment_join": q_enrichment_join,
+        "keep_last_dedup": q_keep_last_dedup,
+        "quality_filter": q_quality_filter,
+        "prefix_filter": q_prefix_filter,
+        "coercing_cast": q_coercing_cast,
+        "pagination": q_pagination,
+        "union_all": q_union_all,
+        "facet_totals": q_facet_totals,
+        "watermark_incremental": q_watermark_incremental,
+        "point_lookup": q_point_lookup,
+        "two_step_lookup": q_two_step_lookup,
+        "geo_radius": q_geo_radius,
+        "search_spec": q_search_spec,
+        "top_k_per_group": q_top_k_per_group,
+        "tpch_q1": q_tpch_q1,
+        "sessionize": q_sessionize,
+        "rollup": q_rollup,
+        "pivot_counts": q_pivot_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "market_stats": """
+            SELECT l_suppkey,
+                   round(avg(l_extendedprice / l_quantity), 2) AS avg_price_per_unit,
+                   count(*) AS nb_sales
+            FROM lineitem
+            WHERE l_quantity > 9 AND l_extendedprice IS NOT NULL
+              AND l_extendedprice > 1000
+            GROUP BY l_suppkey
+        """,
+        "enrichment_join": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   s.avg_totalprice, s.nb_orders
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey,
+                       floor(CAST(2 * sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  + count(*) AS DOUBLE)
+                             / CAST(2 * count(*) AS DOUBLE)) / 100.0
+                           AS avg_totalprice,
+                       count(*) AS nb_orders
+                FROM orders GROUP BY o_custkey
+            ) s ON c_custkey = s.o_custkey
+        """,
+        "keep_last_dedup": """
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+                   event_type, value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "quality_filter": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   l_extendedprice
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_quantity BETWEEN 10.0 AND 45.0
+              AND l_shipdate IS NOT NULL
+        """,
+        "prefix_filter": """
+            SELECT p_partkey, p_name, p_type, p_size
+            FROM part WHERE p_type LIKE 'STANDARD%'
+        """,
+        "coercing_cast": """
+            SELECT event_id,
+                   coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+                       AS k_value
+            FROM events
+        """,
+        "pagination": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 50 OFFSET 100
+        """,
+        "union_all": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+            FROM orders WHERE o_orderpriority LIKE '1%'
+        """,
+        "facet_totals": """
+            SELECT o_orderpriority, count(*) AS total,
+                   CAST(ceil(count(*) / 35.0) AS BIGINT) AS max_pages
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "watermark_incremental": """
+            SELECT count(*) AS n_new,
+                   max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS new_watermark
+            FROM events WHERE ts > TIMESTAMP '2024-06-01 00:00:00'
+        """,
+        "point_lookup": """
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+            FROM customer WHERE c_custkey = 42
+        """,
+        "two_step_lookup": """
+            SELECT c_custkey, c_name, n_name AS nation_name,
+                   r_name AS region_name
+            FROM customer
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "geo_radius": """
+            WITH pts AS (
+                SELECT c_custkey,
+                       41.0 + ((c_custkey * 7919) % 1000) / 100.0 AS lat,
+                       -5.0 + ((c_custkey * 104729) % 1500) / 100.0 AS lng
+                FROM customer
+            )
+            SELECT * FROM (
+                SELECT c_custkey, lat, lng,
+                       round(2.0 * 6371.0 * asin(sqrt(
+                           pow(sin(radians(48.8566 - lat) / 2), 2)
+                           + cos(radians(lat)) * cos(radians(48.8566))
+                             * pow(sin(radians(2.3522 - lng) / 2), 2)
+                       )), 3) AS dist_km
+                FROM pts
+            ) WHERE dist_km <= 500.0
+        """,
+        "search_spec": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE text LIKE '%spark%' AND lang IN ('en', 'fr')
+              AND n_chars >= 100.0
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 20 OFFSET 20
+        """,
+        "top_k_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+            FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 2) AS avg_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ) > 1800
+                            OR lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, event_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS session_end
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_counts": """
+            SELECT user_id % 10 AS user_bucket,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events
+            GROUP BY user_id % 10
+        """,
+    }

@@ -1,0 +1,123 @@
+"""Format-layer cleaning operators (SURVEY.md §2.2 P6/P7, §2.4 A2, §1.2).
+
+Reference semantics preserved exactly:
+
+- ``coerce_numeric``: pandas ``to_numeric(errors='coerce').fillna(0)``
+  (``dags/lib/raw_to_fmt_lbc.py:53``) maps BOTH unparseable strings and
+  missing values to 0 — so ``coalesce(cast, 0)``, not a bare cast.
+- ``coerce_timestamp``: ``pd.to_datetime(errors='coerce')``
+  (``dags/lib/raw_to_fmt_dvf.py:28-29``, ``raw_to_fmt_lbc.py:55``) →
+  null on failure; ISO-8601 offsets must parse (LBC dates carry TZ,
+  ``dags/lib/lbc_fetcher.py:84-90``).
+- ``keep_last_dedup``: ``drop_duplicates(subset=['id'], keep='last')``
+  (``dags/lib/raw_to_fmt_lbc.py:49-51``) keeps the LAST occurrence in
+  file-concatenation order. Spark's ``dropDuplicates`` keeps an
+  *arbitrary* row, so determinism requires an explicit order column +
+  ``row_number`` window. Scale note: this is one shuffle on the dedup
+  key; at 100 TB the window runs per key-partition with no skew issue
+  unless one id dominates (ids are unique-ish by construction).
+- ``normalize_location``: the union-typed ``location`` ("N/A" string vs
+  struct, ``dags/lib/lbc_fetcher.py:100-108``) becomes a null struct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import LBC_LOCATION_SCHEMA
+
+
+def coerce_numeric(col: Column | str, fill: float = 0.0) -> Column:
+    """P6: string → double; unparseable AND missing both → ``fill``.
+
+    ``try_cast`` (not ``cast``): under ANSI mode — the Spark 4 default —
+    a malformed cast throws; the pandas ``errors='coerce'`` contract
+    wants null-then-fill.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.try_cast("double"), F.lit(float(fill)))
+
+
+def coerce_timestamp(col: Column | str) -> Column:
+    """P7: string → timestamp, null on failure (ANSI off for this cast).
+
+    ``try_to_timestamp`` parses ISO-8601 with offsets into the session
+    timezone; malformed input yields null rather than raising — the
+    ``errors='coerce'`` contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(c)
+
+
+def keep_last_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """A2: deterministic keep-last-per-key.
+
+    Keeps, for each key group, the row with the greatest ``order_col``
+    (ties broken by ``tiebreak`` columns descending, so the result is a
+    function of the data, not of partitioning).
+
+    Physical plan: one hash-exchange on ``keys`` + in-partition sort —
+    the minimal cost for any keyed dedup; map-side nothing to combine
+    since whole rows are kept.
+    """
+    order = [F.col(order_col).desc_nulls_last()] + [
+        F.col(t).desc_nulls_last() for t in tiebreak
+    ]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def normalize_location(df: DataFrame, raw_col: str = "location_json") -> DataFrame:
+    """Union-typed location → typed struct (null when "N/A"/missing).
+
+    The raw layer stores either a JSON object or the literal string
+    ``"N/A"``. ``from_json`` in permissive mode yields an all-null
+    struct (not null) for malformed input, so gate on object syntax:
+    non-object input → null struct.
+    """
+    parsed = F.when(
+        F.trim(F.col(raw_col)).startswith("{"),
+        F.from_json(F.col(raw_col), LBC_LOCATION_SCHEMA),
+    )
+    return df.withColumn("location", parsed).drop(raw_col)
+
+
+def unwrap_scalar(col: Column | str) -> Column:
+    """P11: ``price[0] if isinstance(price, list) else price`` — for
+    array-typed sources take the first element."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_element_at(c, F.lit(1))
+
+
+def map_from_attribute_list(col: Column | str) -> Column:
+    """P12: ``list[{key,value}]`` → ``map<string,string>``
+    (``dags/lib/lbc_fetcher.py:110-114``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.map_from_entries(
+        F.transform(c, lambda a: F.struct(a["key"], a["value"]))
+    )
+
+
+def cents_to_euros(col: Column | str) -> Column:
+    """P14: ``price_cents/100`` when present and non-zero, else null
+    (``dags/lbc/lbc/model/ad.py:106``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNotNull() & (c != 0), c / F.lit(100.0))
+
+
+def has_cols(df: DataFrame, required: Sequence[str]) -> bool:
+    """P10: driver-side schema presence guard
+    (``dags/lib/compute_usage.py:36-39``) — metadata only, no job."""
+    return set(required).issubset(set(df.columns))

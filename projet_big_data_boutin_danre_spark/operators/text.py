@@ -1,0 +1,96 @@
+"""Text-analysis operators for corpus pipelines (engine extension).
+
+Language ID (stopword-profile heuristic), quality scoring, token
+counting, and document fingerprinting — all as JVM-side Column
+algebra over the ``documents`` table. Each has an exact ANSI-SQL
+twin for the DuckDB oracle (same arithmetic, same rounding).
+
+Scale: every operator here is a narrow map (no shuffle) — it
+pipelines with the scan and keeps whole-stage codegen intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import normalize_text, stable_fingerprint
+
+# Tiny per-language stopword profiles (public, standard closed-class
+# words). Kept deliberately small so the SQL twin stays readable.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une"],
+    "es": ["el", "los", "las", "una", "y", "en", "que"],
+    "de": ["der", "die", "das", "und", "ein", "nicht", "ist"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text (empty-safe)."""
+    c = normalize_text(col)
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count (whitespace segmentation after normalization)."""
+    return F.size(tokens(col))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """How many tokens are in ``lang``'s stopword profile."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits, ``und`` when no
+    profile scores > 0. Ties break by profile order (en,fr,es,de) —
+    the SQL twin uses the same CASE ordering."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # first max wins, fixed order
+        out = out.when(hits[lang] == best, F.lit(lang))
+    return out
+
+
+def quality_score(text_col: Column | str, round_to: int = 4) -> Column:
+    """Composite quality score in [0,1]:
+
+    0.4·length_score + 0.3·alpha_ratio + 0.3·space_ratio_score
+
+    - length_score = least(n_chars/500, 1)
+    - alpha_ratio  = alphanumeric+space chars / total chars
+    - space_ratio_score = 1 − |space_ratio − 0.15|·2 clamped to [0,1]
+      (prose has ~15% spaces; walls of text or char soup score low)
+
+    Pure arithmetic over ``length``/``regexp_replace`` so the DuckDB
+    twin is identical expression-for-expression.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z0-9 ]", "")).cast("double")
+    n_space = (n - F.length(F.regexp_replace(c, " ", ""))).cast("double")
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    space_score = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - F.abs(n_space / F.greatest(n, F.lit(1.0)) - F.lit(0.15)) * 2,
+    )
+    score = (
+        F.lit(0.4) * length_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * space_score
+    )
+    return F.round(score, round_to)
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document text profile: token count, detected lang,
+    quality score, fingerprint. Single narrow projection."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        lang_id(text_col).alias("lang_detected"),
+        quality_score(text_col).alias("quality"),
+        stable_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,98 @@
+"""Pinned-schema readers (SURVEY.md §2.1 S2-S4).
+
+Reference behaviors re-expressed:
+- S2 CSV.gz scan (``dags/lib/raw_to_fmt_dvf.py:26``): pandas full-file
+  inference → here an explicit-schema ``spark.read.csv`` (gzip codec is
+  automatic from the extension; header skipped).
+- S3 multi-file JSON-array scan (``dags/lib/raw_to_fmt_lbc.py:24-41``):
+  list-dir + json.load + concat → here one ``spark.read.json`` over a
+  glob with ``multiLine`` (each file is a JSON array). Union-all across
+  files (U1) is native to the multi-path read.
+- S4 Parquet scan (``dags/lib/compute_usage.py:34,67``): native, with
+  column pruning + predicate pushdown for free.
+
+All readers take explicit schemas — inference is opt-in via
+``schema=None`` and flagged for non-production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a
+    nanosecond long (``nanosAsLong``); convert to a microsecond
+    timestamp with integer division (``div`` — float division would
+    lose precision on ~1e18 nano epochs).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables at once; all if none named."""
+    use = names or TABLE_NAMES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def read_csv_gz(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    sep: str = ",",
+) -> DataFrame:
+    """S2: CSV(.gz) scan with a pinned schema.
+
+    gzip decompression is chosen from the file extension by Spark; a
+    .csv.gz file is a single split (gzip is non-splittable) — at scale
+    prefer many files or recompress to a splittable codec upstream.
+    """
+    reader = spark.read.option("header", "true").option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # opt-in only
+    return reader.csv(path)
+
+
+def read_json_ads(
+    spark: SparkSession,
+    path_glob: str,
+    schema: StructType,
+) -> DataFrame:
+    """S3: multi-file JSON-array scan with pinned schema.
+
+    ``multiLine=true`` because each raw file is one JSON *array*
+    (``dags/lib/lbc_fetcher.py:127-129`` writes ``json.dump(list)``).
+    The glob replaces the reference's listdir+concat loop — Spark
+    parallelizes per file.
+    """
+    return (
+        spark.read.option("multiLine", "true").schema(schema).json(path_glob)
+    )
+
+
+def read_parquet_lake(spark: SparkSession, *paths: str) -> DataFrame:
+    """S4: Parquet scan over one or more lake paths (directory handling,
+    partition discovery, pushdown all native)."""
+    return spark.read.parquet(*paths)

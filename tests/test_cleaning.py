@@ -1,0 +1,115 @@
+"""Unit tests for the reference-parity cleaning semantics
+(SURVEY.md §5.4: A2 keep-last tie-break, P6 fillna-vs-null, P7 TZ
+parsing, location normalization)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.operators import cleaning
+
+
+def test_coerce_numeric_maps_bad_and_missing_to_zero(spark):
+    df = spark.createDataFrame(
+        [("1", "12.5"), ("2", "N/A"), ("3", ""), ("4", None)], ["id", "price"]
+    )
+    out = {
+        r["id"]: r["p"]
+        for r in df.select("id", cleaning.coerce_numeric("price").alias("p")).collect()
+    }
+    # pandas to_numeric(errors='coerce').fillna(0): bad parse AND null → 0
+    assert out == {"1": 12.5, "2": 0.0, "3": 0.0, "4": 0.0}
+
+
+def test_coerce_timestamp_null_on_failure_and_tz(spark):
+    df = spark.createDataFrame(
+        [
+            ("1", "2025-03-01T10:00:00+02:00"),
+            ("2", "not-a-date"),
+            ("3", None),
+        ],
+        ["id", "d"],
+    )
+    out = {
+        r["id"]: r["t"]
+        for r in df.select("id", cleaning.coerce_timestamp("d").alias("t")).collect()
+    }
+    # session TZ is UTC → +02:00 shifts back two hours
+    assert out["1"] == dt.datetime(2025, 3, 1, 8, 0, 0)
+    assert out["2"] is None
+    assert out["3"] is None
+
+
+def test_keep_last_dedup_is_deterministic_keep_last(spark):
+    rows = [
+        Row(id=1, seq=1, title="old"),
+        Row(id=1, seq=3, title="new"),
+        Row(id=1, seq=2, title="mid"),
+        Row(id=2, seq=1, title="only"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["id"]: r["title"]
+        for r in cleaning.keep_last_dedup(df, ["id"], "seq").collect()
+    }
+    assert out == {1: "new", 2: "only"}
+    # ties broken by the tiebreak column, not partition luck
+    tie = spark.createDataFrame(
+        [Row(id=1, seq=1, k=5, title="a"), Row(id=1, seq=1, k=9, title="b")]
+    )
+    got = cleaning.keep_last_dedup(tie, ["id"], "seq", tiebreak=["k"]).collect()
+    assert got[0]["title"] == "b"
+
+
+def test_normalize_location_union_type(spark):
+    df = spark.createDataFrame(
+        [
+            ("1", '{"city": "Paris", "zipcode": "75001", "lat": 48.85, "lng": 2.35}'),
+            ("2", "N/A"),
+            ("3", None),
+        ],
+        ["id", "location_json"],
+    )
+    out = {r["id"]: r["location"] for r in cleaning.normalize_location(df).collect()}
+    assert out["1"]["zipcode"] == "75001"
+    assert out["2"] is None  # the reference's "N/A" string → null struct
+    assert out["3"] is None
+
+
+def test_map_from_attribute_list_and_unwrap(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                attrs=[
+                    Row(key="square", value="42"),
+                    Row(key="rooms", value="3"),
+                ],
+                price=[1999.0],
+            )
+        ]
+    )
+    out = df.select(
+        cleaning.map_from_attribute_list("attrs").alias("m"),
+        cleaning.unwrap_scalar("price").alias("p"),
+    ).collect()[0]
+    assert out["m"] == {"square": "42", "rooms": "3"}
+    assert out["p"] == 1999.0
+
+
+def test_cents_to_euros(spark):
+    df = spark.createDataFrame([(1, 12345), (2, 0), (3, None)], ["id", "cents"])
+    out = {
+        r["id"]: r["e"]
+        for r in df.select("id", cleaning.cents_to_euros("cents").alias("e")).collect()
+    }
+    assert out == {1: 123.45, 2: None, 3: None}
+
+
+def test_has_cols(spark):
+    df = spark.createDataFrame([(1, "a")], ["x", "y"])
+    assert cleaning.has_cols(df, ["x"])
+    assert not cleaning.has_cols(df, ["x", "zzz"])
