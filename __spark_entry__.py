@@ -20,9 +20,14 @@ from pyspark.sql import functions as F
 from projet_big_data_boutin_danre_spark.functions.geo import haversine_km
 from projet_big_data_boutin_danre_spark.operators import (
     cleaning,
+    dedup,
+    multimodal,
     pagination,
+    similarity,
+    text,
     usage,
 )
+from projet_big_data_boutin_danre_spark.operators import documents as documents_op
 from projet_big_data_boutin_danre_spark.plans import SearchSpec, compile_search
 from projet_big_data_boutin_danre_spark.sources.readers import load_table
 
@@ -332,6 +337,238 @@ def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(*agg)
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY.md §7 step 9): dedup, text
+# analysis, similarity search, multimodal — over documents/embeddings.
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via normalized-content hash: duplicate groups with
+    deterministic keeper (min id) and copy count."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.exact_dedup_stats(docs, "doc_id", "text").withColumnsRenamed(
+        {"keeper_id": "keeper_id", "n_copies": "n_copies"}
+    )
+
+
+def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: token count, heuristic language ID, quality
+    score, md5 fingerprint — one narrow JVM-side projection."""
+    docs = load_table(spark, sf, "documents")
+    return text.text_profile(docs, "doc_id", "text")
+
+
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (8 hashes, 8-char shingles) per document."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_k=8)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (4 bands × 2 rows)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8
+    )
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash bit string per document."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=32)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-3-gram Jaccard similarity for pairs blocked by source."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, min_jaccard=0.02
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 8 query vectors
+    (broadcast queries × one corpus scan)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    )
+
+
+def q_near_dup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs within a label block,
+    cosine ≥ 0.25."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.near_dup_pairs_cosine(
+        emb, "vec_id", "embedding", "label", threshold=0.25
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over a media table
+    (deterministic stub codec); features projected to scalar columns
+    for oracle comparison."""
+    docs = load_table(spark, sf, "documents")
+    feats = multimodal.extract_features(multimodal.synth_media_from_documents(docs))
+    cols = [
+        F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+        for i in range(4)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", *cols)
+
+
+def q_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Image resize-target computation (metadata-only, JVM-side)."""
+    docs = load_table(spark, sf, "documents")
+    return multimodal.resize_plan(
+        multimodal.synth_media_from_documents(docs), max_side=512
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame timestamp."""
+    docs = load_table(spark, sf, "documents")
+    return multimodal.frame_sample(
+        multimodal.synth_media_from_documents(docs), every_ms=1000
+    )
+
+
+def q_sparse_document(spark: SparkSession, sf: str) -> DataFrame:
+    """P8 (index_to_es.py:63-79): null-omitting document projection —
+    (_id, doc_json) with null fields dropped from the JSON."""
+    ev = load_table(spark, sf, "events")
+    sparse = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 7 != 0, F.col("event_type")).alias("event_type"),
+        "user_id",
+    )
+    return documents_op.sparse_document(
+        sparse, "event_id", ["event_type", "user_id"]
+    )
+
+
+def q_coerce_timestamp(spark: SparkSession, sf: str) -> DataFrame:
+    """P7 (raw_to_fmt_dvf.py:28-29): coercing timestamp parse — a
+    malformed slice of inputs yields null, not an error."""
+    ev = load_table(spark, sf, "events")
+    raw = F.when(
+        F.col("event_id") % 10 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    return ev.select(
+        "event_id",
+        _ts(cleaning.coerce_timestamp(raw)).alias("parsed_s"),
+    )
+
+
+# --- generated oracle SQL helpers (mirror the Column algebra above) ---
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _sql_minhash_sigs_cte(num_hashes: int = 8, k: int = 8) -> str:
+    norm = _NORM_SQL.format(c="text")
+    sig_cols = ",\n                   ".join(
+        f"min(md5('{s}|' || shingle)) AS sig_{s}" for s in range(num_hashes)
+    )
+    return f"""
+        norm AS (SELECT doc_id AS id, {norm} AS t FROM documents),
+        pos AS (
+            SELECT id, t,
+                   unnest(generate_series(1, greatest(length(t) - {k - 1}, 1))) AS i
+            FROM norm
+        ),
+        sh AS (SELECT id, substr(t, CAST(i AS INT), {k}) AS shingle FROM pos),
+        sigs AS (
+            SELECT id, {sig_cols}
+            FROM sh GROUP BY id
+        )"""
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    norm = _NORM_SQL.format(c="text")
+    hex_chars = bits // 4
+    sums = []
+    for i in range(hex_chars):
+        nib = f"(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        for kpow in (3, 2, 1, 0):
+            j = i * 4 + (3 - kpow)
+            bit = f"(CAST(floor({nib} / {float(2 ** kpow)}) AS INT) % 2)"
+            sums.append(f"sum({bit} * 2 - 1) AS s_{j}")
+    sum_sql = ",\n                   ".join(sums)
+    bit_chain = ", ".join(
+        f"CASE WHEN s_{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, substr(md5(tok), 1, {hex_chars}) AS h
+            FROM (
+                SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), sums AS (
+            SELECT id, {sum_sql}
+            FROM toks GROUP BY id
+        )
+        SELECT id, concat({bit_chain}) AS simhash_bits FROM sums
+    """
+
+
+def _sql_dot_chain(a: str, b: str, dim: int = 64) -> str:
+    """Left-associative Σ aᵢ·bᵢ — same fold order as F.aggregate."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _sql_norm_chain(a: str, dim: int = 64) -> str:
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({a}[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(nt, ' '), x -> x <> '' AND x IN ({words})))"
+    )
+
+
+def _sql_text_profile() -> str:
+    norm = _NORM_SQL.format(c="text")
+    hits = {lang: _sql_stopword_hits(lang) for lang in text.STOPWORDS}
+    best = f"greatest({', '.join(f'h_{l}' for l in text.STOPWORDS)})"
+    lang_case = "CASE WHEN " + f"{best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN h_{l} = {best} THEN '{l}'" for l in text.STOPWORDS
+    ) + " END"
+    hit_cols = ", ".join(f"{sql} AS h_{l}" for l, sql in hits.items())
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, {norm} AS nt,
+                   CAST(length(text) AS DOUBLE) AS n,
+                   CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS n_alpha,
+                   CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS n_space
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, nt, n, n_alpha, n_space, {hit_cols} FROM base
+        )
+        SELECT doc_id,
+               len(list_filter(string_split(nt, ' '), x -> x <> '')) AS n_tokens,
+               {lang_case} AS lang_detected,
+               round(0.4 * least(n / 500.0, 1.0)
+                     + 0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
+                     + 0.3 * greatest(0.0, 1.0 - abs(n_space / greatest(n, 1.0) - 0.15) * 2),
+                     4) AS quality,
+               md5(nt) AS fingerprint
+        FROM hits
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "market_stats": q_market_stats,
@@ -353,6 +590,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rollup": q_rollup,
         "pivot_counts": q_pivot_counts,
+        "exact_dedup": q_exact_dedup,
+        "text_profile": q_text_profile,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "near_dup_cosine": q_near_dup_cosine,
+        "multimodal_features": q_multimodal_features,
+        "resize_plan": q_resize_plan,
+        "frame_sample": q_frame_sample,
+        "sparse_document": q_sparse_document,
+        "coerce_timestamp": q_coerce_timestamp,
     }
 
 
@@ -532,5 +782,165 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events
             GROUP BY user_id % 10
+        """,
+        "exact_dedup": f"""
+            SELECT md5({_NORM_SQL.format(c='text')}) AS content_hash,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "text_profile": _sql_text_profile(),
+        "minhash_signatures": f"""
+            WITH {_sql_minhash_sigs_cte()}
+            SELECT * FROM sigs
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_sql_minhash_sigs_cte()},
+            bands AS (
+                SELECT id, 0 AS band, md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+                UNION ALL
+                SELECT id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+                UNION ALL
+                SELECT id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+                UNION ALL
+                SELECT id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.id < b.id
+        """,
+        "simhash": _sql_simhash(32),
+        "ngram_jaccard": f"""
+            WITH base AS (
+                SELECT doc_id AS id, source AS block,
+                       string_split({_NORM_SQL.format(c='text')}, ' ') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT id, block, tk,
+                       unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS i
+                FROM base
+            ),
+            grams AS (
+                SELECT DISTINCT id, block,
+                       concat_ws(' ', tk[CAST(i AS INT)],
+                                      tk[CAST(i AS INT) + 1],
+                                      tk[CAST(i AS INT) + 2]) AS gram
+                FROM pos
+            ),
+            sizes AS (SELECT id, count(*) AS n_grams FROM grams GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+                FROM grams a
+                JOIN grams b ON a.block = b.block AND a.gram = b.gram
+                            AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.02
+        """,
+        "cosine_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(({_sql_dot_chain('qv', 'cv')})
+                             / (sqrt({_sql_norm_chain('qv')})
+                                * sqrt({_sql_norm_chain('cv')})), 6) AS cosine
+                FROM c, q WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC
+                ) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "near_dup_cosine": f"""
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(({_sql_dot_chain('a.embedding', 'b.embedding')})
+                             / (sqrt({_sql_norm_chain('a.embedding')})
+                                * sqrt({_sql_norm_chain('b.embedding')})), 6)
+                           AS cosine
+                FROM embeddings a
+                JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.25
+        """,
+        "multimodal_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       md5(text) AS h,
+                       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+                FROM documents
+            )
+            SELECT media_id, kind, n_bytes,
+                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0
+                         AS FLOAT) AS DOUBLE), 6) AS f0,
+                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) / 255.0
+                         AS FLOAT) AS DOUBLE), 6) AS f1,
+                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) / 255.0
+                         AS FLOAT) AS DOUBLE), 6) AS f2,
+                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                         + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0
+                         AS FLOAT) AS DOUBLE), 6) AS f3
+            FROM m
+        """,
+        "resize_plan": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(n_chars % 1920 + 16 AS INT) AS width,
+                       CAST(n_chars % 1080 + 16 AS INT) AS height
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT media_id, width, height,
+                   CAST(ceil(width * least(1.0, 512.0 / greatest(width, height)))
+                        AS INT) AS target_w,
+                   CAST(ceil(height * least(1.0, 512.0 / greatest(width, height)))
+                        AS INT) AS target_h
+            FROM m
+        """,
+        "frame_sample": """
+            SELECT media_id, CAST(f AS BIGINT) AS frame_ms FROM (
+                SELECT doc_id AS media_id,
+                       unnest(generate_series(0, greatest(n_chars * 10 - 1, 0),
+                                              1000)) AS f
+                FROM documents WHERE doc_id % 3 = 2
+            )
+        """,
+        "sparse_document": """
+            SELECT CAST(event_id AS VARCHAR) AS _id,
+                   '{' || concat_ws(',',
+                       CASE WHEN user_id % 7 <> 0
+                            THEN '"event_type":"' || event_type || '"' END,
+                       '"user_id":' || user_id
+                   ) || '}' AS doc_json
+            FROM events
+        """,
+        "coerce_timestamp": """
+            SELECT event_id,
+                   strftime(try_cast(
+                       CASE WHEN event_id % 10 = 0 THEN 'not-a-date'
+                            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                       AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS parsed_s
+            FROM events
         """,
     }

@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_min_shingle, normalize_text
@@ -123,19 +123,30 @@ def minhash_lsh_pairs(
     shingle_k: int = 8,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
-    one LSH band bucket. Self-join on (band, band_key) — the only
-    shuffle keyed on the bucket, never all-pairs."""
+    one LSH band bucket.
+
+    One aggregation per bucket (collect ids) + double-explode pair
+    expansion: a single pass over the signatures — no self-join, so
+    the shingle → signature subplan is computed once. (Nested
+    higher-order slice/transform expressions were ~50× slower here —
+    generators beat HOF chains for pair fan-out.) The only shuffles
+    are the signature groupBy and the bucket groupBy; bucket pair
+    blowup is quadratic in bucket size by construction (LSH buckets
+    are small)."""
     b = lsh_bands(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
         num_hashes,
         bands,
     )
-    left = b.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_a"))
-    right = b.select(F.col("band"), F.col("band_key"), F.col("id").alias("id_b"))
+    buckets = (
+        b.groupBy("band", "band_key")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(right, ["band", "band_key"])
+        buckets.select("ids", F.explode("ids").alias("id_a"))
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -191,8 +202,12 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
                         F.lit(1),
                         F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(1)),
                     ),
+                    # try_element_at: past-the-end offsets on short docs
+                    # yield null (concat_ws skips them) instead of an
+                    # ANSI INVALID_ARRAY_INDEX error.
                     lambda i: F.concat_ws(
-                        " ", *[F.element_at("__toks", i + off) for off in range(n)]
+                        " ",
+                        *[F.try_element_at("__toks", i + off) for off in range(n)],
                     ),
                 )
             ).alias("gram"),
@@ -211,33 +226,49 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard similarity for all pairs within a blocking key.
 
-    |A∩B| via an equi-join on (block, gram); |A∪B| = |A|+|B|−|A∩B|.
-    The blocking key bounds pair fan-out (use an LSH band or any
-    domain partition); the join shuffles on (block, gram) only.
-    Output: id_a < id_b, jaccard rounded to 6dp."""
-    base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("block"), F.col(text_col).alias("__txt"))
-    grams = (
-        word_ngrams(base, "id", "__txt", n=n)
-        .join(base.select("id", "block"), "id")
+    |A∩B| via per-(block, gram) id-list collection + in-array pair
+    expansion; |A∪B| = |A|+|B|−|A∩B|. Single pipeline — the gram
+    explode runs ONCE (per-id sizes ride along as a window count, and
+    pair members carry their sizes), instead of the naive
+    3-computations-plus-2-joins shape. Shuffles: by id (size window),
+    by (block, gram) (bucket agg), by pair (count agg).
+
+    The blocking key bounds pair fan-out; a gram shared by the whole
+    block is quadratic in block size — that's the algorithm, pick
+    blocks accordingly. Output: id_a < id_b, jaccard rounded to 6dp."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(text_col).alias("__txt"),
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col("block"), F.col("gram"), F.col("id").alias("id_a"))
-    b = grams.select(F.col("block"), F.col("gram"), F.col("id").alias("id_b"))
-    inter = (
-        a.join(b, ["block", "gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    grams = word_ngrams(base, "id", "__txt", n=n).join(
+        base.select("id", "block"), "id"
+    )
+    grams_n = grams.withColumn(
+        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    members = (
+        grams_n.groupBy("block", "gram")
+        .agg(F.collect_list(F.struct("id", "n_grams")).alias("ms"))
+        .filter(F.size("ms") > 1)
     )
     out = (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_grams": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_grams": "nb"}), "id_b")
+        members.select("ms", F.explode("ms").alias("a"))
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_inter")
-                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
         )

@@ -1,0 +1,124 @@
+"""Unit tests for the corpus-pipeline operators (dedup, text,
+similarity, multimodal) on tiny in-memory frames — semantics-level
+checks; cross-engine equivalence is covered by tools/verify_local.py."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from projet_big_data_boutin_danre_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog", "a"),
+        (2, "The quick brown fox jumps over the lazy dog!", "a"),  # near-dup of 1
+        (3, "the QUICK  brown fox jumps over the lazy dog", "a"),  # exact after norm
+        (4, "completely different content with zero overlap", "b"),
+        (5, "le chat et le chien et la maison des amis", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+def test_exact_dedup_normalized(spark, docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").collect()
+    ids = sorted(r.doc_id for r in out)
+    # 1 and 3 normalize identically -> keeper is min id (1); 2 differs
+    # only by '!' which normalization strips -> also collapses into 1.
+    assert ids == [1, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert all(a < b for a, b in pairs)
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_dups_close(spark, docs):
+    rows = {r.id: r.simhash_bits for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert all(len(v) == 32 for v in rows.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(rows[a], rows[b]))
+    assert ham(1, 3) == 0  # identical after normalization
+    assert ham(1, 2) == 0
+    assert ham(1, 4) > 4
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "src", n=3).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert pairs[(1, 2)] == 1.0  # same tokens after normalization
+    assert (1, 4) not in pairs  # different block
+    assert (4, 5) not in pairs  # same block, zero shared grams
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=2
+    ).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(1, 1), (2, 2)]
+    top = next(r for r in out if r.rank == 1)
+    assert abs(top.cosine - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house"),
+            (2, "le chat et la maison des amis et les chiens"),
+            (3, "xyzzy plugh qwerty"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.text_profile(df, "doc_id", "text").collect()}
+    assert out[1].lang_detected == "en"
+    assert out[2].lang_detected == "fr"
+    assert out[3].lang_detected == "und"
+    assert out[4].n_tokens == 0
+    assert 0.0 <= out[1].quality <= 1.0
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "abc", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_media_from_documents(df)
+    feats = multimodal.extract_features(media).collect()
+    f = {r.media_id: list(r.feature) for r in feats}
+    assert f[1] == f[2]  # same payload -> same stub features
+    assert len(f[1]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in f[1])
+
+
+def test_frame_sample_counts(spark):
+    df = spark.createDataFrame(
+        [(2, "t", "en", "s", 250)],  # doc_id%3==2 -> video, 2500ms
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_media_from_documents(df)
+    out = multimodal.frame_sample(media, every_ms=1000).collect()
+    assert sorted(r.frame_ms for r in out) == [0, 1000, 2000]
