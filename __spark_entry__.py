@@ -28,7 +28,11 @@ from projet_big_data_boutin_danre_spark.operators import (
     usage,
 )
 from projet_big_data_boutin_danre_spark.operators import documents as documents_op
-from projet_big_data_boutin_danre_spark.plans import SearchSpec, compile_search
+from projet_big_data_boutin_danre_spark.plans import (
+    SearchSpec,
+    compile_search,
+    parse_search_url,
+)
 from projet_big_data_boutin_danre_spark.sources.readers import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -461,7 +465,127 @@ def q_coerce_timestamp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_search_url(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 (utils.py:6-152): URL → SearchSpec parser feeding the same
+    filter/sort/page compiler as search_spec."""
+    docs = load_table(spark, sf, "documents")
+    spec = parse_search_url(
+        "https://www.example.fr/recherche?text=table&lang=en,de"
+        "&n_chars=150-&sort_by=n_chars&sort_order=desc&page=3&limit=15"
+    )
+    spec.text_cols = ("text",)
+    spec.id_col = "doc_id"
+    return compile_search(docs, spec).select("doc_id", "lang", "n_chars")
+
+
+# Synthetic raw-ad JSON built identically in Spark and the oracle so
+# the format pipeline (parse → unwrap → coerce → normalize) is the
+# thing under test, not the substrate.
+def _raw_ad_json_spark():
+    c = F.col
+    date_part = F.when(c("c_custkey") % 11 == 0, F.lit("bad-date")).otherwise(
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((c("c_custkey") % 27 + 1).cast("string"), 2, "0"),
+            F.lit(" 12:34:56"),
+        )
+    )
+    loc_part = F.when(c("c_custkey") % 5 == 0, F.lit('"N/A"')).otherwise(
+        F.concat(
+            F.lit('{"city":"C'),
+            c("c_nationkey").cast("string"),
+            F.lit('","zipcode":"'),
+            F.lpad(c("c_nationkey").cast("string"), 5, "0"),
+            F.lit('","lat":48.0,"lng":2.0}'),
+        )
+    )
+    cents = F.round(c("c_acctbal") * 100).cast("long")
+    return F.concat(
+        F.lit('{"list_id": '),
+        c("c_custkey").cast("string"),
+        F.lit(', "subject": "'),
+        c("c_name"),
+        F.lit('", "price_cents": ['),
+        cents.cast("string"),
+        F.lit('], "date": "'),
+        date_part,
+        F.lit('", "location": '),
+        loc_part,
+        F.lit(', "attributes": [{"key":"seg","value":"'),
+        c("c_mktsegment"),
+        F.lit('"}]}'),
+    )
+
+
+def q_lbc_format(spark: SparkSession, sf: str) -> DataFrame:
+    """P6+P7+P11+P12+P13+P14 + location normalization
+    (lbc_fetcher.py:100-125, raw_to_fmt_lbc.py:43-58): the raw→
+    formatted ad pipeline over synthetic raw JSON records."""
+    customer = load_table(spark, sf, "customer")
+    raw = customer.select(_raw_ad_json_spark().alias("raw_json"))
+    out = cleaning.format_ads(raw, "raw_json")
+    return out.select(
+        "id", "title", "price", _ts("date").alias("date_s"), "city", "zipcode", "seg"
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """ST-window (streaming analog: windowed_counts): tumbling 1-hour
+    event-time aggregation. Value sums are computed in exact integer
+    cents so float sum order can't diverge across engines."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+            ).alias("value_sum"),
+        )
+        .select(
+            _ts(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k neighbors via random-hyperplane LSH bucketing
+    (the 100 TB scale path: only same-bucket candidates are scored)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.ann_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=8,
+        dim=64,
+    )
+
+
 # --- generated oracle SQL helpers (mirror the Column algebra above) ---
+
+
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    """Left-assoc Σ vᵢ·pᵢ with inline plane literals (matches
+    similarity.rh_lsh_buckets' fold order)."""
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {x!r}" for i, x in enumerate(plane)
+    )
+
+
+def _sql_rh_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    from projet_big_data_boutin_danre_spark.operators.similarity import _lcg_planes
+
+    planes = _lcg_planes(n_planes, dim, seed=7)
+    bits = ", ".join(
+        f"CASE WHEN ({_sql_plane_dot(vec, p)}) >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"concat({bits})"
 
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
@@ -603,6 +727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "sparse_document": q_sparse_document,
         "coerce_timestamp": q_coerce_timestamp,
+        "search_url": q_search_url,
+        "lbc_format": q_lbc_format,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "tumbling_window": q_tumbling_window,
     }
 
 
@@ -942,5 +1070,91 @@ def oracle_sql() -> dict[str, str]:
                             ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
                        AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS parsed_s
             FROM events
+        """,
+        "search_url": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE text LIKE '%table%' AND lang IN ('en', 'de')
+              AND n_chars >= 150.0
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 15 OFFSET 30
+        """,
+        "lbc_format": """
+            WITH raw AS (
+                SELECT '{"list_id": ' || CAST(c_custkey AS VARCHAR)
+                    || ', "subject": "' || c_name
+                    || '", "price_cents": ['
+                    || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+                    || '], "date": "'
+                    || CASE WHEN c_custkey % 11 = 0 THEN 'bad-date'
+                            ELSE '2024-01-'
+                                 || lpad(CAST(c_custkey % 27 + 1 AS VARCHAR), 2, '0')
+                                 || ' 12:34:56' END
+                    || '", "location": '
+                    || CASE WHEN c_custkey % 5 = 0 THEN '"N/A"'
+                            ELSE '{"city":"C' || CAST(c_nationkey AS VARCHAR)
+                                 || '","zipcode":"'
+                                 || lpad(CAST(c_nationkey AS VARCHAR), 5, '0')
+                                 || '","lat":48.0,"lng":2.0}' END
+                    || ', "attributes": [{"key":"seg","value":"'
+                    || c_mktsegment || '"}]}' AS raw_json
+                FROM customer
+            ),
+            sel AS (
+                SELECT raw_json,
+                       CAST(json_extract_string(raw_json, '$.price_cents[0]')
+                            AS BIGINT) AS cents,
+                       json_extract_string(raw_json, '$.location') AS loc
+                FROM raw
+            )
+            SELECT CAST(json_extract_string(raw_json, '$.list_id') AS BIGINT) AS id,
+                   json_extract_string(raw_json, '$.subject') AS title,
+                   CASE WHEN cents IS NOT NULL AND cents <> 0
+                        THEN cents / 100.0 END AS price,
+                   strftime(try_cast(json_extract_string(raw_json, '$.date')
+                                     AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS date_s,
+                   CASE WHEN trim(loc) LIKE '{%'
+                        THEN json_extract_string(loc, '$.city') END AS city,
+                   CASE WHEN trim(loc) LIKE '{%'
+                        THEN json_extract_string(loc, '$.zipcode') END AS zipcode,
+                   json_extract_string(raw_json, '$.attributes[0].value') AS seg
+            FROM sel
+        """,
+        "ann_lsh_topk": f"""
+            WITH cb AS (
+                SELECT vec_id AS id, embedding AS cv,
+                       {_sql_rh_bucket('embedding')} AS bucket
+                FROM embeddings
+            ),
+            qb AS (
+                SELECT vec_id AS query_id, embedding AS qv,
+                       {_sql_rh_bucket('embedding')} AS bucket
+                FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT qb.query_id, cb.id AS neighbor_id,
+                       round(({_sql_dot_chain('qv', 'cv')})
+                             / (sqrt({_sql_norm_chain('qv')})
+                                * sqrt({_sql_norm_chain('cv')})), 6) AS cosine
+                FROM cb JOIN qb ON cb.bucket = qb.bucket
+                WHERE cb.id <> qb.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id ASC
+                ) AS INT) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+                   event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+            FROM events
+            GROUP BY 1, 2
         """,
     }

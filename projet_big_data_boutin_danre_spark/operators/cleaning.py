@@ -117,6 +117,47 @@ def cents_to_euros(col: Column | str) -> Column:
     return F.when(c.isNotNull() & (c != 0), c / F.lit(100.0))
 
 
+def format_ads(df: DataFrame, raw_col: str = "raw_json") -> DataFrame:
+    """The raw→formatted ad pipeline in one projection — the engine's
+    re-expression of ``dags/lib/lbc_fetcher.py:100-125`` +
+    ``raw_to_fmt_lbc.py:43-58``:
+
+    - P13 defaulted field access: ``list_id`` → ``id``, ``subject`` →
+      ``title``
+    - P11 list-unwrap + P14 cents→euros on ``price_cents``
+    - P7 coercing timestamp on ``date``
+    - union-typed ``location`` ("N/A" | object) → typed struct fields
+    - P12 attribute list → map, extracted per key
+
+    All JVM-side JSON extraction (``get_json_object``/``from_json``) —
+    a narrow map that pipelines with the scan; no shuffle, no UDF.
+    """
+    raw = F.col(raw_col)
+    price_cents = unwrap_scalar(
+        F.from_json(F.get_json_object(raw, "$.price_cents"), "array<bigint>")
+    )
+    loc_txt = F.get_json_object(raw, "$.location")
+    loc = F.when(
+        F.trim(loc_txt).startswith("{"),
+        F.from_json(loc_txt, LBC_LOCATION_SCHEMA),
+    )
+    attrs = map_from_attribute_list(
+        F.from_json(
+            F.get_json_object(raw, "$.attributes"),
+            "array<struct<key:string,value:string>>",
+        )
+    )
+    return df.select(
+        F.get_json_object(raw, "$.list_id").cast("long").alias("id"),
+        F.get_json_object(raw, "$.subject").alias("title"),
+        cents_to_euros(price_cents).alias("price"),
+        coerce_timestamp(F.get_json_object(raw, "$.date")).alias("date"),
+        loc.getField("city").alias("city"),
+        loc.getField("zipcode").alias("zipcode"),
+        F.try_element_at(attrs, F.lit("seg")).alias("seg"),
+    )
+
+
 def has_cols(df: DataFrame, required: Sequence[str]) -> bool:
     """P10: driver-side schema presence guard
     (``dags/lib/compute_usage.py:36-39``) — metadata only, no job."""
