@@ -551,6 +551,20 @@ def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_price_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """ML_ROADMAP.md parity: MLlib linear price regression (80/20
+    split, seed 42) — metrics row. Iterative training is not
+    SQL-expressible, so this is a rows-only check by design."""
+    from projet_big_data_boutin_danre_spark.ml import price_regression_metrics
+
+    li = load_table(spark, sf, "lineitem")
+    return price_regression_metrics(
+        li,
+        ["l_quantity", "l_discount", "l_tax"],
+        "l_extendedprice",
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k neighbors via random-hyperplane LSH bucketing
     (the 100 TB scale path: only same-bucket candidates are scored)."""
@@ -731,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lbc_format": q_lbc_format,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tumbling_window": q_tumbling_window,
+        "price_regression": q_price_regression,  # rows-only: iterative ML
     }
 
 

@@ -38,9 +38,19 @@ def _decode_stub(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [digest[i % 16] / 255.0 for i in range(dim)]
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, target_partitions: int | None = None) -> DataFrame:
     """Decode/feature-extract each media row via Arrow-batched
-    ``mapInPandas`` — the canonical shape for any Python-side codec."""
+    ``mapInPandas`` — the canonical shape for any Python-side codec.
+
+    The input is round-robin repartitioned first (default: the
+    session's parallelism): media scans often arrive as few large
+    files, and the Python codec — not the shuffle — is the dominant
+    cost, so balancing decode work across all cores wins at any scale.
+    Pass ``target_partitions=0`` to keep the input partitioning."""
+    if target_partitions is None:
+        target_partitions = media.sparkSession.sparkContext.defaultParallelism
+    if target_partitions:
+        media = media.repartition(target_partitions)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

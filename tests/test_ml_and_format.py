@@ -1,0 +1,42 @@
+"""Tests for the MLlib regression parity module and the raw→formatted
+ad pipeline (format_ads)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from projet_big_data_boutin_danre_spark.ml import price_regression_metrics
+from projet_big_data_boutin_danre_spark.operators import cleaning
+
+
+def test_price_regression_learns_linear_signal(spark):
+    # price = 10*q + 3*d + noise-free -> near-perfect fit expected
+    rows = [(float(q), float(d), 10.0 * q + 3.0 * d) for q in range(20) for d in range(5)]
+    df = spark.createDataFrame(rows, "q double, d double, price double")
+    out = price_regression_metrics(df, ["q", "d"], "price", seed=1).collect()[0]
+    assert out.r2 > 0.999
+    assert out.rmse < 1.0
+    assert out.n_train + out.n_test == 100
+
+
+def test_format_ads_pipeline(spark):
+    rows = [
+        # full record
+        ('{"list_id": 7, "subject": "ad one", "price_cents": [12345], '
+         '"date": "2024-03-01 10:00:00", '
+         '"location": {"city":"Paris","zipcode":"75001","lat":48.8,"lng":2.3}, '
+         '"attributes": [{"key":"seg","value":"A"}]}',),
+        # N/A location, zero price, bad date
+        ('{"list_id": 8, "subject": "ad two", "price_cents": [0], '
+         '"date": "bad", "location": "N/A", '
+         '"attributes": [{"key":"seg","value":"B"}]}',),
+    ]
+    df = spark.createDataFrame(rows, "raw_json string")
+    out = {r.id: r for r in cleaning.format_ads(df).collect()}
+    assert out[7].price == 123.45
+    assert out[7].city == "Paris" and out[7].zipcode == "75001"
+    assert out[7].seg == "A"
+    assert str(out[7].date).startswith("2024-03-01 10:00:00")
+    assert out[8].price is None  # 0 cents -> null (reference semantics)
+    assert out[8].city is None and out[8].zipcode is None  # N/A -> null struct
+    assert out[8].date is None  # coercing parse
