@@ -190,7 +190,10 @@ def simhash(
 
 
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-grams per document (normalized tokens)."""
+    """Distinct word n-grams per document (normalized tokens).
+
+    Tokenization sits in its own projection so the normalize+split is
+    evaluated once per row, not once per lambda call site."""
     toks = F.split(normalize_text(text_col), " ")
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
@@ -224,54 +227,95 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
 ) -> DataFrame:
-    """n-gram Jaccard similarity for all pairs within a blocking key.
+    """n-gram Jaccard similarity for pairs within a blocking key that
+    share at least one gram (id_a < id_b, jaccard rounded to 6dp).
 
-    |A∩B| via per-(block, gram) id-list collection + in-array pair
-    expansion; |A∪B| = |A|+|B|−|A∩B|. Single pipeline — the gram
-    explode runs ONCE (per-id sizes ride along as a window count, and
-    pair members carry their sizes), instead of the naive
-    3-computations-plus-2-joins shape. Shuffles: by id (size window),
-    by (block, gram) (bucket agg), by pair (count agg).
+    Plan: per-doc distinct-gram ARRAYS built with pure column algebra
+    (no explode, no shuffle), then ``applyInPandas`` per block: Arrow
+    ships each doc's gram set ONCE and the all-pairs intersection is a
+    binary doc×vocab matrix product (numpy) inside the block. Python
+    emits integer counts only; the jaccard division + rounding happen
+    JVM-side so float semantics match the pure-SQL formulation
+    exactly. Two shapes rejected by measurement: the inverted index
+    (explode by gram, count co-occurrences) detonates to Σ_gram
+    df(gram)² intermediate rows when any gram is block-common, and a
+    block self-join with per-pair ``array_intersect`` copies both gram
+    arrays into every O(block²) joined row (~20× slower than shipping
+    each array once). The single shuffle is the block groupBy; one
+    block (docs × vocab bitmap) must fit an executor's memory — at
+    scale use LSH bands (minhash_lsh_pairs) as blocks to keep them
+    small by construction."""
+    import numpy as np
+    import pandas as pd
 
-    The blocking key bounds pair fan-out; a gram shared by the whole
-    block is quadratic in block size — that's the algorithm, pick
-    blocks accordingly. Output: id_a < id_b, jaccard rounded to 6dp."""
+    # Tokenize in a SEPARATE projection: referencing the array by name
+    # keeps the normalize+split from being inlined (and re-evaluated)
+    # at every one of the ~3n lambda call sites below.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
-        F.col(text_col).alias("__txt"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
     )
-    grams = word_ngrams(base, "id", "__txt", n=n).join(
-        base.select("id", "block"), "id"
+    sets = base.select(
+        "id",
+        "block",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("__toks") - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at("__toks", i + off) for off in range(n)]
+                ),
+            )
+        ).alias("grams"),
     )
-    grams_n = grams.withColumn(
-        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    )
-    members = (
-        grams_n.groupBy("block", "gram")
-        .agg(F.collect_list(F.struct("id", "n_grams")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    out = (
-        members.select("ms", F.explode("ms").alias("a"))
-        .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.id").alias("id_b"),
-            F.col("b.n_grams").alias("nb"),
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _pair_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n_docs = len(pdf)
+        if n_docs < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "n_inter": [], "na": [], "nb": []}
+            )
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for r, gl in enumerate(pdf["grams"]):
+            for g in gl:
+                rows.append(r)
+                cols.append(vocab.setdefault(g, len(vocab)))
+        m = np.zeros((n_docs, len(vocab)), dtype=np.int32)
+        m[rows, cols] = 1
+        inter = m @ m.T
+        sizes = m.sum(axis=1)
+        ia, ib = np.triu_indices(n_docs, 1)
+        ni = inter[ia, ib]
+        keep = ni > 0
+        ia, ib, ni = ia[keep], ib[keep], ni[keep]
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "n_inter": ni.astype(np.int32),
+                "na": sizes[ia].astype(np.int32),
+                "nb": sizes[ib].astype(np.int32),
+            }
         )
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
+
+    counts = sets.groupBy("block").applyInPandas(
+        _pair_counts,
+        schema=f"id_a {id_type}, id_b {id_type}, n_inter int, na int, nb int",
+    )
+    out = counts.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
     )
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= F.lit(min_jaccard))
