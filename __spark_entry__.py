@@ -609,9 +609,13 @@ _NORM_SQL = (
 
 def _sql_minhash_sigs_cte(num_hashes: int = 8, k: int = 8) -> str:
     norm = _NORM_SQL.format(c="text")
-    sig_cols = ",\n                   ".join(
-        f"min(md5('{s}|' || shingle)) AS sig_{s}" for s in range(num_hashes)
-    )
+
+    def comp(s: int) -> str:
+        d = s // 4
+        digest = "md5(shingle)" if d == 0 else f"md5('{d}|' || shingle)"
+        return f"min(substr({digest}, {8 * (s % 4) + 1}, 8)) AS sig_{s}"
+
+    sig_cols = ",\n                   ".join(comp(s) for s in range(num_hashes))
     return f"""
         norm AS (SELECT doc_id AS id, {norm} AS t FROM documents),
         pos AS (

@@ -39,6 +39,24 @@ def md5_min_shingle(shingle_col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}|"), shingle_col))
 
 
+def minhash_component(shingle_col: Column, s: int) -> Column:
+    """MinHash component ``s`` as an 8-hex-char slice of a seeded md5
+    digest: component ``s`` = ``substr(md5(prefix_s || shingle),
+    8*(s%4)+1, 8)`` where ``prefix_s`` = '' for the first digest and
+    ``'{d}|'`` for digest ``d`` ≥ 1. Each 32-hex digest yields FOUR
+    independent 32-bit hash projections, so ``n`` signature components
+    cost ``ceil(n/4)`` md5 evaluations per shingle instead of ``n`` —
+    the md5 is the dominant cost of signature computation at scale.
+    Lexicographic MIN over fixed-width hex slices is a valid min-hash."""
+    d = s // 4
+    digest = (
+        F.md5(shingle_col)
+        if d == 0
+        else F.md5(F.concat(F.lit(f"{d}|"), shingle_col))
+    )
+    return F.substring(digest, 8 * (s % 4) + 1, 8)
+
+
 def hex_digit_value(hex_char: Column) -> Column:
     """Hex digit char → integer 0..15.
 

