@@ -76,10 +76,17 @@ def price_regression_metrics(
     import numpy as np
 
     spark = df.sparkSession
-    clean = df.dropna(subset=[*feature_cols, label_col])
-    train, test = clean.randomSplit(
-        [train_fraction, 1.0 - train_fraction], seed=seed
+    clean = df.dropna(subset=[*feature_cols, label_col]).withColumn(
+        "__r", F.rand(seed)
     )
+    # Seeded rand() split instead of randomSplit: same per-partition
+    # determinism guarantee, but randomSplit inserts a
+    # sortWithinPartitions over ALL columns on every branch (two full
+    # sorts of the table per evaluation) to pin row order — a pure
+    # filter re-evaluates the seeded rand stream instead, so each
+    # branch is one scan with the predicate pushed into it.
+    train = clean.filter(F.col("__r") < train_fraction)
+    test = clean.filter(F.col("__r") >= train_fraction)
 
     k = len(feature_cols)
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]

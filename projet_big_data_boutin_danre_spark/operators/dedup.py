@@ -29,6 +29,19 @@ from pyspark.sql import functions as F
 from ..functions.hashing import minhash_component, normalize_text
 
 
+def balance_for_fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow input ahead of a high-fan-out
+    stage (shingle/token/gram explode: 10-300x row blowup) when the
+    scan yields fewer splits than cores — e.g. one small parquet file.
+    One extra pass over the small input buys full parallelism for the
+    expensive stage; when the source already has >= cores splits (any
+    real-scale table), it's a no-op so no shuffle is added at 100 TB."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_stats(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -89,7 +102,7 @@ def minhash_signatures(
 
     One explode + one hash-aggregate; partial mins combine map-side so
     the shuffle carries one row per (doc, partition)."""
-    shingles = char_shingles(df, id_col, text_col, k=shingle_k)
+    shingles = char_shingles(balance_for_fanout(df), id_col, text_col, k=shingle_k)
     aggs = [
         F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
         for s in range(num_hashes)
@@ -168,7 +181,7 @@ def simhash(
     """
     hex_chars = bits // 4
     tokens = (
-        df.select(
+        balance_for_fanout(df).select(
             F.col(id_col).alias("id"),
             F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
         )
@@ -235,17 +248,17 @@ def ngram_jaccard_pairs(
 
     Plan: per-doc distinct-gram ARRAYS built with pure column algebra
     (no explode, no shuffle), then ``applyInPandas`` per block: Arrow
-    ships each doc's gram set ONCE and the all-pairs intersection is a
-    binary doc×vocab matrix product (numpy) inside the block. Python
-    emits integer counts only; the jaccard division + rounding happen
-    JVM-side so float semantics match the pure-SQL formulation
-    exactly. Two shapes rejected by measurement: the inverted index
-    (explode by gram, count co-occurrences) detonates to Σ_gram
-    df(gram)² intermediate rows when any gram is block-common, and a
-    block self-join with per-pair ``array_intersect`` copies both gram
-    arrays into every O(block²) joined row (~20× slower than shipping
-    each array once). The single shuffle is the block groupBy; one
-    block (docs × vocab bitmap) must fit an executor's memory — at
+    ships each doc's gram set ONCE, and intersection counts come from
+    an in-memory inverted index — per gram, emit its doc pairs and
+    count multiplicity with one ``np.unique`` — so the work is
+    Σ_gram df(gram)² (the irreducible pair-overlap mass), not
+    O(docs²·vocab) like a dense doc×vocab matrix product and not
+    O(docs²·|set|) like a self-join with per-pair ``array_intersect``
+    (~20× slower, measured — it copies both gram arrays into every
+    joined row). Python emits integer counts only; the jaccard
+    division + rounding happen JVM-side so float semantics match the
+    pure-SQL formulation exactly. The single shuffle is the block
+    groupBy; one block's gram sets must fit an executor's memory — at
     scale use LSH bands (minhash_lsh_pairs) as blocks to keep them
     small by construction."""
     import numpy as np
@@ -254,6 +267,7 @@ def ngram_jaccard_pairs(
     # Tokenize in a SEPARATE projection: referencing the array by name
     # keeps the normalize+split from being inlined (and re-evaluated)
     # at every one of the ~3n lambda call sites below.
+    df = balance_for_fanout(df)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
@@ -277,34 +291,51 @@ def ngram_jaccard_pairs(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _pair_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "n_inter": [], "na": [], "nb": []}
+        )
         pdf = pdf.sort_values("id").reset_index(drop=True)
         n_docs = len(pdf)
         if n_docs < 2:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "n_inter": [], "na": [], "nb": []}
-            )
+            return empty
         vocab: dict[str, int] = {}
         rows, cols = [], []
         for r, gl in enumerate(pdf["grams"]):
             for g in gl:
                 rows.append(r)
                 cols.append(vocab.setdefault(g, len(vocab)))
-        m = np.zeros((n_docs, len(vocab)), dtype=np.int32)
-        m[rows, cols] = 1
-        inter = m @ m.T
-        sizes = m.sum(axis=1)
-        ia, ib = np.triu_indices(n_docs, 1)
-        ni = inter[ia, ib]
-        keep = ni > 0
-        ia, ib, ni = ia[keep], ib[keep], ni[keep]
+        rows_a = np.asarray(rows, dtype=np.int64)
+        cols_a = np.asarray(cols, dtype=np.int64)
+        # grams are distinct per doc, so set size = row frequency
+        sizes = np.bincount(rows_a, minlength=n_docs).astype(np.int32)
+        # inverted index: group occurrence rows by gram
+        order = np.argsort(cols_a, kind="stable")
+        sr, sc = rows_a[order], cols_a[order]
+        bounds = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1], True])
+        triu_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        key_parts = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            d = e - s
+            if d < 2:
+                continue
+            docs = np.sort(sr[s:e])
+            pair = triu_cache.get(d)
+            if pair is None:
+                pair = triu_cache[d] = np.triu_indices(d, 1)
+            # linearize (lo, hi) pairs; doc rows are sorted so lo < hi
+            key_parts.append(docs[pair[0]] * n_docs + docs[pair[1]])
+        if not key_parts:
+            return empty
+        keys, ni = np.unique(np.concatenate(key_parts), return_counts=True)
+        ia, ib = keys // n_docs, keys % n_docs
         ids = pdf["id"].to_numpy()
         return pd.DataFrame(
             {
                 "id_a": ids[ia],
                 "id_b": ids[ib],
                 "n_inter": ni.astype(np.int32),
-                "na": sizes[ia].astype(np.int32),
-                "nb": sizes[ib].astype(np.int32),
+                "na": sizes[ia],
+                "nb": sizes[ib],
             }
         )
 

@@ -18,6 +18,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc malloc tuning for the JVM and (critically) the forked Python
+# UDF workers: by default every large numpy/Arrow temp buffer is a
+# fresh mmap that is unmapped on free, so each pandas-UDF batch pays
+# first-touch page faults again (measured ~13x slowdown on virtualized
+# hosts with slow EPT faults). Pinning the mmap/trim thresholds makes
+# the allocator serve large buffers from the heap and keep the pages,
+# so the fault cost is paid once per worker, not once per batch. glibc
+# reads these at process start, so they must be in the environment
+# BEFORE the JVM (whose python daemons inherit it) is launched.
+for _k in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+    os.environ.setdefault(_k, str(512 * 1024 * 1024))
+
 
 def get_spark(
     app_name: str = "projet_big_data_spark",
