@@ -18,8 +18,6 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.ml.feature import VectorAssembler
-from pyspark.ml.regression import LinearRegression, LinearRegressionModel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,9 +28,15 @@ def train_price_model(
     label_col: str,
     seed: int = 42,
     train_fraction: float = 0.8,
-) -> tuple[LinearRegressionModel, DataFrame, DataFrame]:
+):
     """80/20 split (``ML_ROADMAP.md:47``: training_percent 80) + fit.
     Returns (model, train, test)."""
+    # Imported here, not at module top: pyspark.ml pulls in the whole
+    # MLlib Python tree (~0.4s) that the closed-form metrics path below
+    # never needs.
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
     assembled = VectorAssembler(
         inputCols=list(feature_cols), outputCol="features"
     ).transform(df.dropna(subset=[*feature_cols, label_col]))
@@ -64,11 +68,13 @@ def price_regression_metrics(
 
     The fit is the closed-form ridge/normal-equation solve — the same
     math MLlib's ``LinearRegression(solver='normal')`` runs, expressed
-    directly: ONE codegen'd aggregation pass over train collects the
-    (k+1)×(k+1) sufficient statistics (X'X, X'y), the tiny symmetric
-    system is solved driver-side, and ONE pass over test computes
-    rmse/r² from (n, Σ(y-ŷ)², Σy, Σy²). Two scans total, all
-    map-side-combining sums — no MLlib fit/evaluator overhead (~6
+    directly. ONE codegen'd aggregation pass over the table, grouped by
+    the seeded train/test split flag, collects per-split sufficient
+    statistics (n, X'X, X'y, Σy²); everything downstream is driver-side
+    algebra on the tiny (k+1)² block: solve the train system for β,
+    then test SSE = y'y − 2β·X'y + β'(X'X)β — no second scan needed,
+    because the residual sum is itself a function of the same moments.
+    All map-side-combining sums — no MLlib fit/evaluator overhead (~6
     scans + Py4J per-iteration chatter), no caching needed, and the
     shape is exactly as scalable as any groupBy-sum at 100 TB.
     Intercept is unpenalized; features are not standardized (the ridge
@@ -76,40 +82,76 @@ def price_regression_metrics(
     import numpy as np
 
     spark = df.sparkSession
-    clean = df.dropna(subset=[*feature_cols, label_col]).withColumn(
-        "__r", F.rand(seed)
-    )
-    # Seeded rand() split instead of randomSplit: same per-partition
+    # Seeded rand() flag instead of randomSplit: same per-partition
     # determinism guarantee, but randomSplit inserts a
     # sortWithinPartitions over ALL columns on every branch (two full
-    # sorts of the table per evaluation) to pin row order — a pure
-    # filter re-evaluates the seeded rand stream instead, so each
-    # branch is one scan with the predicate pushed into it.
-    train = clean.filter(F.col("__r") < train_fraction)
-    test = clean.filter(F.col("__r") >= train_fraction)
+    # sorts of the table per evaluation) to pin row order.
+    # Projected via withColumn (not inline in groupBy): Catalyst
+    # rejects nondeterministic expressions like rand() in grouping
+    # keys, but grouping by the projected column is fine.
+    clean = df.dropna(subset=[*feature_cols, label_col]).withColumn(
+        "is_train", F.rand(seed) < train_fraction
+    )
 
     k = len(feature_cols)
-    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
-    y = F.col(label_col).cast("double")
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # The O(k²) moment expressions are built as ONE selectExpr string
+    # list, not F.sum(F.col(..)*F.col(..)) algebra: every Column
+    # construction is a Py4J round-trip, and ~40 of them cost ~0.5s of
+    # driver latency before the query even plans.
+    xs = ["1.0D"] + [f"double(`{c}`)" for c in feature_cols]
+    y = f"double(`{label_col}`)"
+    aggs = [f"count(1) AS n", f"sum({y} * {y}) AS yy"]
     for i in range(k + 1):
         for j in range(i, k + 1):
-            aggs.append(F.sum(xs[i] * xs[j]).alias(f"xx_{i}_{j}"))
-        aggs.append(F.sum(xs[i] * y).alias(f"xy_{i}"))
-    stats = train.agg(*aggs).collect()[0]
+            aggs.append(f"sum({xs[i]} * {xs[j]}) AS xx_{i}_{j}")
+        aggs.append(f"sum({xs[i]} * {y}) AS xy_{i}")
+    view = f"__price_reg_stats_{abs(id(df))}"
+    clean.createOrReplaceTempView(view)
+    try:
+        split_stats = {
+            row["is_train"]: row
+            for row in spark.sql(
+                f"SELECT is_train, {', '.join(aggs)}"
+                f" FROM {view} GROUP BY is_train"
+            ).collect()
+        }
+    finally:
+        spark.catalog.dropTempView(view)
 
-    n_train = stats["n"]
-    if n_train == 0:
-        return spark.createDataFrame(
-            [(None, None, 0, 0)],
-            "rmse double, r2 double, n_train bigint, n_test bigint",
+    def _moments(row):
+        xtx = np.zeros((k + 1, k + 1))
+        xty = np.zeros(k + 1)
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                xtx[i, j] = xtx[j, i] = row[f"xx_{i}_{j}"]
+            xty[i] = row[f"xy_{i}"]
+        return xtx, xty
+
+    def _result(rmse, r2, n_train, n_test):
+        # One-row literal result via spark.sql, not createDataFrame:
+        # the local-relation conversion path costs >1s on first use in
+        # a session. round() stays SQL-side (HALF_UP) so the values
+        # match what the previous F.round formulation produced.
+        def d(v):
+            if v is None or not math.isfinite(float(v)):
+                return "CAST(NULL AS double)"
+            # string-cast, not a bare literal: un-suffixed decimal
+            # literals parse as DecimalType and would change the
+            # result schema; repr() round-trips doubles exactly.
+            return f"CAST('{float(v)!r}' AS double)"
+
+        return spark.sql(
+            f"SELECT round({d(rmse)}, 2) AS rmse,"
+            f" round({d(r2)}, 4) AS r2,"
+            f" {int(n_train)}L AS n_train, {int(n_test)}L AS n_test"
         )
-    xtx = np.zeros((k + 1, k + 1))
-    xty = np.zeros(k + 1)
-    for i in range(k + 1):
-        for j in range(i, k + 1):
-            xtx[i, j] = xtx[j, i] = stats[f"xx_{i}_{j}"]
-        xty[i] = stats[f"xy_{i}"]
+
+    tr, te = split_stats.get(True), split_stats.get(False)
+    n_train = tr["n"] if tr else 0
+    n_test = te["n"] if te else 0
+    if n_train == 0:
+        return _result(None, None, 0, n_test)
+    xtx, xty = _moments(tr)
     penalty = reg_param * np.eye(k + 1)
     penalty[0, 0] = 0.0  # intercept unpenalized
     try:
@@ -117,28 +159,17 @@ def price_regression_metrics(
     except np.linalg.LinAlgError:
         beta = np.linalg.lstsq(xtx + penalty, xty, rcond=None)[0]
 
-    pred = F.lit(float(beta[0]))
-    for c, b in zip(feature_cols, beta[1:]):
-        pred = pred + F.col(c).cast("double") * F.lit(float(b))
-    m = test.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((y - pred) * (y - pred)).alias("sse"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
-    ).collect()[0]
-    n_test = m["n"]
     if n_test == 0:
         rmse, r2 = None, None
     else:
-        rmse = math.sqrt(m["sse"] / n_test)
-        sst = m["syy"] - m["sy"] * m["sy"] / n_test
-        r2 = 1.0 - m["sse"] / sst if sst > 0 else None
-    return spark.createDataFrame(
-        [(rmse, r2, n_train, n_test)],
-        "rmse double, r2 double, n_train bigint, n_test bigint",
-    ).select(
-        F.round("rmse", 2).alias("rmse"),
-        F.round("r2", 4).alias("r2"),
-        "n_train",
-        "n_test",
-    )
+        txtx, txty = _moments(te)
+        # max(0, ·): the moment form can go slightly negative from
+        # cancellation when the fit is near-exact.
+        sse = max(
+            0.0, float(te["yy"] - 2.0 * beta @ txty + beta @ txtx @ beta)
+        )
+        rmse = math.sqrt(sse / n_test)
+        sy = float(txty[0])  # Σ(x_0 · y) with x_0 ≡ 1
+        sst = te["yy"] - sy * sy / n_test
+        r2 = 1.0 - sse / sst if sst > 0 else None
+    return _result(rmse, r2, n_train, n_test)
