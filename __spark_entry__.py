@@ -138,6 +138,20 @@ def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_index_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 (index_to_es.py:114-144,218-282): per-run indexer tallies
+    (total/indexed/filtered) as one conditional aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    kept = (
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10.0, 45.0)
+        & F.col("l_shipdate").isNotNull()
+    )
+    return documents_op.index_counters(
+        li, kept, group_by=["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
 def q_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
     """P5/F1 (compute_usage.py:43): string-prefix predicate."""
     part = load_table(spark, sf, "part")
@@ -717,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrichment_join": q_enrichment_join,
         "keep_last_dedup": q_keep_last_dedup,
         "quality_filter": q_quality_filter,
+        "index_counters": q_index_counters,
         "prefix_filter": q_prefix_filter,
         "coercing_cast": q_coercing_cast,
         "pagination": q_pagination,
@@ -796,6 +811,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_returnflag IN ('A', 'R')
               AND l_quantity BETWEEN 10.0 AND 45.0
               AND l_shipdate IS NOT NULL
+        """,
+        "index_counters": """
+            SELECT l_returnflag,
+                   count(*) AS total_processed,
+                   CAST(sum(CASE WHEN l_returnflag IN ('A', 'R')
+                             AND l_quantity BETWEEN 10.0 AND 45.0
+                             AND l_shipdate IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS count_indexed,
+                   CAST(sum(CASE WHEN l_returnflag IN ('A', 'R')
+                             AND l_quantity BETWEEN 10.0 AND 45.0
+                             AND l_shipdate IS NOT NULL
+                        THEN 0 ELSE 1 END) AS BIGINT) AS count_filtered
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "prefix_filter": """
             SELECT p_partkey, p_name, p_type, p_size

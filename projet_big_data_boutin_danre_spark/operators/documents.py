@@ -62,6 +62,28 @@ def sparse_document(df: DataFrame, id_col: str, fields: Sequence[str]) -> DataFr
     )
 
 
+def index_counters(
+    df: DataFrame,
+    kept: Column,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """A4: the indexers' per-run tallies — ``total_processed`` /
+    ``count_indexed`` (count_ok) / ``count_filtered``
+    (``index_to_es.py:114-144,218-282``) — as ONE conditional
+    aggregation pass instead of the reference's row-loop counters.
+    ``when(kept, 1).otherwise(0)`` (not a boolean cast) so a
+    null-valued predicate counts as filtered, exactly like the
+    row-loop's if/else and SQL's CASE WHEN."""
+    aggs = [
+        F.count(F.lit(1)).alias("total_processed"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("count_indexed"),
+        F.sum(F.when(kept, 0).otherwise(1)).alias("count_filtered"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def fan_out_prefix(
     df: DataFrame, code_col: str, prefix: str = "75"
 ) -> tuple[DataFrame, DataFrame]:

@@ -106,6 +106,22 @@ def test_fan_out_prefix(spark):
     assert {r["code"] for r in paris.collect()} == {"75101", "75020"}
 
 
+def test_index_counters_null_predicate_counts_as_filtered(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 200.0), (3, None)], "id int, v double"
+    )
+    out = documents.index_counters(df, F.col("v") < 100.0).collect()[0]
+    # id=3: predicate is NULL, not false — must land in filtered like
+    # the reference row-loop's if/else.
+    assert (
+        out["total_processed"],
+        out["count_indexed"],
+        out["count_filtered"],
+    ) == (3, 1, 2)
+
+
 def test_facet_totals_max_pages(spark):
     df = spark.createDataFrame([Row(owner="pro")] * 36 + [Row(owner="private")])
     out = {r["owner"]: (r["total"], r["max_pages"])
