@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (broadcast dimension joins, parquet filter pushdown, column
+pruning, top-k as TakeOrderedAndProject) asserted on the executed
+plans, so a refactor that silently degrades a 100 TB plan — e.g. a
+broadcast join falling back to sort-merge, or a scan reading all
+columns — fails CI rather than only showing up in the benchmark."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrichment_join_broadcasts_dimension(spark, sf0001):
+    plan = _plan(entrymod.queries()["enrichment_join"](spark, sf0001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_two_step_lookup_broadcasts(spark, sf0001):
+    plan = _plan(entrymod.queries()["two_step_lookup"](spark, sf0001))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_watermark_filter_pushed_to_scan(spark, sf0001):
+    plan = _plan(entrymod.queries()["watermark_incremental"](spark, sf0001))
+    # the ts > watermark predicate must reach the parquet reader so
+    # row groups outside the window are skipped via min/max stats
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThan(ts" in plan
+
+
+def test_point_lookup_pushes_equality(spark, sf0001):
+    plan = _plan(entrymod.queries()["point_lookup"](spark, sf0001))
+    assert "EqualTo" in plan
+
+
+def test_pagination_compiles_to_take_ordered(spark, sf0001):
+    plan = _plan(entrymod.queries()["pagination"](spark, sf0001))
+    # global sort+limit must NOT be a full Sort exchange: Spark's
+    # TakeOrderedAndProject keeps only (limit+offset) rows per
+    # partition before the single-reduce merge
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_market_stats_prunes_columns(spark, sf0001):
+    plan = _plan(entrymod.queries()["market_stats"](spark, sf0001))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the three referenced lineitem columns may be read
+    assert "l_suppkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_market_stats_partial_aggregation(spark, sf0001):
+    plan = _plan(entrymod.queries()["market_stats"](spark, sf0001))
+    # map-side partial + final: two HashAggregate nodes around the
+    # exchange, so the shuffle carries one row per (partition, key)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_filter_whole_stage_codegen(spark, sf0001):
+    plan = _plan(entrymod.queries()["quality_filter"](spark, sf0001))
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen span
+    assert "*(1)" in plan
+
+
+def test_exact_dedup_single_shuffle(spark, sf0001):
+    plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
+    # hash + groupBy must shuffle exactly once (on content_hash)
+    assert plan.count("Exchange hashpartitioning") == 1
