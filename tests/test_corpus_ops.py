@@ -49,6 +49,20 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_minhash_lsh_max_bucket_caps_pair_blowup(spark):
+    # 6 identical docs -> one bucket per band; uncapped = C(6,2)=15
+    # pairs, capped at 3 = pairs among the 3 smallest ids only.
+    rows = [(i, "same boilerplate text everywhere") for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=8, bands=4, max_bucket=3
+        ).collect()
+    }
+    assert capped == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_simhash_near_dups_close(spark, docs):
     rows = {r.id: r.simhash_bits for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert all(len(v) == 32 for v in rows.values())
