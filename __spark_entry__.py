@@ -336,6 +336,25 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native gap-session windows (streaming/sessionize.py
+    session_counts, batch mode — withWatermark is a no-op on batch).
+    Spark session semantics: window = [first, last + gap), so an event
+    at exactly last + gap opens a NEW session (oracle uses >= gap)."""
+    from projet_big_data_boutin_danre_spark.streaming.sessionize import (
+        session_counts,
+    )
+
+    ev = load_table(spark, sf, "events")
+    s = session_counts(ev, "ts", "user_id", gap="30 minutes")
+    return s.select(
+        "user_id",
+        _ts("session_start").alias("session_start_s"),
+        _ts("session_end").alias("session_end_s"),
+        "n_events",
+    )
+
+
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Grouping-sets rollup (engine extension over A1)."""
     orders = load_table(spark, sf, "orders")
@@ -745,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_top_k_per_group,
         "tpch_q1": q_tpch_q1,
         "sessionize": q_sessionize,
+        "session_window": q_session_window,
         "rollup": q_rollup,
         "pivot_counts": q_pivot_counts,
         "exact_dedup": q_exact_dedup,
@@ -942,6 +962,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_id, count(*) AS n_events,
                    max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS session_end
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "session_window": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC
+                            ) >= 1800
+                            OR lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts ASC
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start_s,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S.%f') AS session_end_s,
+                   count(*) AS n_events
             FROM sess GROUP BY user_id, session_id
         """,
         "rollup": """

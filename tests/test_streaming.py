@@ -75,3 +75,54 @@ def test_structured_streaming_dedup_and_window(spark, tmp_path, sf0001):
     assert len(rows) > 0
     # total across windows = input count
     assert sum(r["n"] for r in rows) == 500
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
+    import time
+
+    from projet_big_data_boutin_danre_spark.streaming.sessionize import (
+        sessionize_stateful,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def emit(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    t = dt.datetime(2025, 1, 1, 10, 0)
+    emit("f1", [(1, t), (1, t + dt.timedelta(minutes=5))])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    sessions = sessionize_stateful(
+        stream, "user_id", "ts", gap_sec=1800, lateness="30 minutes"
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 13:00 event -> watermark reaches 12:30, which is past
+        # the first session's close point (10:05 + 30 min gap)
+        emit("f2", [(1, t + dt.timedelta(hours=3))])
+        q.processAllAvailable()
+        time.sleep(1)  # allow the no-data timeout micro-batch
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"] == t
+    assert r["session_end"] == t + dt.timedelta(minutes=5)
