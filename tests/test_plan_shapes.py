@@ -72,6 +72,43 @@ def test_quality_filter_whole_stage_codegen(spark, sf0001):
     assert "*(1)" in plan
 
 
+def test_bucketed_join_is_exchange_free(spark, sf0001, tmp_path):
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf0001, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf0001, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=4,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], num_buckets=4,
+                   sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the at-scale shape: tiny sf0.001 tables would broadcast,
+        # but a 100 TB fact join is sort-merge — which bucketing makes
+        # exchange-free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # the whole point: both sides read pre-partitioned, no shuffle
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_exact_dedup_single_shuffle(spark, sf0001):
     plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
     # hash + groupBy must shuffle exactly once (on content_hash)
