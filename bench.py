@@ -47,8 +47,21 @@ def main() -> None:
         n for n in qs if n not in HEADLINE
     ]
 
-    # Warmup: materialize one tiny count so session startup is excluded.
+    # Warmup: exclude one-time session machinery from per-query costs —
+    # JVM start + codegen bootstrap (tiny count), Python worker spawn +
+    # pandas/numpy import + Arrow serde init (trivial applyInPandas),
+    # and parquet footer reads for every table (schema touch).
     qs[names[0]](spark, sf_dir).limit(1).count()
+    spark.createDataFrame([(1,)], "k int").groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k int"
+    ).count()
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        load_table(spark, sf_dir, t).schema
 
     timings: dict[str, float] = {}
     for name in names:
