@@ -396,6 +396,14 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return text.text_profile(docs, "doc_id", "text")
 
 
+def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus length distribution (exact percentiles —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, so values match bit-for-bit)."""
+    docs = load_table(spark, sf, "documents")
+    return text.length_quantiles(docs, "text", "lang")
+
+
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash signatures (8 hashes, 8-char shingles) per document."""
     docs = load_table(spark, sf, "documents")
@@ -769,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "exact_dedup": q_exact_dedup,
         "text_profile": q_text_profile,
+        "corpus_quantiles": q_corpus_quantiles,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1015,6 +1024,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "text_profile": _sql_text_profile(),
+        "corpus_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   avg(length(text)) AS avg_len,
+                   quantile_cont(length(text), 0.5) AS p50,
+                   quantile_cont(length(text), 0.9) AS p90,
+                   quantile_cont(length(text), 0.99) AS p99
+            FROM documents GROUP BY lang
+        """,
         "minhash_signatures": f"""
             WITH {_sql_minhash_sigs_cte()}
             SELECT * FROM sigs

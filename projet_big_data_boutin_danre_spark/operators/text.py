@@ -84,6 +84,30 @@ def quality_score(text_col: Column | str, round_to: int = 4) -> Column:
     return F.round(score, round_to)
 
 
+def length_quantiles(
+    df: DataFrame,
+    text_col: str,
+    by: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group document-length distribution: count, mean, and exact
+    percentiles. ``percentile`` (exact, linear interpolation — the
+    same definition as SQL ``quantile_cont``) rather than
+    ``approx_percentile``: exact is oracle-checkable bit-for-bit, and
+    its cost is a per-group sort of group-local values — fine while
+    group count is small. At 100 TB with huge groups, swap in
+    ``approx_percentile`` (t-digest, mergeable map-side) — same call
+    shape, bounded memory."""
+    plist = ", ".join(str(p) for p in probs)
+    qs = F.expr(f"percentile(length({text_col}), array({plist}))")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length(text_col)).alias("avg_len"),
+        *[qs.getItem(i).alias(f"p{int(p * 100)}") for i, p in enumerate(probs)],
+    ]
+    return df.groupBy(by).agg(*aggs)
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile: token count, detected lang,
     quality score, fingerprint. Single narrow projection."""
