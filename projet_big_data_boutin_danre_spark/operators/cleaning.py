@@ -117,7 +117,11 @@ def cents_to_euros(col: Column | str) -> Column:
     return F.when(c.isNotNull() & (c != 0), c / F.lit(100.0))
 
 
-def format_ads(df: DataFrame, raw_col: str = "raw_json") -> DataFrame:
+def format_ads(
+    df: DataFrame,
+    raw_col: str = "raw_json",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
     """The raw→formatted ad pipeline in one projection — the engine's
     re-expression of ``dags/lib/lbc_fetcher.py:100-125`` +
     ``raw_to_fmt_lbc.py:43-58``:
@@ -155,6 +159,9 @@ def format_ads(df: DataFrame, raw_col: str = "raw_json") -> DataFrame:
         loc.getField("city").alias("city"),
         loc.getField("zipcode").alias("zipcode"),
         F.try_element_at(attrs, F.lit("seg")).alias("seg"),
+        # passthrough (e.g. the ingest-order column keep-last dedup
+        # needs — the reference carries it implicitly as file order)
+        *[F.col(c) for c in extra_cols],
     )
 
 

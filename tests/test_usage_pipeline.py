@@ -106,6 +106,62 @@ def test_fan_out_prefix(spark):
     assert {r["code"] for r in paris.collect()} == {"75101", "75020"}
 
 
+def test_full_pipeline_raw_to_documents(spark, dvf):
+    """The whole reference DAG (SURVEY §3.1) as one chain: raw LBC
+    JSON → format (keep-last dedup) → usage (market stats + join) →
+    document projection — goldens at every layer boundary."""
+    from projet_big_data_boutin_danre_spark.operators import cleaning
+
+    raw = spark.createDataFrame(
+        [
+            # stale scrape of ad 1 (file 1) — keep-last must drop it
+            ('{"list_id": 1, "subject": "old title", "price_cents": [100000], '
+             '"date": "2025-01-01 09:00:00", '
+             '"location": {"city":"Paris","zipcode":"75101","lat":48.86,"lng":2.34}, '
+             '"attributes": []}', 1),
+            # fresh scrape of ad 1 (file 2)
+            ('{"list_id": 1, "subject": "appart centre", "price_cents": [50000000], '
+             '"date": "2025-01-01 10:00:00", '
+             '"location": {"city":"Paris","zipcode":"75101","lat":48.86,"lng":2.34}, '
+             '"attributes": []}', 2),
+            ('{"list_id": 2, "subject": "maison", "price_cents": [30000000], '
+             '"date": "2025-01-01 10:00:00", "location": "N/A", '
+             '"attributes": []}', 2),
+        ],
+        "raw_json string, ingest_order int",
+    )
+    formatted = cleaning.keep_last_dedup(
+        cleaning.format_ads(raw, extra_cols=["ingest_order"]),
+        ["id"],
+        "ingest_order",
+    )
+    rows = {r["id"]: r for r in formatted.collect()}
+    assert rows[1]["title"] == "appart centre"  # keep-last won
+    assert rows[1]["price"] == 500000.0
+    assert rows[2]["zipcode"] is None  # "N/A" location → null struct
+
+    stats = usage.market_stats(dvf)
+    ads = formatted.select(
+        "id", "title", F.struct(
+            F.col("city"), F.col("zipcode"),
+            F.lit(48.86).alias("lat"), F.lit(2.34).alias("lng"),
+        ).alias("location"),
+    )
+    enriched = usage.opportunities(ads, stats)
+    out = {r["id"]: r for r in enriched.collect()}
+    assert out[1]["avg_price_m2_commune"] == 9500.0  # 75101 golden
+    assert out[2]["avg_price_m2_commune"] is None  # null zip joins nothing
+
+    docs = documents.sparse_document(
+        enriched.withColumn("avg_m2", F.col("avg_price_m2_commune")),
+        "id",
+        ["title", "avg_m2"],
+    )
+    doc = {r["_id"]: r["doc_json"] for r in docs.collect()}
+    assert doc["1"] == '{"title":"appart centre","avg_m2":9500.0}'
+    assert doc["2"] == '{"title":"maison"}'  # null field omitted
+
+
 def test_index_counters_null_predicate_counts_as_filtered(spark):
     from pyspark.sql import functions as F
 
