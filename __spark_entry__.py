@@ -355,6 +355,30 @@ def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators/asof.py): each click matched to the
+    user's most recent purchase at or before it — union + forward-fill
+    window, one shuffle, no range blowup. Oracle uses DuckDB's native
+    ASOF LEFT JOIN."""
+    from projet_big_data_boutin_danre_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, "user_id", "ts", "ts", ["last_purchase_value"]
+    )
+    return out.select(
+        "event_id", "user_id", _ts("ts").alias("ts_s"), "last_purchase_value"
+    )
+
+
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Grouping-sets rollup (engine extension over A1)."""
     orders = load_table(spark, sf, "orders")
@@ -773,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "sessionize": q_sessionize,
         "session_window": q_session_window,
+        "asof_join": q_asof_join,
         "rollup": q_rollup,
         "pivot_counts": q_pivot_counts,
         "exact_dedup": q_exact_dedup,
@@ -972,6 +997,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS session_end
             FROM sess GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), r AS (
+                SELECT user_id, ts, max(value) AS last_purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+                   r.last_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "session_window": """
             WITH flagged AS (

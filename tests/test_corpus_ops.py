@@ -63,6 +63,32 @@ def test_minhash_lsh_max_bucket_caps_pair_blowup(spark):
     assert capped == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_asof_join_inclusive_and_null_semantics(spark):
+    import datetime as dt
+
+    from projet_big_data_boutin_danre_spark.operators.asof import asof_join
+
+    t = dt.datetime(2025, 1, 1, 12, 0)
+    left = spark.createDataFrame(
+        [
+            (1, 1, t),                              # equal ts -> inclusive match
+            (2, 1, t + dt.timedelta(seconds=30)),   # later -> same match
+            (3, 1, t - dt.timedelta(seconds=1)),    # before any right -> null
+            (4, 2, t),                              # other key -> its own match
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t, 10.0), (2, t - dt.timedelta(minutes=5), 99.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0, 3: None, 4: 99.0}
+
+
 def test_simhash_near_dups_close(spark, docs):
     rows = {r.id: r.simhash_bits for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert all(len(v) == 32 for v in rows.values())
