@@ -379,6 +379,38 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): clicks inside the 1-hour
+    window after each same-user purchase — binned equi-join, not a
+    nested-loop theta join."""
+    from projet_big_data_boutin_danre_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    promos = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("promo_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("promo_end"),
+        )
+        .distinct()
+    )
+    out = interval_join(
+        clicks, promos, "user_id", "ts", "promo_start", "promo_end"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _ts("ts").alias("ts_s"),
+        _ts("promo_start").alias("promo_start_s"),
+    )
+
+
 def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Grouping-sets rollup (engine extension over A1)."""
     orders = load_table(spark, sf, "orders")
@@ -798,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_window": q_session_window,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "rollup": q_rollup,
         "pivot_counts": q_pivot_counts,
         "exact_dedup": q_exact_dedup,
@@ -997,6 +1030,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS session_end
             FROM sess GROUP BY user_id, session_id
+        """,
+        "interval_join": """
+            WITH c AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), p AS (
+                SELECT DISTINCT user_id, ts AS promo_start,
+                       ts + INTERVAL 1 HOUR AS promo_end
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+                   strftime(p.promo_start, '%Y-%m-%d %H:%M:%S.%f')
+                       AS promo_start_s
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND c.ts BETWEEN p.promo_start AND p.promo_end
         """,
         "asof_join": """
             WITH l AS (

@@ -89,6 +89,39 @@ def test_asof_join_inclusive_and_null_semantics(spark):
     assert out == {1: 10.0, 2: 10.0, 3: None, 4: 99.0}
 
 
+def test_interval_join_bounds_and_bin_spanning(spark):
+    import datetime as dt
+
+    from projet_big_data_boutin_danre_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    t = dt.datetime(2025, 1, 1, 12, 0)
+    points = spark.createDataFrame(
+        [
+            (1, 1, t),                                # == start: inclusive
+            (2, 1, t + dt.timedelta(hours=1)),        # == end: inclusive
+            (3, 1, t + dt.timedelta(hours=1, seconds=1)),  # past end
+            (4, 1, t + dt.timedelta(minutes=59)),     # inside, later bin
+            (5, 2, t),                                # other key: no interval
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, t, t + dt.timedelta(hours=1))],
+        "user_id long, s timestamp, e timestamp",
+    )
+    # bin width (30 min) < interval length: interval spans 3 bins, and
+    # each qualifying point must still appear exactly once
+    out = sorted(
+        r["event_id"]
+        for r in interval_join(
+            points, intervals, "user_id", "ts", "s", "e", bin_width_sec=1800
+        ).collect()
+    )
+    assert out == [1, 2, 4]
+
+
 def test_simhash_near_dups_close(spark, docs):
     rows = {r.id: r.simhash_bits for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert all(len(v) == 32 for v in rows.values())

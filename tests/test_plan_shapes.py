@@ -109,6 +109,13 @@ def test_bucketed_join_is_exchange_free(spark, sf0001, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_interval_join_avoids_nested_loop(spark, sf0001):
+    plan = _plan(entrymod.queries()["interval_join"](spark, sf0001))
+    # the binned equi-join must plan as a hash join; a raw BETWEEN
+    # theta-join would be BroadcastNestedLoopJoin (O(n*m))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_exact_dedup_single_shuffle(spark, sf0001):
     plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
     # hash + groupBy must shuffle exactly once (on content_hash)
