@@ -420,6 +420,16 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets cube (engine extension over A1) — all 2^k
+    grouping combinations in one pass."""
+    orders = load_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
 def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot expressed as portable conditional aggregation."""
     ev = load_table(spark, sf, "events")
@@ -648,6 +658,30 @@ def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding (hopping) 10-min/5-min event-time windows: every event
+    lands in exactly width/slide windows. Oracle replicates by
+    generating both candidate window starts per event."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+            ).alias("value_sum"),
+        )
+        .select(
+            _ts(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def q_price_regression(spark: SparkSession, sf: str) -> DataFrame:
     """ML_ROADMAP.md parity: MLlib linear price regression (80/20
     split, seed 42) — metrics row. Iterative training is not
@@ -832,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "rollup": q_rollup,
+        "cube": q_cube,
         "pivot_counts": q_pivot_counts,
         "exact_dedup": q_exact_dedup,
         "text_profile": q_text_profile,
@@ -851,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lbc_format": q_lbc_format,
         "ann_lsh_topk": q_ann_lsh_topk,
         "tumbling_window": q_tumbling_window,
+        "sliding_window": q_sliding_window,
         "price_regression": q_price_regression,  # rows-only: iterative ML
     }
 
@@ -1095,6 +1131,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_total
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "pivot_counts": """
             SELECT user_id % 10 AS user_bucket,
@@ -1358,6 +1400,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
             FROM events
+            GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            WITH cand AS (
+                SELECT event_type, value,
+                       make_timestamp(CAST(
+                           (floor(epoch(ts) / 300) - t.o) * 300 * 1000000
+                           AS BIGINT)) AS w_start
+                FROM events, (VALUES (0), (1)) AS t(o)
+            )
+            SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+                   event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
+            FROM cand
             GROUP BY 1, 2
         """,
     }
