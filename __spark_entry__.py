@@ -682,6 +682,40 @@ def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set operations (engine extension — the reference has only
+    union-all): distinct EXCEPT and INTERSECT between the click and
+    purchase user populations, tagged into one result."""
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    only_click = clicks.subtract(buyers).withColumn("tag", F.lit("only_click"))
+    both = clicks.intersect(buyers).withColumn("tag", F.lit("both"))
+    return only_click.unionByName(both)
+
+
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Moving average (window frame): per-user trailing 4-event mean
+    value, computed in exact integer cents so the oracle matches
+    bit-for-bit regardless of float sum order."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _ts("ts").alias("ts_s"),
+        (
+            F.sum(cents).over(w)
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w))
+        ).alias("avg_value_4"),
+    )
+
+
 def q_price_regression(spark: SparkSession, sf: str) -> DataFrame:
     """ML_ROADMAP.md parity: MLlib linear price regression (80/20
     split, seed 42) — metrics row. Iterative training is not
@@ -887,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
+        "set_ops": q_set_ops,
+        "moving_avg": q_moving_avg,
         "price_regression": q_price_regression,  # rows-only: iterative ML
     }
 
@@ -1401,6 +1437,29 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
             FROM events
             GROUP BY 1, 2
+        """,
+        "set_ops": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT user_id, 'only_click' AS tag
+            FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'both' AS tag
+            FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        """,
+        "moving_avg": """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS DOUBLE)
+                       / (100.0 * count(*) OVER w) AS avg_value_4
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+            )
         """,
         "sliding_window": """
             WITH cand AS (
