@@ -462,6 +462,17 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     return text.text_profile(docs, "doc_id", "text")
 
 
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting both ways: whitespace segmentation and the
+    BPE-ish pre-tokenizer regex (LLM token-budget proxy)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("ws_tokens"),
+        text.regex_token_count("text").alias("bpe_tokens"),
+    )
+
+
 def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus length distribution (exact percentiles —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -905,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "text_profile": q_text_profile,
         "corpus_quantiles": q_corpus_quantiles,
+        "token_stats": q_token_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1192,6 +1204,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "text_profile": _sql_text_profile(),
+        "token_stats": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split({_NORM_SQL.format(c="text")},
+                       ' '), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'))
+                       AS bpe_tokens
+            FROM documents
+        """,
         "corpus_quantiles": """
             SELECT lang, count(*) AS n_docs,
                    avg(length(text)) AS avg_len,

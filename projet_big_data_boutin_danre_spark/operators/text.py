@@ -37,6 +37,21 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenization classes, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead, ASCII classes. Alternatives: common English contraction
+# suffixes, space-absorbed letter runs, digit runs, punctuation runs.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"
+
+
+def regex_token_count(col: Column | str) -> Column:
+    """BPE-ish token count over the RAW text (pre-tokenizer match
+    count — the standard cheap proxy for LLM token budgets when the
+    real tokenizer isn't in the data plane)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
     """How many tokens are in ``lang``'s stopword profile."""
     words = STOPWORDS[lang]

@@ -63,6 +63,15 @@ def test_minhash_lsh_max_bucket_caps_pair_blowup(spark):
     assert capped == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_regex_token_count_bpe_classes(spark):
+    df = spark.createDataFrame(
+        [("it's 42 km, ok!",)], "text string"
+    )
+    out = df.select(text.regex_token_count("text").alias("n")).collect()[0]
+    # it | 's | ' 42' | ' km' | , | ' ok' | !  -> 7 matches
+    assert out["n"] == 7
+
+
 def test_asof_join_inclusive_and_null_semantics(spark):
     import datetime as dt
 
