@@ -693,6 +693,37 @@ def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti join (engine extension): customers with no URGENT
+    order — NOT EXISTS as a hash anti join."""
+    customer = load_table(spark, sf, "customer")
+    urgent = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        urgent, customer["c_custkey"] == urgent["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (engine extension over A1): per market
+    segment, distinct nations and order-priority spread of its
+    customers' orders. Spark expands distinct aggs into a two-phase
+    plan (expand + partial/final) — skew-safe by construction."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    joined = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Set operations (engine extension — the reference has only
     union-all): distinct EXCEPT and INTERSECT between the click and
@@ -934,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "sliding_window": q_sliding_window,
         "set_ops": q_set_ops,
+        "anti_join": q_anti_join,
+        "distinct_agg": q_distinct_agg,
         "moving_avg": q_moving_avg,
         "price_regression": q_price_regression,  # rows-only: iterative ML
     }
@@ -1458,6 +1491,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum
             FROM events
             GROUP BY 1, 2
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "distinct_agg": """
+            SELECT c_mktsegment,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_priorities,
+                   count(*) AS n_orders
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c_mktsegment
         """,
         "set_ops": """
             WITH c AS (SELECT DISTINCT user_id FROM events
