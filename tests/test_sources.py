@@ -1,0 +1,66 @@
+"""Reader/sink tests (SURVEY.md §2.1 S2/S3/K1/K2 + ST4): pinned-schema
+scans round-trip the reference's raw formats, and the partitioned
+Parquet sink only replaces touched partitions (dynamic overwrite — the
+idempotent-re-run behavior the reference gets from exists-checks)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.sources.readers import (
+    read_csv_gz,
+    read_json_ads,
+    read_parquet_lake,
+)
+from projet_big_data_boutin_danre_spark.sources.sinks import (
+    write_json,
+    write_parquet,
+)
+
+
+def test_read_csv_gz_pinned_schema(spark, tmp_path):
+    p = tmp_path / "dvf.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("code_commune,valeur\n01001,1000.5\n75101,2e6\n")
+    df = read_csv_gz(
+        spark, str(p), schema="code_commune string, valeur double"
+    )
+    rows = {r["code_commune"]: r["valeur"] for r in df.collect()}
+    # the whole point of pinning: INSEE leading zeros survive
+    assert rows == {"01001": 1000.5, "75101": 2e6}
+
+
+def test_read_json_ads_multifile_array(spark, tmp_path):
+    for i, batch in enumerate(([{"id": 1, "t": "a"}], [{"id": 2, "t": "b"}])):
+        (tmp_path / f"ads_{i}.json").write_text(json.dumps(batch, indent=4))
+    df = read_json_ads(
+        spark, str(tmp_path / "*.json"), schema="id long, t string"
+    )
+    assert {(r["id"], r["t"]) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_write_parquet_dynamic_partition_overwrite(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    day1 = spark.createDataFrame([(1, "d1"), (2, "d1")], "id long, ds string")
+    day2 = spark.createDataFrame([(3, "d2")], "id long, ds string")
+    write_parquet(day1, out, partition_by=("ds",))
+    write_parquet(day2, out, partition_by=("ds",))
+    # static overwrite would have dropped d1; dynamic keeps it
+    back = read_parquet_lake(spark, out)
+    assert {(r["id"], r["ds"]) for r in back.collect()} == {
+        (1, "d1"), (2, "d1"), (3, "d2"),
+    }
+    # idempotent re-run of day2 replaces, not duplicates (ST4)
+    write_parquet(day2, out, partition_by=("ds",))
+    assert read_parquet_lake(spark, out).count() == 3
+
+
+def test_write_json_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "raw_json")
+    df = spark.createDataFrame([(1, "x")], "id long, t string")
+    write_json(df, out)
+    back = spark.read.schema("id long, t string").json(out)
+    assert back.collect()[0].asDict() == {"id": 1, "t": "x"}
