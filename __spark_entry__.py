@@ -182,6 +182,21 @@ def q_pagination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_keyset_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """O2 scale path (operators/pagination.py:keyset_page): seek past
+    the last-seen key instead of OFFSET-skipping — O(limit) at any
+    page depth, predicate pushed to the scan. Tie-safe because
+    o_orderkey is unique."""
+    orders = load_table(spark, sf, "orders")
+    page = pagination.keyset_page(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        after=1000,
+        limit=50,
+    )
+    return page
+
+
 def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
     """U1 (raw_to_fmt_lbc.py:33-41): union-all with duplicates kept."""
     orders = load_table(spark, sf, "orders")
@@ -928,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter": q_prefix_filter,
         "coercing_cast": q_coercing_cast,
         "pagination": q_pagination,
+        "keyset_pagination": q_keyset_pagination,
         "union_all": q_union_all,
         "facet_totals": q_facet_totals,
         "watermark_incremental": q_watermark_incremental,
@@ -1040,6 +1056,13 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
                        AS k_value
             FROM events
+        """,
+        "keyset_pagination": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey > 1000
+            ORDER BY o_orderkey ASC
+            LIMIT 50
         """,
         "pagination": """
             SELECT o_orderkey, o_totalprice
