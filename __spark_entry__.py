@@ -924,10 +924,10 @@ def _sql_text_profile() -> str:
         SELECT doc_id,
                len(list_filter(string_split(nt, ' '), x -> x <> '')) AS n_tokens,
                {lang_case} AS lang_detected,
-               round(0.4 * least(n / 500.0, 1.0)
-                     + 0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
-                     + 0.3 * greatest(0.0, 1.0 - abs(n_space / greatest(n, 1.0) - 0.15) * 2),
-                     4) AS quality,
+               floor((0.4 * least(n / 500.0, 1.0)
+                      + 0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
+                      + 0.3 * greatest(0.0, 1.0 - abs(n_space / greatest(n, 1.0) - 0.15) * 2))
+                     * 10000.0 + 0.5) / 10000.0 AS quality,
                md5(nt) AS fingerprint
         FROM hits
     """

@@ -96,7 +96,14 @@ def quality_score(text_col: Column | str, round_to: int = 4) -> Column:
     score = (
         F.lit(0.4) * length_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * space_score
     )
-    return F.round(score, round_to)
+    # floor(x*10^k + 0.5), NOT round(x, k): engines implement round()
+    # on doubles differently (Spark: BigDecimal HALF_UP of the exact
+    # binary value; DuckDB: C-library rounding), and scores landing
+    # within an ulp of a .xxxx5 boundary come out different. The floor
+    # formulation is the same IEEE multiply-add-floor sequence in both
+    # engines, so the result is identical by construction.
+    scale = F.lit(float(10**round_to))
+    return F.floor(score * scale + F.lit(0.5)) / scale
 
 
 def length_quantiles(
