@@ -319,9 +319,18 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # floor idiom, not round(): averages of integer/2-decimal
+            # data land exactly on half-boundaries when the count
+            # divides evenly (see SCALE.md); sums of 2dp data can't.
+            (F.floor(F.avg("l_quantity") * 100 + F.lit(0.5)) / 100).alias(
+                "avg_qty"
+            ),
+            (F.floor(F.avg("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias(
+                "avg_price"
+            ),
+            (F.floor(F.avg("l_discount") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1140,9 +1149,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_base_price,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 2) AS avg_qty,
-                   round(avg(l_extendedprice), 2) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
+                   floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price,
+                   floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
