@@ -59,7 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
         (F.col("l_quantity") > 9) & (F.col("l_extendedprice") > 1000)
     ).withColumn("price_per_unit", F.col("l_extendedprice") / F.col("l_quantity"))
     stats = filtered.groupBy("l_suppkey").agg(
-        F.round(F.avg("price_per_unit"), 2).alias("avg_price_per_unit"),
+        (F.floor(F.avg("price_per_unit") * 100 + F.lit(0.5)) / 100).alias(
+            "avg_price_per_unit"
+        ),
         F.count(F.lit(1)).alias("nb_sales"),
     )
     return usage.enrich_left_join(
@@ -1001,7 +1003,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "market_stats": """
             SELECT l_suppkey,
-                   round(avg(l_extendedprice / l_quantity), 2) AS avg_price_per_unit,
+                   floor(avg(l_extendedprice / l_quantity) * 100 + 0.5)
+                       / 100 AS avg_price_per_unit,
                    count(*) AS nb_sales
             FROM lineitem
             WHERE l_quantity > 9 AND l_extendedprice IS NOT NULL

@@ -58,10 +58,14 @@ def group_stats(
 ) -> DataFrame:
     """A1: ``groupBy(key).agg(avg(value), count(*))``
     (``compute_usage.py:54-57``). ``round_to`` stabilizes float output
-    for cross-engine comparison."""
+    for cross-engine comparison via the floor idiom — cents/quantity
+    ratios averaged over an evenly-dividing count land exactly on
+    decimal half-boundaries, where engines' round() disagree
+    (SCALE.md)."""
     avg_expr: Column = F.avg(value_col)
     if round_to is not None:
-        avg_expr = F.round(avg_expr, round_to)
+        scale = F.lit(float(10**round_to))
+        avg_expr = F.floor(avg_expr * scale + F.lit(0.5)) / scale
     return df.groupBy(key).agg(
         avg_expr.alias(avg_alias),
         F.count(F.lit(1)).alias(count_alias),
