@@ -115,9 +115,16 @@ def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
         # the first session's close point (10:05 + 30 min gap)
         emit("f2", [(1, t + dt.timedelta(hours=3))])
         q.processAllAvailable()
-        time.sleep(1)  # allow the no-data timeout micro-batch
-        q.processAllAvailable()
-        rows = spark.sql("SELECT * FROM sess_out").collect()
+        # the timeout fires in a no-data micro-batch after the
+        # watermark advance; poll instead of a fixed sleep (loaded
+        # hosts delay the trigger)
+        rows = []
+        for _ in range(30):
+            q.processAllAvailable()
+            rows = spark.sql("SELECT * FROM sess_out").collect()
+            if rows:
+                break
+            time.sleep(0.5)
     finally:
         q.stop()
 
