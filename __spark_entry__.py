@@ -499,6 +499,27 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based distinct counting (HLL++ via approx_count_distinct
+    — constant memory per group, mergeable map-side; THE distinct-count
+    at 100 TB where exact countDistinct shuffles every value). Exact
+    count alongside for the sf-scale sanity delta. Rows-only check:
+    DuckDB's HLL yields different estimates by construction."""
+    docs = load_table(spark, sf, "documents")
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        stable_fingerprint,
+    )
+
+    with_fp = docs.select(
+        "lang", stable_fingerprint("text").alias("fp")
+    )
+    return with_fp.groupBy("lang").agg(
+        F.approx_count_distinct("fp").alias("approx_distinct"),
+        F.countDistinct("fp").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus length distribution (exact percentiles —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
@@ -974,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "text_profile": q_text_profile,
         "corpus_quantiles": q_corpus_quantiles,
+        "corpus_cardinality": q_corpus_cardinality,  # rows-only: HLL sketch
         "token_stats": q_token_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
