@@ -38,11 +38,16 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a
-    nanosecond long (``nanosAsLong``); convert to a microsecond
-    timestamp with integer division (``div`` — float division would
-    lose precision on ~1e18 nano epochs).
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark cannot read
+    at all without ``nanosAsLong`` (PARQUET_TYPE_ILLEGAL); the conf is
+    runtime-settable, so set it here defensively — the caller may hand
+    us a session built without it (the driver does). The nano long is
+    converted to a microsecond timestamp with integer division
+    (``div`` — float division would lose precision on ~1e18 nano
+    epochs).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
