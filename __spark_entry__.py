@@ -12,7 +12,15 @@ module only binds operators to the driver's TPC-H-ish testdata.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the driver may load this file by path from any cwd — make the
+# sibling package importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
