@@ -225,14 +225,13 @@ def q_facet_totals(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_watermark_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """ST2+A3+O3 (lbc_fetcher.py:92-98): rows strictly after the
-    watermark; new watermark = max(ts)."""
-    import datetime as dt
-
+    watermark; new watermark = max(ts). The watermark literal is a
+    string parsed under the SESSION timezone (UTC) — a naive datetime
+    through F.lit would bind to the driver's OS timezone instead."""
     ev = load_table(spark, sf, "events")
-    wm = dt.datetime(2024, 6, 1)
     from projet_big_data_boutin_danre_spark.streaming import incremental_batch
 
-    fresh = incremental_batch(ev, "ts", wm)
+    fresh = incremental_batch(ev, "ts", "2024-06-01 00:00:00")
     return fresh.agg(
         F.count(F.lit(1)).alias("n_new"),
         F.max(_ts(F.col("ts"))).alias("new_watermark"),
@@ -351,12 +350,17 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     session_window): new session when gap > 30 min."""
     ev = load_table(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Exact integer microseconds on BOTH sides (oracle: epoch_us) —
+    # whole-second casts truncate and can split sessions differently
+    # from the oracle for gaps landing inside (1800s, 1801s).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     with_flag = ev.select(
         "user_id",
         "event_id",
         "ts",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)).alias("new_sess"),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
     )
     sess = with_flag.withColumn(
         "session_id",
@@ -484,9 +488,7 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup via normalized-content hash: duplicate groups with
     deterministic keeper (min id) and copy count."""
     docs = load_table(spark, sf, "documents")
-    return dedup.exact_dedup_stats(docs, "doc_id", "text").withColumnsRenamed(
-        {"keeper_id": "keeper_id", "n_copies": "n_copies"}
-    )
+    return dedup.exact_dedup_stats(docs, "doc_id", "text")
 
 
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -510,8 +512,9 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 def q_corpus_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based distinct counting (HLL++ via approx_count_distinct
     — constant memory per group, mergeable map-side; THE distinct-count
-    at 100 TB where exact countDistinct shuffles every value). Exact
-    count alongside for the sf-scale sanity delta. Rows-only check:
+    at 100 TB where exact countDistinct shuffles every value).
+    Sketch-ONLY: the exact companion lives in ``exact_cardinality`` so
+    this scale query ships no anti-scale column. Rows-only check:
     DuckDB's HLL yields different estimates by construction."""
     docs = load_table(spark, sf, "documents")
     from projet_big_data_boutin_danre_spark.functions.hashing import (
@@ -523,6 +526,23 @@ def q_corpus_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     )
     return with_fp.groupBy("lang").agg(
         F.approx_count_distinct("fp").alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group distinct counts — the sf-scale companion check
+    for ``corpus_cardinality`` (hash-checkable; Spark plans distinct
+    aggs as expand + two-phase partial/final, so it's skew-tolerant,
+    but it still shuffles every distinct value — use the sketch at
+    100 TB)."""
+    docs = load_table(spark, sf, "documents")
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        stable_fingerprint,
+    )
+
+    with_fp = docs.select("lang", stable_fingerprint("text").alias("fp"))
+    return with_fp.groupBy("lang").agg(
         F.countDistinct("fp").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_docs"),
     )
@@ -1004,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "corpus_quantiles": q_corpus_quantiles,
         "corpus_cardinality": q_corpus_cardinality,  # rows-only: HLL sketch
+        "exact_cardinality": q_exact_cardinality,
         "token_stats": q_token_stats,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1193,9 +1214,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                            ) > 1800
+                            ) > 1800000000
                             OR lag(ts) OVER (
                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                             ) IS NULL
@@ -1248,9 +1269,9 @@ def oracle_sql() -> dict[str, str]:
         "session_window": """
             WITH flagged AS (
                 SELECT user_id, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                                 PARTITION BY user_id ORDER BY ts ASC
-                            ) >= 1800
+                            ) >= 1800000000
                             OR lag(ts) OVER (
                                 PARTITION BY user_id ORDER BY ts ASC
                             ) IS NULL
@@ -1300,6 +1321,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents
             GROUP BY 1
+        """,
+        "exact_cardinality": f"""
+            SELECT lang,
+                   count(DISTINCT md5({_NORM_SQL.format(c='text')}))
+                       AS exact_distinct,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
         """,
         "text_profile": _sql_text_profile(),
         "token_stats": f"""

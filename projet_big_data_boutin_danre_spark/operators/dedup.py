@@ -35,11 +35,26 @@ def balance_for_fanout(df: DataFrame) -> DataFrame:
     scan yields fewer splits than cores — e.g. one small parquet file.
     One extra pass over the small input buys full parallelism for the
     expensive stage; when the source already has >= cores splits (any
-    real-scale table), it's a no-op so no shuffle is added at 100 TB."""
+    real-scale table), it's a no-op so no shuffle is added at 100 TB.
+
+    Split count comes from the physical plan's leaf scans (execute()
+    is never called) — ``df.rdd.getNumPartitions()`` would force a
+    full RDD conversion of the analyzed plan on every call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _plan_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def _plan_partitions(df: DataFrame) -> int:
+    """Best-effort input split count from the executed plan's leaves
+    (file scans report their partition counts without running a job).
+    Falls back to the RDD hop only if the plan exposes nothing."""
+    try:
+        jrdd = df._jdf.queryExecution().executedPlan().execute()
+        return jrdd.getNumPartitions()
+    except Exception:
+        return df.rdd.getNumPartitions()
 
 
 def exact_dedup_stats(

@@ -38,6 +38,14 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
+    SIDE EFFECT: pins ``spark.sql.session.timeZone=UTC`` (and, for
+    ``events``, ``nanosAsLong``) on the caller's session — every
+    timestamp produced downstream of a ``load_table`` call formats and
+    parses as UTC. Callers doing non-UTC work in the same session must
+    re-set the conf after loading (the engine's own operators all
+    assume UTC; see session.py, which builds sessions pinned the same
+    way, making this a no-op on the normal path).
+
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark cannot read
     at all without ``nanosAsLong`` (PARQUET_TYPE_ILLEGAL); the conf is
     runtime-settable, so set it here defensively — the caller may hand

@@ -18,18 +18,32 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_watermark(spark: SparkSession, state_path: str) -> dt.datetime | None:
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def read_watermark(spark: SparkSession, state_path: str) -> str | None:
     """ST2: load the high watermark (None on first run — the
-    reference's missing-state default, ``lbc_fetcher.py:48-57``)."""
+    reference's missing-state default, ``lbc_fetcher.py:48-57``).
+
+    Returned as a SESSION-TZ wall-time string, not a datetime:
+    ``collect()`` converts timestamps via the driver's OS timezone,
+    so a datetime round trip silently shifts on a host whose OS TZ
+    differs from the session TZ. The string form is formatted JVM-side
+    under the session TZ and re-parsed the same way by
+    ``incremental_batch`` — OS-TZ-independent end to end."""
     try:
-        rows = spark.read.parquet(state_path).collect()
+        rows = (
+            spark.read.parquet(state_path)
+            .select(F.date_format("last_fetched", TS_FMT).alias("wm"))
+            .collect()
+        )
     except Exception:
         return None
-    return rows[0]["last_fetched"] if rows else None
+    return rows[0]["wm"] if rows else None
 
 
 def write_watermark(df_batch: DataFrame, ts_col: str, state_path: str) -> None:
@@ -43,12 +57,27 @@ def write_watermark(df_batch: DataFrame, ts_col: str, state_path: str) -> None:
 
 
 def incremental_batch(
-    df: DataFrame, ts_col: str, watermark: dt.datetime | None
+    df: DataFrame, ts_col: str, watermark: dt.datetime | str | Column | None
 ) -> DataFrame:
     """ST2/O3: keep only rows strictly newer than the watermark (the
     reference drops ``date <= last_fetched``, ``lbc_fetcher.py:92-94``).
     Set semantics replace the reference's ordered early-break scan —
-    and the predicate prunes partitions/row-groups at scale."""
+    and the predicate prunes partitions/row-groups at scale.
+
+    Watermark forms: a Column is used as-is; a string parses with
+    ``to_timestamp`` under the SESSION timezone; a tz-aware datetime
+    is exact. A NAIVE datetime is interpreted as SESSION-TZ wall time
+    (via its string form) — NOT handed to ``F.lit``, which would
+    convert it through the driver's OS timezone (``time.mktime``) and
+    mean a different instant on a host with another OS TZ."""
     if watermark is None:
         return df
-    return df.filter(F.col(ts_col) > F.lit(watermark))
+    if isinstance(watermark, Column):
+        wm = watermark
+    elif isinstance(watermark, str):
+        wm = F.to_timestamp(F.lit(watermark))
+    elif watermark.tzinfo is None:
+        wm = F.to_timestamp(F.lit(watermark.strftime("%Y-%m-%d %H:%M:%S.%f")))
+    else:
+        wm = F.lit(watermark)
+    return df.filter(F.col(ts_col) > wm)

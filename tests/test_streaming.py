@@ -36,7 +36,8 @@ def test_watermark_roundtrip_and_incremental(spark, tmp_path):
     )
     write_watermark(batch1, "ts", state)
     wm = read_watermark(spark, state)
-    assert wm == dt.datetime(2025, 1, 1, 11, 0)
+    # session-TZ wall-time string — OS-TZ-independent round trip
+    assert wm == "2025-01-01 11:00:00.000000"
 
     batch2 = spark.createDataFrame(
         [
@@ -50,7 +51,7 @@ def test_watermark_roundtrip_and_incremental(spark, tmp_path):
 
     # watermark only advances (monotonic)
     write_watermark(fresh, "ts", state)
-    assert read_watermark(spark, state) == dt.datetime(2025, 1, 1, 12, 0)
+    assert read_watermark(spark, state) == "2025-01-01 12:00:00.000000"
 
 
 def test_structured_streaming_dedup_and_window(spark, tmp_path, sf0001):
