@@ -31,7 +31,7 @@ HEADLINE = [
     "sessionize",
     "search_spec",
     "geo_radius",
-    "rollup",
+    "grouping_sets",
     "pivot_counts",
 ]
 

@@ -1,3 +1,13 @@
-from .regression import price_regression_metrics, train_price_model
+from .regression import (
+    hash_split_flag,
+    price_regression_exact,
+    price_regression_metrics,
+    train_price_model,
+)
 
-__all__ = ["price_regression_metrics", "train_price_model"]
+__all__ = [
+    "hash_split_flag",
+    "price_regression_exact",
+    "price_regression_metrics",
+    "train_price_model",
+]

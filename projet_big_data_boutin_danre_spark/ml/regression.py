@@ -54,6 +54,140 @@ def train_price_model(
     return model, train, test
 
 
+def hash_split_flag(key_cols: Sequence[str], threshold_256: int = 205) -> "F.Column":
+    """Deterministic train/test split flag, reproducible in any SQL
+    engine (unlike ``F.rand(seed)`` / ``randomSplit``, whose streams
+    are Spark-private): take the first byte of md5 over the
+    '-'-joined key columns and compare against ``threshold_256``
+    (205/256 ≈ 80.08% train). Row-local, no shuffle, stable under
+    repartitioning — the property a reproducible 100 TB split needs."""
+    key = F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+    byte = F.conv(F.substring(F.md5(key), 1, 2), 16, 10).cast("int")
+    return byte < F.lit(threshold_256)
+
+
+def price_regression_exact(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    key_cols: Sequence[str],
+    reg_param: float = 0.01,
+    threshold_256: int = 205,
+) -> DataFrame:
+    """Single-feature ridge regression (intercept unpenalized) with a
+    fully cross-engine-checkable result: one-row metrics DataFrame
+    (rmse, r2, n_train, n_test) — the hash-checkable twin of
+    ``price_regression_metrics`` (``ML_ROADMAP.md:43-52`` parity).
+
+    Everything stays in the plan — no driver collect at all:
+    1. Deterministic md5 split flag (``hash_split_flag``).
+    2. Sufficient statistics as EXACT integer/decimal sums: the
+       feature as BIGINT, the label in integer cents, Σy² in
+       DECIMAL(38,0) (BIGINT would overflow beyond ~100k rows).
+       Exact moments mean both engines derive bit-identical doubles,
+       so the closed-form algebra below matches the oracle exactly —
+       float Σ order across partitions can never diverge.
+    3. Closed-form 2×2 ridge solve + moment-form test metrics
+       (SSE = y'y − 2β·X'y + β'X'Xβ) as plain double expressions.
+    One conditional-aggregation pass over the table (map-side
+    combined), a 1-row final projection — as scalable as any
+    groupBy-sum at 100 TB."""
+    x = F.col(feature_col)
+    y = F.col(label_col)
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        x.cast("bigint").alias("xq"),
+        F.round(y * 100).cast("bigint").alias("yc"),
+        hash_split_flag(key_cols, threshold_256).alias("is_train"),
+    )
+
+    def _sums(train: bool):
+        cond = F.col("is_train") if train else ~F.col("is_train")
+        tag = "tr" if train else "te"
+        z = F.lit(0).cast("bigint")
+        zd = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, F.col("xq")).otherwise(z)).alias(f"sx_{tag}"),
+            F.sum(
+                F.when(cond, F.col("xq") * F.col("xq")).otherwise(z)
+            ).alias(f"sxx_{tag}"),
+            F.sum(F.when(cond, F.col("yc")).otherwise(z)).alias(f"sy_{tag}"),
+            F.sum(
+                F.when(cond, F.col("xq") * F.col("yc")).otherwise(z)
+            ).alias(f"sxy_{tag}"),
+            F.sum(
+                F.when(
+                    cond, (F.col("yc") * F.col("yc")).cast("decimal(38,0)")
+                ).otherwise(zd)
+            ).alias(f"syy_{tag}"),
+        ]
+
+    moments = base.agg(*_sums(True), *_sums(False))
+    # The metric algebra is written as ONE selectExpr whose text is
+    # mirror-imaged in the DuckDB oracle (__spark_entry__) so the
+    # double expression trees are operation-for-operation identical.
+    lam = repr(float(reg_param))
+    algebra = f"""
+        CAST(n_tr AS DOUBLE) AS dn,
+        CAST(sx_tr AS DOUBLE) AS dsx,
+        CAST(sxx_tr AS DOUBLE) AS dsxx,
+        CAST(sy_tr AS DOUBLE) / 100.0 AS dsy,
+        CAST(sxy_tr AS DOUBLE) / 100.0 AS dsxy,
+        CAST(n_te AS DOUBLE) AS tn,
+        CAST(sx_te AS DOUBLE) AS tsx,
+        CAST(sxx_te AS DOUBLE) AS tsxx,
+        CAST(sy_te AS DOUBLE) / 100.0 AS tsy,
+        CAST(sxy_te AS DOUBLE) / 100.0 AS tsxy,
+        CAST(syy_te AS DOUBLE) / 10000.0 AS tsyy,
+        n_tr, n_te
+    """
+    beta = f"""
+        (dn * (dsxx + {lam}) - dsx * dsx) AS det,
+        (dn * dsxy - dsx * dsy) / (dn * (dsxx + {lam}) - dsx * dsx) AS b1,
+        ((dsxx + {lam}) * dsy - dsx * dsxy)
+            / (dn * (dsxx + {lam}) - dsx * dsx) AS b0
+    """
+    sse = (
+        "tsyy - 2.0 * (b0 * tsy + b1 * tsxy)"
+        " + (b0 * b0 * tn + 2.0 * b0 * b1 * tsx + b1 * b1 * tsxx)"
+    )
+    final = f"""
+        round(CASE WHEN n_te > 0 AND n_tr > 0
+              THEN sqrt(greatest({sse}, 0.0) / tn) END, 2) AS rmse,
+        round(CASE WHEN n_te > 0 AND n_tr > 0
+                    AND tsyy - tsy * tsy / tn > 0
+              THEN 1.0 - greatest({sse}, 0.0) / (tsyy - tsy * tsy / tn)
+              END, 4) AS r2,
+        CAST(n_tr AS BIGINT) AS n_train,
+        CAST(n_te AS BIGINT) AS n_test
+    """
+    return (
+        moments.selectExpr(*_split_exprs(algebra))
+        .selectExpr("*", *_split_exprs(beta))
+        .selectExpr(*_split_exprs(final))
+    )
+
+
+def _split_exprs(block: str) -> list[str]:
+    """Split a comma-separated SQL projection block into expressions
+    (top-level commas only)."""
+    out, depth, cur = [], 0, []
+    for ch in block:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def price_regression_metrics(
     df: DataFrame,
     feature_cols: Sequence[str],

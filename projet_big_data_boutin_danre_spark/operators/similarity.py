@@ -14,10 +14,22 @@ accumulating one dimension at a time across all rows/pairs
 summation axis. Divisions and ``round`` happen JVM-side.
 
 Scale design:
-- ``cosine_topk`` ships the (bounded, by contract) query set to every
-  task; the corpus is scanned once with no shuffle — scores come out
-  of one Arrow-batched ``mapInPandas`` pass, then a per-query window
-  keeps k rows.
+- ``cosine_topk`` has two physical strategies behind one API:
+  - *closure path* (small query sets): queries ride the task closure;
+    the corpus is scanned once with no shuffle — scores come out of
+    one Arrow-batched ``mapInPandas`` pass.
+  - *cogroup path* (``cosine_topk_cogroup``, query side stays a
+    DataFrame, NO driver collect): corpus hash-partitioned once,
+    queries replicated to every partition via explode, then a
+    ``cogroup().applyInPandas`` scores each (corpus-slice × all
+    queries) block with the same numpy kernel. The corpus crosses the
+    wire once; the query table crosses once per partition — the right
+    trade when queries are a real table (1k-1M rows) that would
+    bottleneck or OOM the driver.
+  ``mode="auto"`` picks by probing the query count against
+  ``max_closure_queries`` (a bounded ``limit().count()``, not a
+  collect). Both paths produce bit-identical scores, so the choice is
+  purely physical.
 - ``near_dup_pairs_cosine`` shuffles once (by block) and does the
   O(block²) pair scoring as numpy matrix work inside the block, so
   each vector crosses the wire once — not once per pair.
@@ -86,6 +98,21 @@ def _seq_dot_cross(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _rank_topk(scored: DataFrame, k: int, round_to: int) -> DataFrame:
+    """Shared tail of every top-k path: JVM-side round, then rank 1..k
+    per query by (cosine desc, neighbor_id asc) — a total order, so
+    results are deterministic under any partitioning."""
+    scored = scored.select(
+        "query_id", "neighbor_id", F.round("cosine", round_to).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -93,13 +120,26 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int = 6,
+    mode: str = "auto",
+    max_closure_queries: int = 64,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Output: (query_id, neighbor_id, cosine, rank) with rank 1..k by
-    (cosine desc, neighbor_id asc) — a total order, so results are
-    deterministic under any partitioning. Self-matches excluded.
-    """
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches
+    excluded. ``mode``: "closure" ships the (small, bounded) query set
+    in the task closure; "cogroup" keeps the query side distributed
+    (``cosine_topk_cogroup``) — no driver collect; "auto" probes the
+    query count with a bounded ``limit().count()`` and picks. Scores
+    are bit-identical across modes (same sequential-fold kernel)."""
+    if mode == "auto":
+        probe = queries.limit(max_closure_queries + 1).count()
+        mode = "closure" if probe <= max_closure_queries else "cogroup"
+    if mode == "cogroup":
+        return cosine_topk_cogroup(
+            corpus, queries, id_col, vec_col, k=k, round_to=round_to,
+            n_parts=n_parts,
+        )
     q_rows = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("qv")
@@ -149,16 +189,89 @@ def cosine_topk(
 
     scored = c.mapInPandas(
         _score, schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double"
-    ).select(
-        "query_id", "neighbor_id", F.round("cosine", round_to).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    return _rank_topk(scored, k, round_to)
+
+
+def cosine_topk_cogroup(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine with the query side kept as a DataFrame —
+    the distributed-query path (no ``.collect()`` anywhere).
+
+    Plan: the corpus is hash-partitioned into ``n_parts`` slices (one
+    shuffle, each vector crosses the wire once); the query table is
+    replicated to every slice by exploding a 0..n_parts-1 sequence
+    (queries cross the wire n_parts times — fine for query tables up
+    to ~1M rows; raise n_parts for corpus parallelism, lower it to
+    bound query duplication). ``cogroup().applyInPandas`` then scores
+    each slice against the full query set as one |slice|×|queries|
+    numpy matrix in sequential-fold order, so scores are bit-identical
+    to the closure path and the SQL oracle. Per-query top-k is the
+    same window as every other path.
+
+    At 100 TB this is the shape that survives: both sides stream
+    through one bounded shuffle each, executor memory holds one corpus
+    slice + the query matrix, and the driver never touches a vector.
+    """
+    spark = corpus.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double_array(vec_col).alias("cv"),
+        )
+        .filter(F.col("neighbor_id").isNotNull() & F.col("cv").isNotNull())
+        .withColumn("__p", F.pmod(F.hash("neighbor_id"), F.lit(n_parts)))
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double_array(vec_col).alias("qv"),
+        )
+        .filter(F.col("query_id").isNotNull() & F.col("qv").isNotNull())
+        .withColumn(
+            "__p", F.explode(F.sequence(F.lit(0), F.lit(n_parts - 1)))
+        )
     )
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        c_norms = _seq_sq_norms(cm)
+        q_norms = _seq_sq_norms(qm)
+        # dot(qv, cv) / (l2(qv) * l2(cv)) — same kernel and fold order
+        # as the closure path (module docstring).
+        cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
+        n_c, n_q = cos.shape
+        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
+        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
+        keep = nb != qi
+        return pd.DataFrame(
+            {
+                "query_id": qi[keep],
+                "neighbor_id": nb[keep],
+                "cosine": cos.ravel()[keep],
+            }
+        )
+
+    scored = (
+        c.groupBy("__p")
+        .cogroup(q.groupBy("__p"))
+        .applyInPandas(_score, schema=out_schema)
+    )
+    return _rank_topk(scored, k, round_to)
 
 
 def near_dup_pairs_cosine(
@@ -349,12 +462,5 @@ def ann_topk_lsh(
                     }
                 )
 
-    scored = c.mapInPandas(_score, schema=out_schema).select(
-        "query_id", "neighbor_id", F.round("cosine", round_to).alias("cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    scored = c.mapInPandas(_score, schema=out_schema)
+    return _rank_topk(scored, k, round_to)

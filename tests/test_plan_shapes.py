@@ -116,6 +116,42 @@ def test_interval_join_avoids_nested_loop(spark, sf0001):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_cosine_topk_cogroup_no_driver_collect(spark, sf0001):
+    """The distributed-query path must keep BOTH sides in the plan —
+    a query side that was collect()ed to the driver would appear as
+    closure constants with a single corpus scan."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators import similarity
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % 2 == 0), k=3, mode="cogroup"
+    )
+    plan = _plan(out)
+    assert "FlatMapCoGroupsInPandas" in plan
+    # two embeddings scans: corpus + query side both distributed
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_cosine_topk_auto_picks_cogroup_and_matches_closure(spark, sf0001):
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators import similarity
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)  # 100 > default 64
+    auto = similarity.cosine_topk(emb, queries, k=3, mode="auto")
+    assert "FlatMapCoGroupsInPandas" in _plan(auto)
+    closure = similarity.cosine_topk(emb, queries, k=3, mode="closure")
+    # bit-identical scores across physical strategies
+    a = sorted(map(tuple, auto.collect()))
+    c = sorted(map(tuple, closure.collect()))
+    assert a == c
+
+
 def test_exact_dedup_single_shuffle(spark, sf0001):
     plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
     # hash + groupBy must shuffle exactly once (on content_hash)
