@@ -37,24 +37,38 @@ def balance_for_fanout(df: DataFrame) -> DataFrame:
     expensive stage; when the source already has >= cores splits (any
     real-scale table), it's a no-op so no shuffle is added at 100 TB.
 
-    Split count comes from the physical plan's leaf scans (execute()
-    is never called) — ``df.rdd.getNumPartitions()`` would force a
-    full RDD conversion of the analyzed plan on every call."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if _plan_partitions(df) < target:
+    Split count comes from the physical plan's RDD lineage (cheaper
+    than ``df.rdd.getNumPartitions()``, which converts the analyzed
+    plan to an RDD of Rows on every call). Note this does touch
+    ``executedPlan().execute()`` — partition metadata only, no job is
+    submitted, but under AQE it can materialize upstream query stages;
+    callers pass a plain scan here so that cost doesn't arise. On
+    Spark Connect (no JVM handle, no RDD API) the probe degrades to
+    "unknown" and the input is left as-is — a no-op, never an error."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no driver-side SparkContext
+        return df
+    parts = _plan_partitions(df)
+    if parts is not None and parts < target:
         return df.repartition(target)
     return df
 
 
-def _plan_partitions(df: DataFrame) -> int:
-    """Best-effort input split count from the executed plan's leaves
-    (file scans report their partition counts without running a job).
-    Falls back to the RDD hop only if the plan exposes nothing."""
+def _plan_partitions(df: DataFrame) -> int | None:
+    """Best-effort input split count from the physical plan's RDD
+    (partition metadata only — no job runs). Falls back to the RDD
+    hop if the plan exposes nothing, and to None (unknown) on Spark
+    Connect where neither ``_jdf`` nor the RDD API exists."""
     try:
         jrdd = df._jdf.queryExecution().executedPlan().execute()
         return jrdd.getNumPartitions()
     except Exception:
+        pass
+    try:
         return df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect or other non-classic backend
+        return None
 
 
 def exact_dedup_stats(
@@ -145,6 +159,12 @@ def lsh_bands(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+# Hot-bucket cap applied by scale_profile="production": 10k members
+# all-pair within a bucket (≤ ~50M comparisons, well inside one task),
+# everything past the cap star-joins to the bucket keeper instead.
+PRODUCTION_MAX_BUCKET = 10_000
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -153,6 +173,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 8,
     max_bucket: int | None = None,
+    scale_profile: str = "exact",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band bucket.
@@ -168,28 +189,56 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` is the hot-bucket guard for corpora with massive
     boilerplate-identical groups (the one key LSH can't keep small):
-    each bucket pairs at most its ``max_bucket`` smallest ids
-    (deterministic), bounding per-bucket work at O(max_bucket²) —
-    within such a group that still chains every member to the keeper
-    set for dedup purposes. Default None preserves exact all-pairs
-    semantics (what the oracle checks)."""
+    the bucket's ``max_bucket`` smallest ids pair all-ways, and every
+    id past the cap pairs with the bucket keeper (smallest id) only —
+    O(max_bucket² + bucket) per bucket instead of O(bucket²), with
+    every member still chained to the keeper's component so dedup by
+    connected components loses nothing. Default None preserves exact
+    all-pairs semantics (what the oracle checks).
+
+    ``scale_profile="production"`` is the preset for real corpora: it
+    applies ``PRODUCTION_MAX_BUCKET`` when ``max_bucket`` isn't given.
+    The exact profile is the right default ONLY for oracle parity and
+    bounded inputs — at 100 TB a single boilerplate mega-bucket makes
+    the exact path O(bucket²)."""
+    if scale_profile not in ("exact", "production"):
+        raise ValueError(f"unknown scale_profile {scale_profile!r}")
+    if scale_profile == "production" and max_bucket is None:
+        max_bucket = PRODUCTION_MAX_BUCKET
     b = lsh_bands(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
         num_hashes,
         bands,
     )
-    ids = F.collect_list("id")
-    if max_bucket is not None:
-        ids = F.slice(F.array_sort(ids), 1, max_bucket)
+    if max_bucket is None:
+        buckets = (
+            b.groupBy("band", "band_key")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        return (
+            buckets.select("ids", F.explode("ids").alias("id_a"))
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+    # Guarded path: sorted ids, so position order == id order. id_a
+    # ranges over the head (first max_bucket ids); its partners are
+    # every LATER head id, plus — for the keeper only — the entire
+    # tail. Arrays are sliced BEFORE exploding, so O(bucket²) rows are
+    # never materialized for a hot bucket.
     buckets = (
         b.groupBy("band", "band_key")
-        .agg(ids.alias("ids"))
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    head = F.slice("ids", 1, max_bucket)
+    partners = F.when(
+        F.col("pa") == 0, F.slice("ids", 2, F.size("ids") - 1)
+    ).otherwise(F.slice(head, F.col("pa") + 2, F.lit(max_bucket)))
     return (
-        buckets.select("ids", F.explode("ids").alias("id_a"))
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select("ids", F.posexplode(head).alias("pa", "id_a"))
+        .select("id_a", F.explode(partners).alias("id_b"))
         .distinct()
     )
 

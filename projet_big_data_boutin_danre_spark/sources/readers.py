@@ -46,13 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     assume UTC; see session.py, which builds sessions pinned the same
     way, making this a no-op on the normal path).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark cannot read
-    at all without ``nanosAsLong`` (PARQUET_TYPE_ILLEGAL); the conf is
-    runtime-settable, so set it here defensively — the caller may hand
-    us a session built without it (the driver does). The nano long is
-    converted to a microsecond timestamp with integer division
+    ``events.ts`` has shipped as either TIMESTAMP(NANOS) parquet —
+    unreadable without ``nanosAsLong`` (PARQUET_TYPE_ILLEGAL), hence
+    the defensive conf; the nano long converts with integer division
     (``div`` — float division would lose precision on ~1e18 nano
-    epochs).
+    epochs) — or plain micro timestamps with isAdjustedToUTC=false,
+    which Spark reads as TIMESTAMP_NTZ. Both normalize here to
+    session-TZ TIMESTAMP (the session is pinned UTC above, so an NTZ
+    wall time is taken as the same UTC instant the oracle sees), so
+    downstream operators see ONE timestamp type whichever generator
+    wrote the data.
     """
     # timestamp formatting (date_format), naive-string parsing
     # (to_timestamp, timestamp-vs-string comparisons) all follow the
@@ -65,6 +68,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # TIMESTAMP_NTZ → TIMESTAMP under the UTC session pin: same
+    # instant, one type for every downstream operator and the oracle.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -24,6 +24,29 @@ from pyspark.sql import functions as F
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+# Accepted wall-time string shapes for a watermark literal (what
+# read_watermark emits, plus the second-precision short form).
+_WM_PY_FMTS = ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d")
+
+
+def _validate_watermark_literal(literal: str) -> None:
+    """Fail loudly on a watermark string Spark could not parse.
+
+    Guards the incremental path against silent data loss: with ANSI
+    mode off, ``to_timestamp('garbage')`` is NULL, ``ts > NULL`` is
+    never true, and every row is dropped as if the batch were empty."""
+    for fmt in _WM_PY_FMTS:
+        try:
+            dt.datetime.strptime(literal, fmt)
+            return
+        except ValueError:
+            continue
+    raise ValueError(
+        f"unparseable watermark literal {literal!r}; refusing to build an "
+        "incremental filter that would silently drop every row — fix the "
+        "state file or pass watermark=None to reprocess in full"
+    )
+
 
 def read_watermark(spark: SparkSession, state_path: str) -> str | None:
     """ST2: load the high watermark (None on first run — the
@@ -34,23 +57,49 @@ def read_watermark(spark: SparkSession, state_path: str) -> str | None:
     so a datetime round trip silently shifts on a host whose OS TZ
     differs from the session TZ. The string form is formatted JVM-side
     under the session TZ and re-parsed the same way by
-    ``incremental_batch`` — OS-TZ-independent end to end."""
+    ``incremental_batch`` — OS-TZ-independent end to end.
+
+    A MISSING state path is the first-run case and returns None; a
+    state file that EXISTS but yields no usable watermark (wrong
+    column, non-timestamp value → NULL after date_format) raises,
+    because treating corrupt state as "no watermark" would silently
+    reprocess — or worse, a NULL literal downstream would silently
+    drop every row (see ``incremental_batch``)."""
+    try:
+        state = spark.read.parquet(state_path)
+    except Exception:
+        return None  # first run: no state yet
     try:
         rows = (
-            spark.read.parquet(state_path)
-            .select(F.date_format("last_fetched", TS_FMT).alias("wm"))
+            state.select(F.date_format("last_fetched", TS_FMT).alias("wm"))
             .collect()
         )
-    except Exception:
-        return None
-    return rows[0]["wm"] if rows else None
+    except Exception as exc:
+        raise ValueError(
+            f"watermark state at {state_path!r} exists but is corrupt: no "
+            "readable 'last_fetched' timestamp; fix or delete the state file"
+        ) from exc
+    if not rows:
+        return None  # state written from an empty batch: nothing fetched yet
+    if rows[0]["wm"] is None:
+        raise ValueError(
+            f"watermark state at {state_path!r} holds a NULL/unparseable "
+            "'last_fetched'; refusing to continue with corrupt state — fix "
+            "or delete the state file"
+        )
+    return rows[0]["wm"]
 
 
 def write_watermark(df_batch: DataFrame, ts_col: str, state_path: str) -> None:
     """A3+K5: advance the watermark to max(ts) of the processed batch
-    and persist — a one-row aggregate, map-side combined."""
+    and persist — a one-row aggregate, map-side combined.
+
+    An EMPTY batch (max = NULL) writes a zero-row state rather than a
+    NULL row, so that a NULL ``last_fetched`` in an existing state file
+    can only mean corruption — which ``read_watermark`` rejects loudly."""
     (
         df_batch.agg(F.max(F.col(ts_col)).alias("last_fetched"))
+        .where(F.col("last_fetched").isNotNull())
         .write.mode("overwrite")
         .parquet(state_path)
     )
@@ -69,12 +118,20 @@ def incremental_batch(
     is exact. A NAIVE datetime is interpreted as SESSION-TZ wall time
     (via its string form) — NOT handed to ``F.lit``, which would
     convert it through the driver's OS timezone (``time.mktime``) and
-    mean a different instant on a host with another OS TZ."""
+    mean a different instant on a host with another OS TZ.
+
+    A string watermark is validated driver-side BEFORE it enters the
+    plan: with ANSI mode off, ``to_timestamp`` on an unparseable
+    literal yields NULL and ``ts > NULL`` silently drops every row —
+    a corrupt state file would masquerade as an empty batch. Raising
+    ``ValueError`` here makes the failure loud; callers that prefer
+    full reprocess can catch it and pass ``watermark=None``."""
     if watermark is None:
         return df
     if isinstance(watermark, Column):
         wm = watermark
     elif isinstance(watermark, str):
+        _validate_watermark_literal(watermark)
         wm = F.to_timestamp(F.lit(watermark))
     elif watermark.tzinfo is None:
         wm = F.to_timestamp(F.lit(watermark.strftime("%Y-%m-%d %H:%M:%S.%f")))

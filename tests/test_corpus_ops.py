@@ -51,7 +51,9 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 def test_minhash_lsh_max_bucket_caps_pair_blowup(spark):
     # 6 identical docs -> one bucket per band; uncapped = C(6,2)=15
-    # pairs, capped at 3 = pairs among the 3 smallest ids only.
+    # pairs. Capped at 3: all-pairs among the 3 smallest ids PLUS a
+    # keeper star to every id past the cap — every member stays
+    # chained to id 1's component.
     rows = [(i, "same boilerplate text everywhere") for i in range(1, 7)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     capped = {
@@ -60,7 +62,49 @@ def test_minhash_lsh_max_bucket_caps_pair_blowup(spark):
             df, "doc_id", "text", num_hashes=8, bands=4, max_bucket=3
         ).collect()
     }
-    assert capped == {(1, 2), (1, 3), (2, 3)}
+    assert capped == {(1, 2), (1, 3), (2, 3), (1, 4), (1, 5), (1, 6)}
+
+
+def test_minhash_lsh_mega_bucket_stays_bounded(spark):
+    # VERDICT r3 #4: synthetic mega-bucket (every doc identical). With
+    # max_bucket=m the per-bucket pair count is C(m,2) + (n-m), NOT
+    # C(n,2) — and every doc is still reachable from the keeper.
+    n, m = 60, 5
+    rows = [(i, "identical boilerplate page body") for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", num_hashes=8, bands=4, max_bucket=m
+        ).collect()
+    }
+    assert len(pairs) == m * (m - 1) // 2 + (n - m)  # 10 + 55, not 1770
+    members = {i for p in pairs for i in p}
+    assert members == set(range(1, n + 1))  # nobody dropped
+    assert all(a < b for a, b in pairs)
+    # keeper star: everything past the cap pairs with id 1 directly
+    assert {(1, i) for i in range(m + 1, n + 1)} <= pairs
+
+
+def test_minhash_lsh_scale_profiles(spark):
+    rows = [(i, f"unique document number {i}") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # production preset wires in PRODUCTION_MAX_BUCKET; on a tiny
+    # input (buckets << cap) it must agree with the exact profile
+    exact = set(
+        map(tuple, dedup.minhash_lsh_pairs(df, "doc_id", "text").collect())
+    )
+    prod = set(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs(
+                df, "doc_id", "text", scale_profile="production"
+            ).collect(),
+        )
+    )
+    assert prod == exact
+    with pytest.raises(ValueError, match="scale_profile"):
+        dedup.minhash_lsh_pairs(df, "doc_id", "text", scale_profile="bogus")
 
 
 def test_regex_token_count_bpe_classes(spark):

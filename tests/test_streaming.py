@@ -54,6 +54,42 @@ def test_watermark_roundtrip_and_incremental(spark, tmp_path):
     assert read_watermark(spark, state) == "2025-01-01 12:00:00.000000"
 
 
+def test_corrupt_watermark_state_fails_loudly(spark, tmp_path):
+    """VERDICT r3 #4: a corrupt state file must raise, not silently
+    yield an empty incremental batch (to_timestamp(NULL) semantics)."""
+    import pytest
+
+    # state file exists but 'last_fetched' is garbage → NULL after parse
+    state = str(tmp_path / "bad_state")
+    spark.createDataFrame(
+        [Row(last_fetched="not-a-timestamp")]
+    ).write.parquet(state)
+    with pytest.raises(ValueError, match="corrupt|unparseable|NULL"):
+        read_watermark(spark, state)
+
+    # state file exists but the column is missing entirely
+    state2 = str(tmp_path / "wrong_col")
+    spark.createDataFrame([Row(other=1)]).write.parquet(state2)
+    with pytest.raises(ValueError, match="last_fetched"):
+        read_watermark(spark, state2)
+
+    # an unparseable string literal is rejected before entering the plan
+    df = spark.createDataFrame([Row(id=1, ts=dt.datetime(2025, 1, 1))])
+    with pytest.raises(ValueError, match="unparseable watermark"):
+        incremental_batch(df, "ts", "garbage")
+    # ...while a valid short-form literal still works
+    assert incremental_batch(df, "ts", "2024-12-31").count() == 1
+
+
+def test_empty_batch_keeps_watermark_state_readable(spark, tmp_path):
+    """An empty batch writes zero-row state (not a NULL row), so NULL
+    in state is unambiguously corruption."""
+    state = str(tmp_path / "state_empty")
+    empty = spark.createDataFrame([], "id long, ts timestamp")
+    write_watermark(empty, "ts", state)
+    assert read_watermark(spark, state) is None  # no watermark yet, no error
+
+
 def test_structured_streaming_dedup_and_window(spark, tmp_path, sf0001):
     # stage a bounded file-source stream from the events table
     src = str(tmp_path / "stream_src")
