@@ -165,6 +165,48 @@ def format_ads(
     )
 
 
+# Read schema for raw LBC ad FILES (what the fetcher json.dump()s,
+# ``dags/lib/lbc_fetcher.py:100-129``): union-typed / nested fields are
+# declared STRING so the JSON reader hands back their raw JSON text
+# ("N/A" included) for the cleaning operators to normalize.
+RAW_AD_FILE_SCHEMA = (
+    "list_id long, subject string, price_cents array<bigint>, "
+    "date string, location string, attributes string"
+)
+
+
+def format_ads_from_files(df: DataFrame) -> DataFrame:
+    """``format_ads`` for ads read straight from the raw JSON-array
+    files with ``RAW_AD_FILE_SCHEMA`` (vs. a single raw_json column).
+    Same projection, same operators (P7/P11/P12/P13/P14 + location
+    normalization) — one narrow JVM-side map, no shuffle.
+
+    Carries ``__ingest_file`` (the source file path) so keep-last
+    dedup can use the fetcher's file-concatenation order
+    (``raw_to_fmt_lbc.py:33-51``): the fetcher names files by fetch
+    timestamp, so lexicographic file order == ingest order."""
+    loc_txt = F.col("location")
+    loc = F.when(
+        F.trim(loc_txt).startswith("{"),
+        F.from_json(loc_txt, LBC_LOCATION_SCHEMA),
+    )
+    attrs = map_from_attribute_list(
+        F.from_json(
+            F.col("attributes"), "array<struct<key:string,value:string>>"
+        )
+    )
+    return df.select(
+        F.col("list_id").alias("id"),
+        F.col("subject").alias("title"),
+        cents_to_euros(unwrap_scalar(F.col("price_cents"))).alias("price"),
+        coerce_timestamp(F.col("date")).alias("date"),
+        loc.getField("city").alias("city"),
+        loc.getField("zipcode").alias("zipcode"),
+        F.try_element_at(attrs, F.lit("seg")).alias("seg"),
+        F.input_file_name().alias("__ingest_file"),
+    )
+
+
 def has_cols(df: DataFrame, required: Sequence[str]) -> bool:
     """P10: driver-side schema presence guard
     (``dags/lib/compute_usage.py:36-39``) — metadata only, no job."""

@@ -14,6 +14,7 @@
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Row
@@ -65,6 +66,71 @@ def bulk_sink(
     df.foreachPartition(_send)
 
 
+def es_actions(
+    batch: list[dict], index: str, id_key: str | None = None
+) -> list[dict]:
+    """K3: build the reference's exact bulk-action shape
+    (``index_to_es.py:117-127,246-269,320-327``) from row dicts:
+
+    - ``_index`` always set; ``_source`` is the document;
+    - null fields are DROPPED from ``_source`` (``clean_doc``'s
+      ``pd.isna`` skip, ``index_to_es.py:63-79``) — sparse documents;
+    - ``_id`` comes from ``id_key`` when that field is present and
+      non-null, ``str()``-coerced (``str(doc_id)``,
+      ``index_to_es.py:255,267,326``); rows without it get no ``_id``
+      (ES auto-ids), matching ``index_lbc_raw_to_es``'s
+      ``if lbc_id:`` guard.
+
+    Pure function — the wire shape is testable without any ES client.
+    Timestamps serialize ISO-8601 (``clean_doc``'s
+    ``datetime → isoformat``, ``index_to_es.py:74-75``), so every
+    action is JSON-serializable as-is.
+    """
+    actions: list[dict] = []
+    for doc in batch:
+        src = {
+            k: _clean_value(v) for k, v in doc.items() if v is not None
+        }
+        action: dict = {"_index": index, "_source": src}
+        if id_key is not None:
+            vid = src.get(id_key)
+            if vid is not None and vid != "":
+                action["_id"] = str(vid)
+        actions.append(action)
+    return actions
+
+
+def _clean_value(v):
+    """``clean_doc``'s type normalization (``index_to_es.py:63-79``)
+    minus the numpy cases (Row dicts carry Python scalars already):
+    datetimes → ISO-8601, nested structs/arrays cleaned recursively
+    with null fields omitted."""
+    if isinstance(v, dt.datetime) or isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, dict):
+        return {k: _clean_value(x) for k, x in v.items() if x is not None}
+    if isinstance(v, (list, tuple)):
+        return [_clean_value(x) for x in v]
+    return v
+
+
+def index_documents(
+    df: DataFrame,
+    index: str,
+    send_actions: Callable[[list[dict]], None],
+    id_key: str | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """K3 with a pluggable action transport: executor-side batching of
+    reference-shaped bulk actions. ``send_actions`` receives what the
+    reference hands to ``helpers.bulk`` (``index_to_es.py:129,185``)."""
+    bulk_sink(
+        df,
+        lambda batch: send_actions(es_actions(batch, index, id_key)),
+        batch_size=batch_size,
+    )
+
+
 def es_bulk_sink(
     df: DataFrame,
     index: str,
@@ -74,8 +140,7 @@ def es_bulk_sink(
 ) -> None:
     """K3/K4: Elasticsearch adapter — import-gated; raises with a clear
     message when the client isn't installed (it isn't in this image).
-    Mirrors the reference's action shape (``_index``/``_id``/``_source``,
-    ``index_to_es.py:117-127``)."""
+    Action shape comes from ``es_actions`` (tested transport-free)."""
     try:
         from elasticsearch import Elasticsearch, helpers  # noqa: F401
     except ImportError as e:  # pragma: no cover - not installed here
@@ -84,16 +149,8 @@ def es_bulk_sink(
             "bulk_sink() with a custom transport is the supported path"
         ) from e
 
-    def _send(batch: list[dict]) -> None:  # pragma: no cover
+    def _send(actions: list[dict]) -> None:  # pragma: no cover
         es = Elasticsearch(hosts)
-        actions = [
-            {
-                "_index": index,
-                **({"_id": str(doc[id_col])} if id_col else {}),
-                "_source": doc,
-            }
-            for doc in batch
-        ]
         helpers.bulk(es, actions)
 
-    bulk_sink(df, _send, batch_size=batch_size)
+    index_documents(df, index, _send, id_key=id_col, batch_size=batch_size)
