@@ -863,9 +863,14 @@ def q_price_regression(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k neighbors via random-hyperplane LSH bucketing
-    (the 100 TB scale path: only same-bucket candidates are scored)."""
+    (the 100 TB scale path: only same-bucket candidates are scored).
+    Tagged union of both physical strategies: 'closure' ships a small
+    query set in the task closure; 'join' (similarity.ann_topk_lsh_join)
+    keeps a larger query set distributed — buckets computed in the
+    plan, candidates met by a bucket-key cogroup, no driver collect.
+    mode='auto' picks 'join' for the large set (> 64 queries)."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.ann_topk_lsh(
+    small = similarity.ann_topk_lsh(
         emb,
         emb.filter(F.col("vec_id") < 8),
         "vec_id",
@@ -873,6 +878,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         n_planes=8,
         dim=64,
+        mode="closure",
+    )
+    large = similarity.ann_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") % 7 == 0),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=8,
+        dim=64,
+        mode="auto",  # probes the count: > 64 queries -> join path
+    )
+    return small.withColumn("strategy", F.lit("closure")).unionByName(
+        large.withColumn("strategy", F.lit("join"))
     )
 
 
@@ -1656,20 +1675,26 @@ def oracle_sql() -> dict[str, str]:
             ),
             qb AS (
                 SELECT vec_id AS query_id, embedding AS qv,
-                       {_sql_rh_bucket('embedding')} AS bucket
+                       {_sql_rh_bucket('embedding')} AS bucket,
+                       'closure' AS strategy
                 FROM embeddings WHERE vec_id < 8
+                UNION ALL
+                SELECT vec_id AS query_id, embedding AS qv,
+                       {_sql_rh_bucket('embedding')} AS bucket,
+                       'join' AS strategy
+                FROM embeddings WHERE vec_id % 7 = 0
             ),
             scored AS (
-                SELECT qb.query_id, cb.id AS neighbor_id,
+                SELECT qb.query_id, cb.id AS neighbor_id, qb.strategy,
                        round(({_sql_dot_chain('qv', 'cv')})
                              / (sqrt({_sql_norm_chain('qv')})
                                 * sqrt({_sql_norm_chain('cv')})), 6) AS cosine
                 FROM cb JOIN qb ON cb.bucket = qb.bucket
                 WHERE cb.id <> qb.query_id
             )
-            SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine, rank, strategy FROM (
                 SELECT *, CAST(row_number() OVER (
-                    PARTITION BY query_id
+                    PARTITION BY query_id, strategy
                     ORDER BY cosine DESC, neighbor_id ASC
                 ) AS INT) AS rank
                 FROM scored

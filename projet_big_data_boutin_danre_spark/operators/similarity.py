@@ -384,17 +384,40 @@ def ann_topk_lsh(
     n_planes: int = 8,
     dim: int = 64,
     round_to: int = 6,
+    mode: str = "auto",
+    max_closure_queries: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's
     hyperplane bucket. Recall trades with ``n_planes``; at scale use
     multiple tables (union of several plane sets) for recall.
 
-    Plan: the bounded query set's buckets are computed driver-side;
-    one Arrow-batched corpus pass computes each corpus vector's bucket
-    AND scores it against same-bucket queries — no join, no shuffle
-    until the tiny per-query top-k window. Bucket bits and cosines use
-    the sequential fold order (module docstring), so sign decisions
-    and scores are bit-identical to the column/SQL formulation."""
+    Two physical strategies behind one API (same contract as
+    ``cosine_topk``), bit-identical results:
+
+    - *closure* (small query sets): the bounded query set's buckets
+      are computed driver-side; one Arrow-batched corpus pass computes
+      each corpus vector's bucket AND scores it against same-bucket
+      queries — no join, no shuffle until the tiny per-query top-k
+      window.
+    - *join* (``ann_topk_lsh_join``): both sides' buckets are computed
+      IN THE PLAN and candidates meet by cogrouping on the bucket
+      string — no driver collect, and (unlike the cosine cogroup) no
+      query replication at all, because bucket equality is a plain
+      key. The scale path when queries are a real table.
+
+    ``mode="auto"`` probes the query count with a bounded
+    ``limit().count()`` and picks. Bucket bits and cosines use the
+    sequential fold order (module docstring), so sign decisions and
+    scores are bit-identical across modes and to the column/SQL
+    formulation."""
+    if mode == "auto":
+        probe = queries.limit(max_closure_queries + 1).count()
+        mode = "closure" if probe <= max_closure_queries else "join"
+    if mode == "join":
+        return ann_topk_lsh_join(
+            df, queries, id_col, vec_col, k=k, n_planes=n_planes, dim=dim,
+            round_to=round_to,
+        )
     planes = np.array(_lcg_planes(n_planes, dim, seed=7), dtype=np.float64)
 
     def _np_buckets(m: np.ndarray) -> list[str]:
@@ -463,4 +486,84 @@ def ann_topk_lsh(
                 )
 
     scored = c.mapInPandas(_score, schema=out_schema)
+    return _rank_topk(scored, k, round_to)
+
+
+def ann_topk_lsh_join(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN top-k with the query side kept as a DataFrame — the
+    distributed-query path (no ``.collect()`` anywhere).
+
+    Plan: both sides get their hyperplane bucket as a plan-side Column
+    fold (``rh_lsh_buckets``' bit algebra, vector kept alongside), then
+    ``cogroup`` on the bucket string scores each (corpus-bucket ×
+    query-bucket) block with the shared numpy kernel. ONE shuffle per
+    side, keyed by bucket — cheaper than the cosine cogroup because
+    bucket equality is a plain join key: no query replication. Bucket
+    fan-in is bounded by construction (LSH buckets are small relative
+    to the corpus; more planes → smaller buckets), so a block fits
+    executor memory; a pathological hot bucket is an accuracy signal
+    (add planes / more tables), not a plan flaw.
+
+    At 100 TB: corpus and query vectors each cross the wire exactly
+    once, bucket pruning drops (1 - 2^-n_planes) of the score work,
+    and the driver never touches a vector. Scores and bucket bits are
+    bit-identical to the closure path and the SQL oracle (sequential
+    fold order throughout)."""
+    planes = _lcg_planes(n_planes, dim, seed=7)
+
+    def _with_bucket(src: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = _as_double_array(vec_col)
+        bits = [
+            F.when(
+                dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for p in planes
+        ]
+        return src.select(
+            F.col(id_col).alias(out_id),
+            v.alias(out_vec),
+            F.concat(*bits).alias("bucket"),
+        ).filter(F.col(out_id).isNotNull() & F.col(out_vec).isNotNull())
+
+    c = _with_bucket(df, "neighbor_id", "cv")
+    q = _with_bucket(queries, "query_id", "qv")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        c_norms = _seq_sq_norms(cm)
+        q_norms = _seq_sq_norms(qm)
+        # dot(qv, cv) / (l2(qv) * l2(cv)) — same kernel and fold order
+        # as every other path (module docstring).
+        cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
+        n_c, n_q = cos.shape
+        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
+        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
+        keep = nb != qi
+        return pd.DataFrame(
+            {
+                "query_id": qi[keep],
+                "neighbor_id": nb[keep],
+                "cosine": cos.ravel()[keep],
+            }
+        )
+
+    scored = (
+        c.groupBy("bucket")
+        .cogroup(q.groupBy("bucket"))
+        .applyInPandas(_score, schema=out_schema)
+    )
     return _rank_topk(scored, k, round_to)
