@@ -27,8 +27,135 @@ def dedup_stream(
     """ST3: late rows beyond ``lateness`` dropped by the watermark;
     duplicate ids within the watermark window dropped with managed
     state (``dropDuplicates`` post-``withWatermark`` bounds the state
-    store — mandatory at scale, unbounded state otherwise)."""
+    store — mandatory at scale, unbounded state otherwise).
+
+    NOTE: ``dropDuplicates`` keeps the FIRST-arriving row per id —
+    arrival-order dependent. When the batch layer's deterministic
+    keep-last semantics (A2, ``operators/cleaning.keep_last_dedup``)
+    must hold on the stream too, use ``dedup_stream_keep_last``."""
     return stream.withWatermark(ts_col, lateness).dropDuplicates([id_col])
+
+
+def dedup_stream_keep_last(
+    stream: DataFrame,
+    id_col: str,
+    ts_col: str,
+    lateness: str = "1 hour",
+    tiebreak: tuple[str, ...] = (),
+    emit: str = "update",
+) -> DataFrame:
+    """Deterministic keep-last dedup on a stream — the streaming twin
+    of batch A2 (``operators/cleaning.keep_last_dedup``): per id, the
+    row with the greatest ``(ts, *tiebreak)`` wins, independent of
+    arrival/partition order (where ``dropDuplicates`` keeps an
+    arbitrary first arrival).
+
+    Custom stateful operator (``applyInPandasWithState``): per-id
+    managed state holds only the current best row (timestamps stored
+    as epoch-ms); every state entry carries an event-time timeout at
+    ``best_ts + lateness``, so state is bounded by the watermark
+    horizon exactly like ``dropDuplicates`` state.
+
+    ``emit="update"`` yields the current winner whenever a batch
+    touches the id (run the sink in update mode; the last update per
+    id equals the batch keep-last result). ``emit="final"`` yields
+    each id's winner exactly once, when its timeout expires — i.e.
+    when the watermark guarantees no non-late row can still beat it.
+
+    Scale: one shuffle on the id (same as batch A2), state one row per
+    live id, Arrow-batched. Nested struct/array payload columns are
+    not supported in state (atomic + timestamp columns are) — project
+    them out or serialize before deduping."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if emit not in ("update", "final"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+    fields = stream.schema.fields
+    names = [f.name for f in fields]
+    ts_names = {
+        f.name
+        for f in fields
+        if f.dataType.simpleString().startswith("timestamp")
+    }
+    if ts_col not in ts_names:
+        raise ValueError(f"{ts_col!r} must be a timestamp column")
+    state_schema = ", ".join(
+        f"`{f.name}` bigint"
+        if f.name in ts_names
+        else f"`{f.name}` {f.dataType.simpleString()}"
+        for f in fields
+    )
+    lateness_ms = int(pd.Timedelta(lateness).total_seconds() * 1000)
+    order_cols = [ts_col, *tiebreak]
+
+    def _order_key(vals: dict) -> tuple:
+        # None sorts below any value — desc_nulls_last, like batch A2
+        return tuple(
+            (vals[c] is not None, vals[c]) for c in order_cols
+        )
+
+    def _to_state(row: dict) -> dict:
+        out = {}
+        for c, v in row.items():
+            if v is not None and pd.isna(v):
+                v = None
+            elif c in ts_names:
+                v = int(pd.Timestamp(v).value // 1_000_000)
+            elif hasattr(v, "item"):  # numpy scalar -> Python scalar
+                v = v.item()
+            out[c] = v
+        return out
+
+    def _emit_frame(vals: dict) -> pd.DataFrame:
+        cols = {}
+        for c in names:
+            v = vals[c]
+            if c in ts_names:
+                v = pd.NaT if v is None else pd.to_datetime(v, unit="ms")
+            cols[c] = [v]
+        return pd.DataFrame(cols)
+
+    def _fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed best_ts + lateness: the winner is final
+            if emit == "final" and state.exists:
+                yield _emit_frame(dict(zip(names, state.get)))
+            state.remove()
+            return
+        best = dict(zip(names, state.get)) if state.exists else None
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            pdf = pdf.sort_values(
+                order_cols, ascending=False, na_position="last", kind="stable"
+            )
+            cand = _to_state(pdf.iloc[0].to_dict())
+            if best is None or _order_key(cand) > _order_key(best):
+                best = cand
+        if best is None:
+            state.remove()
+            return
+        state.update(tuple(best[c] for c in names))
+        wm = state.getCurrentWatermarkMs()
+        ts_ms = best[ts_col] if best[ts_col] is not None else wm
+        state.setTimeoutTimestamp(max(ts_ms + lateness_ms, wm + 1))
+        if emit == "update" and touched:
+            yield _emit_frame(best)
+
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(id_col)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=stream.schema,
+            stateStructType=state_schema,
+            outputMode=emit if emit == "update" else "append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def windowed_counts(

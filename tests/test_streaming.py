@@ -114,6 +114,130 @@ def test_structured_streaming_dedup_and_window(spark, tmp_path, sf0001):
     assert sum(r["n"] for r in rows) == 500
 
 
+def test_stream_keep_last_matches_batch_dedup(spark, tmp_path):
+    """VERDICT r3 #5: the streaming dedup must agree with batch A2
+    (deterministic keep-last) on a duplicated fixture, regardless of
+    which file/batch a duplicate arrives in."""
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        keep_last_dedup,
+    )
+    from projet_big_data_boutin_danre_spark.streaming.stream_dedup import (
+        dedup_stream_keep_last,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    file1 = [
+        (1, t0, "v1-old"),
+        (2, t0 + dt.timedelta(minutes=30), "v2-final"),  # later ts FIRST
+        (3, t0 + dt.timedelta(minutes=2), "v3-final"),
+    ]
+    file2 = [
+        (1, t0 + dt.timedelta(minutes=10), "v1-final"),  # beats file1's
+        (2, t0 + dt.timedelta(minutes=5), "v2-stale"),   # older: must lose
+    ]
+    schema = "id long, ts timestamp, payload string"
+
+    def run_stream(order):
+        src = tmp_path / f"kl_src_{order[0][1][0][2]}"
+        src.mkdir()
+        for i, (name, rows) in enumerate(order):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"f{i}_{name}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        name = f"kl_out_{abs(hash(str(order))) % 10**8}"
+        q = (
+            dedup_stream_keep_last(stream, "id", "ts")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the last update per id = max-(ts) update (updates are
+        # monotone in the order key) — extract it with the batch
+        # operator itself
+        return {
+            (r["id"], r["ts"], r["payload"])
+            for r in keep_last_dedup(
+                spark.sql(f"SELECT * FROM {name}"), ["id"], "ts"
+            ).collect()
+        }
+
+    batch_all = spark.createDataFrame(file1 + file2, schema)
+    expected = {
+        (r["id"], r["ts"], r["payload"])
+        for r in keep_last_dedup(batch_all, ["id"], "ts").collect()
+    }
+    assert {p for (_, _, p) in expected} == {"v1-final", "v2-final", "v3-final"}
+
+    # stream agrees with batch in BOTH arrival orders (dropDuplicates
+    # would keep the first arrival and flip with the order)
+    assert run_stream([("a", file1), ("b", file2)]) == expected
+    assert run_stream([("a", file2), ("b", file1)]) == expected
+
+
+def test_stream_keep_last_final_mode_emits_once(spark, tmp_path):
+    """emit='final': each id's winner appears exactly once, after the
+    watermark passes best_ts + lateness (event-time timeout)."""
+    import time
+
+    from projet_big_data_boutin_danre_spark.streaming.stream_dedup import (
+        dedup_stream_keep_last,
+    )
+
+    src = tmp_path / "klf_src"
+    src.mkdir()
+    schema = "id long, ts timestamp, payload string"
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+
+    def emit(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    emit("f1", [(1, t0, "old"), (1, t0 + dt.timedelta(minutes=5), "new")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_stream_keep_last(stream, "id", "ts", lateness="10 minutes",
+                               emit="final")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("klf_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future event pushes the watermark past id 1's timeout
+        emit("f2", [(99, t0 + dt.timedelta(hours=2), "flush")])
+        q.processAllAvailable()
+        rows = []
+        for _ in range(30):
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT * FROM klf_out WHERE id = 1"
+            ).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["payload"] == "new"
+    assert rows[0]["ts"] == t0 + dt.timedelta(minutes=5)
+
+
 def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
     import time
 
