@@ -36,6 +36,45 @@ HEADLINE = [
 ]
 
 
+def skew_probe(spark, sf_dir: str) -> dict[str, float]:
+    """Deliberately skewed-key join (one key = ~50% of lineitem rows)
+    vs the same join with uniform keys — records whether AQE skew-join
+    keeps the hot key from serializing the stage. Bench-only (not a
+    correctness query): the pair of timings is the contract, skewed
+    within ~2x of uniform."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    dim = spark.range(1, 1002).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    uniform_k = F.pmod(F.hash("l_orderkey"), F.lit(1000)) + F.lit(2)
+    variants = {
+        "skew_join_uniform": uniform_k,
+        "skew_join_skewed": F.when(
+            F.col("l_orderkey") % 2 == 0, F.lit(1)
+        ).otherwise(uniform_k),
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # SMJ
+    out: dict[str, float] = {}
+    try:
+        for name, key in variants.items():
+            t0 = time.time()
+            li.withColumn("k", key).join(dim, "k").select(
+                "k", "l_quantity", "payload"
+            ).count()
+            out[name] = round(time.time() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -72,11 +111,17 @@ def main() -> None:
         df.count()
         timings[name] = round(time.time() - t0, 3)
 
+    total = round(sum(timings.values()), 3)
+    # AQE skew probe (bench-only pair, not a queries() entry; reported
+    # per-probe but excluded from the headline total so round-over-
+    # round totals stay comparable)
+    timings.update(skew_probe(spark, sf_dir))
+
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,

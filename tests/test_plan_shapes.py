@@ -191,6 +191,55 @@ def test_ann_lsh_auto_picks_join_and_matches_closure(spark, sf0001):
     assert a == c and len(a) > 0
 
 
+def test_aqe_splits_skewed_join_partition(spark, sf0001):
+    """VERDICT r3 #7 (skew probe): with one key owning ~50% of the fact
+    rows, AQE's skew-join must split the hot partition instead of
+    letting one task carry half the table. Thresholds are lowered so
+    test-scale data crosses them; the assertion is the skew=true
+    marker on the sort-merge join in the FINAL adaptive plan."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # repartition: a skewed REDUCE partition is split by regrouping
+        # its MAP outputs, so the probe needs >1 mapper (the sf0.001
+        # file is a single split; any real-scale scan has many)
+        li = load_table(spark, sf0001, "lineitem").repartition(16)
+        # one mega-key (~50% of rows), the rest spread over 1000 keys
+        skewed = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(1)).otherwise(
+                F.pmod(F.hash("l_orderkey"), F.lit(1000)) + F.lit(2)
+            ),
+        )
+        dim = spark.range(1, 1002).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        joined = skewed.join(dim, "k").select("k", "l_quantity", "payload")
+        # execute THIS Dataset so its own adaptive plan finalizes
+        # (count() would plan a separate aggregate query)
+        assert len(joined.collect()) == li.count()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+        assert "AQEShuffleRead skewed" in final_plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_exact_dedup_single_shuffle(spark, sf0001):
     plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
     # hash + groupBy must shuffle exactly once (on content_hash)
