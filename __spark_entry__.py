@@ -1230,8 +1230,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coercing_cast": """
             SELECT event_id,
-                   coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
-                       AS k_value
+                   coalesce(
+                       CASE WHEN isnan(try_cast(json_extract_string(props, '$.k')
+                                                AS DOUBLE)) THEN NULL
+                            ELSE try_cast(json_extract_string(props, '$.k')
+                                          AS DOUBLE) END,
+                       0.0) AS k_value
             FROM events
         """,
         "pagination": """

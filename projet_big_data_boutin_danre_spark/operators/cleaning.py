@@ -31,14 +31,25 @@ from ..schemas import LBC_LOCATION_SCHEMA
 
 
 def coerce_numeric(col: Column | str, fill: float = 0.0) -> Column:
-    """P6: string → double; unparseable AND missing both → ``fill``.
+    """P6: string → double; unparseable, missing AND the literal
+    ``'nan'`` all → ``fill``.
 
     ``try_cast`` (not ``cast``): under ANSI mode — the Spark 4 default —
     a malformed cast throws; the pandas ``errors='coerce'`` contract
-    wants null-then-fill.
+    wants null-then-fill. The ``nanvl`` hop closes a subtle gap found
+    by property testing: both Spark and DuckDB parse the string
+    ``'nan'`` to a float NaN, which is NOT null, so a bare
+    ``coalesce`` would let NaN through to poison downstream
+    aggregates — while the contract (``to_numeric().fillna(0)``)
+    yields ``fill``. Known residual divergence: pandas parses
+    ``'inf'``; Spark only ``'Infinity'`` — infinities pass through
+    whichever way the engine parses them.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.try_cast("double"), F.lit(float(fill)))
+    v = c.try_cast("double")
+    return F.coalesce(
+        F.nanvl(v, F.lit(None).cast("double")), F.lit(float(fill))
+    )
 
 
 def coerce_timestamp(col: Column | str) -> Column:

@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis) for the semantics most likely to
+drift under partitioning/ordering changes — each operator is checked
+against a plain-Python reference implementation on generated inputs
+(SURVEY.md §5: the reference has no property tests; these guard the
+determinism contracts the engine adds on top).
+
+Spark round trips are slow, so examples are few but adversarial:
+hypothesis shrinks failures to minimal cases, which matters more here
+than volume."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from projet_big_data_boutin_danre_spark.operators import cleaning, dedup
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# (key, order) pairs with deliberate duplicates in both dimensions
+_dup_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # key: few, collides
+        st.integers(min_value=0, max_value=10),   # order: collides too
+        st.integers(min_value=0, max_value=99),   # tiebreak payload
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=_dup_rows)
+def test_keep_last_dedup_matches_reference(spark, rows):
+    """keep_last_dedup == per-key max over (order, tiebreak) — a pure
+    function of the data, independent of input/partition order."""
+    df = spark.createDataFrame(rows, "k int, ord int, tb int").repartition(7)
+    got = {
+        (r["k"], r["ord"], r["tb"])
+        for r in cleaning.keep_last_dedup(df, ["k"], "ord", ["tb"]).collect()
+    }
+    expect = {}
+    for k, o, t in rows:
+        if k not in expect or (o, t) > (expect[k][1], expect[k][2]):
+            expect[k] = (k, o, t)
+    assert got == set(expect.values())
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=8),
+            st.floats(allow_nan=False, allow_infinity=False, width=32).map(
+                lambda f: repr(round(f, 3))
+            ),
+            st.integers(min_value=-10**9, max_value=10**9).map(str),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_coerce_numeric_matches_reference(spark, values):
+    """coerce_numeric == the ACTUAL reference contract, pandas
+    to_numeric(errors='coerce').fillna(0): parseable → float;
+    unparseable, missing, and literal 'nan' → 0.0. (NOT Python
+    float(): hypothesis found '1\\xa0' — float() strips unicode
+    whitespace, pandas and Spark do not; and 'nan' parses to a
+    non-null NaN that fillna must still zero.) Infinity spellings are
+    excluded: pandas parses 'inf', Spark only 'Infinity' — documented
+    divergence."""
+    import math
+
+    import pandas as pd
+    from hypothesis import assume
+
+    def ref(v):
+        out = pd.to_numeric(pd.Series([v], dtype=object), errors="coerce")
+        f = out.fillna(0.0)[0]
+        return float(f)
+
+    refs = [ref(v) for v in values]
+    assume(all(math.isfinite(r) for r in refs))
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i int, v string")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", cleaning.coerce_numeric("v").alias("out")
+        ).collect()
+    }
+    for i, v in enumerate(values):
+        assert got[i] == pytest.approx(refs[i]), (v, got[i], refs[i])
+
+
+@settings(**SETTINGS)
+@given(
+    n_dupe_groups=st.integers(min_value=1, max_value=3),
+    group_size=st.integers(min_value=2, max_value=12),
+    cap=st.integers(min_value=2, max_value=6),
+)
+def test_lsh_hot_bucket_guard_invariants(spark, n_dupe_groups, group_size, cap):
+    """For any duplicate-group layout and cap: (1) capped pairs are a
+    subset of uncapped pairs, (2) every member of a duplicate group
+    appears in some pair (nobody silently dropped), (3) per-group pair
+    count is exactly C(min(cap,size),2) + max(0, size-cap)."""
+    rows = []
+    base = 0
+    for g in range(n_dupe_groups):
+        # group texts must be genuinely dissimilar — a first draft
+        # differing by one character was (correctly!) cross-linked by
+        # LSH as a near-duplicate, breaking the per-group pair count
+        text = " ".join(f"tok{g}q{j}z{(g + 1) * (j + 3)}" for j in range(14))
+        rows += [(base + i, text) for i in range(group_size)]
+        base += 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", max_bucket=cap
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert {i for p in capped for i in p} == {r[0] for r in rows}
+    m = min(cap, group_size)
+    per_group = m * (m - 1) // 2 + max(0, group_size - cap)
+    assert len(capped) == per_group * n_dupe_groups
+
+
+@settings(**SETTINGS)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=-3600, max_value=3600), min_size=1, max_size=20
+    ),
+    wm_offset=st.integers(min_value=-3600, max_value=3600),
+)
+def test_incremental_batch_strict_inequality(spark, offsets, wm_offset):
+    """incremental_batch keeps exactly the rows with ts STRICTLY after
+    the watermark (the reference drops date <= last_fetched)."""
+    from projet_big_data_boutin_danre_spark.streaming import incremental_batch
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+    rows = [(i, t0 + dt.timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    wm = t0 + dt.timedelta(seconds=wm_offset)
+    df = spark.createDataFrame(rows, "i int, ts timestamp")
+    got = {r["i"] for r in incremental_batch(df, "ts", wm).collect()}
+    expect = {i for i, s in enumerate(offsets) if s > wm_offset}
+    assert got == expect
