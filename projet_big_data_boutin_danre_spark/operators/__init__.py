@@ -2,6 +2,7 @@ from . import (
     cleaning,
     dedup,
     documents,
+    ivf,
     multimodal,
     pagination,
     similarity,
@@ -13,6 +14,7 @@ __all__ = [
     "cleaning",
     "dedup",
     "documents",
+    "ivf",
     "multimodal",
     "pagination",
     "similarity",

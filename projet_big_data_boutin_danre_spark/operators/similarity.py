@@ -335,6 +335,47 @@ def near_dup_pairs_cosine(
     )
 
 
+def near_dup_pairs_cosine_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Self-blocking near-duplicate pairs: the LSH bucket IS the block.
+
+    The scale path SCALE.md promises for ``near_dup_pairs_cosine``
+    when no natural blocking key exists: hyperplane buckets bound the
+    block size by construction (more planes → smaller blocks), so one
+    block's vectors always fit an executor. Identical vectors always
+    share a bucket, so exact duplicates have recall 1; near-duplicates
+    straddling a hyperplane are missed (standard LSH recall trade —
+    union several plane seeds for higher recall).
+
+    Plan: bucket bits are plan-side column algebra fused with the
+    scan; then one shuffle on the bucket and the same per-block numpy
+    kernel as the keyed variant."""
+    planes = _lcg_planes(n_planes, dim, seed=7)
+    v = _as_double_array(vec_col)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    with_block = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.concat(*bits).alias("__lsh_block"),
+    )
+    return near_dup_pairs_cosine(
+        with_block, id_col, vec_col, "__lsh_block",
+        threshold=threshold, round_to=round_to,
+    )
+
+
 def rh_lsh_buckets(
     df: DataFrame,
     id_col: str,
