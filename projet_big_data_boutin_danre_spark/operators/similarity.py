@@ -335,6 +335,93 @@ def near_dup_pairs_cosine(
     )
 
 
+def ann_topk_lsh_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-table LSH ANN — the recall knob the single-table variants
+    document: ``n_tables`` independent hyperplane sets; a candidate
+    pair qualifies if it shares a bucket in ANY table, and recall
+    approaches exact as tables are added (miss probability decays
+    exponentially: each table misses a near pair independently).
+
+    Plan: each side explodes its (table, bucket) keys — bounded ×T
+    fan-out, vectors cross the wire T times (the classic multi-table
+    memory trade) — then the same bucket-key cogroup and numpy kernel
+    as ``ann_topk_lsh_join``. A pair sharing buckets in several
+    tables is scored per table with BIT-IDENTICAL results (the
+    per-pair fold doesn't depend on block composition), so one
+    ``dropDuplicates`` on (query, neighbor) before ranking removes
+    the multiplicity. No driver collect anywhere.
+
+    With ``n_tables=1`` this is exactly ``ann_topk_lsh_join`` (table 0
+    uses the same seed-7 planes) — tested equivalence."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def _with_buckets(src: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = _as_double_array(vec_col)
+        entries = []
+        for t in range(n_tables):
+            planes = _lcg_planes(n_planes, dim, seed=7 + 101 * t)
+            bits = [
+                F.when(
+                    dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
+                ).otherwise(F.lit("0"))
+                for p in planes
+            ]
+            entries.append(
+                F.concat(F.lit(f"{t}:"), F.concat(*bits))
+            )
+        return (
+            src.select(
+                F.col(id_col).alias(out_id),
+                v.alias(out_vec),
+                F.explode(F.array(*entries)).alias("bucket"),
+            )
+            .filter(F.col(out_id).isNotNull() & F.col(out_vec).isNotNull())
+        )
+
+    c = _with_buckets(df, "neighbor_id", "cv")
+    q = _with_buckets(queries, "query_id", "qv")
+
+    def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        c_norms = _seq_sq_norms(cm)
+        q_norms = _seq_sq_norms(qm)
+        cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
+        n_c, n_q = cos.shape
+        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
+        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
+        keep = nb != qi
+        return pd.DataFrame(
+            {
+                "query_id": qi[keep],
+                "neighbor_id": nb[keep],
+                "cosine": cos.ravel()[keep],
+            }
+        )
+
+    scored = (
+        c.groupBy("bucket")
+        .cogroup(q.groupBy("bucket"))
+        .applyInPandas(_score, schema=out_schema)
+    )
+    return _rank_topk(
+        scored.dropDuplicates(["query_id", "neighbor_id"]), k, round_to
+    )
+
+
 def near_dup_pairs_cosine_lsh(
     df: DataFrame,
     id_col: str,

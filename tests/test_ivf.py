@@ -105,6 +105,34 @@ def test_ivf_centroid_model_is_small(centroids):
     assert all(math.isfinite(x) for row in centroids for x in row)
 
 
+def test_ann_multi_table_recall_and_single_table_equivalence(spark, clustered):
+    """n_tables=1 must equal the single-table join path exactly (same
+    seed-7 planes); more tables can only improve each query's best
+    reachable neighbor (candidate sets grow monotonically)."""
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    single = sorted(map(tuple, similarity.ann_topk_lsh(
+        clustered, queries, k=3, n_planes=6, dim=8, mode="join"
+    ).collect()))
+    multi1 = sorted(map(tuple, similarity.ann_topk_lsh_multi(
+        clustered, queries, k=3, n_planes=6, dim=8, n_tables=1
+    ).collect()))
+    assert multi1 == single and len(multi1) > 0
+
+    def best(rows):
+        out = {}
+        for r in rows:
+            q, c = r[0], r[2]
+            out[q] = max(out.get(q, -2.0), c)
+        return out
+
+    multi4 = similarity.ann_topk_lsh_multi(
+        clustered, queries, k=3, n_planes=6, dim=8, n_tables=4
+    ).collect()
+    b1, b4 = best(single), best(multi4)
+    assert set(b1) <= set(b4)  # a query never loses all its candidates
+    assert all(b4[q] >= b1[q] for q in b1)  # best neighbor only improves
+
+
 def test_near_dup_lsh_self_blocking(spark):
     """Identical vectors always share an LSH bucket -> exact dups have
     recall 1; every reported pair must also pass the brute-force
