@@ -377,32 +377,7 @@ def ann_topk_lsh_multi(
     ]
     c = _bucketed_side(df, id_col, vec_col, "neighbor_id", "cv", plane_sets)
     q = _bucketed_side(queries, id_col, vec_col, "query_id", "qv", plane_sets)
-
-    def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(cpdf) or not len(qpdf):
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
-        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
-        c_norms = _seq_sq_norms(cm)
-        q_norms = _seq_sq_norms(qm)
-        cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
-        n_c, n_q = cos.shape
-        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
-        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
-        keep = nb != qi
-        return pd.DataFrame(
-            {
-                "query_id": qi[keep],
-                "neighbor_id": nb[keep],
-                "cosine": cos.ravel()[keep],
-            }
-        )
-
-    scored = (
-        c.groupBy("bucket")
-        .cogroup(q.groupBy("bucket"))
-        .applyInPandas(_score, schema=out_schema)
-    )
+    scored = _cogroup_score_by_bucket(c, q, out_schema)
     return _rank_topk(
         scored.dropDuplicates(["query_id", "neighbor_id"]), k, round_to
     )
@@ -688,32 +663,71 @@ def ann_topk_lsh_join(
     q = _bucketed_side(queries, id_col, vec_col, "query_id", "qv", plane_sets)
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    return _rank_topk(
+        _cogroup_score_by_bucket(c, q, out_schema), k, round_to
+    )
+
+
+def _cogroup_score_by_bucket(
+    c: DataFrame, q: DataFrame, out_schema: str, n_parts: int | None = None
+) -> DataFrame:
+    """Score same-bucket (corpus × query) blocks with a BOUNDED group
+    count: cogroup on ``hash(bucket) % n_parts`` (not the bucket
+    itself) and match buckets inside the kernel. With 2^n_planes
+    buckets, per-group pandas overhead would dominate a per-bucket
+    cogroup (measured ~3 ms/group × 256 groups at 8 planes; 2^16
+    buckets would be seconds of pure overhead) — the partition-key
+    cogroup keeps exactly ``n_parts`` groups at any plane count while
+    shuffling the same bytes. Same sequential-fold kernel, so scores
+    are unchanged bit-for-bit."""
+    try:
+        default = c.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        default = 64
+    n_parts = n_parts or default
+    ck = c.withColumn("__p", F.pmod(F.hash("bucket"), F.lit(n_parts)))
+    qk = q.withColumn("__p", F.pmod(F.hash("bucket"), F.lit(n_parts)))
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
 
     def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cpdf) or not len(qpdf):
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
-        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
-        c_norms = _seq_sq_norms(cm)
-        q_norms = _seq_sq_norms(qm)
-        # dot(qv, cv) / (l2(qv) * l2(cv)) — same kernel and fold order
-        # as every other path (module docstring).
-        cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
-        n_c, n_q = cos.shape
-        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
-        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
-        keep = nb != qi
-        return pd.DataFrame(
-            {
-                "query_id": qi[keep],
-                "neighbor_id": nb[keep],
-                "cosine": cos.ravel()[keep],
-            }
-        )
+            return empty
+        cpdf = cpdf.reset_index(drop=True)
+        qpdf = qpdf.reset_index(drop=True)
+        q_groups = qpdf.groupby("bucket").indices
+        parts = []
+        for b, cidx in cpdf.groupby("bucket").indices.items():
+            qix = q_groups.get(b)
+            if qix is None:
+                continue
+            cm = np.array(cpdf["cv"].iloc[cidx].tolist(), dtype=np.float64)
+            qm = np.array(qpdf["qv"].iloc[qix].tolist(), dtype=np.float64)
+            c_norms = _seq_sq_norms(cm)
+            q_norms = _seq_sq_norms(qm)
+            # dot(qv, cv) / (l2(qv) * l2(cv)) — same kernel and fold
+            # order as every other path (module docstring).
+            cos = _seq_dot_cross(cm, qm) / (
+                c_norms[:, None] * q_norms[None, :]
+            )
+            n_c, n_q = cos.shape
+            nb = np.repeat(cpdf["neighbor_id"].iloc[cidx].to_numpy(), n_q)
+            qi = np.tile(qpdf["query_id"].iloc[qix].to_numpy(), n_c)
+            keep = nb != qi
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi[keep],
+                        "neighbor_id": nb[keep],
+                        "cosine": cos.ravel()[keep],
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
 
-    scored = (
-        c.groupBy("bucket")
-        .cogroup(q.groupBy("bucket"))
+    return (
+        ck.groupBy("__p")
+        .cogroup(qk.groupBy("__p"))
         .applyInPandas(_score, schema=out_schema)
     )
-    return _rank_topk(scored, k, round_to)
