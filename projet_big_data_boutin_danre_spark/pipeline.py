@@ -279,6 +279,19 @@ def _parquet_exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+# Individually runnable stages — the CLI analog of the reference's
+# per-task Airflow operators (DAG_Project.py:31-74), for re-running one
+# layer without the whole DAG.
+STAGES = {
+    "transform_dvf": lambda spark, lay, force: transform_dvf(
+        spark, lay, force=force
+    ),
+    "transform_lbc": lambda spark, lay, force: transform_lbc(spark, lay),
+    "compute_usage": lambda spark, lay, force: compute_usage(spark, lay),
+    "index": lambda spark, lay, force: index_fan_out(spark, lay),
+}
+
+
 def main() -> None:  # pragma: no cover - thin CLI wrapper
     import argparse
 
@@ -290,8 +303,27 @@ def main() -> None:  # pragma: no cover - thin CLI wrapper
     p.add_argument(
         "--force", action="store_true", help="rebuild existing layers"
     )
+    p.add_argument(
+        "--stage",
+        choices=sorted(STAGES),
+        default=None,
+        help="run one stage only (upstream layers must already exist)",
+    )
     args = p.parse_args()
     spark = get_spark("pipeline")
+    if args.stage:
+        lay = (
+            DatalakeLayout(args.datalake_root, args.run_day)
+            if args.run_day
+            else DatalakeLayout(args.datalake_root)
+        )
+        out = STAGES[args.stage](spark, lay, args.force)
+        if isinstance(out, dict):
+            for idx, n in out.items():
+                print(f"{idx}: {n} documents")
+        else:
+            print(f"{args.stage}: done")
+        return
     counts = run_pipeline(
         spark, args.datalake_root, run_day=args.run_day, force=args.force
     )

@@ -123,3 +123,16 @@ def read_parquet_lake(spark: SparkSession, *paths: str) -> DataFrame:
     """S4: Parquet scan over one or more lake paths (directory handling,
     partition discovery, pushdown all native)."""
     return spark.read.parquet(*paths)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan — for lakes standardized on the Hive ecosystem's
+    columnar format. Same native pushdown/pruning story as Parquet
+    (predicate pushdown, column pruning, partition discovery); pinned
+    schema optional because ORC footers carry exact types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -42,6 +42,22 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink with the same dynamic-partition-overwrite contract as
+    the Parquet sink (K1) — for Hive-ecosystem consumers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def bulk_sink(
     df: DataFrame,
     send_batch: Callable[[list[dict]], None],

@@ -244,3 +244,27 @@ def test_exact_dedup_single_shuffle(spark, sf0001):
     plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
     # hash + groupBy must shuffle exactly once (on content_hash)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partition_pruning_on_day_partitioned_layer(spark, tmp_path):
+    """A run_day filter on a day-partitioned layer must prune at the
+    scan (PartitionFilters), reading only the matching directory —
+    the mechanism that makes the datalake layers cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path / "day_lake")
+    df = spark.range(100).withColumn(
+        "ds", F.when(F.col("id") % 2 == 0, "20250101").otherwise("20250102")
+    )
+    write_parquet(df, out, partition_by=("ds",))
+    pruned = spark.read.parquet(out).filter(F.col("ds") == "20250101")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "20250101" in plan
+    # the pruning predicate sits in PartitionFilters (metadata-only,
+    # applied before any file is opened), NOT in PushedFilters
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pf = scan.split("PartitionFilters: [", 1)[1]
+    assert "20250101" in pf.split("]", 1)[0]
+    assert pruned.count() == 50

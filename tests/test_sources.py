@@ -64,3 +64,27 @@ def test_write_json_roundtrip(spark, tmp_path):
     write_json(df, out)
     back = spark.read.schema("id long, t string").json(out)
     assert back.collect()[0].asDict() == {"id": 1, "t": "x"}
+
+
+def test_orc_roundtrip_and_partitioned(spark, tmp_path):
+    """ORC source/sink: same contract as the Parquet pair, including
+    dynamic partition overwrite."""
+    from projet_big_data_boutin_danre_spark.sources.readers import read_orc
+    from projet_big_data_boutin_danre_spark.sources.sinks import write_orc
+
+    out = str(tmp_path / "orc_lake")
+    day1 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1")], "id int, v string, ds string"
+    )
+    day2 = spark.createDataFrame([(3, "c", "d2")], "id int, v string, ds string")
+    write_orc(day1, out, partition_by=("ds",))
+    write_orc(day2, out, partition_by=("ds",))
+    assert read_orc(spark, out).count() == 3
+    # dynamic overwrite: rewriting d2 must not touch d1
+    write_orc(
+        spark.createDataFrame([(4, "d", "d2")], "id int, v string, ds string"),
+        out,
+        partition_by=("ds",),
+    )
+    rows = {(r["id"], r["ds"]) for r in read_orc(spark, out).collect()}
+    assert rows == {(1, "d1"), (2, "d1"), (4, "d2")}
