@@ -611,12 +611,19 @@ def q_cosine_topk_large_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_near_dup_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-duplicate pairs within a label block,
-    cosine ≥ 0.25."""
+    """Embedding near-duplicate pairs, cosine ≥ 0.25 — tagged union of
+    both blocking strategies: a caller-provided key (label) and the
+    self-blocking LSH-bucket variant (the no-natural-key scale path,
+    similarity.near_dup_pairs_cosine_lsh). Same kernel, same oracle
+    check for both."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.near_dup_pairs_cosine(
+    by_label = similarity.near_dup_pairs_cosine(
         emb, "vec_id", "embedding", "label", threshold=0.25
-    )
+    ).withColumn("blocking", F.lit("label"))
+    by_lsh = similarity.near_dup_pairs_cosine_lsh(
+        emb, "vec_id", "embedding", threshold=0.25, n_planes=8, dim=64
+    ).withColumn("blocking", F.lit("lsh"))
+    return by_label.unionByName(by_lsh)
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -864,11 +871,13 @@ def q_price_regression(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k neighbors via random-hyperplane LSH bucketing
     (the 100 TB scale path: only same-bucket candidates are scored).
-    Tagged union of both physical strategies: 'closure' ships a small
-    query set in the task closure; 'join' (similarity.ann_topk_lsh_join)
-    keeps a larger query set distributed — buckets computed in the
-    plan, candidates met by a bucket-key cogroup, no driver collect.
-    mode='auto' picks 'join' for the large set (> 64 queries)."""
+    Tagged union of the three physical strategies: 'closure' ships a
+    small query set in the task closure; 'join'
+    (similarity.ann_topk_lsh_join) keeps a larger query set
+    distributed — buckets computed in the plan, candidates met by a
+    bucket-key cogroup, no driver collect (mode='auto' picks it above
+    64 queries); 'multi' (similarity.ann_topk_lsh_multi) unions
+    candidates across 2 independent plane tables for higher recall."""
     emb = load_table(spark, sf, "embeddings")
     small = similarity.ann_topk_lsh(
         emb,
@@ -890,8 +899,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         dim=64,
         mode="auto",  # probes the count: > 64 queries -> join path
     )
-    return small.withColumn("strategy", F.lit("closure")).unionByName(
-        large.withColumn("strategy", F.lit("join"))
+    multi = similarity.ann_topk_lsh_multi(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        k=5,
+        n_planes=8,
+        dim=64,
+        n_tables=2,
+    )
+    return (
+        small.withColumn("strategy", F.lit("closure"))
+        .unionByName(large.withColumn("strategy", F.lit("join")))
+        .unionByName(multi.withColumn("strategy", F.lit("multi")))
     )
 
 
@@ -906,10 +927,12 @@ def _sql_plane_dot(vec: str, plane: list[float]) -> str:
     )
 
 
-def _sql_rh_bucket(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+def _sql_rh_bucket(
+    vec: str, n_planes: int = 8, dim: int = 64, seed: int = 7
+) -> str:
     from projet_big_data_boutin_danre_spark.operators.similarity import _lcg_planes
 
-    planes = _lcg_planes(n_planes, dim, seed=7)
+    planes = _lcg_planes(n_planes, dim, seed=seed)
     bits = ", ".join(
         f"CASE WHEN ({_sql_plane_dot(vec, p)}) >= 0 THEN '1' ELSE '0' END"
         for p in planes
@@ -1546,7 +1569,12 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "near_dup_cosine": f"""
-            SELECT * FROM (
+            WITH bb AS (
+                SELECT vec_id, embedding,
+                       {_sql_rh_bucket('embedding')} AS blk
+                FROM embeddings
+            ),
+            lab AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        round(({_sql_dot_chain('a.embedding', 'b.embedding')})
                              / (sqrt({_sql_norm_chain('a.embedding')})
@@ -1555,7 +1583,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a
                 JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
-            ) WHERE cosine >= 0.25
+            ),
+            lsh AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(({_sql_dot_chain('a.embedding', 'b.embedding')})
+                             / (sqrt({_sql_norm_chain('a.embedding')})
+                                * sqrt({_sql_norm_chain('b.embedding')})), 6)
+                           AS cosine
+                FROM bb a
+                JOIN bb b
+                  ON a.blk = b.blk AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine, 'label' AS blocking FROM lab
+            WHERE cosine >= 0.25
+            UNION ALL
+            SELECT id_a, id_b, cosine, 'lsh' AS blocking FROM lsh
+            WHERE cosine >= 0.25
         """,
         "multimodal_features": """
             WITH m AS (
@@ -1688,6 +1731,15 @@ def oracle_sql() -> dict[str, str]:
                        'join' AS strategy
                 FROM embeddings WHERE vec_id % 7 = 0
             ),
+            mtb AS (
+                SELECT vec_id, embedding,
+                       '0:' || {_sql_rh_bucket('embedding', seed=7)} AS blk
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id, embedding,
+                       '1:' || {_sql_rh_bucket('embedding', seed=108)} AS blk
+                FROM embeddings
+            ),
             scored AS (
                 SELECT qb.query_id, cb.id AS neighbor_id, qb.strategy,
                        round(({_sql_dot_chain('qv', 'cv')})
@@ -1695,6 +1747,16 @@ def oracle_sql() -> dict[str, str]:
                                 * sqrt({_sql_norm_chain('cv')})), 6) AS cosine
                 FROM cb JOIN qb ON cb.bucket = qb.bucket
                 WHERE cb.id <> qb.query_id
+                UNION ALL
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       'multi' AS strategy,
+                       round(({_sql_dot_chain('q.embedding', 'c.embedding')})
+                             / (sqrt({_sql_norm_chain('q.embedding')})
+                                * sqrt({_sql_norm_chain('c.embedding')})), 6)
+                           AS cosine
+                FROM mtb c
+                JOIN (SELECT * FROM mtb WHERE vec_id < 8) q
+                  ON c.blk = q.blk AND c.vec_id <> q.vec_id
             )
             SELECT query_id, neighbor_id, cosine, rank, strategy FROM (
                 SELECT *, CAST(row_number() OVER (
