@@ -25,9 +25,19 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    sort_within_by: tuple[str, ...] = (),
 ) -> None:
     """K1 (+X3/X6): snappy Parquet; with partitions, only touched
-    partitions are replaced (dynamic overwrite)."""
+    partitions are replaced (dynamic overwrite).
+
+    ``sort_within_by`` clusters rows inside each output file (no extra
+    shuffle — ``sortWithinPartitions``) so parquet row-group min/max
+    stats become selective for those columns: a pushed filter on a
+    clustered column skips whole row groups instead of scanning them.
+    The cheap half of Z-ordering, right whenever a layer has one
+    dominant filter column (ts, commune, id)."""
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.option(
@@ -80,6 +90,49 @@ def bulk_sink(
             send_batch(buf)
 
     df.foreachPartition(_send)
+
+
+def compact_layer(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+    sort_within_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction for a Parquet layer — the maintenance job
+    every per-run-appending lake needs: hourly pipeline runs write a
+    few MB each, and a year later the scan pays per-file open cost on
+    thousands of tiny files (task scheduling, footer reads, no
+    vectorized runway).
+
+    Rewrites the layer into ``ceil(total_bytes / target)`` files via
+    one round-robin repartition, staging into a sibling ``.compact``
+    directory and atomically swapping (local/HDFS rename semantics —
+    object stores should point ``path`` at a new layer version
+    instead). Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(path)
+    files = [urlparse(f).path for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    staged = path.rstrip("/") + ".compact"
+    write_parquet(
+        df.repartition(n_files),
+        staged,
+        partition_by=partition_by,
+        sort_within_by=sort_within_by,
+    )
+    local = urlparse(path).path or path
+    local_staged = urlparse(staged).path or staged
+    shutil.rmtree(local)
+    os.rename(local_staged, local)
+    return n_files
 
 
 def es_actions(

@@ -88,3 +88,44 @@ def test_orc_roundtrip_and_partitioned(spark, tmp_path):
     )
     rows = {(r["id"], r["ds"]) for r in read_orc(spark, out).collect()}
     assert rows == {(1, "d1"), (2, "d1"), (4, "d2")}
+
+
+def test_compact_layer_merges_small_files(spark, tmp_path):
+    """Compaction rewrites a many-small-files layer into few files with
+    identical rows (the per-run-append maintenance job)."""
+    from projet_big_data_boutin_danre_spark.sources.sinks import (
+        compact_layer,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "fragmented")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    # simulate many tiny per-run files
+    df.repartition(32).write.parquet(out)
+    n_before = len(spark.read.parquet(out).inputFiles())
+    assert n_before >= 32
+
+    n_target = compact_layer(spark, out, target_file_bytes=10**9)
+    assert n_target == 1
+    compacted = spark.read.parquet(out)
+    assert len(compacted.inputFiles()) == 1
+    assert compacted.count() == 10_000
+    assert compacted.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10_000))
+
+
+def test_write_parquet_sort_within_clusters_rows(spark, tmp_path):
+    """sort_within_by clusters each output file by the column, so
+    row-group min/max stats are selective for pushed filters."""
+    import pyarrow.parquet as pq
+
+    from projet_big_data_boutin_danre_spark.sources.sinks import write_parquet
+
+    out = tmp_path / "clustered"
+    df = spark.range(50_000).withColumn(
+        "k", (F.col("id") * 2654435761 % 100_000).cast("long")
+    )
+    write_parquet(df.repartition(2), str(out), sort_within_by=("k",))
+    # every parquet file is internally sorted by k
+    for f in out.glob("*.parquet"):
+        ks = pq.read_table(str(f), columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
