@@ -129,9 +129,12 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank). Self-matches
     excluded. ``mode``: "closure" ships the (small, bounded) query set
     in the task closure; "cogroup" keeps the query side distributed
-    (``cosine_topk_cogroup``) — no driver collect; "auto" probes the
-    query count with a bounded ``limit().count()`` and picks. Scores
-    are bit-identical across modes (same sequential-fold kernel)."""
+    (``cosine_topk_cogroup``) — no driver collect; "grid" decomposes
+    the score matrix into blocks (``cosine_topk_grid``) for the
+    both-sides-big case — √n replication per side instead of whole-
+    table; "auto" probes the query count with a bounded
+    ``limit().count()`` and picks closure/cogroup. Scores are
+    bit-identical across all modes (same sequential-fold kernel)."""
     if mode == "auto":
         probe = queries.limit(max_closure_queries + 1).count()
         mode = "closure" if probe <= max_closure_queries else "cogroup"
@@ -139,6 +142,11 @@ def cosine_topk(
         return cosine_topk_cogroup(
             corpus, queries, id_col, vec_col, k=k, round_to=round_to,
             n_parts=n_parts,
+        )
+    if mode == "grid":
+        # both-sides-big: block decomposition, √n replication per side
+        return cosine_topk_grid(
+            corpus, queries, id_col, vec_col, k=k, round_to=round_to
         )
     q_rows = (
         queries.select(
@@ -269,6 +277,91 @@ def cosine_topk_cogroup(
     scored = (
         c.groupBy("__p")
         .cogroup(q.groupBy("__p"))
+        .applyInPandas(_score, schema=out_schema)
+    )
+    return _rank_topk(scored, k, round_to)
+
+
+def cosine_topk_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+    c_parts: int | None = None,
+    q_parts: int | None = None,
+) -> DataFrame:
+    """Exact top-k cosine with GRID partitioning — the both-sides-big
+    path. The cogroup variant replicates the whole query table to
+    every corpus slice (×n_parts); the grid decomposes the score
+    matrix into ``c_parts × q_parts`` blocks instead, so the corpus
+    crosses the wire ``q_parts`` times and the queries ``c_parts``
+    times — √n-ish replication per side at equal parallelism, the
+    classic block matrix-multiply trade. Same kernel, bit-identical
+    scores; use it when BOTH sides are too large to replicate whole
+    (e.g. 10M queries × 1B corpus: 32-way cogroup ships 320M query
+    rows; a 6×6 grid ships 60M query + 6×corpus rows).
+
+    No driver collect; one bounded shuffle per side; per-task memory
+    is one (corpus-block × query-block) pair."""
+    spark = corpus.sparkSession
+    if c_parts is None or q_parts is None:
+        try:
+            total = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect
+            total = 36
+        side = max(1, int(total**0.5))
+        c_parts = c_parts or side
+        q_parts = q_parts or side
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double_array(vec_col).alias("cv"),
+        )
+        .filter(F.col("neighbor_id").isNotNull() & F.col("cv").isNotNull())
+        .withColumn("__cp", F.pmod(F.hash("neighbor_id"), F.lit(c_parts)))
+        .withColumn("__qp", F.explode(F.sequence(F.lit(0), F.lit(q_parts - 1))))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double_array(vec_col).alias("qv"),
+        )
+        .filter(F.col("query_id").isNotNull() & F.col("qv").isNotNull())
+        .withColumn("__qp", F.pmod(F.hash("query_id"), F.lit(q_parts)))
+        .withColumn("__cp", F.explode(F.sequence(F.lit(0), F.lit(c_parts - 1))))
+    )
+    cell = (F.col("__cp") * F.lit(q_parts) + F.col("__qp")).alias("__cell")
+    c = c.select("neighbor_id", "cv", cell)
+    q = q.select("query_id", "qv", cell)
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+
+    def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        cm = np.array(cpdf["cv"].tolist(), dtype=np.float64)
+        qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)
+        c_norms = _seq_sq_norms(cm)
+        q_norms = _seq_sq_norms(qm)
+        # same kernel and fold order as every other path
+        cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
+        n_c, n_q = cos.shape
+        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
+        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
+        keep = nb != qi
+        return pd.DataFrame(
+            {
+                "query_id": qi[keep],
+                "neighbor_id": nb[keep],
+                "cosine": cos.ravel()[keep],
+            }
+        )
+
+    scored = (
+        c.groupBy("__cell")
+        .cogroup(q.groupBy("__cell"))
         .applyInPandas(_score, schema=out_schema)
     )
     return _rank_topk(scored, k, round_to)
