@@ -140,3 +140,93 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(text_col).alias("quality"),
         stable_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split documents into overlapping character chunks — the
+    training-data / RAG preprocessing step downstream of dedup and
+    quality filtering. Output: (doc_id, chunk_id, chunk, n_chars),
+    chunk_id 0-based in document order.
+
+    Pure column algebra (posexplode over a stride sequence +
+    substring): a narrow map fused with the scan — no UDF, no
+    shuffle, and the ~(len/stride)x row fan-out happens map-side
+    where the downstream consumer (tokenizer, embedder) wants
+    parallelism anyway. Empty/short docs yield exactly one chunk.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            t.alias("__t"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(F.col("__t"), F.col("__start"), chunk_chars).alias(
+                "chunk"
+            ),
+        )
+        .withColumn("n_chars", F.length("chunk"))
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Token-window chunking: whitespace tokens of the normalized
+    text, windows of ``chunk_tokens`` advancing by ``chunk_tokens -
+    overlap``. Output: (doc_id, chunk_id, chunk, n_tokens), chunks
+    re-joined with single spaces.
+
+    Same shape as ``chunk_text`` (posexplode + slice on the token
+    array — higher-order functions, no UDF); use it when budgets are
+    token-denominated (LLM context windows) rather than byte-sized."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_id", "__start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(F.col("__toks"), F.col("__start"), chunk_tokens).alias(
+                "__w"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(" ", F.col("__w")).alias("chunk"),
+            F.size("__w").alias("n_tokens"),
+        )
+    )

@@ -248,3 +248,45 @@ def test_frame_sample_counts(spark):
     media = multimodal.synth_media_from_documents(df)
     out = multimodal.frame_sample(media, every_ms=1000).collect()
     assert sorted(r.frame_ms for r in out) == [0, 1000, 2000]
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    doc = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([(1, doc), (2, "tiny"), (3, "")],
+                               "doc_id long, text string")
+    out = text.chunk_text(df, "doc_id", "text", chunk_chars=100, overlap=20)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts at 1, 81, 161, 241 (stride 80, until len-overlap=240)
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2]
+    assert rows[(1, 0)]["n_chars"] == 100
+    # consecutive chunks overlap by exactly 20 chars
+    assert rows[(1, 0)]["chunk"][-20:] == rows[(1, 1)]["chunk"][:20]
+    # full reconstruction: chunk 0 + non-overlapping tails
+    rebuilt = rows[(1, 0)]["chunk"] + rows[(1, 1)]["chunk"][20:] + rows[(1, 2)]["chunk"][20:]
+    assert rebuilt == doc
+    # short and empty docs -> exactly one chunk each
+    assert rows[(2, 0)]["chunk"] == "tiny" and (2, 1) not in rows
+    assert rows[(3, 0)]["n_chars"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        text.chunk_text(df, "doc_id", "text", chunk_chars=10, overlap=10)
+
+
+def test_chunk_tokens_windows(spark):
+    words = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = {r["chunk_id"]: r for r in text.chunk_tokens(
+        df, "doc_id", "text", chunk_tokens=20, overlap=5
+    ).collect()}
+    # stride 15 over 50 tokens: starts 0, 15, 30 (until 50-5=45)
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["n_tokens"] == 20
+    assert out[2]["n_tokens"] == 20
+    # overlap: last 5 tokens of chunk 0 == first 5 of chunk 1
+    assert out[0]["chunk"].split()[-5:] == out[1]["chunk"].split()[:5]
+    # every token covered
+    covered = set()
+    for r in out.values():
+        covered.update(r["chunk"].split())
+    assert covered == set(words.split())
