@@ -164,17 +164,55 @@ def windowed_counts(
     key_col: str,
     window: str = "5 minutes",
     lateness: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window keyed counts + sum — the streaming analog of the
-    usage-layer aggregate, with late data handled by the watermark."""
+    """Windowed keyed counts + sum — the streaming analog of the
+    usage-layer aggregate, with late data handled by the watermark.
+    Tumbling by default; pass ``slide`` for hopping windows (an event
+    lands in window/slide windows — the streaming twin of the batch
+    ``time_windows`` sliding branch)."""
+    win = (
+        F.window(F.col(ts_col), window)
+        if slide is None
+        else F.window(F.col(ts_col), window, slide)
+    )
     return (
         stream.withWatermark(ts_col, lateness)
-        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .groupBy(win, F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("value").alias("total_value"),
         )
     )
+
+
+def stream_index_documents(
+    stream: DataFrame,
+    index: str,
+    send_actions,
+    id_key: str | None = None,
+    batch_size: int = 1000,
+    checkpoint: str | None = None,
+    query_name: str = "stream_index",
+):
+    """Streaming twin of the pipeline's index fan-out: deliver each
+    micro-batch as reference-shaped bulk actions through the pluggable
+    transport (``sources/sinks.index_documents``) via ``foreachBatch``.
+    Checkpointing makes delivery at-least-once per micro-batch — the
+    same guarantee the reference's cron re-runs give, with per-doc
+    ``_id`` making replays idempotent on the ES side. Returns the
+    started StreamingQuery (caller stops it)."""
+    from ..sources.sinks import index_documents
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        index_documents(
+            batch_df, index, send_actions, id_key=id_key, batch_size=batch_size
+        )
+
+    writer = stream.writeStream.foreachBatch(_sink).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def run_to_completion(agg: DataFrame, query_name: str) -> DataFrame:

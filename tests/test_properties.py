@@ -160,3 +160,74 @@ def test_incremental_batch_strict_inequality(spark, offsets, wm_offset):
     got = {r["i"] for r in incremental_batch(df, "ts", wm).collect()}
     expect = {i for i, s in enumerate(offsets) if s > wm_offset}
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    text_len=st.integers(min_value=0, max_value=400),
+    chunk_chars=st.integers(min_value=2, max_value=120),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_text_reconstructs_any_document(
+    spark, text_len, chunk_chars, overlap_frac
+):
+    """For ANY (doc, chunk size, overlap): concatenating chunk 0 with
+    every later chunk's non-overlapping tail reproduces the document
+    exactly — no character lost or duplicated at any boundary."""
+    from projet_big_data_boutin_danre_spark.operators import text as text_ops
+
+    overlap = min(int(chunk_chars * overlap_frac), chunk_chars - 1)
+    doc = "".join(chr(97 + (i * 7) % 26) for i in range(text_len))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    rows = sorted(
+        text_ops.chunk_text(
+            df, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert rows[0]["chunk_id"] == 0
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    rebuilt = rows[0]["chunk"] + "".join(r["chunk"][overlap:] for r in rows[1:])
+    assert rebuilt == doc
+
+
+@settings(**SETTINGS)
+@given(
+    left_offsets=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=15
+    ),
+    right_offsets=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=10,
+        unique=True,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(
+    spark, left_offsets, right_offsets
+):
+    """asof_join == pandas merge_asof (backward, inclusive) on a single
+    key for generated timestamps — the same reference DuckDB's native
+    ASOF JOIN implements."""
+    import pandas as pd
+
+    from projet_big_data_boutin_danre_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 3, 1)
+    left = [(i, 1, t0 + dt.timedelta(seconds=s))
+            for i, s in enumerate(left_offsets)]
+    right = [(1, t0 + dt.timedelta(seconds=s), float(s))
+             for s in right_offsets]
+    ldf = spark.createDataFrame(left, "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(right, "k long, ts timestamp, v double")
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["event_id", "k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    expect = {
+        int(r.event_id): (None if pd.isna(r.v) else float(r.v))
+        for r in ref.itertuples()
+    }
+    assert got == expect

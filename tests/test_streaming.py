@@ -294,3 +294,81 @@ def test_stateful_sessionize_emits_closed_sessions(spark, tmp_path):
     assert r["user_id"] == 1 and r["n_events"] == 2
     assert r["session_start"] == t
     assert r["session_end"] == t + dt.timedelta(minutes=5)
+
+
+def test_sliding_windowed_counts_stream(spark, tmp_path):
+    """Hopping windows on a stream: each event lands in window/slide
+    windows, totals match the batch time_windows sliding semantics."""
+    src = str(tmp_path / "slide_src")
+    rows = [(i, dt.datetime(2025, 1, 1, 10, 7 * i), "a", 1.0) for i in range(4)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+    stream = read_stream(
+        spark, src,
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = run_to_completion(
+        windowed_counts(stream, "ts", "event_type",
+                        window="10 minutes", slide="5 minutes"),
+        "slide_smoke",
+    ).collect()
+    # 4 events x 2 windows each (10min window, 5min slide)
+    assert sum(r["n"] for r in out) == 8
+
+
+def test_stream_index_documents_wire_shape(spark, tmp_path):
+    """foreachBatch streaming indexer delivers the same action shape
+    as the batch fan-out, across micro-batches."""
+    import json
+    import os
+
+    from projet_big_data_boutin_danre_spark.streaming.stream_dedup import (
+        stream_index_documents,
+    )
+
+    src = tmp_path / "idx_src"
+    src.mkdir()
+    spool = tmp_path / "idx_spool"
+    spool.mkdir()
+    spark.createDataFrame(
+        [(1, "a", None), (2, None, 5.0)], "id long, title string, v double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(3, "c", 7.0)], "id long, title string, v double"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    spool_path = str(spool)
+
+    def send(actions):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(spool_path, f"{_uuid.uuid4().hex}.json"), "w") as f:
+            _json.dump(actions, f)
+
+    stream = (
+        spark.readStream.schema("id long, title string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = stream_index_documents(
+        stream, "test-index", send, id_key="id",
+        checkpoint=str(tmp_path / "idx_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    actions = []
+    for fn in os.listdir(spool_path):
+        with open(os.path.join(spool_path, fn)) as f:
+            actions.extend(json.load(f))
+    by_id = {a["_id"]: a for a in actions}
+    assert set(by_id) == {"1", "2", "3"}
+    assert all(a["_index"] == "test-index" for a in actions)
+    assert "v" not in by_id["1"]["_source"]      # null dropped
+    assert "title" not in by_id["2"]["_source"]
+    assert by_id["3"]["_source"] == {"id": 3, "title": "c", "v": 7.0}
