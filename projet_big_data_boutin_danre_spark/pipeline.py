@@ -241,6 +241,20 @@ def index_fan_out(
     return counts
 
 
+def compact_usage_layers(spark: SparkSession, lay: DatalakeLayout) -> dict[str, int]:
+    """Maintenance stage: compact the append-heavy usage layers
+    (sources/sinks.compact_layer) — run periodically, not per DAG run;
+    hourly runs otherwise accrete thousands of small files. Returns
+    {layer path: new file count}."""
+    from .sources.sinks import compact_layer
+
+    out = {}
+    for path in (lay.usage_market, lay.usage_opportunities):
+        if _parquet_exists(spark, path):
+            out[path] = compact_layer(spark, path)
+    return out
+
+
 def run_pipeline(
     spark: SparkSession,
     datalake_root: str,
@@ -289,6 +303,7 @@ STAGES = {
     "transform_lbc": lambda spark, lay, force: transform_lbc(spark, lay),
     "compute_usage": lambda spark, lay, force: compute_usage(spark, lay),
     "index": lambda spark, lay, force: index_fan_out(spark, lay),
+    "compact": lambda spark, lay, force: compact_usage_layers(spark, lay),
 }
 
 

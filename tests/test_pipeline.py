@@ -240,3 +240,21 @@ def test_es_actions_id_rules():
     assert "_id" not in out[2]
     # no id_key at all (usage indexers): never an _id
     assert all("_id" not in a for a in es_actions(batch, "usage-market-stats"))
+
+
+def test_compact_stage_preserves_usage_layers(spark, datalake, pipeline_run):
+    """The maintenance stage compacts usage layers in place with
+    identical rows."""
+    lay = pipeline.DatalakeLayout(datalake, RUN_DAY)
+    before = {
+        r["code_commune"]: r["nb_ventes"]
+        for r in spark.read.parquet(lay.usage_market).collect()
+    }
+    out = pipeline.compact_usage_layers(spark, lay)
+    assert set(out) == {lay.usage_market, lay.usage_opportunities}
+    after = {
+        r["code_commune"]: r["nb_ventes"]
+        for r in spark.read.parquet(lay.usage_market).collect()
+    }
+    assert after == before
+    assert len(spark.read.parquet(lay.usage_market).inputFiles()) == out[lay.usage_market]
