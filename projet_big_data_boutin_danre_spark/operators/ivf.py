@@ -101,6 +101,9 @@ def ivf_assign(
     the centroid): one Arrow-batched projection, no shuffle. Output:
     (out_id, out_vec, cell) with ``nprobe`` rows per vector."""
     cents = np.asarray(centroids, dtype=np.float64)
+    # more probes than cells = full probe; clamping keeps the repeat/
+    # ravel column lengths consistent instead of erroring
+    nprobe = min(nprobe, len(cents))
     base = df.select(
         F.col(id_col).alias(out_id), _as_double_array(vec_col).alias(out_vec)
     ).filter(F.col(out_id).isNotNull() & F.col(out_vec).isNotNull())

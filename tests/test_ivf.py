@@ -167,3 +167,15 @@ def test_near_dup_lsh_self_blocking(spark):
     }
     assert set(pairs) <= set(exact)
     assert all(exact[p] == c for p, c in pairs.items())
+
+
+def test_ivf_nprobe_clamps_to_n_cells(spark, clustered, centroids):
+    """nprobe larger than n_cells degrades gracefully to full probe."""
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    full = sorted(map(tuple, ivf.ivf_topk(
+        clustered, queries, centroids, k=3, nprobe=len(centroids)
+    ).collect()))
+    over = sorted(map(tuple, ivf.ivf_topk(
+        clustered, queries, centroids, k=3, nprobe=len(centroids) + 5
+    ).collect()))
+    assert over == full

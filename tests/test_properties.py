@@ -231,3 +231,45 @@ def test_asof_join_matches_pandas_merge_asof(
         for r in ref.itertuples()
     }
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    point_offsets=st.lists(
+        st.integers(min_value=0, max_value=7200), min_size=1, max_size=15
+    ),
+    start=st.integers(min_value=0, max_value=3600),
+    length=st.integers(min_value=0, max_value=3600),
+    bin_width=st.sampled_from([60, 600, 1800, 3600]),
+)
+def test_interval_join_matches_reference(
+    spark, point_offsets, start, length, bin_width
+):
+    """Binned interval join == the naive inclusive-bounds definition
+    for any bin width (bins are an implementation detail: points must
+    appear exactly once however many bins the interval spans)."""
+    from projet_big_data_boutin_danre_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2025, 5, 1)
+    pts = [(i, 1, t0 + dt.timedelta(seconds=s))
+           for i, s in enumerate(point_offsets)]
+    s_ts = t0 + dt.timedelta(seconds=start)
+    e_ts = t0 + dt.timedelta(seconds=start + length)
+    points = spark.createDataFrame(
+        pts, "event_id long, k long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(1, s_ts, e_ts)], "k long, s timestamp, e timestamp"
+    )
+    got = sorted(
+        r["event_id"]
+        for r in interval_join(
+            points, intervals, "k", "ts", "s", "e", bin_width_sec=bin_width
+        ).collect()
+    )
+    expect = sorted(
+        i for i, s in enumerate(point_offsets) if start <= s <= start + length
+    )
+    assert got == expect

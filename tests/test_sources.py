@@ -129,3 +129,22 @@ def test_write_parquet_sort_within_clusters_rows(spark, tmp_path):
     for f in out.glob("*.parquet"):
         ks = pq.read_table(str(f), columns=["k"])["k"].to_pylist()
         assert ks == sorted(ks)
+
+
+def test_compact_layer_preserves_partitioning(spark, tmp_path):
+    from projet_big_data_boutin_danre_spark.sources.sinks import (
+        compact_layer,
+        write_parquet,
+    )
+
+    out = str(tmp_path / "part_frag")
+    df = spark.range(2_000).withColumn(
+        "ds", F.when(F.col("id") % 2 == 0, "d1").otherwise("d2")
+    )
+    write_parquet(df.repartition(16), out, partition_by=("ds",))
+    compact_layer(spark, out, target_file_bytes=10**9, partition_by=("ds",))
+    back = spark.read.parquet(out)
+    assert back.count() == 2_000
+    # partition columns survive and prune
+    assert back.filter(F.col("ds") == "d1").count() == 1_000
+    assert "ds" in dict(back.dtypes)
