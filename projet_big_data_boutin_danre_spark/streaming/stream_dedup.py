@@ -80,6 +80,17 @@ def dedup_stream_keep_last(
     }
     if ts_col not in ts_names:
         raise ValueError(f"{ts_col!r} must be a timestamp column")
+    nested = [
+        f.name
+        for f in fields
+        if f.dataType.simpleString().split("<")[0]
+        in ("struct", "array", "map")
+    ]
+    if nested:
+        raise ValueError(
+            f"nested columns {nested} cannot ride keep-last state; project "
+            "them out (or to_json them) before dedup and join back after"
+        )
     state_schema = ", ".join(
         f"`{f.name}` bigint"
         if f.name in ts_names

@@ -273,3 +273,75 @@ def test_interval_join_matches_reference(
         i for i, s in enumerate(point_offsets) if start <= s <= start + length
     )
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),     # id: collides
+            st.integers(min_value=0, max_value=120),   # minutes offset
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    split_at=st.integers(min_value=0, max_value=12),
+)
+def test_stream_keep_last_agrees_with_batch_on_random_data(
+    spark, tmp_path_factory, rows, split_at
+):
+    """For ANY duplicated dataset and ANY batch split point, the
+    streaming keep-last dedup converges to the batch operator's result
+    (few examples — each costs a full streaming query — but hypothesis
+    shrinks any failure to a minimal id/timing layout)."""
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        keep_last_dedup,
+    )
+    from projet_big_data_boutin_danre_spark.streaming.stream_dedup import (
+        dedup_stream_keep_last,
+    )
+
+    t0 = dt.datetime(2025, 2, 1, 8, 0)
+    data = [
+        (rid, t0 + dt.timedelta(minutes=mins), i)
+        for i, (rid, mins) in enumerate(rows)
+    ]
+    schema = "id long, ts timestamp, seq long"
+    batch = {
+        (r["id"], r["ts"], r["seq"])
+        for r in keep_last_dedup(
+            spark.createDataFrame(data, schema), ["id"], "ts", ["seq"]
+        ).collect()
+    }
+
+    src = tmp_path_factory.mktemp("kl_prop")
+    files = [data[:split_at], data[split_at:]]
+    for i, chunk in enumerate(f for f in files if f):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    name = f"klp_{abs(hash((tuple(rows), split_at))) % 10**9}"
+    q = (
+        dedup_stream_keep_last(stream, "id", "ts", tiebreak=("seq",))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["id"], r["ts"], r["seq"])
+        for r in keep_last_dedup(
+            spark.sql(f"SELECT * FROM {name}"), ["id"], "ts", ["seq"]
+        ).collect()
+    }
+    assert streamed == batch

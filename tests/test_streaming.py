@@ -372,3 +372,19 @@ def test_stream_index_documents_wire_shape(spark, tmp_path):
     assert "v" not in by_id["1"]["_source"]      # null dropped
     assert "title" not in by_id["2"]["_source"]
     assert by_id["3"]["_source"] == {"id": 3, "title": "c", "v": 7.0}
+
+
+def test_stream_keep_last_rejects_nested_columns(spark, tmp_path):
+    import pytest
+
+    from projet_big_data_boutin_danre_spark.streaming.stream_dedup import (
+        dedup_stream_keep_last,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "id long, ts timestamp, loc struct<city:string>"
+        ).parquet(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="nested columns"):
+        dedup_stream_keep_last(stream, "id", "ts")
