@@ -102,14 +102,22 @@ def main() -> None:
     ):
         load_table(spark, sf_dir, t).schema
 
+    # SPARK_GRAFT_BENCH_WARM=N: take the min of N runs per query —
+    # separates plan quality from host-load noise (cold totals vary
+    # ~2x on loaded hosts). Default 1 = the driver's cold contract.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "1")))
+
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # foreach(noop) would skip result serialization; count() forces
-        # full execution of every operator.
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # foreach(noop) would skip result serialization; count()
+            # forces full execution of every operator.
+            df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # AQE skew probe (bench-only pair, not a queries() entry; reported
