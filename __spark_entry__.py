@@ -785,17 +785,29 @@ def q_time_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Left anti join (engine extension): customers with no URGENT
-    order — NOT EXISTS as a hash anti join."""
+    """Anti + semi join (engine extension), one tagged partition of
+    the customers: 'no_urgent' = NOT EXISTS as a hash anti join,
+    'has_urgent' = EXISTS as a hash semi join — every customer appears
+    exactly once with its existence tag."""
     customer = load_table(spark, sf, "customer")
     urgent = (
         load_table(spark, sf, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
-    return customer.join(
-        urgent, customer["c_custkey"] == urgent["o_custkey"], "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    cond = customer["c_custkey"] == urgent["o_custkey"]
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    anti = (
+        customer.join(urgent, cond, "left_anti")
+        .select(*cols)
+        .withColumn("tag", F.lit("no_urgent"))
+    )
+    semi = (
+        customer.join(urgent, cond, "left_semi")
+        .select(*cols)
+        .withColumn("tag", F.lit("has_urgent"))
+    )
+    return anti.unionByName(semi)
 
 
 def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -817,14 +829,27 @@ def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     """Set operations (engine extension — the reference has only
-    union-all): distinct EXCEPT and INTERSECT between the click and
-    purchase user populations, tagged into one result."""
+    union-all): distinct EXCEPT/INTERSECT plus the multiset ALL
+    variants (exceptAll/intersectAll — per-value count arithmetic,
+    not mere existence) between the click and purchase user
+    populations, tagged into one result."""
     ev = load_table(spark, sf, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clicks_all = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers_all = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clicks, buyers = clicks_all.distinct(), buyers_all.distinct()
     only_click = clicks.subtract(buyers).withColumn("tag", F.lit("only_click"))
     both = clicks.intersect(buyers).withColumn("tag", F.lit("both"))
-    return only_click.unionByName(both)
+    only_click_all = clicks_all.exceptAll(buyers_all).withColumn(
+        "tag", F.lit("only_click_all")
+    )
+    both_all = clicks_all.intersectAll(buyers_all).withColumn(
+        "tag", F.lit("both_all")
+    )
+    return (
+        only_click.unionByName(both)
+        .unionByName(only_click_all)
+        .unionByName(both_all)
+    )
 
 
 def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
@@ -1795,9 +1820,17 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "anti_join": """
-            SELECT c_custkey, c_name, c_mktsegment
+            SELECT c_custkey, c_name, c_mktsegment, 'no_urgent' AS tag
             FROM customer c
             WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            UNION ALL
+            SELECT c_custkey, c_name, c_mktsegment, 'has_urgent' AS tag
+            FROM customer c
+            WHERE EXISTS (
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT'
@@ -1813,15 +1846,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "set_ops": """
-            WITH c AS (SELECT DISTINCT user_id FROM events
-                       WHERE event_type = 'click'),
-                 p AS (SELECT DISTINCT user_id FROM events
-                       WHERE event_type = 'purchase')
+            WITH ca AS (SELECT user_id FROM events
+                        WHERE event_type = 'click'),
+                 pa AS (SELECT user_id FROM events
+                        WHERE event_type = 'purchase'),
+                 c AS (SELECT DISTINCT user_id FROM ca),
+                 p AS (SELECT DISTINCT user_id FROM pa)
             SELECT user_id, 'only_click' AS tag
             FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
             UNION ALL
             SELECT user_id, 'both' AS tag
             FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'only_click_all' AS tag
+            FROM (SELECT user_id FROM ca EXCEPT ALL SELECT user_id FROM pa)
+            UNION ALL
+            SELECT user_id, 'both_all' AS tag
+            FROM (SELECT user_id FROM ca INTERSECT ALL SELECT user_id FROM pa)
         """,
         "moving_avg": """
             SELECT event_id, user_id,
