@@ -853,16 +853,18 @@ def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
-    """Moving average (window frame): per-user trailing 4-event mean
-    value, computed in exact integer cents so the oracle matches
-    bit-for-bit regardless of float sum order."""
+    """Window-function sampler over one per-user event sequence:
+    trailing 4-event moving average (frame aggregate, exact integer
+    cents so the oracle matches bit-for-bit regardless of float sum
+    order), event sequence number (row_number) and inter-event gap in
+    whole microseconds (lag) — ranking/offset functions alongside the
+    frame aggregate, all under the same deterministic total order."""
     ev = load_table(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-3, Window.currentRow)
-    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wo = Window.partitionBy("user_id").orderBy(*order)
+    w = wo.rowsBetween(-3, Window.currentRow)
     cents = F.round(F.col("value") * 100).cast("long")
+    micros = F.unix_micros(F.col("ts"))
     return ev.select(
         "event_id",
         "user_id",
@@ -871,6 +873,8 @@ def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(cents).over(w)
             / (F.lit(100.0) * F.count(F.lit(1)).over(w))
         ).alias("avg_value_4"),
+        F.row_number().over(wo).cast("int").alias("seq_n"),
+        (micros - F.lag(micros, 1).over(wo)).alias("gap_us"),
     )
 
 
@@ -1869,11 +1873,16 @@ def oracle_sql() -> dict[str, str]:
                    strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
                         AS DOUBLE)
-                       / (100.0 * count(*) OVER w) AS avg_value_4
+                       / (100.0 * count(*) OVER w) AS avg_value_4,
+                   CAST(row_number() OVER wo AS INT) AS seq_n,
+                   epoch_us(ts) - lag(epoch_us(ts), 1) OVER wo AS gap_us
             FROM events
             WINDOW w AS (
                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+            ),
+            wo AS (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
             )
         """,
         "price_regression": _sql_price_regression(),
