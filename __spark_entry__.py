@@ -163,10 +163,26 @@ def q_index_counters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """P5/F1 (compute_usage.py:43): string-prefix predicate."""
+    """P5/F1 (compute_usage.py:43): string-prefix predicate, plus the
+    everyday string-function surface (F2 family) on the matched rows:
+    case mapping, length, substring, replace, padding, search
+    position, reversal and token extraction — all engine-identical
+    built-ins, no UDFs."""
     part = load_table(spark, sf, "part")
+    name = F.col("p_name")
     return part.filter(F.col("p_type").startswith("STANDARD")).select(
-        "p_partkey", "p_name", "p_type", "p_size"
+        "p_partkey",
+        "p_name",
+        "p_type",
+        "p_size",
+        F.upper(name).alias("name_upper"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 5).alias("name_head"),
+        F.regexp_replace(name, " ", "_").alias("name_snake"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.instr(name, "o").alias("first_o"),
+        F.reverse(name).alias("name_rev"),
+        F.element_at(F.split(name, " "), -1).alias("last_word"),
     )
 
 
@@ -671,14 +687,30 @@ def q_sparse_document(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_coerce_timestamp(spark: SparkSession, sf: str) -> DataFrame:
     """P7 (raw_to_fmt_dvf.py:28-29): coercing timestamp parse — a
-    malformed slice of inputs yields null, not an error."""
+    malformed slice of inputs yields null, not an error — plus the
+    everyday datetime-function surface (F4/F5 family) on the parsed
+    value: calendar field extraction, ISO weekday (Monday=1, the
+    convention both engines can express), truncation, and day
+    difference from a fixed epoch date."""
     ev = load_table(spark, sf, "events")
     raw = F.when(
         F.col("event_id") % 10 == 0, F.lit("not-a-date")
     ).otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+    parsed = cleaning.coerce_timestamp(raw)
     return ev.select(
         "event_id",
-        _ts(cleaning.coerce_timestamp(raw)).alias("parsed_s"),
+        _ts(parsed).alias("parsed_s"),
+        F.year(parsed).alias("y"),
+        F.month(parsed).alias("mo"),
+        F.dayofmonth(parsed).alias("d"),
+        F.hour(parsed).alias("h"),
+        F.minute(parsed).alias("mi"),
+        # ISO weekday: Spark weekday() is Monday=0
+        (F.weekday(parsed) + F.lit(1)).alias("iso_dow"),
+        F.dayofyear(parsed).alias("doy"),
+        _ts(F.date_trunc("hour", parsed)).alias("trunc_hour_s"),
+        F.datediff(parsed.cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("days_since_2024"),
     )
 
 
@@ -1277,7 +1309,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag
         """,
         "prefix_filter": """
-            SELECT p_partkey, p_name, p_type, p_size
+            SELECT p_partkey, p_name, p_type, p_size,
+                   upper(p_name) AS name_upper,
+                   CAST(length(p_name) AS INT) AS name_len,
+                   substr(p_name, 1, 5) AS name_head,
+                   replace(p_name, ' ', '_') AS name_snake,
+                   lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+                   CAST(strpos(p_name, 'o') AS INT) AS first_o,
+                   reverse(p_name) AS name_rev,
+                   split_part(p_name, ' ', -1) AS last_word
             FROM part WHERE p_type LIKE 'STANDARD%'
         """,
         "coercing_cast": """
@@ -1686,12 +1726,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "coerce_timestamp": """
+            WITH p AS (
+                SELECT event_id,
+                       try_cast(
+                           CASE WHEN event_id % 10 = 0 THEN 'not-a-date'
+                                ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                           AS TIMESTAMP) AS parsed
+                FROM events
+            )
             SELECT event_id,
-                   strftime(try_cast(
-                       CASE WHEN event_id % 10 = 0 THEN 'not-a-date'
-                            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
-                       AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS parsed_s
-            FROM events
+                   strftime(parsed, '%Y-%m-%d %H:%M:%S.%f') AS parsed_s,
+                   CAST(year(parsed) AS INT) AS y,
+                   CAST(month(parsed) AS INT) AS mo,
+                   CAST(day(parsed) AS INT) AS d,
+                   CAST(hour(parsed) AS INT) AS h,
+                   CAST(minute(parsed) AS INT) AS mi,
+                   CAST(isodow(parsed) AS INT) AS iso_dow,
+                   CAST(dayofyear(parsed) AS INT) AS doy,
+                   strftime(date_trunc('hour', parsed),
+                            '%Y-%m-%d %H:%M:%S.%f') AS trunc_hour_s,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(parsed AS DATE)) AS INT)
+                       AS days_since_2024
+            FROM p
         """,
         "search_url": """
             SELECT doc_id, lang, n_chars
