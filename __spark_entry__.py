@@ -188,11 +188,33 @@ def q_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_coercing_cast(spark: SparkSession, sf: str) -> DataFrame:
     """P6/F6 (raw_to_fmt_lbc.py:53): JSON field extract + coercing cast
-    (unparseable AND missing → 0)."""
+    (unparseable AND missing → 0), plus the numeric/conditional
+    function surface (F3/F8 family) over the event value: absolute
+    value, rounding directions, sign, IEEE-exact sqrt, explicit
+    square (x*x, NOT pow — libm pow is not cross-engine exact),
+    modulo on a positive key, bounds via greatest/least, and
+    NULLIF/CASE null plumbing."""
     ev = load_table(spark, sf, "events")
+    v = F.col("value")
     return ev.select(
         "event_id",
         cleaning.coerce_numeric(F.get_json_object("props", "$.k")).alias("k_value"),
+        F.abs(v).alias("v_abs"),
+        F.ceil(v).cast("long").alias("v_ceil"),
+        F.floor(v).cast("long").alias("v_floor"),
+        F.signum(v).alias("v_sign"),
+        F.sqrt(F.abs(v)).alias("v_sqrt_abs"),
+        (v * v).alias("v_sq"),
+        F.pmod(F.col("event_id"), F.lit(7)).alias("key_mod7"),
+        F.greatest(v, F.lit(50.0)).alias("v_at_least_50"),
+        F.least(v, F.lit(50.0)).alias("v_at_most_50"),
+        F.nullif(F.pmod(F.col("event_id"), F.lit(5)), F.lit(0)).alias(
+            "mod5_nullzero"
+        ),
+        F.when(v > 50.0, F.lit("high"))
+        .when(v > 10.0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("band"),
     )
 
 
@@ -1327,7 +1349,20 @@ def oracle_sql() -> dict[str, str]:
                                                 AS DOUBLE)) THEN NULL
                             ELSE try_cast(json_extract_string(props, '$.k')
                                           AS DOUBLE) END,
-                       0.0) AS k_value
+                       0.0) AS k_value,
+                   abs(value) AS v_abs,
+                   CAST(ceil(value) AS BIGINT) AS v_ceil,
+                   CAST(floor(value) AS BIGINT) AS v_floor,
+                   CAST(sign(value) AS DOUBLE) AS v_sign,
+                   sqrt(abs(value)) AS v_sqrt_abs,
+                   value * value AS v_sq,
+                   CAST(event_id % 7 AS BIGINT) AS key_mod7,
+                   greatest(value, 50.0) AS v_at_least_50,
+                   least(value, 50.0) AS v_at_most_50,
+                   CAST(nullif(event_id % 5, 0) AS BIGINT) AS mod5_nullzero,
+                   CASE WHEN value > 50.0 THEN 'high'
+                        WHEN value > 10.0 THEN 'mid'
+                        ELSE 'low' END AS band
             FROM events
         """,
         "pagination": """
