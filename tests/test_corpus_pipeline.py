@@ -1,0 +1,76 @@
+"""End-to-end LLM-corpus pipeline: the operators composed the way a
+training-data job would actually chain them — profile → quality filter
+→ exact dedup → near-dup dedup (LSH, production profile) → token-window
+chunking → corpus budget — with invariants asserted at every stage
+boundary on the driver testdata. No operator is re-tested here; the
+subject is the COMPOSITION (schemas line up, keepers propagate, counts
+are monotone)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from projet_big_data_boutin_danre_spark.operators import dedup, text
+from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+
+def test_llm_corpus_pipeline_end_to_end(spark, sf0001):
+    docs = load_table(spark, sf0001, "documents")
+    n_raw = docs.count()
+
+    # 1. profile + quality gate (keep well-formed docs with enough text)
+    prof = text.text_profile(docs, "doc_id", "text")
+    kept_ids = prof.filter(
+        (F.col("quality") >= 0.05) & (F.col("n_tokens") >= 5)
+    ).select("doc_id")
+    gated = docs.join(kept_ids, "doc_id", "left_semi")
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_raw
+
+    # 2. exact dedup (normalized content hash, deterministic keeper)
+    exact = dedup.exact_dedup(gated, "doc_id", "text")
+    n_exact = exact.count()
+    assert 0 < n_exact <= n_gated
+
+    # 3. near-dup removal: LSH candidates at production scale profile;
+    # drop every id_b (id_a < id_b, so the smallest id of each
+    # connected pair-set survives as the keeper)
+    pairs = dedup.minhash_lsh_pairs(
+        exact, "doc_id", "text", scale_profile="production"
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = exact.join(losers, "doc_id", "left_anti")
+    n_deduped = deduped.count()
+    assert 0 < n_deduped <= n_exact
+    # keepers survive: every id_a that never appears as id_b is kept
+    keepers = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .join(losers, "doc_id", "left_anti")
+    )
+    assert keepers.join(deduped, "doc_id", "left_semi").count() == keepers.count()
+
+    # 4. chunk the surviving corpus into token windows
+    chunks = text.chunk_tokens(
+        deduped, "doc_id", "text", chunk_tokens=64, overlap=8
+    )
+    n_chunks = chunks.count()
+    assert n_chunks >= n_deduped  # every doc yields >= 1 chunk
+    assert chunks.filter(F.col("n_tokens") > 64).count() == 0
+    # every surviving doc is represented in the chunk set
+    assert chunks.select("doc_id").distinct().count() == n_deduped
+
+    # 5. corpus budget: chunk-token total is bounded below by the raw
+    # token total of surviving docs (overlap duplicates tokens, so the
+    # chunked corpus can only be >= the unchunked one)
+    doc_tokens = (
+        deduped.select(text.token_count("text").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    chunk_tokens_total = chunks.agg(F.sum("n_tokens")).collect()[0][0]
+    assert chunk_tokens_total >= doc_tokens
+
+    # the whole chain is one lazy plan culminating in counts — no
+    # operator broke the DataFrame contract along the way
+    assert {"doc_id", "chunk_id", "chunk", "n_tokens"} == set(chunks.columns)
