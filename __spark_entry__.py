@@ -579,10 +579,18 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         stable_fingerprint,
     )
 
-    with_fp = docs.select("lang", stable_fingerprint("text").alias("fp"))
+    with_fp = docs.select(
+        "lang", "source", stable_fingerprint("text").alias("fp")
+    )
     return with_fp.groupBy("lang").agg(
         F.countDistinct("fp").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_docs"),
+        # array-aggregation surface: set-collect → deterministic order
+        # → join (cross-engine stable via the sorted string form)
+        F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+            "sources_csv"
+        ),
+        F.size(F.collect_set("source")).alias("n_sources"),
     )
 
 
@@ -1575,7 +1583,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    count(DISTINCT md5({_NORM_SQL.format(c='text')}))
                        AS exact_distinct,
-                   count(*) AS n_docs
+                   count(*) AS n_docs,
+                   string_agg(DISTINCT source, ',' ORDER BY source)
+                       AS sources_csv,
+                   CAST(count(DISTINCT source) AS INT) AS n_sources
             FROM documents GROUP BY lang
         """,
         "text_profile": _sql_text_profile(),
