@@ -70,6 +70,21 @@ def skew_probe(spark, sf_dir: str) -> dict[str, float]:
                 "k", "l_quantity", "payload"
             ).count()
             out[name] = round(time.time() - t0, 3)
+        # aggregation skew: AQE does not split skewed AGG partitions —
+        # the mitigation is map-side partial aggregation, which reduces
+        # the hot key per input partition before the shuffle. The pair
+        # shows the hot-key groupBy staying comparable to uniform.
+        from pyspark.sql import functions as F2
+
+        for name, key in (
+            ("skew_agg_uniform", variants["skew_join_uniform"]),
+            ("skew_agg_skewed", variants["skew_join_skewed"]),
+        ):
+            t0 = time.time()
+            li.withColumn("k", key).groupBy("k").agg(
+                F2.sum("l_quantity"), F2.count(F2.lit(1))
+            ).count()
+            out[name] = round(time.time() - t0, 3)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return out
