@@ -495,22 +495,15 @@ def near_dup_pairs_cosine_lsh(
     straddling a hyperplane are missed (standard LSH recall trade —
     union several plane seeds for higher recall).
 
-    Plan: bucket bits are plan-side column algebra fused with the
-    scan; then one shuffle on the bucket and the same per-block numpy
-    kernel as the keyed variant."""
-    planes = _lcg_planes(n_planes, dim, seed=7)
-    v = _as_double_array(vec_col)
-    bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for p in planes
-    ]
-    with_block = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.concat(*bits).alias("__lsh_block"),
-    )
+    Plan: bucket bits come from the Arrow-batched numpy kernel
+    (``_bucketed_side`` — bit-identical to the Column-HOF fold and the
+    SQL formulation, ~20× faster for 8×64 planes); then one shuffle on
+    the bucket and the same per-block numpy kernel as the keyed
+    variant."""
+    planes = np.asarray(_lcg_planes(n_planes, dim, seed=7), dtype=np.float64)
+    with_block = _bucketed_side(
+        df, id_col, vec_col, id_col, vec_col, [("", planes)]
+    ).withColumnRenamed("bucket", "__lsh_block")
     return near_dup_pairs_cosine(
         with_block, id_col, vec_col, "__lsh_block",
         threshold=threshold, round_to=round_to,
