@@ -537,14 +537,37 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting both ways: whitespace segmentation and the
-    BPE-ish pre-tokenizer regex (LLM token-budget proxy)."""
+    """Token counting both ways (whitespace segmentation and the
+    BPE-ish pre-tokenizer regex — the LLM token-budget proxy), widened
+    with the chunking operators: per-doc chunk counts and summed chunk
+    sizes from text.chunk_text (char windows, 200/50 overlap) and
+    text.chunk_tokens (token windows, 40/8). The oracle twin computes
+    the window arithmetic analytically — an independent formulation of
+    the same contract, so substring/slice boundary math is checked
+    end-to-end."""
     docs = load_table(spark, sf, "documents")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         text.token_count("text").alias("ws_tokens"),
         text.regex_token_count("text").alias("bpe_tokens"),
     )
+    cc = (
+        text.chunk_text(docs, "doc_id", "text", chunk_chars=200, overlap=50)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_char_chunks"),
+            F.sum("n_chars").alias("char_chunk_chars"),
+        )
+    )
+    tc = (
+        text.chunk_tokens(docs, "doc_id", "text", chunk_tokens=40, overlap=8)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_token_chunks"),
+            F.sum("n_tokens").alias("tok_chunk_tokens"),
+        )
+    )
+    return base.join(cc, "doc_id", "left").join(tc, "doc_id", "left")
 
 
 def q_corpus_cardinality(spark: SparkSession, sf: str) -> DataFrame:
@@ -968,7 +991,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     distributed — buckets computed in the plan, candidates met by a
     bucket-key cogroup, no driver collect (mode='auto' picks it above
     64 queries); 'multi' (similarity.ann_topk_lsh_multi) unions
-    candidates across 2 independent plane tables for higher recall."""
+    candidates across 2 independent plane tables for higher recall;
+    'ivf' (ivf.ivf_topk) probes the nprobe nearest cells of a coarse
+    quantizer — fixed deterministic centroids here so the cell
+    assignment is SQL-expressible (the adaptive k-means fit is
+    pytest-covered separately, tests/test_ivf.py)."""
+    import numpy as np
+
+    from projet_big_data_boutin_danre_spark.operators import ivf as ivf_mod
+
     emb = load_table(spark, sf, "embeddings")
     small = similarity.ann_topk_lsh(
         emb,
@@ -1000,10 +1031,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         dim=64,
         n_tables=2,
     )
+    fixed_ivf = ivf_mod.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        np.asarray(_ivf_fixed_centroids(), dtype=np.float64),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        nprobe=2,
+    )
     return (
         small.withColumn("strategy", F.lit("closure"))
         .unionByName(large.withColumn("strategy", F.lit("join")))
         .unionByName(multi.withColumn("strategy", F.lit("multi")))
+        .unionByName(fixed_ivf.withColumn("strategy", F.lit("ivf")))
     )
 
 
@@ -1086,6 +1127,37 @@ def _sql_simhash(bits: int = 32) -> str:
         )
         SELECT id, concat({bit_chain}) AS simhash_bits FROM sums
     """
+
+
+def _ivf_fixed_centroids(n_cells: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (LCG, seed 29) — a
+    fixed stand-in for the k-means fit so IVF cell assignment has an
+    exact SQL twin. Quantizer QUALITY is irrelevant to the oracle: any
+    centroid set partitions the corpus; the contract under test is the
+    assign/probe/score plumbing."""
+    from projet_big_data_boutin_danre_spark.operators.similarity import _lcg_planes
+
+    return _lcg_planes(n_cells, dim, seed=29)
+
+
+def _sql_ivf_cell_cos(vec: str, cents: list[list[float]]) -> str:
+    """CASE over cells: cosine(vec, centroid[cell]) with the engine's
+    left-assoc fold order; centroid norms precomputed in Python with
+    the identical fold (bit-equal to numpy's _seq_sq_norms row) and
+    inlined via repr (exact float64 round-trip)."""
+    import math
+
+    branches = []
+    for i, c in enumerate(cents):
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        cn = math.sqrt(acc)
+        branches.append(
+            f"WHEN {i} THEN ({_sql_plane_dot(vec, c)})"
+            f" / (sqrt({_sql_norm_chain(vec)}) * {cn!r})"
+        )
+    return "CASE cell " + " ".join(branches) + " END"
 
 
 def _sql_dot_chain(a: str, b: str, dim: int = 64) -> str:
@@ -1591,13 +1663,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": _sql_text_profile(),
         "token_stats": f"""
-            SELECT doc_id,
-                   len(list_filter(string_split({_NORM_SQL.format(c="text")},
-                       ' '), x -> x <> '')) AS ws_tokens,
-                   len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'))
-                       AS bpe_tokens
-            FROM documents
+            WITH t AS (
+                SELECT doc_id,
+                       length(text) AS cl,
+                       len(list_filter(string_split(
+                           {_NORM_SQL.format(c="text")}, ' '),
+                           x -> x <> '')) AS nt,
+                       len(regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s'']+'))
+                           AS bpe_tokens
+                FROM documents
+            )
+            SELECT doc_id, nt AS ws_tokens, bpe_tokens,
+                   CAST(len(generate_series(1, greatest(cl - 50, 1), 150))
+                        AS BIGINT) AS n_char_chunks,
+                   CAST(list_sum(list_transform(
+                        generate_series(1, greatest(cl - 50, 1), 150),
+                        s -> least(200, greatest(cl - s + 1, 0))))
+                        AS BIGINT) AS char_chunk_chars,
+                   CAST(len(generate_series(1, greatest(nt - 8, 1), 32))
+                        AS BIGINT) AS n_token_chunks,
+                   CAST(list_sum(list_transform(
+                        generate_series(1, greatest(nt - 8, 1), 32),
+                        s -> least(40, greatest(nt - s + 1, 0))))
+                        AS BIGINT) AS tok_chunk_tokens
+            FROM t
         """,
         "corpus_quantiles": """
             SELECT lang, count(*) AS n_docs,
@@ -1872,6 +1962,19 @@ def oracle_sql() -> dict[str, str]:
                        '1:' || {_sql_rh_bucket('embedding', seed=108)} AS blk
                 FROM embeddings
             ),
+            iv_cells AS (
+                SELECT vec_id, embedding, cells.cell,
+                       {_sql_ivf_cell_cos('embedding', _ivf_fixed_centroids())}
+                           AS ccos
+                FROM embeddings,
+                     (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS cells(cell)
+            ),
+            iv_rank AS (
+                SELECT vec_id, embedding, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY ccos DESC, cell ASC) AS rnk
+                FROM iv_cells
+            ),
             scored AS (
                 SELECT qb.query_id, cb.id AS neighbor_id, qb.strategy,
                        round(({_sql_dot_chain('qv', 'cv')})
@@ -1889,6 +1992,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM mtb c
                 JOIN (SELECT * FROM mtb WHERE vec_id < 8) q
                   ON c.blk = q.blk AND c.vec_id <> q.vec_id
+                UNION ALL
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       'ivf' AS strategy,
+                       round(({_sql_dot_chain('q.embedding', 'c.embedding')})
+                             / (sqrt({_sql_norm_chain('q.embedding')})
+                                * sqrt({_sql_norm_chain('c.embedding')})), 6)
+                           AS cosine
+                FROM (SELECT * FROM iv_rank WHERE rnk = 1) c
+                JOIN (SELECT * FROM iv_rank
+                      WHERE rnk <= 2 AND vec_id < 8) q
+                  ON c.cell = q.cell AND c.vec_id <> q.vec_id
             )
             SELECT query_id, neighbor_id, cosine, rank, strategy FROM (
                 SELECT *, CAST(row_number() OVER (
