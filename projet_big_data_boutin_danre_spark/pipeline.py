@@ -59,6 +59,17 @@ IDX_DVF = "gov-dvf"
 IDX_DVF_PARIS = "gov-dvf-paris"
 IDX_LBC = "lbc-annonces"
 
+# The reference flushes its bulk buffer at a per-index threshold:
+# 1000 docs for opportunities and lbc (index_to_es.py:128,331), 5000
+# for market-stats and dvf/dvf-paris (index_to_es.py:184,271).
+IDX_BATCH_SIZES = {
+    IDX_OPPORTUNITIES: 1000,
+    IDX_MARKET_STATS: 5000,
+    IDX_DVF: 5000,
+    IDX_DVF_PARIS: 5000,
+    IDX_LBC: 1000,
+}
+
 
 @dataclass(frozen=True)
 class DatalakeLayout:
@@ -233,7 +244,13 @@ def index_fan_out(
         for index_name, df, id_key in plan:
             counts[index_name] = df.count()
             if send_actions is not None:
-                index_documents(df, index_name, send_actions, id_key=id_key)
+                index_documents(
+                    df,
+                    index_name,
+                    send_actions,
+                    id_key=id_key,
+                    batch_size=IDX_BATCH_SIZES[index_name],
+                )
             else:
                 write_json(df, lay.offline_index(index_name))
     finally:

@@ -107,14 +107,27 @@ def compact_layer(
 
     Rewrites the layer into ``ceil(total_bytes / target)`` files via
     one round-robin repartition, staging into a sibling ``.compact``
-    directory and atomically swapping (local/HDFS rename semantics —
-    object stores should point ``path`` at a new layer version
-    instead). Returns the new file count.
+    directory and swapping in rename-first order: the live layer is
+    renamed ASIDE (``path`` → ``path.old``) before the staged layer
+    takes its place, so every intermediate state after a crash is
+    recoverable by hand (the data exists at ``path``, ``path.old``,
+    or ``path.compact`` — never deleted before the replacement is
+    live). Local-filesystem paths only — on any other scheme this
+    raises up front; object stores should point readers at a new
+    layer version instead of renaming. Returns the new file count.
     """
     import math
     import os
     import shutil
     from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_layer swaps via local-FS rename; path scheme "
+            f"{scheme!r} is not supported — rewrite to a new layer "
+            f"version and repoint readers instead"
+        )
 
     df = spark.read.parquet(path)
     files = [urlparse(f).path for f in df.inputFiles()]
@@ -130,8 +143,12 @@ def compact_layer(
     )
     local = urlparse(path).path or path
     local_staged = urlparse(staged).path or staged
-    shutil.rmtree(local)
+    aside = local.rstrip("/") + ".old"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)  # leftover from an interrupted prior swap
+    os.rename(local, aside)
     os.rename(local_staged, local)
+    shutil.rmtree(aside)
     return n_files
 
 
@@ -145,10 +162,12 @@ def es_actions(
     - null fields are DROPPED from ``_source`` (``clean_doc``'s
       ``pd.isna`` skip, ``index_to_es.py:63-79``) — sparse documents;
     - ``_id`` comes from ``id_key`` when that field is present and
-      non-null, ``str()``-coerced (``str(doc_id)``,
-      ``index_to_es.py:255,267,326``); rows without it get no ``_id``
-      (ES auto-ids), matching ``index_lbc_raw_to_es``'s
-      ``if lbc_id:`` guard.
+      TRUTHY, ``str()``-coerced (``str(doc_id)``,
+      ``index_to_es.py:255,267,326``); rows without it — including
+      falsy ids like ``0`` or ``""`` — get no ``_id`` (ES auto-ids),
+      mirroring ``index_lbc_raw_to_es``'s ``if lbc_id:`` guard
+      exactly so re-indexing assigns the same identities the
+      reference would.
 
     Pure function — the wire shape is testable without any ES client.
     Timestamps serialize ISO-8601 (``clean_doc``'s
@@ -163,7 +182,7 @@ def es_actions(
         action: dict = {"_index": index, "_source": src}
         if id_key is not None:
             vid = src.get(id_key)
-            if vid is not None and vid != "":
+            if vid:  # reference truthiness: falsy ids -> ES auto-id
                 action["_id"] = str(vid)
         actions.append(action)
     return actions

@@ -240,6 +240,70 @@ def test_es_actions_id_rules():
     assert "_id" not in out[2]
     # no id_key at all (usage indexers): never an _id
     assert all("_id" not in a for a in es_actions(batch, "usage-market-stats"))
+    # falsy-but-non-null ids (0, "") get NO _id — the reference's
+    # `if lbc_id:` truthiness guard, so replay identity matches
+    falsy = [{"id": 0, "t": "zero"}, {"id": "", "t": "empty"}]
+    assert all(
+        "_id" not in a for a in es_actions(falsy, "lbc-annonces", id_key="id")
+    )
+
+
+def test_compact_layer_rejects_remote_schemes(spark):
+    """compact_layer's swap is local-FS rename; a non-file scheme must
+    fail up front instead of silently mis-sizing and then failing
+    after the staged write."""
+    from projet_big_data_boutin_danre_spark.sources.sinks import compact_layer
+
+    with pytest.raises(ValueError, match="scheme"):
+        compact_layer(spark, "hdfs://namenode/warehouse/layer")
+
+
+def test_per_index_batch_size_parity(spark, datalake, pipeline_run, monkeypatch):
+    """VERDICT r4 #5: each index flushes its bulk buffer at the
+    reference's per-index threshold — 1000 docs for opportunities/lbc
+    (index_to_es.py:128,331), 5000 for market-stats and dvf/dvf-paris
+    (index_to_es.py:184,271) — and index_fan_out actually wires those
+    sizes through to the sink."""
+    assert pipeline.IDX_BATCH_SIZES == {
+        pipeline.IDX_OPPORTUNITIES: 1000,
+        pipeline.IDX_MARKET_STATS: 5000,
+        pipeline.IDX_DVF: 5000,
+        pipeline.IDX_DVF_PARIS: 5000,
+        pipeline.IDX_LBC: 1000,
+    }
+    sizes_seen: dict[str, int] = {}
+
+    def capture(df, index, send, id_key=None, batch_size=1000):
+        sizes_seen[index] = batch_size
+
+    monkeypatch.setattr(pipeline, "index_documents", capture)
+    lay = pipeline.DatalakeLayout(datalake, RUN_DAY)
+    pipeline.index_fan_out(spark, lay, send_actions=lambda a: None)
+    assert sizes_seen == pipeline.IDX_BATCH_SIZES
+
+
+def test_bulk_sink_flush_boundaries(spark, tmp_path):
+    """The sink flushes exactly at batch_size and once more for the
+    remainder (the reference's `if len(documents) >= N: bulk(...)` +
+    trailing flush): 8 rows in one partition at batch_size=3 must
+    arrive as batches of 3, 3, 2."""
+    from projet_big_data_boutin_danre_spark.sources.sinks import bulk_sink
+
+    spool = str(tmp_path)
+
+    def send(batch):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        with open(_os.path.join(spool, f"{_uuid.uuid4().hex}.json"), "w") as f:
+            _json.dump(batch, f)
+
+    bulk_sink(spark.range(8).repartition(1), send, batch_size=3)
+    sizes = sorted(
+        len(json.load(open(os.path.join(spool, fn)))) for fn in os.listdir(spool)
+    )
+    assert sizes == [2, 3, 3]
 
 
 def test_compact_stage_preserves_usage_layers(spark, datalake, pipeline_run):
