@@ -90,6 +90,53 @@ def skew_probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def skew_plan_probe(spark) -> float:
+    """Plan-level companion to the skew timing pair (pytest twin:
+    tests/test_plan_shapes.py::test_aqe_splits_skewed_join_partition):
+    1.0 if AQE's OptimizeSkewedJoin actually split the hot partition —
+    the skew=true marker on the final sort-merge join — else 0.0.
+    Runs on synthetic range data with lowered skew thresholds, so the
+    flag probes the AQE machinery + session conf hygiene rather than
+    sf-dependent partition sizes (at bench scale the default 256 MB
+    threshold never trips, which is exactly why the timing pair alone
+    can't distinguish 'no skew problem' from 'skew handled')."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = (
+            spark.range(200_000)
+            .repartition(16)  # >1 mapper: skewed reduces split by regrouping map outputs
+            .select(
+                F.when(F.col("id") % 2 == 0, F.lit(1))
+                .otherwise(F.pmod(F.hash("id"), F.lit(1000)) + F.lit(2))
+                .alias("k"),
+                F.col("id").alias("val"),
+            )
+        )
+        dim = spark.range(1, 1002).select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        joined = fact.join(dim, "k").select("k", "val", "payload")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        ok = "skew=true" in plan and "AQEShuffleRead skewed" in plan
+        return 1.0 if ok else 0.0
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -149,6 +196,9 @@ def main() -> None:
     # per-probe but excluded from the headline total so round-over-
     # round totals stay comparable)
     timings.update(skew_probe(spark, sf_dir))
+    # 1.0/0.0 flag (not a timing): did OptimizeSkewedJoin split the
+    # hot partition in the final adaptive plan?
+    timings["skew_join_plan_split"] = skew_plan_probe(spark)
 
     print(
         json.dumps(
