@@ -186,6 +186,29 @@ RAW_AD_FILE_SCHEMA = (
 )
 
 
+def read_raw_ad_files(spark, path_glob: str) -> DataFrame:
+    """Raw JSON-array ad files → one row per array element, carrying
+    ``(__ingest_file, __file_pos)``: wholetext read + ``from_json`` +
+    ``posexplode``, so the element's position WITHIN its file survives
+    the scan. A plain multiLine JSON read yields rows in array order
+    but gives downstream operators nothing to order BY — and the
+    reference's ``drop_duplicates(keep='last')`` on pandas concat
+    order (``raw_to_fmt_lbc.py:33-51``) is exactly (file, position)
+    order. Parallelism is per-file (each file is one record) — right
+    for fetcher-sized ingest files; the posexplode fans out map-side."""
+    return (
+        spark.read.option("wholetext", "true")
+        .text(path_glob)
+        .select(
+            F.input_file_name().alias("__ingest_file"),
+            F.posexplode(
+                F.from_json("value", f"array<struct<{RAW_AD_FILE_SCHEMA}>>")
+            ).alias("__file_pos", "__ad"),
+        )
+        .select("__ad.*", "__ingest_file", "__file_pos")
+    )
+
+
 def format_ads_from_files(df: DataFrame) -> DataFrame:
     """``format_ads`` for ads read straight from the raw JSON-array
     files with ``RAW_AD_FILE_SCHEMA`` (vs. a single raw_json column).
@@ -195,7 +218,9 @@ def format_ads_from_files(df: DataFrame) -> DataFrame:
     Carries ``__ingest_file`` (the source file path) so keep-last
     dedup can use the fetcher's file-concatenation order
     (``raw_to_fmt_lbc.py:33-51``): the fetcher names files by fetch
-    timestamp, so lexicographic file order == ingest order."""
+    timestamp, so lexicographic file order == ingest order. When the
+    input came from ``read_raw_ad_files``, ``__file_pos`` passes
+    through as the within-file half of that order."""
     loc_txt = F.col("location")
     loc = F.when(
         F.trim(loc_txt).startswith("{"),
@@ -206,7 +231,7 @@ def format_ads_from_files(df: DataFrame) -> DataFrame:
             F.col("attributes"), "array<struct<key:string,value:string>>"
         )
     )
-    return df.select(
+    out = [
         F.col("list_id").alias("id"),
         F.col("subject").alias("title"),
         cents_to_euros(unwrap_scalar(F.col("price_cents"))).alias("price"),
@@ -215,7 +240,10 @@ def format_ads_from_files(df: DataFrame) -> DataFrame:
         loc.getField("zipcode").alias("zipcode"),
         F.try_element_at(attrs, F.lit("seg")).alias("seg"),
         F.input_file_name().alias("__ingest_file"),
-    )
+    ]
+    if "__file_pos" in df.columns:
+        out.append(F.col("__file_pos"))
+    return df.select(*out)
 
 
 def has_cols(df: DataFrame, required: Sequence[str]) -> bool:

@@ -39,12 +39,12 @@ def balance_for_fanout(df: DataFrame) -> DataFrame:
 
     Split count comes from the physical plan's RDD lineage (cheaper
     than ``df.rdd.getNumPartitions()``, which converts the analyzed
-    plan to an RDD of Rows on every call). Note this does touch
-    ``executedPlan().execute()`` — partition metadata only, no job is
-    submitted, but under AQE it can materialize upstream query stages;
-    callers pass a plain scan here so that cost doesn't arise. On
-    Spark Connect (no JVM handle, no RDD API) the probe degrades to
-    "unknown" and the input is left as-is — a no-op, never an error."""
+    plan to an RDD of Rows on every call). Plans under an
+    ``AdaptiveSparkPlan`` root report "unknown" instead of probing —
+    executing that wrapper would materialize upstream query stages
+    (real jobs) as a hidden side effect. On Spark Connect (no JVM
+    handle, no RDD API) the probe likewise degrades to "unknown" and
+    the input is left as-is — a no-op, never an error."""
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
     except Exception:  # Spark Connect: no driver-side SparkContext
@@ -57,12 +57,19 @@ def balance_for_fanout(df: DataFrame) -> DataFrame:
 
 def _plan_partitions(df: DataFrame) -> int | None:
     """Best-effort input split count from the physical plan's RDD
-    (partition metadata only — no job runs). Falls back to the RDD
-    hop if the plan exposes nothing, and to None (unknown) on Spark
-    Connect where neither ``_jdf`` nor the RDD API exists."""
+    (partition metadata only — no job runs for a non-adaptive plan).
+    An ``AdaptiveSparkPlan`` root means the plan has exchanges or
+    subqueries, and calling ``execute()`` on it MATERIALIZES upstream
+    query stages (real jobs) just to read a partition count — so that
+    case reports unknown (None) and ``balance_for_fanout`` leaves the
+    input untouched. Callers on the intended path (a plain scan) never
+    hit the adaptive wrapper. Returns None on Spark Connect too, where
+    neither ``_jdf`` nor the RDD API exists."""
     try:
-        jrdd = df._jdf.queryExecution().executedPlan().execute()
-        return jrdd.getNumPartitions()
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+            return None
+        return plan.execute().getNumPartitions()
     except Exception:
         pass
     try:

@@ -150,16 +150,17 @@ def transform_lbc(spark: SparkSession, lay: DatalakeLayout) -> DataFrame:
     scan (S3/U1) → typed projection (P7/P11/P12/P13/P14 + location
     normalization) → deterministic keep-last dedup on ``id`` in
     file-concatenation order (A2; the reference's
-    ``drop_duplicates(keep='last')`` on pandas concat order) →
-    coerced price (P6, ``to_numeric(errors='coerce').fillna(0)``) →
-    snappy Parquet."""
-    raw = spark.read.option("multiLine", "true").schema(
-        cleaning.RAW_AD_FILE_SCHEMA
-    ).json(f"{lay.raw_lbc}/*.json")
+    ``drop_duplicates(keep='last')`` on pandas concat order — the
+    within-file half of that order is the element position
+    ``__file_pos`` carried by the raw read, so duplicates of an id
+    INSIDE one file resolve exactly as the reference does, as a pure
+    function of the data) → coerced price (P6,
+    ``to_numeric(errors='coerce').fillna(0)``) → snappy Parquet."""
+    raw = cleaning.read_raw_ad_files(spark, f"{lay.raw_lbc}/*.json")
     fmt = cleaning.format_ads_from_files(raw)
     deduped = cleaning.keep_last_dedup(
-        fmt, ["id"], "__ingest_file", tiebreak=["date"]
-    ).drop("__ingest_file")
+        fmt, ["id"], "__ingest_file", tiebreak=["__file_pos"]
+    ).drop("__ingest_file", "__file_pos")
     # the reference coerces price AFTER dedup (raw_to_fmt_lbc.py:53):
     # unparseable and missing both → 0.0
     deduped = deduped.withColumn("price", cleaning.coerce_numeric("price"))

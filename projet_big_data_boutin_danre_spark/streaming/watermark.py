@@ -17,6 +17,7 @@ fetch newest-first, drop events ≤ last watermark, advance watermark to
 from __future__ import annotations
 
 import datetime as dt
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,9 +25,22 @@ from pyspark.sql import functions as F
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
-# Accepted wall-time string shapes for a watermark literal (what
-# read_watermark emits, plus the second-precision short form).
-_WM_PY_FMTS = ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d")
+# Accepted wall-time string shapes for a watermark literal: what
+# read_watermark emits, the second-precision short form, and the
+# ISO-8601 'T'-separated twins (external callers hand those in and
+# Spark's to_timestamp parses them fine).
+_WM_PY_FMTS = (
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+)
+
+# ISO-8601 zone suffix on a full timestamp: 'Z' or ±HH[:MM] — the
+# colon/Z forms Spark's to_timestamp understands ('+0100' without a
+# colon is NOT accepted: Spark would parse it to NULL).
+_WM_ZONE_RE = re.compile(r"(Z|[+-]\d{2}(:\d{2})?)$")
 
 
 def _validate_watermark_literal(literal: str) -> None:
@@ -34,10 +48,21 @@ def _validate_watermark_literal(literal: str) -> None:
 
     Guards the incremental path against silent data loss: with ANSI
     mode off, ``to_timestamp('garbage')`` is NULL, ``ts > NULL`` is
-    never true, and every row is dropped as if the batch were empty."""
+    never true, and every row is dropped as if the batch were empty.
+
+    Accepted: the space- and 'T'-separated wall-time shapes above,
+    optionally carrying an ISO-8601 zone suffix (``Z`` / ``±HH:MM``)
+    when the literal is a full timestamp. The whitelist stays limited
+    to shapes Spark's ``to_timestamp`` is known to parse — accepting
+    more would re-open the silent-drop hole this guard closes."""
+    s = literal
+    if ("T" in s or " " in s):  # only strip a zone off a full timestamp
+        m = _WM_ZONE_RE.search(s)
+        if m:
+            s = s[: m.start()]
     for fmt in _WM_PY_FMTS:
         try:
-            dt.datetime.strptime(literal, fmt)
+            dt.datetime.strptime(s, fmt)
             return
         except ValueError:
             continue

@@ -113,3 +113,26 @@ def test_has_cols(spark):
     df = spark.createDataFrame([(1, "a")], ["x", "y"])
     assert cleaning.has_cols(df, ["x"])
     assert not cleaning.has_cols(df, ["x", "zzz"])
+
+
+def test_within_file_keep_last_uses_element_position(spark, tmp_path):
+    """ADVICE r4: duplicates of an id INSIDE one file with equal dates
+    must resolve by element position (the reference's pandas
+    keep='last' on concat order), not arbitrarily — read_raw_ad_files
+    carries __file_pos precisely for this tiebreak."""
+    import json
+
+    ads = [
+        {"list_id": 9, "subject": "first", "price_cents": [100],
+         "date": "2025-01-15 09:00:00", "location": "N/A", "attributes": []},
+        {"list_id": 9, "subject": "second", "price_cents": [200],
+         "date": "2025-01-15 09:00:00", "location": "N/A", "attributes": []},
+    ]
+    (tmp_path / "annonces_090000.json").write_text(json.dumps(ads))
+    raw = cleaning.read_raw_ad_files(spark, str(tmp_path / "*.json"))
+    fmt = cleaning.format_ads_from_files(raw)
+    out = cleaning.keep_last_dedup(
+        fmt, ["id"], "__ingest_file", tiebreak=["__file_pos"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["title"] == "second"

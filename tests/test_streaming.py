@@ -79,6 +79,21 @@ def test_corrupt_watermark_state_fails_loudly(spark, tmp_path):
         incremental_batch(df, "ts", "garbage")
     # ...while a valid short-form literal still works
     assert incremental_batch(df, "ts", "2024-12-31").count() == 1
+    # ISO-8601 forms external callers hand in are accepted (ADVICE
+    # r4): 'T'-separated, with or without fraction / Z / ±HH:MM —
+    # all shapes Spark's to_timestamp parses
+    for iso in (
+        "2024-12-31T00:00:00",
+        "2024-12-31T00:00:00.000000",
+        "2024-12-31T00:00:00Z",
+        "2024-12-31T00:00:00+00:00",
+        "2024-12-31 00:00:00+00:00",
+    ):
+        assert incremental_batch(df, "ts", iso).count() == 1, iso
+    # a no-colon offset is NOT accepted (Spark would parse it to NULL
+    # and silently drop every row — the exact hole this guard closes)
+    with pytest.raises(ValueError, match="unparseable watermark"):
+        incremental_batch(df, "ts", "2024-12-31T00:00:00+0100")
 
 
 def test_empty_batch_keeps_watermark_state_readable(spark, tmp_path):
