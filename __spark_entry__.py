@@ -166,8 +166,9 @@ def q_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
     """P5/F1 (compute_usage.py:43): string-prefix predicate, plus the
     everyday string-function surface (F2 family) on the matched rows:
     case mapping, length, substring, replace, padding, search
-    position, reversal and token extraction — all engine-identical
-    built-ins, no UDFs."""
+    position, reversal, token extraction, left/right slicing and
+    levenshtein edit distance (the fuzzy-matching primitive) — all
+    engine-identical built-ins, no UDFs."""
     part = load_table(spark, sf, "part")
     name = F.col("p_name")
     return part.filter(F.col("p_type").startswith("STANDARD")).select(
@@ -183,6 +184,9 @@ def q_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.instr(name, "o").alias("first_o"),
         F.reverse(name).alias("name_rev"),
         F.element_at(F.split(name, " "), -1).alias("last_word"),
+        F.left(name, F.lit(3)).alias("name_left"),
+        F.right(name, F.lit(3)).alias("name_right"),
+        F.levenshtein(name, F.col("p_type")).alias("lev_to_type"),
     )
 
 
@@ -899,7 +903,14 @@ def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct aggregation (engine extension over A1): per market
     segment, distinct nations and order-priority spread of its
     customers' orders. Spark expands distinct aggs into a two-phase
-    plan (expand + partial/final) — skew-safe by construction."""
+    plan (expand + partial/final) — skew-safe by construction.
+
+    Widened (r5) into the EXACT-aggregate function sampler: bitwise
+    aggregates (bit_and/bit_or/bit_xor), positional arg-extrema
+    (min_by/max_by on a unique ordering key, so deterministic),
+    boolean aggregates (bool_and/bool_or), and conditional counting
+    (count_if) — every one integer/bool-exact cross-engine, no float
+    summation-order hazard."""
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     joined = customer.join(
@@ -909,6 +920,14 @@ def q_distinct_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.bit_and("c_nationkey").alias("nation_bit_and"),
+        F.bit_or("c_nationkey").alias("nation_bit_or"),
+        F.bit_xor("c_nationkey").alias("nation_bit_xor"),
+        F.min_by("c_name", "o_orderkey").alias("first_order_cust"),
+        F.max_by("c_name", "o_orderkey").alias("last_order_cust"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
 
 
@@ -1419,7 +1438,10 @@ def oracle_sql() -> dict[str, str]:
                    lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
                    CAST(strpos(p_name, 'o') AS INT) AS first_o,
                    reverse(p_name) AS name_rev,
-                   split_part(p_name, ' ', -1) AS last_word
+                   split_part(p_name, ' ', -1) AS last_word,
+                   left(p_name, 3) AS name_left,
+                   right(p_name, 3) AS name_right,
+                   CAST(levenshtein(p_name, p_type) AS INT) AS lev_to_type
             FROM part WHERE p_type LIKE 'STANDARD%'
         """,
         "coercing_cast": """
@@ -2062,7 +2084,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
                    CAST(count(DISTINCT o_orderpriority) AS BIGINT)
                        AS n_priorities,
-                   count(*) AS n_orders
+                   count(*) AS n_orders,
+                   CAST(bit_and(c_nationkey) AS BIGINT) AS nation_bit_and,
+                   CAST(bit_or(c_nationkey) AS BIGINT) AS nation_bit_or,
+                   CAST(bit_xor(c_nationkey) AS BIGINT) AS nation_bit_xor,
+                   arg_min(c_name, o_orderkey) AS first_order_cust,
+                   arg_max(c_name, o_orderkey) AS last_order_cust,
+                   bool_and(o_totalprice > 1000) AS all_over_1k,
+                   bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                   CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT)
+                       AS n_urgent
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c_mktsegment
         """,
