@@ -290,3 +290,30 @@ def test_chunk_tokens_windows(spark):
     for r in out.values():
         covered.update(r["chunk"].split())
     assert covered == set(words.split())
+
+
+def test_np_bucket_kernel_matches_column_fold(spark, sf0001):
+    """The Arrow/numpy bucket kernel (_bucketed_side, used by the ANN
+    join paths AND near_dup_pairs_cosine_lsh since r5) must be
+    BIT-identical to the Column-HOF fold (rh_lsh_buckets) — the fold
+    is what the DuckDB oracle mirrors, so any divergence here is a
+    silent correctness hole, not a perf detail."""
+    import numpy as np
+
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    col_buckets = {
+        r["id"]: r["bucket"]
+        for r in similarity.rh_lsh_buckets(
+            emb, "vec_id", "embedding", n_planes=8, dim=64, seed=7
+        ).collect()
+    }
+    planes = np.asarray(similarity._lcg_planes(8, 64, seed=7), dtype=np.float64)
+    np_buckets = {
+        r["id"]: r["bucket"]
+        for r in similarity._bucketed_side(
+            emb, "vec_id", "embedding", "id", "v", [("", planes)]
+        ).collect()
+    }
+    assert np_buckets == col_buckets
