@@ -555,12 +555,18 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         text.token_count("text").alias("ws_tokens"),
         text.regex_token_count("text").alias("bpe_tokens"),
     )
+    # coalesce(.., 0) per row before summing: a NULL-text doc yields
+    # one chunk row with NULL size; the oracle's greatest(NULL-s+1, 0)
+    # yields 0 for it (DuckDB greatest ignores NULLs) — align to 0 so
+    # a NULL text in future driver testdata can't flip the hash
     cc = (
         text.chunk_text(docs, "doc_id", "text", chunk_chars=200, overlap=50)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_char_chunks"),
-            F.sum("n_chars").alias("char_chunk_chars"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias(
+                "char_chunk_chars"
+            ),
         )
     )
     tc = (
@@ -568,7 +574,9 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_token_chunks"),
-            F.sum("n_tokens").alias("tok_chunk_tokens"),
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).alias(
+                "tok_chunk_tokens"
+            ),
         )
     )
     return base.join(cc, "doc_id", "left").join(tc, "doc_id", "left")

@@ -195,15 +195,29 @@ def read_raw_ad_files(spark, path_glob: str) -> DataFrame:
     reference's ``drop_duplicates(keep='last')`` on pandas concat
     order (``raw_to_fmt_lbc.py:33-51``) is exactly (file, position)
     order. Parallelism is per-file (each file is one record) — right
-    for fetcher-sized ingest files; the posexplode fans out map-side."""
+    for fetcher-sized ingest files; the posexplode fans out map-side.
+
+    A file whose content is NOT a parseable JSON array fails LOUDLY
+    (in-plan ``raise_error`` naming the file): ``from_json`` yields
+    NULL for malformed input and ``posexplode(NULL)`` emits zero rows,
+    which would otherwise drop the whole file's ads silently — a
+    half-written fetcher output must fail the run, not shrink it."""
+    parsed = F.from_json("value", f"array<struct<{RAW_AD_FILE_SCHEMA}>>")
+    guarded = F.when(
+        parsed.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("unparseable raw ad file (not a JSON array): "),
+                F.input_file_name(),
+            )
+        ),
+    ).otherwise(parsed)
     return (
         spark.read.option("wholetext", "true")
         .text(path_glob)
         .select(
             F.input_file_name().alias("__ingest_file"),
-            F.posexplode(
-                F.from_json("value", f"array<struct<{RAW_AD_FILE_SCHEMA}>>")
-            ).alias("__file_pos", "__ad"),
+            F.posexplode(guarded).alias("__file_pos", "__ad"),
         )
         .select("__ad.*", "__ingest_file", "__file_pos")
     )
@@ -231,6 +245,11 @@ def format_ads_from_files(df: DataFrame) -> DataFrame:
             F.col("attributes"), "array<struct<key:string,value:string>>"
         )
     )
+    ingest_file = (
+        F.col("__ingest_file")  # carried by read_raw_ad_files: survives
+        if "__ingest_file" in df.columns  # persist/checkpoint, unlike
+        else F.input_file_name()  # input_file_name() ('' off-scan)
+    )
     out = [
         F.col("list_id").alias("id"),
         F.col("subject").alias("title"),
@@ -239,7 +258,7 @@ def format_ads_from_files(df: DataFrame) -> DataFrame:
         loc.getField("city").alias("city"),
         loc.getField("zipcode").alias("zipcode"),
         F.try_element_at(attrs, F.lit("seg")).alias("seg"),
-        F.input_file_name().alias("__ingest_file"),
+        ingest_file.alias("__ingest_file"),
     ]
     if "__file_pos" in df.columns:
         out.append(F.col("__file_pos"))

@@ -39,8 +39,11 @@ _WM_PY_FMTS = (
 
 # ISO-8601 zone suffix on a full timestamp: 'Z' or ±HH[:MM] — the
 # colon/Z forms Spark's to_timestamp understands ('+0100' without a
-# colon is NOT accepted: Spark would parse it to NULL).
-_WM_ZONE_RE = re.compile(r"(Z|[+-]\d{2}(:\d{2})?)$")
+# colon is NOT accepted: Spark would parse it to NULL). Offset ranges
+# are checked separately: Java's ZoneOffset caps at ±18:00, so e.g.
+# '+19:00' or '+01:99' would ALSO parse to NULL and silently drop
+# every row — the validator must reject those, not strip them.
+_WM_ZONE_RE = re.compile(r"(Z|[+-](\d{2})(:(\d{2}))?)$")
 
 
 def _validate_watermark_literal(literal: str) -> None:
@@ -59,6 +62,16 @@ def _validate_watermark_literal(literal: str) -> None:
     if ("T" in s or " " in s):  # only strip a zone off a full timestamp
         m = _WM_ZONE_RE.search(s)
         if m:
+            if m.group(1) != "Z":
+                hh = int(m.group(2))
+                mm = int(m.group(4) or 0)
+                # Java ZoneOffset range: ±18:00 inclusive, minutes < 60
+                if hh > 18 or mm > 59 or (hh == 18 and mm != 0):
+                    raise ValueError(
+                        f"watermark literal {literal!r} carries a zone "
+                        f"offset outside Java's ±18:00 range; Spark would "
+                        "parse it to NULL and silently drop every row"
+                    )
             s = s[: m.start()]
     for fmt in _WM_PY_FMTS:
         try:

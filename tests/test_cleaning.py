@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -136,3 +137,13 @@ def test_within_file_keep_last_uses_element_position(spark, tmp_path):
     ).collect()
     assert len(out) == 1
     assert out[0]["title"] == "second"
+
+
+def test_corrupt_raw_ad_file_fails_loudly(spark, tmp_path):
+    """A malformed ingest file must fail the run (in-plan raise_error
+    naming the file), not silently contribute zero rows: from_json on
+    garbage is NULL and posexplode(NULL) would otherwise just drop the
+    whole file's ads."""
+    (tmp_path / "annonces_090000.json").write_text('{"truncated": ')
+    with pytest.raises(Exception, match="unparseable raw ad file"):
+        cleaning.read_raw_ad_files(spark, str(tmp_path / "*.json")).collect()

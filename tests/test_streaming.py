@@ -94,6 +94,13 @@ def test_corrupt_watermark_state_fails_loudly(spark, tmp_path):
     # and silently drop every row — the exact hole this guard closes)
     with pytest.raises(ValueError, match="unparseable watermark"):
         incremental_batch(df, "ts", "2024-12-31T00:00:00+0100")
+    # offsets outside Java's ZoneOffset range (±18:00, minutes<60)
+    # would ALSO parse to NULL — rejected, not stripped
+    for bad in ("+19:00", "-19:00", "+01:99", "+18:01"):
+        with pytest.raises(ValueError, match="offset|unparseable"):
+            incremental_batch(df, "ts", f"2024-12-31T00:00:00{bad}")
+    # ±18:00 exactly is the ZoneOffset maximum and still valid
+    assert incremental_batch(df, "ts", "2024-12-31T00:00:00+18:00").count() == 1
 
 
 def test_empty_batch_keeps_watermark_state_readable(spark, tmp_path):
