@@ -617,15 +617,29 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     with_fp = docs.select(
         "lang", "source", stable_fingerprint("text").alias("fp")
     )
+    srcs = F.array_sort(F.collect_set("source"))
+    ref = F.array(F.lit("src1"), F.lit("src2"), F.lit("src42"))
     return with_fp.groupBy("lang").agg(
         F.countDistinct("fp").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_docs"),
         # array-aggregation surface: set-collect → deterministic order
         # → join (cross-engine stable via the sorted string form)
-        F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
-            "sources_csv"
-        ),
+        F.concat_ws(",", srcs).alias("sources_csv"),
         F.size(F.collect_set("source")).alias("n_sources"),
+        # array set-algebra surface (r5): intersect/except/union vs a
+        # constant reference set, membership, position in the SORTED
+        # set (deterministic), and slicing — arrays leave the query as
+        # sorted-joined strings so element order can't diverge
+        F.concat_ws(",", F.array_sort(F.array_intersect(srcs, ref))).alias(
+            "common_srcs"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_except(srcs, ref))).alias(
+            "extra_srcs"
+        ),
+        F.size(F.array_union(srcs, ref)).alias("n_union_ref"),
+        F.array_contains(srcs, "src1").alias("has_src1"),
+        F.array_position(srcs, "src1").alias("src1_pos"),
+        F.concat_ws(",", F.slice(srcs, 1, 2)).alias("first_two_srcs"),
     )
 
 
@@ -1682,14 +1696,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "exact_cardinality": f"""
-            SELECT lang,
-                   count(DISTINCT md5({_NORM_SQL.format(c='text')}))
-                       AS exact_distinct,
-                   count(*) AS n_docs,
-                   string_agg(DISTINCT source, ',' ORDER BY source)
-                       AS sources_csv,
-                   CAST(count(DISTINCT source) AS INT) AS n_sources
-            FROM documents GROUP BY lang
+            WITH g AS (
+                SELECT lang,
+                       count(DISTINCT md5({_NORM_SQL.format(c='text')}))
+                           AS exact_distinct,
+                       count(*) AS n_docs,
+                       string_agg(DISTINCT source, ',' ORDER BY source)
+                           AS sources_csv,
+                       CAST(count(DISTINCT source) AS INT) AS n_sources,
+                       list_sort(list(DISTINCT source)) AS srcs
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, exact_distinct, n_docs, sources_csv, n_sources,
+                   array_to_string(list_sort(list_intersect(srcs,
+                       ['src1','src2','src42'])), ',') AS common_srcs,
+                   array_to_string(list_sort(list_filter(srcs,
+                       x -> x NOT IN ('src1','src2','src42'))), ',')
+                       AS extra_srcs,
+                   CAST(len(list_distinct(list_concat(srcs,
+                       ['src1','src2','src42']))) AS INT) AS n_union_ref,
+                   list_contains(srcs, 'src1') AS has_src1,
+                   CAST(coalesce(list_position(srcs, 'src1'), 0) AS BIGINT)
+                       AS src1_pos,
+                   array_to_string(list_slice(srcs, 1, 2), ',')
+                       AS first_two_srcs
+            FROM g
         """,
         "text_profile": _sql_text_profile(),
         "token_stats": f"""
