@@ -790,6 +790,12 @@ def q_coerce_timestamp(spark: SparkSession, sf: str) -> DataFrame:
         _ts(F.date_trunc("hour", parsed)).alias("trunc_hour_s"),
         F.datediff(parsed.cast("date"), F.lit("2024-01-01").cast("date"))
         .alias("days_since_2024"),
+        F.quarter(parsed).alias("q"),
+        F.last_day(parsed).cast("string").alias("month_end"),
+        F.date_add(parsed.cast("date"), 30).cast("string").alias("plus_30d"),
+        # add_months end-of-month clamp (Jan 31 + 1 mo → Feb 29/28)
+        # behaves identically in both engines
+        F.add_months(parsed.cast("date"), 1).cast("string").alias("plus_1mo"),
     )
 
 
@@ -1944,7 +1950,13 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S.%f') AS trunc_hour_s,
                    CAST(date_diff('day', DATE '2024-01-01',
                                   CAST(parsed AS DATE)) AS INT)
-                       AS days_since_2024
+                       AS days_since_2024,
+                   CAST(quarter(parsed) AS INT) AS q,
+                   CAST(last_day(CAST(parsed AS DATE)) AS VARCHAR)
+                       AS month_end,
+                   CAST(CAST(parsed AS DATE) + 30 AS VARCHAR) AS plus_30d,
+                   CAST(CAST(CAST(parsed AS DATE) + INTERVAL 1 MONTH
+                             AS DATE) AS VARCHAR) AS plus_1mo
             FROM p
         """,
         "search_url": """
