@@ -1707,24 +1707,29 @@ def oracle_sql() -> dict[str, str]:
                        count(DISTINCT md5({_NORM_SQL.format(c='text')}))
                            AS exact_distinct,
                        count(*) AS n_docs,
-                       string_agg(DISTINCT source, ',' ORDER BY source)
-                           AS sources_csv,
+                       coalesce(string_agg(DISTINCT source, ','
+                           ORDER BY source), '') AS sources_csv,
                        CAST(count(DISTINCT source) AS INT) AS n_sources,
-                       list_sort(list(DISTINCT source)) AS srcs
+                       -- FILTER NULLs: Spark's collect_set drops them,
+                       -- DuckDB's list(DISTINCT ..) would keep one
+                       list_sort(list(DISTINCT source)
+                           FILTER (WHERE source IS NOT NULL)) AS srcs
                 FROM documents GROUP BY lang
             )
+            -- coalesce(.., ''): DuckDB array_to_string of an EMPTY
+            -- list is NULL, Spark concat_ws is '' — align to ''
             SELECT lang, exact_distinct, n_docs, sources_csv, n_sources,
-                   array_to_string(list_sort(list_intersect(srcs,
-                       ['src1','src2','src42'])), ',') AS common_srcs,
-                   array_to_string(list_sort(list_filter(srcs,
-                       x -> x NOT IN ('src1','src2','src42'))), ',')
+                   coalesce(array_to_string(list_sort(list_intersect(srcs,
+                       ['src1','src2','src42'])), ','), '') AS common_srcs,
+                   coalesce(array_to_string(list_sort(list_filter(srcs,
+                       x -> x NOT IN ('src1','src2','src42'))), ','), '')
                        AS extra_srcs,
                    CAST(len(list_distinct(list_concat(srcs,
                        ['src1','src2','src42']))) AS INT) AS n_union_ref,
                    list_contains(srcs, 'src1') AS has_src1,
                    CAST(coalesce(list_position(srcs, 'src1'), 0) AS BIGINT)
                        AS src1_pos,
-                   array_to_string(list_slice(srcs, 1, 2), ',')
+                   coalesce(array_to_string(list_slice(srcs, 1, 2), ','), '')
                        AS first_two_srcs
             FROM g
         """,
