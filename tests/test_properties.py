@@ -193,6 +193,36 @@ def test_chunk_text_reconstructs_any_document(
 
 @settings(**SETTINGS)
 @given(
+    text_len=st.integers(min_value=0, max_value=400),
+    chunk_chars=st.integers(min_value=2, max_value=120),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_window_arithmetic_matches_operator(
+    spark, text_len, chunk_chars, overlap_frac
+):
+    """The analytic window formula the token_stats ORACLE uses
+    (generate_series starts; per-chunk size least(C, max(L-s+1, 0)))
+    must equal the operator's actual chunk count and summed sizes for
+    ANY (length, chunk size, overlap) — this is the identity that
+    makes the DuckDB twin an independent check rather than a copy."""
+    from projet_big_data_boutin_danre_spark.operators import text as text_ops
+
+    overlap = min(int(chunk_chars * overlap_frac), chunk_chars - 1)
+    step = chunk_chars - overlap
+    doc = "".join(chr(97 + (i * 5) % 26) for i in range(text_len))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    rows = text_ops.chunk_text(
+        df, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap
+    ).collect()
+    starts = list(range(1, max(text_len - overlap, 1) + 1, step))
+    assert len(rows) == len(starts)
+    assert sum(r["n_chars"] for r in rows) == sum(
+        min(chunk_chars, max(text_len - s + 1, 0)) for s in starts
+    )
+
+
+@settings(**SETTINGS)
+@given(
     left_offsets=st.lists(
         st.integers(min_value=0, max_value=600), min_size=1, max_size=15
     ),
