@@ -288,3 +288,24 @@ def test_partition_pruning_on_day_partitioned_layer(spark, tmp_path):
     pf = scan.split("PartitionFilters: [", 1)[1]
     assert "20250101" in pf.split("]", 1)[0]
     assert pruned.count() == 50
+
+
+def test_near_dup_lsh_uses_arrow_kernel_no_collect(spark, sf0001):
+    """r5: the self-blocking LSH near-dup path computes bucket bits in
+    the Arrow numpy kernel (MapInPandas), not the per-row Column-HOF
+    fold (r4 verdict #1) — and keeps everything in the plan: one
+    embeddings scan, one Arrow bucket stage feeding one grouped-map
+    pair stage, no driver collect."""
+    from projet_big_data_boutin_danre_spark.operators import similarity
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    out = similarity.near_dup_pairs_cosine_lsh(
+        emb, "vec_id", "embedding", threshold=0.25, n_planes=8, dim=64
+    )
+    plan = _plan(out)
+    assert plan.count("FileScan parquet") == 1
+    assert "MapInPandas" in plan           # Arrow bucket kernel
+    assert "FlatMapGroupsInPandas" in plan  # per-block pair scoring
+    # the HOF fold would show as a chain of `aggregate(` expressions
+    assert "aggregate(" not in plan
