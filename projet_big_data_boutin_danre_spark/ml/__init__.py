@@ -3,6 +3,7 @@ from .regression import (
     price_regression_exact,
     price_regression_metrics,
     train_price_model,
+    train_price_model_gbt,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "price_regression_exact",
     "price_regression_metrics",
     "train_price_model",
+    "train_price_model_gbt",
 ]

@@ -54,6 +54,45 @@ def train_price_model(
     return model, train, test
 
 
+def train_price_model_gbt(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    seed: int = 42,
+    train_fraction: float = 0.8,
+    max_iter: int = 20,
+    max_depth: int = 5,
+):
+    """The ML_ROADMAP's second model (``ML_ROADMAP.md``: GBT after the
+    linear baseline): gradient-boosted trees on the same feature
+    assembly and 80/20 split. Returns (model, train, test).
+
+    Scale: MLlib GBT is the distributed boosting implementation —
+    each iteration is a full pass over the cached training set, so
+    ``max_iter`` bounds total scans; depth-bounded trees keep the
+    per-pass histogram state small. No driver-side data movement
+    beyond the fitted tree ensemble (model state, like IVF's
+    centroids)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    assembled = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features"
+    ).transform(df.dropna(subset=[*feature_cols, label_col]))
+    train, test = assembled.randomSplit(
+        [train_fraction, 1.0 - train_fraction], seed=seed
+    )
+    train = train.cache()
+    model = GBTRegressor(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        seed=seed,
+    ).fit(train)
+    return model, train, test
+
+
 def hash_split_flag(key_cols: Sequence[str], threshold_256: int = 205) -> "F.Column":
     """Deterministic train/test split flag, reproducible in any SQL
     engine (unlike ``F.rand(seed)`` / ``randomSplit``, whose streams

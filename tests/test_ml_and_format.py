@@ -40,3 +40,33 @@ def test_format_ads_pipeline(spark):
     assert out[8].price is None  # 0 cents -> null (reference semantics)
     assert out[8].city is None and out[8].zipcode is None  # N/A -> null struct
     assert out[8].date is None  # coercing parse
+
+
+def test_mllib_training_paths_fit_and_predict(spark):
+    """SURVEY §7 step 8 (ML_ROADMAP parity): both MLlib models — the
+    LinearRegression baseline and the GBT follow-up — fit on the same
+    feature assembly + seeded 80/20 split and produce finite
+    predictions on the held-out side. (The graded regression numbers
+    come from the closed-form path, price_regression; this pins the
+    MLlib train/serve plumbing itself.)"""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    from projet_big_data_boutin_danre_spark.ml import (
+        train_price_model,
+        train_price_model_gbt,
+    )
+
+    # y = 3*a + 2*b + noise-free: both models should fit near-perfectly
+    df = spark.range(200).select(
+        (F.col("id") % 17).cast("double").alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"),
+        ((F.col("id") % 17) * 3.0 + (F.col("id") % 7) * 2.0).alias("y"),
+    )
+    for trainer in (train_price_model, train_price_model_gbt):
+        model, train, test = trainer(df, ["a", "b"], "y", seed=42)
+        assert train.count() + test.count() == 200
+        preds = model.transform(test)
+        rmse = RegressionEvaluator(
+            labelCol="y", predictionCol="prediction", metricName="rmse"
+        ).evaluate(preds)
+        assert rmse == rmse and rmse < 10.0  # finite and sane
