@@ -349,36 +349,62 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """A1 extended: the classic pricing-summary aggregate (multi-agg
     groupBy — the engine's OLAP backbone)."""
     li = load_table(spark, sf, "lineitem")
+    # EXACT integer units end-to-end (the enrichment_join idiom, r5):
+    # 2-decimal money/rates become integer cents / basis units, every
+    # sum is an exact integer, and the single final division + floor
+    # rounding is a deterministic double op — float partial-sum ORDER
+    # (Spark partitioned partials vs DuckDB scan order) can no longer
+    # flip a .xx5 rounding boundary. decimal(20,0) on the 3-factor
+    # products keeps the sums overflow-proof at any sf (ANSI mode
+    # would raise on a long overflow at very large scale).
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    disc_units = (ep_c * (F.lit(100) - d100)).cast("decimal(20,0)")
+    charge_units = (
+        ep_c * (F.lit(100) - d100) * (F.lit(100) + t100)
+    ).cast("decimal(20,0)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(ep_c).cast("double") / F.lit(100.0)).alias(
+                "sum_base_price"
+            ),
+            (F.sum(disc_units).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(charge_units).cast("double") / F.lit(1000000.0)).alias(
+                "sum_charge"
+            ),
             # floor idiom, not round(): averages of integer/2-decimal
             # data land exactly on half-boundaries when the count
-            # divides evenly (see SCALE.md); sums of 2dp data can't.
-            (F.floor(F.avg("l_quantity") * 100 + F.lit(0.5)) / 100).alias(
-                "avg_qty"
-            ),
-            (F.floor(F.avg("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias(
-                "avg_price"
-            ),
-            (F.floor(F.avg("l_discount") * 10000 + F.lit(0.5)) / 10000).alias(
-                "avg_disc"
-            ),
-            F.count(F.lit(1)).alias("count_order"),
+            # divides evenly (see SCALE.md).
+            (
+                F.floor(
+                    F.sum(qty_c).cast("double") / (F.lit(100.0) * n) * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(ep_c).cast("double") / (F.lit(100.0) * n) * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("avg_price"),
+            (
+                F.floor(
+                    F.sum(d100).cast("double") / (F.lit(100.0) * n) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -386,7 +412,10 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Window/lag sessionization (engine extension; streaming analog is
     session_window): new session when gap > 30 min."""
-    ev = load_table(spark, sf, "events")
+    # event-time operators ignore rows with no event time (Spark's
+    # native windows drop them; the lag/window formulation must too,
+    # and the engines disagree on NULL ordering) — filter both sides
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # Exact integer microseconds on BOTH sides (oracle: epoch_us) —
     # whole-second casts truncate and can split sessions differently
@@ -421,7 +450,7 @@ def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
         session_counts,
     )
 
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     s = session_counts(ev, "ts", "user_id", gap="30 minutes")
     return s.select(
         "user_id",
@@ -438,7 +467,7 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ASOF LEFT JOIN."""
     from projet_big_data_boutin_danre_spark.operators.asof import asof_join
 
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -463,7 +492,7 @@ def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
         interval_join,
     )
 
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -871,7 +900,9 @@ def q_time_windows(spark: SparkSession, sf: str) -> DataFrame:
     sum order can't diverge across engines. Sliding semantics: every
     event lands in exactly width/slide windows (the oracle replicates
     by generating both candidate window starts per event)."""
-    ev = load_table(spark, sf, "events")
+    # Spark's window()/session_window() drop NULL event times by
+    # construction; filter explicitly so the oracle twin mirrors it
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     aggs = [
         F.count(F.lit(1)).alias("n"),
         (
@@ -991,7 +1022,7 @@ def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     order), event sequence number (row_number) and inter-event gap in
     whole microseconds (lag) — ranking/offset functions alongside the
     frame aggregate, all under the same deterministic total order."""
-    ev = load_table(spark, sf, "events")
+    ev = load_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     wo = Window.partitionBy("user_id").orderBy(*order)
     w = wo.rowsBetween(-3, Window.currentRow)
@@ -1271,7 +1302,11 @@ def _sql_price_regression() -> str:
     det = "(dn * (dsxx + 0.01) - dsx * dsx)"
     return f"""
         WITH base AS (
-            SELECT CAST(l_quantity AS BIGINT) AS xq,
+            -- trunc before the int cast: Spark's double->bigint cast
+            -- TRUNCATES toward zero while DuckDB's ROUNDS to nearest;
+            -- identical today (integral quantities) but not under a
+            -- regenerated fractional distribution
+            SELECT CAST(trunc(l_quantity) AS BIGINT) AS xq,
                    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc,
                    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
                      + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)
@@ -1576,17 +1611,30 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 5
         """,
         "tpch_q1": """
+            WITH b AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d100,
+                       CAST(round(l_tax * 100) AS BIGINT) AS t100
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
-                   floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price,
-                   floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+                   CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sum(ep_c) AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(ep_c * (100 - d100)) AS DOUBLE) / 10000.0
+                       AS sum_disc_price,
+                   CAST(sum(ep_c * (100 - d100) * (100 + t100)) AS DOUBLE)
+                       / 1000000.0 AS sum_charge,
+                   floor(CAST(sum(qty_c) AS DOUBLE) / (100.0 * count(*))
+                         * 100 + 0.5) / 100 AS avg_qty,
+                   floor(CAST(sum(ep_c) AS DOUBLE) / (100.0 * count(*))
+                         * 100 + 0.5) / 100 AS avg_price,
+                   floor(CAST(sum(d100) AS DOUBLE) / (100.0 * count(*))
+                         * 10000 + 0.5) / 10000 AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            FROM b
             GROUP BY l_returnflag, l_linestatus
         """,
         "sessionize": """
@@ -1599,7 +1647,7 @@ def oracle_sql() -> dict[str, str]:
                                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                             ) IS NULL
                        THEN 1 ELSE 0 END AS new_sess
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ), sess AS (
                 SELECT user_id, event_id, ts,
                        CAST(sum(new_sess) OVER (
@@ -1632,10 +1680,11 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": """
             WITH l AS (
                 SELECT event_id, user_id, ts FROM events
-                WHERE event_type = 'click'
+                WHERE event_type = 'click' AND ts IS NOT NULL
             ), r AS (
                 SELECT user_id, ts, max(value) AS last_purchase_value
-                FROM events WHERE event_type = 'purchase'
+                FROM events
+                WHERE event_type = 'purchase' AND ts IS NOT NULL
                 GROUP BY user_id, ts
             )
             SELECT l.event_id, l.user_id,
@@ -1654,7 +1703,7 @@ def oracle_sql() -> dict[str, str]:
                                 PARTITION BY user_id ORDER BY ts ASC
                             ) IS NULL
                        THEN 1 ELSE 0 END AS new_sess
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ), sess AS (
                 SELECT user_id, ts,
                        sum(new_sess) OVER (
@@ -1711,9 +1760,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY source), '') AS sources_csv,
                        CAST(count(DISTINCT source) AS INT) AS n_sources,
                        -- FILTER NULLs: Spark's collect_set drops them,
-                       -- DuckDB's list(DISTINCT ..) would keep one
-                       list_sort(list(DISTINCT source)
-                           FILTER (WHERE source IS NOT NULL)) AS srcs
+                       -- DuckDB's list(DISTINCT ..) would keep one.
+                       -- coalesce to []: an all-NULL group aggregates
+                       -- to NULL here but to an EMPTY array in Spark
+                       -- (list_contains/list_concat on NULL would
+                       -- propagate NULL vs Spark's false/len)
+                       coalesce(list_sort(list(DISTINCT source)
+                           FILTER (WHERE source IS NOT NULL)), [])
+                           AS srcs
                 FROM documents GROUP BY lang
             )
             -- coalesce(.., ''): DuckDB array_to_string of an EMPTY
@@ -1776,13 +1830,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": f"""
             WITH {_sql_minhash_sigs_cte()},
             bands AS (
-                SELECT id, 0 AS band, md5(sig_0 || '|' || sig_1) AS band_key FROM sigs
+                SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
                 UNION ALL
-                SELECT id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+                SELECT id, 1, md5(concat_ws('|', sig_2, sig_3)) FROM sigs
                 UNION ALL
-                SELECT id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+                SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs
                 UNION ALL
-                SELECT id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+                SELECT id, 3, md5(concat_ws('|', sig_6, sig_7)) FROM sigs
             )
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM bands a
@@ -1827,9 +1881,12 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": f"""
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id < 8
+                FROM embeddings
+                WHERE vec_id < 8 AND vec_id IS NOT NULL
+                  AND embedding IS NOT NULL
             ),
-            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+                 WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
             scored AS (
                 SELECT query_id, neighbor_id,
                        round(({_sql_dot_chain('qv', 'cv')})
@@ -1850,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, embedding,
                        {_sql_rh_bucket('embedding')} AS blk
                 FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
             ),
             lab AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1857,8 +1915,12 @@ def oracle_sql() -> dict[str, str]:
                              / (sqrt({_sql_norm_chain('a.embedding')})
                                 * sqrt({_sql_norm_chain('b.embedding')})), 6)
                            AS cosine
-                FROM embeddings a
-                JOIN embeddings b
+                FROM (SELECT * FROM embeddings
+                      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                        AND label IS NOT NULL) a
+                JOIN (SELECT * FROM embeddings
+                      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                        AND label IS NOT NULL) b
                   ON a.label = b.label AND a.vec_id < b.vec_id
             ),
             lsh AS (
@@ -1884,22 +1946,26 @@ def oracle_sql() -> dict[str, str]:
                             WHEN doc_id % 3 = 1 THEN 'audio'
                             ELSE 'video' END AS kind,
                        md5(text) AS h,
-                       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+                       -- NULL text -> NULL payload -> the Spark stub
+                       -- emits n_bytes 0 and all-zero features
+                       CAST(coalesce(octet_length(CAST(text AS BLOB)), 0)
+                            AS BIGINT) AS n_bytes
                 FROM documents
             )
             SELECT media_id, kind, n_bytes,
-                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                   -- coalesce 0.0: NULL payload -> stub features are zeros
+                   coalesce(round(CAST(CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
                          + (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0
-                         AS FLOAT) AS DOUBLE), 6) AS f0,
-                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                         AS FLOAT) AS DOUBLE), 6), 0.0) AS f0,
+                   coalesce(round(CAST(CAST(((instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
                          + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) / 255.0
-                         AS FLOAT) AS DOUBLE), 6) AS f1,
-                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                         AS FLOAT) AS DOUBLE), 6), 0.0) AS f1,
+                   coalesce(round(CAST(CAST(((instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
                          + (instr('0123456789abcdef', substr(h, 6, 1)) - 1)) / 255.0
-                         AS FLOAT) AS DOUBLE), 6) AS f2,
-                   round(CAST(CAST(((instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+                         AS FLOAT) AS DOUBLE), 6), 0.0) AS f2,
+                   coalesce(round(CAST(CAST(((instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
                          + (instr('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0
-                         AS FLOAT) AS DOUBLE), 6) AS f3
+                         AS FLOAT) AS DOUBLE), 6), 0.0) AS f3
             FROM m
         """,
         "resize_plan": """
@@ -2019,32 +2085,41 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id AS id, embedding AS cv,
                        {_sql_rh_bucket('embedding')} AS bucket
                 FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
             ),
             qb AS (
                 SELECT vec_id AS query_id, embedding AS qv,
                        {_sql_rh_bucket('embedding')} AS bucket,
                        'closure' AS strategy
-                FROM embeddings WHERE vec_id < 8
+                FROM embeddings
+                WHERE vec_id < 8 AND vec_id IS NOT NULL
+                  AND embedding IS NOT NULL
                 UNION ALL
                 SELECT vec_id AS query_id, embedding AS qv,
                        {_sql_rh_bucket('embedding')} AS bucket,
                        'join' AS strategy
-                FROM embeddings WHERE vec_id % 7 = 0
+                FROM embeddings
+                WHERE vec_id % 7 = 0 AND vec_id IS NOT NULL
+                  AND embedding IS NOT NULL
             ),
             mtb AS (
                 SELECT vec_id, embedding,
                        '0:' || {_sql_rh_bucket('embedding', seed=7)} AS blk
                 FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
                 UNION ALL
                 SELECT vec_id, embedding,
                        '1:' || {_sql_rh_bucket('embedding', seed=108)} AS blk
                 FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
             ),
             iv_cells AS (
                 SELECT vec_id, embedding, cells.cell,
                        {_sql_ivf_cell_cos('embedding', _ivf_fixed_centroids())}
                            AS ccos
-                FROM embeddings,
+                FROM (SELECT * FROM embeddings
+                      WHERE vec_id IS NOT NULL
+                        AND embedding IS NOT NULL) embeddings,
                      (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS cells(cell)
             ),
             iv_rank AS (
@@ -2097,7 +2172,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS value_sum,
                    'tumbling' AS win
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             GROUP BY 1, 2
             UNION ALL
             SELECT w_start, event_type, n, value_sum, 'sliding' AS win
@@ -2108,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
                                (floor(epoch(ts) / 300) - t.o) * 300 * 1000000
                                AS BIGINT)) AS w_start
                     FROM events, (VALUES (0), (1)) AS t(o)
+                    WHERE ts IS NOT NULL
                 )
                 SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start,
                        event_type,
@@ -2181,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER wo AS INT) AS seq_n,
                    epoch_us(ts) - lag(epoch_us(ts), 1) OVER wo AS gap_us
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (
                 PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
@@ -2193,9 +2270,12 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_large_q": f"""
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id % 2 = 0
+                FROM embeddings
+                WHERE vec_id % 2 = 0 AND vec_id IS NOT NULL
+                  AND embedding IS NOT NULL
             ),
-            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+                 WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
             scored AS (
                 SELECT query_id, neighbor_id,
                        round(({_sql_dot_chain('qv', 'cv')})

@@ -355,6 +355,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         F.split(normalize_text(text_col), " ").alias("__toks"),
+    ).filter(
+        # NULL block = unblocked: excluded, matching the equi-join
+        # blocking semantics of any SQL formulation
+        F.col("block").isNotNull()
     )
     sets = base.select(
         "id",

@@ -392,7 +392,14 @@ def near_dup_pairs_cosine(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         _as_double_array(vec_col).alias("v"),
-    ).filter(F.col("id").isNotNull() & F.col("v").isNotNull())
+    ).filter(
+        # NULL block = unblocked: excluded, matching equi-join blocking
+        # semantics (a SQL/groupBy formulation would otherwise disagree
+        # on whether NULL keys pair with each other)
+        F.col("id").isNotNull()
+        & F.col("v").isNotNull()
+        & F.col("block").isNotNull()
+    )
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
