@@ -14,9 +14,10 @@ Two implementations with different trade-offs:
   allowed lateness still join their session; the trailing open
   session is flushed by an event-time timeout.
 
-State is bounded: per key, only the timestamps of still-open sessions
-(≤ watermark horizon) are buffered; closed sessions leave state the
-batch they are emitted.
+State is bounded: per key, only [start, last, n] RUN SUMMARIES of
+still-open sessions are held (≤ watermark-horizon/gap runs — NOT one
+entry per event, so a continuously-active key can't grow state without
+bound); closed sessions leave state the batch they are emitted.
 """
 
 from __future__ import annotations
@@ -58,15 +59,23 @@ def sessionize_stateful(
 ) -> DataFrame:
     """Custom stateful sessionizer (``applyInPandasWithState``).
 
-    Per key, buffer open-session event timestamps in state; on every
-    trigger re-split the buffer by gap and emit each session whose
-    ``last_event + gap`` the watermark has passed (it can no longer
-    change). The trailing session is flushed by an event-time timeout
-    at its close point. Output rows: one per CLOSED session.
+    Per key, hold open-session [start, last, n] run summaries in
+    state; on every trigger merge in the batch's runs and emit each
+    session whose ``last_event + gap`` the watermark has passed (it
+    can no longer change). The trailing session is flushed by an
+    event-time timeout at its close point. Output rows: one per
+    CLOSED session.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from .epoch import epoch_ms_to_naive, series_to_epoch_ms
+
     gap_ms = gap_sec * 1000
+    # Captured at plan-build time: Arrow delivers ts as naive SESSION
+    # wall time, but GroupState's watermark/timeout are true epoch ms
+    # — anchor through the session TZ or a non-UTC session closes
+    # sessions offset-early/late (see streaming/epoch.py)
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def _sessions(ts_sorted: list) -> list:
         """Split sorted ms timestamps into [start, last, n] runs."""
@@ -79,29 +88,56 @@ def sessionize_stateful(
                 out.append([t, t, 1])
         return out
 
+    def _merge_runs(runs: list) -> list:
+        """Merge [start, last, n] runs whose boundary gap is within
+        ``gap_ms``. Equivalent to re-splitting the raw sorted event
+        list: gap-splitting depends only on sorted adjacency, a run's
+        internal gaps are ≤ gap by construction, and an event landing
+        inside another run's [start, last] span can never split it —
+        so run summaries are a LOSSLESS state representation, bounded
+        by (watermark horizon / gap) runs per key instead of one entry
+        per buffered event (a continuously-active key would otherwise
+        grow state without bound)."""
+        runs.sort()
+        out: list = []
+        for s, last, n in runs:
+            if out and s - out[-1][1] <= gap_ms:
+                out[-1][1] = max(out[-1][1], last)
+                out[-1][2] += n
+            else:
+                out.append([s, last, n])
+        return out
+
     def _fn(
         key: Tuple[Any], pdfs: Iterator, state: GroupState
     ) -> Iterator:
         import pandas as pd
 
-        buf = list(state.get[0]) if state.exists else []
+        stored = list(state.get[0]) if state.exists else []
+        runs = [
+            [stored[i], stored[i + 1], stored[i + 2]]
+            for i in range(0, len(stored), 3)
+        ]
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-                buf.extend(int(t) for t in ts)
-        buf.sort()
-        wm = state.getCurrentWatermarkMs()
-        closed, open_sessions, still_open = [], [], []
-        for start, last, n in _sessions(buf):
-            if last + gap_ms <= wm:
-                closed.append((start, last, n))
-            else:
-                open_sessions.append((start, last, n))
-                still_open.extend(
-                    t for t in buf if start <= t <= last
+                ts = sorted(
+                    int(t) for t in series_to_epoch_ms(pdf[ts_col], tz)
                 )
-        if still_open:
-            state.update((still_open,))
+                runs.extend(_sessions(ts))
+        runs = _merge_runs(runs)
+        wm = state.getCurrentWatermarkMs()
+        closed = [r for r in runs if r[1] + gap_ms <= wm]
+        open_sessions = [r for r in runs if r[1] + gap_ms > wm]
+        if open_sessions:
+            state.update(
+                (
+                    [
+                        v
+                        for s, last, n in open_sessions
+                        for v in (s, last, n)
+                    ],
+                )
+            )
             # Flush point = the EARLIEST open session's close point
             # (always > watermark, else it would have closed above).
             # Using the trailing session here would deadlock: an
@@ -114,11 +150,11 @@ def sessionize_stateful(
             yield pd.DataFrame(
                 {
                     key_col: [key[0]] * len(closed),
-                    "session_start": pd.to_datetime(
-                        [c[0] for c in closed], unit="ms"
+                    "session_start": epoch_ms_to_naive(
+                        [c[0] for c in closed], tz
                     ),
-                    "session_end": pd.to_datetime(
-                        [c[1] for c in closed], unit="ms"
+                    "session_end": epoch_ms_to_naive(
+                        [c[1] for c in closed], tz
                     ),
                     "n_events": [c[2] for c in closed],
                 }

@@ -69,8 +69,14 @@ def dedup_stream_keep_last(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from .epoch import epoch_ms_to_naive, scalar_to_epoch_ms
+
     if emit not in ("update", "final"):
         raise ValueError(f"unknown emit mode {emit!r}")
+    # Arrow hands timestamps as naive SESSION wall time; state stores
+    # TRUE epoch ms so the event-time timeout math lines up with the
+    # watermark on a non-UTC session (see streaming/epoch.py)
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
     fields = stream.schema.fields
     names = [f.name for f in fields]
     ts_names = {
@@ -112,7 +118,7 @@ def dedup_stream_keep_last(
             if v is not None and pd.isna(v):
                 v = None
             elif c in ts_names:
-                v = int(pd.Timestamp(v).value // 1_000_000)
+                v = scalar_to_epoch_ms(v, tz)
             elif hasattr(v, "item"):  # numpy scalar -> Python scalar
                 v = v.item()
             out[c] = v
@@ -123,7 +129,7 @@ def dedup_stream_keep_last(
         for c in names:
             v = vals[c]
             if c in ts_names:
-                v = pd.NaT if v is None else pd.to_datetime(v, unit="ms")
+                v = pd.NaT if v is None else epoch_ms_to_naive(v, tz)
             cols[c] = [v]
         return pd.DataFrame(cols)
 
@@ -176,12 +182,14 @@ def windowed_counts(
     window: str = "5 minutes",
     lateness: str = "10 minutes",
     slide: str | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Windowed keyed counts + sum — the streaming analog of the
     usage-layer aggregate, with late data handled by the watermark.
     Tumbling by default; pass ``slide`` for hopping windows (an event
     lands in window/slide windows — the streaming twin of the batch
-    ``time_windows`` sliding branch)."""
+    ``time_windows`` sliding branch). ``value_col`` names the summed
+    column (a parameter like the others, not a hardcoded name)."""
     win = (
         F.window(F.col(ts_col), window)
         if slide is None
@@ -192,7 +200,7 @@ def windowed_counts(
         .groupBy(win, F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            F.sum(value_col).alias("total_value"),
         )
     )
 

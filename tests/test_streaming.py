@@ -410,3 +410,70 @@ def test_stream_keep_last_rejects_nested_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="nested columns"):
         dedup_stream_keep_last(stream, "id", "ts")
+
+
+def test_stateful_sessionize_non_utc_session_tz(spark, tmp_path):
+    """The custom stateful operators anchor Arrow's naive session-TZ
+    wall times to TRUE epoch ms before comparing with GroupState's
+    watermark/timeout (streaming/epoch.py): under a non-UTC session
+    timezone the session must still close exactly when the watermark
+    passes its close point — not hours early/late."""
+    import time
+
+    from projet_big_data_boutin_danre_spark.streaming.sessionize import (
+        sessionize_stateful,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    # east-of-UTC is the DISCRIMINATING case: un-anchored wall-as-epoch
+    # ms sit 9h AHEAD of the true watermark, so the session would never
+    # close in this scenario (west-of-UTC merely closes early)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        src = tmp_path / "sess_tz_src"
+        src.mkdir()
+
+        def emit(name, rows):
+            spark.createDataFrame(
+                rows, "user_id long, ts timestamp"
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+        t = dt.datetime(2025, 1, 1, 10, 0)
+        emit("f1", [(7, t), (7, t + dt.timedelta(minutes=5))])
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        sessions = sessionize_stateful(
+            stream, "user_id", "ts", gap_sec=1800, lateness="30 minutes"
+        )
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_tz_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            emit("f2", [(7, t + dt.timedelta(hours=3))])
+            q.processAllAvailable()
+            rows = []
+            for _ in range(30):
+                q.processAllAvailable()
+                rows = spark.sql("SELECT * FROM sess_tz_out").collect()
+                if rows:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["user_id"] == 7 and r["n_events"] == 2
+        # boundaries round-trip exactly in the non-UTC session
+        assert r["session_start"] == t
+        assert r["session_end"] == t + dt.timedelta(minutes=5)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
