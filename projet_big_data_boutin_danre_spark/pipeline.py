@@ -16,9 +16,11 @@ reference's Datalake directories (``raw_to_fmt_dvf.py:11-15``,
 
 Differences from the reference, all deliberate and Spark-first:
 
-- The extract stages (HTTP download / scrape) are out-of-engine
-  ingestion (SURVEY.md §2.1 S1): the runner starts from the raw layer
-  the fetchers would have written.
+- The DVF extract stage (S1) is available as ``extract_dvf`` /
+  ``sources/fetcher.py`` (pluggable transport, offline-testable); the
+  runner fetches only when given a URL — by default it starts from the
+  raw layer so scheduled runs never hide a network dependency. The LBC
+  scrape stays out-of-engine (no public endpoint to re-express).
 - Every per-row Python loop becomes a DataFrame transform; the four
   index tasks deliver reference-shaped bulk actions through a
   pluggable transport (``sources/sinks.py``) — with no transport the
@@ -273,12 +275,29 @@ def compact_usage_layers(spark: SparkSession, lay: DatalakeLayout) -> dict[str, 
     return out
 
 
+def extract_dvf(
+    lay: DatalakeLayout,
+    url: str | None = None,
+    opener=None,
+    force: bool = False,
+):
+    """S1: land the public DVF archive in the raw layer
+    (``dvf_fetcher.py:16-35`` → ``sources/fetcher.fetch_dvf``).
+    Driver-side by nature (one upstream stream); idempotent via the
+    non-empty-target guard, atomic via ``.part``+rename."""
+    from .sources.fetcher import DVF_URL, fetch_dvf
+
+    return fetch_dvf(lay, url or DVF_URL, opener=opener, force=force)
+
+
 def run_pipeline(
     spark: SparkSession,
     datalake_root: str,
     run_day: str | None = None,
     send_actions: Callable[[list[dict]], None] | None = None,
     force: bool = False,
+    dvf_url: str | None = None,
+    fetch_opener=None,
 ) -> dict[str, int]:
     """The whole DAG in dependency order (``DAG_Project.py:76-83``):
     transform both sources, compute the usage layer, then the four-way
@@ -294,6 +313,8 @@ def run_pipeline(
         if run_day
         else DatalakeLayout(datalake_root)
     )
+    if dvf_url is not None:                  # opt-in S1 fetch
+        extract_dvf(lay, dvf_url, opener=fetch_opener, force=force)
     transform_dvf(spark, lay, force=force)   # extract→transform (DVF)
     transform_lbc(spark, lay)                # extract→transform (LBC)
     compute_usage(spark, lay)                # [both] → usage
@@ -315,6 +336,9 @@ def _parquet_exists(spark: SparkSession, path: str) -> bool:
 # per-task Airflow operators (DAG_Project.py:31-74), for re-running one
 # layer without the whole DAG.
 STAGES = {
+    "extract_dvf": lambda spark, lay, force: extract_dvf(
+        lay, force=force
+    ),
     "transform_dvf": lambda spark, lay, force: transform_dvf(
         spark, lay, force=force
     ),

@@ -322,3 +322,21 @@ def test_compact_stage_preserves_usage_layers(spark, datalake, pipeline_run):
     }
     assert after == before
     assert len(spark.read.parquet(lay.usage_market).inputFiles()) == out[lay.usage_market]
+
+
+def test_extract_dvf_feeds_transform(spark, datalake, tmp_path):
+    """S1 end-to-end: fetch the archive from a file:// source into a
+    FRESH lake's raw layer, then transform_dvf reads what the fetcher
+    landed — the extract→transform edge of the DAG
+    (DAG_Project.py: extract_dvf >> transform_dvf)."""
+    src_url = "file://" + os.path.join(
+        datalake, "raw", "gov", "dvf_full.csv.gz"
+    )
+    lake2 = str(tmp_path / "lake2")
+    lay2 = pipeline.DatalakeLayout(lake2, RUN_DAY)
+    res = pipeline.extract_dvf(lay2, src_url)
+    assert res.path == lay2.raw_dvf and res.bytes_written > 0
+    # idempotent re-extract (the reference's skip-if-exists guard)
+    assert pipeline.extract_dvf(lay2, src_url).skipped
+    fmt = pipeline.transform_dvf(spark, lay2)
+    assert fmt.count() == 7
