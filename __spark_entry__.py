@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from projet_big_data_boutin_danre_spark.functions.geo import haversine_km
 from projet_big_data_boutin_danre_spark.operators import (
     cleaning,
+    corpus_prep,
     dedup,
     multimodal,
     pagination,
@@ -564,9 +565,12 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Text analysis: token count, heuristic language ID, quality
-    score, md5 fingerprint — one narrow JVM-side projection."""
+    score, md5 fingerprint — widened (r5) with the PII scrub pass
+    (email/IPv4/long-digit-run redaction counts + scrubbed-text
+    fingerprint, staged-matching semantics) — still one narrow
+    JVM-side projection."""
     docs = load_table(spark, sf, "documents")
-    return text.text_profile(docs, "doc_id", "text")
+    return text.text_profile(docs, "doc_id", "text", include_pii=True)
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -763,20 +767,96 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", *cols)
 
 
-def q_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
-    """Image resize-target computation (metadata-only, JVM-side)."""
+def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
+    """Image resize-target computation + video frame-sampling plan
+    (both metadata-only, JVM-side), tagged into one slot (v1..v4 hold
+    resize: width/height/target_w/target_h; frame: frame_ms) — merged
+    to free a slot for `corpus_sample` within the driver's 50-row
+    correctness window."""
     docs = load_table(spark, sf, "documents")
-    return multimodal.resize_plan(
-        multimodal.synth_media_from_documents(docs), max_side=512
+    media = multimodal.synth_media_from_documents(docs)
+    b = F.lit(None).cast("bigint")
+    rz = multimodal.resize_plan(media, max_side=512).select(
+        F.lit("resize").alias("tag"),
+        "media_id",
+        F.col("width").cast("bigint").alias("v1"),
+        F.col("height").cast("bigint").alias("v2"),
+        F.col("target_w").cast("bigint").alias("v3"),
+        F.col("target_h").cast("bigint").alias("v4"),
     )
+    fr = multimodal.frame_sample(media, every_ms=1000).select(
+        F.lit("frame").alias("tag"),
+        "media_id",
+        F.col("frame_ms").cast("bigint").alias("v1"),
+        b.alias("v2"),
+        b.alias("v3"),
+        b.alias("v4"),
+    )
+    return rz.unionByName(fr)
 
 
-def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Video frame-sampling plan: one row per sampled frame timestamp."""
+# Sample/mix parameters for the corpus_sample slot — shared by the
+# Spark plan and the DuckDB twin (the SQL is generated from these).
+_SAMPLE_FRACTIONS = {"en": 0.8, "fr": 0.5, "de": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_SEED = 7
+_MIX_COUNTS = {"en": 40, "fr": 15}
+_MIX_SEED = 3
+_SHUF_SEED = 9
+_HEAD_N = 20
+
+
+def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-corpus sampling primitives (operators/corpus_prep.py),
+    tagged into one slot:
+
+    - ``sample``: per-lang kept-count + id checksum of a deterministic
+      hash-Bernoulli stratified sample (map-only at scale);
+    - ``mix``: same digest for an exact-count domain mix (the "data
+      recipe" take: first n per stratum in seeded-hash order);
+    - ``head``: the first 20 docs of the deterministic interleave
+      (global range-partitioned sort) with their ranks — checks the
+      global order itself, not just membership. The re-rank window
+      runs over the already-limited 20 rows (bounded, driver-safe).
+
+    All randomness is md5-derived, so the DuckDB twin reproduces every
+    decision bit-for-bit."""
     docs = load_table(spark, sf, "documents")
-    return multimodal.frame_sample(
-        multimodal.synth_media_from_documents(docs), every_ms=1000
+    samp = corpus_prep.stratified_sample(
+        docs, "doc_id", "lang", _SAMPLE_FRACTIONS,
+        default_fraction=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED,
     )
+    mix = corpus_prep.domain_mix(
+        docs, "doc_id", "lang", _MIX_COUNTS, seed=_MIX_SEED
+    )
+
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return corpus_prep.sample_summary(df, "doc_id", "lang").select(
+            F.lit(tag).alias("tag"),
+            F.col("lang").alias("grp"),
+            F.col("n_kept").alias("n"),
+            "sum_ids",
+        )
+
+    head = (
+        corpus_prep.interleave(docs, "doc_id", seed=_SHUF_SEED)
+        .select("doc_id")
+        .limit(_HEAD_N)
+    )
+    head = head.select(
+        F.lit("head").alias("tag"),
+        F.col("doc_id").cast("string").alias("grp"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                corpus_prep.sample_key("doc_id", _SHUF_SEED), F.col("doc_id")
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+        F.lit(None).cast("bigint").alias("sum_ids"),
+    )
+    return digest(samp, "sample").unionByName(digest(mix, "mix")).unionByName(head)
 
 
 def q_sparse_document(spark: SparkSession, sf: str) -> DataFrame:
@@ -1273,10 +1353,16 @@ def _sql_text_profile() -> str:
             SELECT doc_id, text, {norm} AS nt,
                    CAST(length(text) AS DOUBLE) AS n,
                    CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS n_alpha,
-                   CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS n_space
+                   CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS n_space,
+                   regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g') AS ae
             FROM documents
+        ), staged AS (
+            SELECT *, regexp_replace(ae, '{text.IPV4_RE}', '<IP>', 'g') AS ai
+            FROM base
         ), hits AS (
-            SELECT doc_id, nt, n, n_alpha, n_space, {hit_cols} FROM base
+            SELECT doc_id, text, nt, n, n_alpha, n_space, ae, ai,
+                   regexp_replace(ai, '{text.LONG_NUM_RE}', '<NUM>', 'g') AS scrubbed,
+                   {hit_cols} FROM staged
         )
         SELECT doc_id,
                len(list_filter(string_split(nt, ' '), x -> x <> '')) AS n_tokens,
@@ -1285,8 +1371,62 @@ def _sql_text_profile() -> str:
                       + 0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
                       + 0.3 * greatest(0.0, 1.0 - abs(n_space / greatest(n, 1.0) - 0.15) * 2))
                      * 10000.0 + 0.5) / 10000.0 AS quality,
-               md5(nt) AS fingerprint
+               md5(nt) AS fingerprint,
+               CAST(len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(ae, '{text.IPV4_RE}')) AS INT) AS n_ips,
+               CAST(len(regexp_extract_all(ai, '{text.LONG_NUM_RE}')) AS INT) AS n_long_nums,
+               CAST(length(scrubbed) AS INT) AS scrubbed_len,
+               md5(scrubbed) AS scrubbed_fp
         FROM hits
+    """
+
+
+def _sql_corpus_sample() -> str:
+    """DuckDB twin of q_corpus_sample, generated from the SAME
+    fraction/count/seed constants so Spark and oracle can't drift.
+    Thresholds come from corpus_prep.hex_threshold — keep/drop is a
+    string compare over md5 hex slices, identical in both engines."""
+    skey = "substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    thr = " ".join(
+        f"WHEN '{k}' THEN '{corpus_prep.hex_threshold(v)}'"
+        for k, v in sorted(_SAMPLE_FRACTIONS.items())
+    )
+    take = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(_MIX_COUNTS.items())
+    )
+    return f"""
+        SELECT 'sample' AS tag, lang AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+        WHERE {skey.format(seed=_SAMPLE_SEED)} <
+              CASE lang {thr}
+                   ELSE '{corpus_prep.hex_threshold(_SAMPLE_DEFAULT)}' END
+        GROUP BY lang
+        UNION ALL
+        SELECT 'mix', lang, CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {skey.format(seed=_MIX_SEED)}, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= CASE lang {take} ELSE 0 END
+        GROUP BY lang
+        UNION ALL
+        SELECT 'head', CAST(doc_id AS VARCHAR), CAST(rk AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY {skey.format(seed=_SHUF_SEED)}, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {_HEAD_N}
     """
 
 
@@ -1426,8 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cosine": q_near_dup_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
-        "resize_plan": q_resize_plan,
-        "frame_sample": q_frame_sample,
+        "media_plans": q_media_plans,
+        "corpus_sample": q_corpus_sample,
         "corpus_cardinality": q_corpus_cardinality,  # rows-only: HLL sketch
     }
 
@@ -1968,28 +2108,31 @@ def oracle_sql() -> dict[str, str]:
                          AS FLOAT) AS DOUBLE), 6), 0.0) AS f3
             FROM m
         """,
-        "resize_plan": """
+        "media_plans": """
             WITH m AS (
                 SELECT doc_id AS media_id,
                        CAST(n_chars % 1920 + 16 AS INT) AS width,
                        CAST(n_chars % 1080 + 16 AS INT) AS height
                 FROM documents WHERE doc_id % 3 = 0
             )
-            SELECT media_id, width, height,
+            SELECT 'resize' AS tag, media_id,
+                   CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,
                    CAST(ceil(width * least(1.0, 512.0 / greatest(width, height)))
-                        AS INT) AS target_w,
+                        AS BIGINT) AS v3,
                    CAST(ceil(height * least(1.0, 512.0 / greatest(width, height)))
-                        AS INT) AS target_h
+                        AS BIGINT) AS v4
             FROM m
-        """,
-        "frame_sample": """
-            SELECT media_id, CAST(f AS BIGINT) AS frame_ms FROM (
+            UNION ALL
+            SELECT 'frame', media_id, CAST(f AS BIGINT),
+                   NULL, NULL, NULL
+            FROM (
                 SELECT doc_id AS media_id,
                        unnest(generate_series(0, greatest(n_chars * 10 - 1, 0),
                                               1000)) AS f
                 FROM documents WHERE doc_id % 3 = 2
             )
         """,
+        "corpus_sample": _sql_corpus_sample(),
         "sparse_document": """
             SELECT CAST(event_id AS VARCHAR) AS _id,
                    '{' || concat_ws(',',

@@ -1,0 +1,150 @@
+"""Training-corpus preparation: deterministic sampling, domain
+mixing, and interleaving.
+
+A 100 TB pretraining pipeline needs three sampling primitives after
+dedup/quality gating:
+
+- **stratified_sample** — keep a per-stratum fraction (e.g. 80% of
+  web, 5% of forums) *deterministically*: the keep/drop decision is a
+  pure function of (id, seed), so re-runs, retries, and incremental
+  backfills make identical decisions with no RNG state anywhere.
+- **domain_mix** — take an *exact* per-stratum document count (the
+  "data recipe": 2M docs of code, 1M of encyclopedia, ...), again as a
+  pure function of the data.
+- **interleave** — a deterministic global shuffle order for training
+  readers, as a range-partitioned sort (Spark's distributed sort), not
+  a driver-side permutation.
+
+All three derive their randomness from an md5 slice
+(``functions.hashing`` rationale: md5 is bit-identical in PySpark and
+DuckDB, so every decision here is checkable against the ANSI-SQL
+oracle exactly — no statistical tolerance needed). Everything is
+JVM-side Column algebra inside whole-stage codegen; no UDFs, no
+collect.
+
+Scale notes per operator are on the functions. The reference engine
+has no sampling surface (its pipeline is full-table, see SURVEY §2);
+these are engine extensions for the LLM-data roadmap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sample_key",
+    "hex_threshold",
+    "stratified_sample",
+    "domain_mix",
+    "interleave",
+    "sample_summary",
+]
+
+
+def sample_key(id_col: Column | str, seed: int) -> Column:
+    """Uniform 32-bit order key as 8 lowercase hex chars:
+    ``substr(md5('<seed>|' || id), 1, 8)``. Lexicographic order over
+    fixed-width hex == numeric order, identical in Spark and DuckDB.
+    Different seeds give independent orders (seeded digest, same trick
+    as ``hashing.md5_min_shingle``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 8
+    )
+
+
+def hex_threshold(fraction: float) -> str:
+    """Keep-threshold string for a fraction: key < threshold keeps
+    ~fraction of rows (exactly ``floor(fraction * 2^32)`` of the 2^32
+    key values). fraction ≥ 1 returns ``"g"`` — lexicographically
+    above every hex string, so everything passes; fraction ≤ 0 returns
+    ``"00000000"`` — nothing is strictly below the minimum key."""
+    if fraction >= 1.0:
+        return "g"
+    n = max(0, int(fraction * 2**32))
+    return format(n, "08x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic hash-Bernoulli sample with per-stratum rates.
+
+    A row is kept iff ``sample_key(id, seed) < threshold(stratum)`` —
+    a narrow filter, **no shuffle, no RNG state**: at 100 TB this is a
+    map-only pass that combines with the scan (and with partition
+    pruning on the stratum column when the table is so partitioned).
+    Unlike ``DataFrame.sample``, re-running on a grown table keeps
+    every previously-kept row (decisions depend only on id+seed), so
+    incremental pipelines don't resample history."""
+    thresh: Column = F.lit(hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(hex_threshold(frac))
+        ).otherwise(thresh)
+    return df.filter(sample_key(id_col, seed) < thresh)
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    counts: Mapping[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-count per-stratum take: the first ``counts[stratum]``
+    rows of each stratum in seeded-hash order (ties broken by id, so
+    the result is a pure function of the data even across the ~n²/2³²
+    expected 32-bit key collisions).
+
+    One shuffle (partition by stratum) + per-stratum sort. With few
+    strata and huge ones, the per-stratum sort is the cost; when
+    ``counts[s] ≪ |s|``, pre-filter with
+    ``stratified_sample(fractions={s: c_s/|s| * slack})`` to shrink
+    the sort input by orders of magnitude, then take exact counts from
+    the survivors — same result, tiny shuffle. Strata absent from
+    ``counts`` are dropped (take 0)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_key(id_col, seed), F.col(id_col)
+    )
+    limit: Column = F.lit(0)
+    for value, n in sorted(counts.items()):
+        limit = F.when(
+            F.col(strata_col) == value, F.lit(int(n))
+        ).otherwise(limit)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= limit)
+        .drop("__rk")
+    )
+
+
+def interleave(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic global shuffle for training readers: total order
+    by ``(sample_key(id, seed), id)``. Spark executes this as a
+    range-partitioned sort (sampled range boundaries, then sort within
+    partitions) — the scalable distributed shuffle-order, no single
+    reducer, no driver materialization. Writers that consume the
+    order (e.g. sharded sequence files) preserve it per output
+    partition."""
+    return df.orderBy(sample_key(id_col, seed), F.col(id_col))
+
+
+def sample_summary(
+    sampled: DataFrame, id_col: str, strata_col: str
+) -> DataFrame:
+    """Oracle-friendly digest of a sample/mix decision: per-stratum
+    kept-count and kept-id checksum (sum of ids — order-free, exact).
+    Map-side partial agg, one tiny shuffle."""
+    return sampled.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col(id_col).cast("bigint")).alias("sum_ids"),
+    )

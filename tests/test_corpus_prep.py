@@ -1,0 +1,137 @@
+"""Corpus-prep operators: deterministic sampling, mixing,
+interleaving (operators/corpus_prep.py), PII scrub (operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.operators import corpus_prep as cp
+from projet_big_data_boutin_danre_spark.operators import text as text_ops
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("es")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_hex_threshold_edges():
+    assert cp.hex_threshold(0.0) == "00000000"
+    assert cp.hex_threshold(1.0) == "g"
+    assert cp.hex_threshold(0.5) == "80000000"
+    # every hex key sorts below "g", none below "00000000"
+    assert "ffffffff" < "g" and not ("00000000" < "00000000")
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    docs = _docs(spark)
+    fr = {"en": 1.0, "fr": 0.5, "de": 0.0}
+    a = cp.stratified_sample(docs, "doc_id", "lang", fr, seed=7)
+    b = cp.stratified_sample(docs, "doc_id", "lang", fr, seed=7)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    assert ids_a == sorted(r["doc_id"] for r in b.collect())  # pure fn
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en") == 50          # fraction 1.0 keeps all
+    assert by_lang.get("de") is None        # fraction 0.0 keeps none
+    assert by_lang.get("es") is None        # default_fraction=0.0
+    assert 10 <= by_lang.get("fr", 0) <= 40  # ~25 of 50 at p=.5
+
+
+def test_stratified_sample_decisions_stable_under_growth(spark):
+    """Incremental property: growing the table never flips an old
+    row's keep/drop decision."""
+    fr = {"en": 0.4, "fr": 0.4, "de": 0.4, "es": 0.4}
+    small = cp.stratified_sample(_docs(spark, 100), "doc_id", "lang", fr)
+    big = cp.stratified_sample(_docs(spark, 200), "doc_id", "lang", fr)
+    kept_small = {r["doc_id"] for r in small.collect()}
+    kept_big = {r["doc_id"] for r in big.collect()}
+    assert kept_small == {i for i in kept_big if i < 100}
+
+
+def test_domain_mix_exact_counts_and_determinism(spark):
+    docs = _docs(spark)
+    take = {"en": 7, "fr": 50, "es": 60}  # es over-asks (only 50 exist)
+    out = cp.domain_mix(docs, "doc_id", "lang", take, seed=3)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang == {"en": 7, "fr": 50, "es": 50}  # de absent → 0
+    again = cp.domain_mix(docs, "doc_id", "lang", take, seed=3)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a different seed takes a different subset of en
+    other = cp.domain_mix(docs, "doc_id", "lang", take, seed=4)
+    en = lambda df: {r["doc_id"] for r in df.filter(F.col("lang") == "en").collect()}
+    assert en(out) != en(other)
+
+
+def test_interleave_is_total_deterministic_permutation(spark):
+    docs = _docs(spark, 300)
+    got = [r["doc_id"] for r in cp.interleave(docs, "doc_id", seed=9).collect()]
+    assert sorted(got) == list(range(300))            # permutation
+    assert got != list(range(300))                    # actually shuffled
+    again = [r["doc_id"] for r in cp.interleave(docs, "doc_id", seed=9).collect()]
+    assert got == again
+    # matches the key order computed independently
+    keyed = docs.select(
+        "doc_id", cp.sample_key("doc_id", 9).alias("k")
+    ).collect()
+    expect = [r["doc_id"] for r in sorted(keyed, key=lambda r: (r["k"], r["doc_id"]))]
+    assert got == expect
+
+
+def test_interleave_plan_is_range_partitioned_sort(spark):
+    df = cp.interleave(_docs(spark, 300), "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" in plan
+    assert "rangepartitioning" in plan.lower()  # not a single reducer
+
+
+def test_sample_summary_checksums(spark):
+    docs = _docs(spark, 40)
+    out = {
+        r["lang"]: (r["n_kept"], r["sum_ids"])
+        for r in cp.sample_summary(docs, "doc_id", "lang").collect()
+    }
+    assert out["en"] == (10, sum(range(0, 40, 4)))
+
+
+def test_pii_scrub_goldens(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@corp.example.com or at 10.0.0.1"),
+        (1, "card 1234567890123 and short 12345678"),
+        (2, "nested digits inside addr 123456789@host.org stay EMAIL"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           text_ops.pii_scrub(df, "doc_id", "text").collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_long_nums"]) == (1, 1, 0)
+    assert (got[1]["n_emails"], got[1]["n_long_nums"]) == (0, 1)  # 8 digits: kept
+    # the 9-digit local part is consumed by the email redaction
+    assert (got[2]["n_emails"], got[2]["n_long_nums"]) == (1, 0)
+    assert got[3]["scrubbed_fp"] is None and got[3]["n_emails"] is None
+
+
+def test_text_profile_pii_widening_matches_standalone(spark):
+    docs = _docs(spark, 20).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" ping 192.168.0.1"))
+    )
+    wide = text_ops.text_profile(docs, "doc_id", "text", include_pii=True)
+    scrub = text_ops.pii_scrub(docs, "doc_id", "text")
+    assert set(scrub.columns) <= set(wide.columns)
+    w = {r["doc_id"]: r for r in wide.collect()}
+    for r in scrub.collect():
+        assert r["n_ips"] == 1
+        assert w[r["doc_id"]]["scrubbed_fp"] == r["scrubbed_fp"]
