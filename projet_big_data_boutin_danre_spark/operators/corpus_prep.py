@@ -39,6 +39,7 @@ __all__ = [
     "hex_threshold",
     "stratified_sample",
     "domain_mix",
+    "mix_underflow",
     "interleave",
     "sample_summary",
 ]
@@ -99,19 +100,32 @@ def domain_mix(
     strata_col: str,
     counts: Mapping[str, int],
     seed: int = 42,
+    prefilter_fractions: Mapping[str, float] | None = None,
 ) -> DataFrame:
     """Exact-count per-stratum take: the first ``counts[stratum]``
     rows of each stratum in seeded-hash order (ties broken by id, so
     the result is a pure function of the data even across the ~n²/2³²
-    expected 32-bit key collisions).
+    expected 32-bit key collisions). Strata absent from ``counts`` are
+    dropped (take 0).
 
-    One shuffle (partition by stratum) + per-stratum sort. With few
-    strata and huge ones, the per-stratum sort is the cost; when
-    ``counts[s] ≪ |s|``, pre-filter with
-    ``stratified_sample(fractions={s: c_s/|s| * slack})`` to shrink
-    the sort input by orders of magnitude, then take exact counts from
-    the survivors — same result, tiny shuffle. Strata absent from
-    ``counts`` are dropped (take 0)."""
+    One shuffle (partition by stratum) + per-stratum sort. **Scale
+    path**: with few, huge strata the per-stratum sort dominates; when
+    ``counts[s] ≪ |s|``, pass ``prefilter_fractions`` (e.g.
+    ``{s: counts[s]/|s| * 4}`` — a few × the expected rate) to shrink
+    the sort input by orders of magnitude BEFORE the shuffle.
+    Correctness is unconditional, not probabilistic: the pre-filter
+    keeps rows with ``sample_key < hex_threshold(p)`` and the take
+    orders by the *same* ``sample_key`` — a prefix of the same total
+    order — so the take sees the exact same first rows as the
+    unfiltered sort **as long as the pre-filter survives ≥ counts[s]
+    rows**; if a stratum under-survives (slack too tight), that's
+    detectable (fewer than ``counts[s]`` rows out, never wrong rows).
+    ``mix_underflow`` audits exactly that."""
+    if prefilter_fractions:
+        df = stratified_sample(
+            df, id_col, strata_col, prefilter_fractions,
+            default_fraction=1.0, seed=seed,
+        )
     w = Window.partitionBy(strata_col).orderBy(
         sample_key(id_col, seed), F.col(id_col)
     )
@@ -124,6 +138,25 @@ def domain_mix(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= limit)
         .drop("__rk")
+    )
+
+
+def mix_underflow(
+    mixed: DataFrame, strata_col: str, counts: Mapping[str, int]
+) -> DataFrame:
+    """Audit for the pre-filtered mix: strata that delivered fewer
+    rows than asked (pre-filter slack too tight, or the stratum is
+    just smaller than the ask). Empty result == the mix is exactly
+    what the unfiltered sort would have produced."""
+    spark = mixed.sparkSession
+    want = spark.createDataFrame(
+        list(counts.items()), f"{strata_col} string, n_want bigint"
+    )
+    got = mixed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_got"))
+    return (
+        want.join(got, strata_col, "left")
+        .withColumn("n_got", F.coalesce("n_got", F.lit(0)))
+        .filter(F.col("n_got") < F.col("n_want"))
     )
 
 

@@ -136,3 +136,65 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+# extension → (kind, mime): the standard multimodal file layouts
+_MEDIA_EXT = {
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+}
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Multimodal raw ingestion: a directory of image/audio/video
+    files → the engine's media table (schemas.MEDIA_SCHEMA shape, with
+    ``media_path`` instead of a numeric id, plus ``n_bytes``).
+
+    Built on Spark's native ``binaryFile`` source — files are read
+    executor-side, in parallel, straight into a binary ``payload``
+    column; the driver never touches a byte. ``kind``/``mime`` come
+    from the extension; width/height/duration stay NULL until the
+    decode stage (operators/multimodal.extract_features) fills
+    features — the decode itself is the stubbed codec step, the
+    plumbing (schema, partitioning, Arrow batches) is real.
+
+    Scale: ``binaryFile`` splits by file (one row per file), so
+    parallelism == file count; pushdown on ``path``/``length``/
+    ``modificationTime`` prunes at the listing. For billions of tiny
+    files, pack into an archive-backed table first (small-files
+    problem is a filesystem property, not a reader flag); cap row size
+    via ``spark.sql.sources.binaryFile.maxLength``."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    kind = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for e, (k, m) in sorted(_MEDIA_EXT.items()):
+        kind = F.when(ext == e, F.lit(k)).otherwise(kind)
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    return raw.select(
+        F.col("path").alias("media_path"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        mime.alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+    )

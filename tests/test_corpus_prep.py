@@ -135,3 +135,72 @@ def test_text_profile_pii_widening_matches_standalone(spark):
     for r in scrub.collect():
         assert r["n_ips"] == 1
         assert w[r["doc_id"]]["scrubbed_fp"] == r["scrubbed_fp"]
+
+
+def test_domain_mix_prefilter_scale_path_exact(spark):
+    """The pre-filtered mix (scale path) returns byte-identical rows
+    to the full per-stratum sort when the pre-filter survives enough
+    rows, and the underflow audit is empty."""
+    docs = _docs(spark, 400)
+    take = {"en": 10, "fr": 25}
+    full = cp.domain_mix(docs, "doc_id", "lang", take, seed=5)
+    # generous slack: ask ~10/100 and ~25/100, prefilter at 4x rate
+    pre = cp.domain_mix(
+        docs, "doc_id", "lang", take, seed=5,
+        prefilter_fractions={"en": 0.4, "fr": 1.0},
+    )
+    key = lambda df: sorted((r["lang"], r["doc_id"]) for r in df.collect())
+    assert key(full) == key(pre)
+    assert cp.mix_underflow(pre, "lang", take).count() == 0
+
+
+def test_domain_mix_prefilter_underflow_is_detected(spark):
+    """Too-tight slack under-delivers but never delivers WRONG rows:
+    the survivors are a prefix-consistent subset of the exact take."""
+    docs = _docs(spark, 400)
+    take = {"en": 90}  # ask for 90 of 100
+    tight = cp.domain_mix(
+        docs, "doc_id", "lang", take, seed=5,
+        prefilter_fractions={"en": 0.3},  # survives ~30 ≪ 90
+    )
+    audit = cp.mix_underflow(tight, "lang", take).collect()
+    assert len(audit) == 1 and audit[0]["n_got"] < 90
+    exact = cp.domain_mix(docs, "doc_id", "lang", take, seed=5)
+    got = {r["doc_id"] for r in tight.collect()}
+    assert got <= {r["doc_id"] for r in exact.collect()}
+
+
+def test_stratified_sample_is_streaming_safe(spark, tmp_path):
+    """The sampler is a stateless narrow filter, so it runs unchanged
+    under Structured Streaming and keeps EXACTLY the rows the batch
+    plan keeps — deterministic sampling needs no state store."""
+    docs = _docs(spark, 120)
+    src = tmp_path / "sample_src"
+    docs.coalesce(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    fr = {"en": 0.5, "fr": 0.25}
+    q = (
+        cp.stratified_sample(stream, "doc_id", "lang", fr, seed=11)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sample_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT * FROM sample_stream_out").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in cp.stratified_sample(docs, "doc_id", "lang", fr, seed=11).collect()
+    }
+    assert got == want and got

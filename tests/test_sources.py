@@ -148,3 +148,53 @@ def test_compact_layer_preserves_partitioning(spark, tmp_path):
     # partition columns survive and prune
     assert back.filter(F.col("ds") == "d1").count() == 1_000
     assert "ds" in dict(back.dtypes)
+
+
+def test_read_media_dir_binary_files(spark, tmp_path):
+    """binaryFile multimodal ingestion: payload bytes land intact,
+    kind/mime derive from extension, unknown extensions stay NULL."""
+    import os
+
+    media = tmp_path / "media"
+    (media / "sub").mkdir(parents=True)
+    payloads = {
+        "a.jpg": b"\xff\xd8\xff fakejpeg",
+        "b.wav": b"RIFF fakewav",
+        "sub/c.mp4": b"\x00\x00\x00 fakemp4",
+        "notes.txt": b"not media",
+    }
+    for rel, data in payloads.items():
+        (media / rel).write_bytes(data)
+
+    from projet_big_data_boutin_danre_spark.sources.readers import (
+        read_media_dir,
+    )
+
+    df = read_media_dir(spark, str(media))
+    rows = {os.path.basename(r["media_path"]): r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.wav", "c.mp4", "notes.txt"}
+    assert bytes(rows["a.jpg"]["payload"]) == payloads["a.jpg"]
+    assert (rows["a.jpg"]["kind"], rows["a.jpg"]["mime"]) == ("image", "image/jpeg")
+    assert rows["b.wav"]["kind"] == "audio"
+    assert rows["c.mp4"]["kind"] == "video"  # recursive lookup
+    assert rows["notes.txt"]["kind"] is None  # unknown ext: kept, untyped
+    assert rows["b.wav"]["n_bytes"] == len(payloads["b.wav"])
+
+    # glob prunes at the listing; the media table chains into the
+    # Arrow feature extractor once given a numeric id
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    imgs = read_media_dir(spark, str(media), glob="*.jpg").withColumn(
+        "media_id", F.abs(F.hash("media_path")).cast("long")
+    )
+    feats = extract_features(imgs.select("media_id", "kind", "payload"))
+    from projet_big_data_boutin_danre_spark.operators.multimodal import (
+        FEATURE_DIM,
+    )
+
+    out = feats.collect()
+    assert len(out) == 1 and len(out[0]["feature"]) == FEATURE_DIM
