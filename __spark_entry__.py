@@ -713,12 +713,29 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for 8 query vectors
-    (broadcast queries × one corpus scan)."""
+    """Cosine top-5 neighbors for 8 query vectors, tagged union of two
+    strategies (both hash-checked):
+
+    - ``exact``: brute force (broadcast queries × one corpus scan);
+    - ``sq8``: int8-range scalar quantization → dequantized shortlist
+      (k·4 per query) → exact re-score of the shortlist on the floats
+      (operators/quantize.py — the 4×-less-bandwidth scale path). The
+      two-stage result is deterministic, so the oracle twin replicates
+      quantize → shortlist → re-score bit-for-bit, no recall
+      tolerance."""
     emb = load_table(spark, sf, "embeddings")
-    return similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k=5
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    ).withColumn("tag", F.lit("exact"))
+    from projet_big_data_boutin_danre_spark.operators.quantize import (
+        sq8_cosine_topk_rescored,
     )
+
+    sq8 = sq8_cosine_topk_rescored(
+        emb, queries, "vec_id", "embedding", k=5, shortlist_mult=4
+    ).withColumn("tag", F.lit("sq8"))
+    return exact.unionByName(sq8)
 
 
 def q_cosine_topk_large_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -2033,14 +2050,78 @@ def oracle_sql() -> dict[str, str]:
                              / (sqrt({_sql_norm_chain('qv')})
                                 * sqrt({_sql_norm_chain('cv')})), 6) AS cosine
                 FROM c, q WHERE neighbor_id <> query_id
+            ),
+            exact_k AS (
+                SELECT query_id, neighbor_id, cosine, rank FROM (
+                    SELECT *, CAST(row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC
+                    ) AS INT) AS rank
+                    FROM scored
+                ) WHERE rank <= 5
+            ),
+            -- sq8 tag: quantize -> dequantized shortlist -> exact re-score
+            -- (operators/quantize.py, same arithmetic step for step)
+            enc AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)), 'min') AS mn,
+                       list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE)), 'max') AS mx
+                FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            ),
+            dq AS (
+                SELECT vec_id,
+                       list_transform(v, x -> mn
+                           + floor((x - mn) / s + 0.5) * s) AS dqv
+                FROM (SELECT vec_id, v, mn,
+                             CASE WHEN mx > mn THEN (mx - mn) / 255.0
+                                  ELSE 1.0 END AS s
+                      FROM enc)
+            ),
+            sq8_scored AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       round(({_sql_dot_chain('a.dqv', 'b.dqv')})
+                             / (sqrt({_sql_norm_chain('a.dqv')})
+                                * sqrt({_sql_norm_chain('b.dqv')})), 6)
+                           AS acos
+                FROM dq a JOIN dq b ON a.vec_id < 8
+                                   AND b.vec_id <> a.vec_id
+            ),
+            shortlist AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY acos DESC, neighbor_id ASC
+                    ) AS rk
+                    FROM sq8_scored
+                ) WHERE rk <= 20
+            ),
+            sq8_k AS (
+                SELECT query_id, neighbor_id, cosine, rank FROM (
+                    SELECT s.query_id, s.neighbor_id,
+                           round(({_sql_dot_chain('q.qv', 'c.cv')})
+                                 / (sqrt({_sql_norm_chain('q.qv')})
+                                    * sqrt({_sql_norm_chain('c.cv')})), 6)
+                               AS cosine,
+                           CAST(row_number() OVER (
+                               PARTITION BY s.query_id
+                               ORDER BY round(({_sql_dot_chain('q.qv', 'c.cv')})
+                                     / (sqrt({_sql_norm_chain('q.qv')})
+                                        * sqrt({_sql_norm_chain('c.cv')})), 6)
+                                     DESC,
+                                   s.neighbor_id ASC
+                           ) AS INT) AS rank
+                    FROM shortlist s
+                    JOIN q ON q.query_id = s.query_id
+                    JOIN c ON c.neighbor_id = s.neighbor_id
+                ) WHERE rank <= 5
             )
-            SELECT query_id, neighbor_id, cosine, rank FROM (
-                SELECT *, CAST(row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY cosine DESC, neighbor_id ASC
-                ) AS INT) AS rank
-                FROM scored
-            ) WHERE rank <= 5
+            SELECT *, 'exact' AS tag FROM exact_k
+            UNION ALL
+            SELECT *, 'sq8' AS tag FROM sq8_k
         """,
         "near_dup_cosine": f"""
             WITH bb AS (

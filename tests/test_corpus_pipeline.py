@@ -1,7 +1,8 @@
 """End-to-end LLM-corpus pipeline: the operators composed the way a
-training-data job would actually chain them — profile → quality filter
-→ exact dedup → near-dup dedup (LSH, production profile) → token-window
-chunking → corpus budget — with invariants asserted at every stage
+training-data job would actually chain them — profile → PII scrub →
+quality filter → exact dedup → near-dup dedup (LSH, production
+profile) → stratified sample → domain mix → token-window chunking →
+interleave → corpus budget — with invariants asserted at every stage
 boundary on the driver testdata. No operator is re-tested here; the
 subject is the COMPOSITION (schemas line up, keepers propagate, counts
 are monotone)."""
@@ -10,7 +11,11 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from projet_big_data_boutin_danre_spark.operators import dedup, text
+from projet_big_data_boutin_danre_spark.operators import (
+    corpus_prep,
+    dedup,
+    text,
+)
 from projet_big_data_boutin_danre_spark.sources.readers import load_table
 
 
@@ -50,6 +55,34 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf0001):
     )
     assert keepers.join(deduped, "doc_id", "left_semi").count() == keepers.count()
 
+    # 3b. PII scrub audit rides the same corpus (counts only here; the
+    # scrubbed text itself is what a real pipeline would carry forward)
+    scrub = text.pii_scrub(deduped, "doc_id", "text")
+    assert scrub.count() == n_deduped
+    assert scrub.filter(F.col("n_emails") < 0).count() == 0
+
+    # 3c. deterministic stratified sample by lang, then an exact-count
+    # domain mix on the survivors — the "data recipe" stages
+    sampled = corpus_prep.stratified_sample(
+        deduped, "doc_id", "lang",
+        {"en": 1.0, "fr": 1.0}, default_fraction=0.5, seed=13,
+    )
+    n_sampled = sampled.count()
+    assert 0 < n_sampled <= n_deduped
+    # en/fr fully kept: sampling never drops a fraction-1.0 stratum
+    assert (
+        sampled.filter(F.col("lang").isin("en", "fr")).count()
+        == deduped.filter(F.col("lang").isin("en", "fr")).count()
+    )
+    mixed = corpus_prep.domain_mix(
+        sampled, "doc_id", "lang",
+        {"en": 10, "fr": 10, "de": 5, "es": 5, "und": 5}, seed=13,
+    )
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= min(n_sampled, 35)
+    deduped = mixed  # the recipe output feeds chunking
+    n_deduped = n_mixed
+
     # 4. chunk the surviving corpus into token windows
     chunks = text.chunk_tokens(
         deduped, "doc_id", "text", chunk_tokens=64, overlap=8
@@ -70,6 +103,18 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf0001):
     )
     chunk_tokens_total = chunks.agg(F.sum("n_tokens")).collect()[0][0]
     assert chunk_tokens_total >= doc_tokens
+
+    # 6. interleave the chunk stream for training readers: a
+    # deterministic permutation of the full chunk set
+    shuffled = corpus_prep.interleave(
+        chunks.withColumn(
+            "chunk_key",
+            F.concat_ws(":", F.col("doc_id"), F.col("chunk_id")),
+        ),
+        "chunk_key",
+        seed=17,
+    )
+    assert shuffled.count() == n_chunks
 
     # the whole chain is one lazy plan culminating in counts — no
     # operator broke the DataFrame contract along the way
