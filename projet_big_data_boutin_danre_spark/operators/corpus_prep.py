@@ -42,6 +42,7 @@ __all__ = [
     "mix_underflow",
     "interleave",
     "sample_summary",
+    "write_training_shards",
 ]
 
 
@@ -181,3 +182,41 @@ def sample_summary(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col(id_col).cast("bigint")).alias("sum_ids"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    seed: int = 42,
+    n_shards: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the deterministic interleave as ordered training
+    shards: shard ``i`` holds the ``i``-th contiguous slice of the
+    global ``(sample_key, id)`` order, rows sorted within the shard —
+    so readers that consume shards in file order replay the exact
+    global shuffle, and re-running the writer on the same data
+    produces byte-stable shard membership.
+
+    Implementation: ``repartitionByRange(n, key)`` (sampled range
+    boundaries — the same machinery as a global sort) + in-partition
+    sort + one write. Each shard is written by one task; no global
+    bottleneck, no driver materialization. The shard key is persisted
+    alongside the rows (``__shard``) so a reader can verify order or
+    re-slice.
+
+    Note the boundary sampling is seeded by Spark deterministically
+    for a given input partitioning — for *bit-stable shard membership
+    across different cluster layouts*, pin ``n_shards`` and rely on
+    the persisted ``__shard``/key order instead of file split points.
+    """
+    key = sample_key(id_col, seed)
+    n = n_shards or df.sparkSession.sparkContext.defaultParallelism
+    out = (
+        df.withColumn("__key", key)
+        .repartitionByRange(n, F.col("__key"), F.col(id_col))
+        .sortWithinPartitions(F.col("__key"), F.col(id_col))
+        .withColumn("__shard", F.spark_partition_id())
+    )
+    out.write.mode("overwrite").format(fmt).save(path)

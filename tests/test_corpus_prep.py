@@ -204,3 +204,33 @@ def test_stratified_sample_is_streaming_safe(spark, tmp_path):
         for r in cp.stratified_sample(docs, "doc_id", "lang", fr, seed=11).collect()
     }
     assert got == want and got
+
+
+def test_write_training_shards_replays_global_order(spark, tmp_path):
+    """Reading shards back ordered by (__shard, __key, id) replays the
+    exact interleave order; shard membership is contiguous slices of
+    the global order (every row in shard i sorts before every row in
+    shard i+1)."""
+    docs = _docs(spark, 500)
+    path = str(tmp_path / "shards")
+    cp.write_training_shards(docs, "doc_id", path, seed=21, n_shards=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    rows = [
+        (r["__shard"], r["__key"], r["doc_id"])
+        for r in back.select("__shard", "__key", "doc_id").collect()
+    ]
+    # contiguity: per-shard key ranges don't overlap
+    by_shard = {}
+    for sh, k, i in rows:
+        by_shard.setdefault(sh, []).append((k, i))
+    shard_ids = sorted(by_shard)
+    for a, b in zip(shard_ids, shard_ids[1:]):
+        assert max(by_shard[a]) <= min(by_shard[b])
+    # replay: ordering by (shard, key, id) == the interleave order
+    replay = [i for _, _, i in sorted(rows)]
+    want = [
+        r["doc_id"]
+        for r in cp.interleave(docs, "doc_id", seed=21).collect()
+    ]
+    assert replay == want
