@@ -272,15 +272,27 @@ def simhash(
         .select("id", F.substring(F.md5(F.col("tok")), 1, hex_chars).alias("h"))
     )
     # nibble value of hex char i (1-based): conv is Spark-side;
-    # the oracle spells it instr('0123456789abcdef', ch)-1.
+    # the oracle spells it instr('0123456789abcdef', ch)-1. Nibbles
+    # are projected ONCE per token row, then each of the 4 bit-sums
+    # references the materialized column — not the conv expression —
+    # so the hex→int decode runs hex_chars times per row, not bits.
+    nibbled = tokens.select(
+        "id",
+        *[
+            F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"nib_{i}")
+            for i in range(hex_chars)
+        ],
+    )
     sums = []
     for i in range(hex_chars):
-        nib = F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int")
+        nib = F.col(f"nib_{i}")
         for k in (3, 2, 1, 0):  # msb-first within the nibble
             bit = F.floor(nib / F.lit(2**k)).cast("int") % 2
             j = i * 4 + (3 - k)
             sums.append(F.sum(bit * 2 - 1).alias(f"s_{j}"))
-    per_doc = tokens.groupBy("id").agg(*sums)
+    per_doc = nibbled.groupBy("id").agg(*sums)
     bit_chars = [
         F.when(F.col(f"s_{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(bits)

@@ -70,3 +70,28 @@ def test_mllib_training_paths_fit_and_predict(spark):
             labelCol="y", predictionCol="prediction", metricName="rmse"
         ).evaluate(preds)
         assert rmse == rmse and rmse < 10.0  # finite and sane
+
+
+def test_quality_classifier_learns_the_heuristic(spark, sf0001):
+    """Weak-supervised TF-IDF+LogReg quality model: fits on the md5
+    80/20 split, beats coin-flip by a wide margin on held-out teacher
+    labels, and scores the full corpus with a shuffle-free map."""
+    from projet_big_data_boutin_danre_spark.ml.quality_model import (
+        train_quality_model,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    qm = train_quality_model(docs, threshold=0.5)
+    assert qm.n_train > 0 and qm.n_test > 0
+    # ~80/20 split (md5 first byte < 205/256)
+    frac = qm.n_train / (qm.n_train + qm.n_test)
+    assert 0.7 < frac < 0.9
+    assert qm.auc > 0.7, f"AUC {qm.auc} — feature path broken?"
+
+    scored = qm.score(docs, "doc_id", "text")
+    rows = scored.collect()
+    assert all(0.0 <= r["p_quality"] <= 1.0 for r in rows)
+    # deterministic: same fitted model scores identically twice
+    again = {r["doc_id"]: r["p_quality"] for r in qm.score(docs, "doc_id", "text").collect()}
+    assert {r["doc_id"]: r["p_quality"] for r in rows} == again
