@@ -1,0 +1,129 @@
+"""Empirical scaling probe: time the core corpus operators at 1x, 2x,
+4x, 8x the sf0.1 data volume and report the scaling exponent — the
+measured counterpart to SCALE.md's per-operator claims (near-linear =
+the plan has no quadratic blow-up hiding behind small-sf timings).
+
+Scaled inputs are k shifted copies of the driver's documents /
+embeddings tables (ids offset so dedup/similarity semantics stay
+non-degenerate: copies are EXACT duplicates content-wise, which is the
+worst case for dedup fan-out). Bench-side measurement only — never a
+correctness input.
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k]
+Output: one markdown table + a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from projet_big_data_boutin_danre_spark.operators import (
+    corpus_prep,
+    dedup,
+    quantize,
+    text,
+)
+from projet_big_data_boutin_danre_spark.session import get_spark
+from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+
+def scaled(df: DataFrame, id_col: str, k: int, stride: int) -> DataFrame:
+    """k shifted copies via crossJoin(range(k)) — one plan node at any
+    k (a k-way union would bloat the plan), then repartition so the
+    copies spread across partitions like organically-grown data."""
+    spark = df.sparkSession
+    copies = spark.range(k).select(F.col("id").alias("__copy"))
+    out = (
+        df.crossJoin(F.broadcast(copies))
+        .withColumn(id_col, F.col(id_col) + F.col("__copy") * F.lit(stride))
+        .drop("__copy")
+    )
+    return out.repartition(32)
+
+
+def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
+    q = emb.filter(F.col("vec_id") % 997 == 0)  # fixed small query set
+    return {
+        "exact_dedup": lambda: dedup.exact_dedup_stats(
+            docs, "doc_id", "text"
+        ).count(),
+        "minhash_lsh": lambda: dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", scale_profile="production"
+        ).count(),
+        "simhash": lambda: dedup.simhash(docs, "doc_id", "text").count(),
+        "text_profile": lambda: text.text_profile(
+            docs, "doc_id", "text", include_pii=True
+        ).count(),
+        "strat_sample": lambda: corpus_prep.stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25},
+            default_fraction=0.1,
+        ).count(),
+        "domain_mix": lambda: corpus_prep.domain_mix(
+            docs, "doc_id", "lang", {"en": 1000, "fr": 500}
+        ).count(),
+        "interleave": lambda: corpus_prep.interleave(
+            docs.select("doc_id", "lang"), "doc_id"
+        ).count(),
+        "sq8_topk": lambda: quantize.sq8_cosine_topk_rescored(
+            emb, q, k=5, shortlist_mult=4
+        ).count(),
+        "chunk_tokens": lambda: text.chunk_tokens(
+            docs, "doc_id", "text", chunk_tokens=64, overlap=8
+        ).count(),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    ks = [k for k in (1, 4, 16, 32, 64, 128) if k <= max_k]
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = load_table(spark, sf_dir, "documents")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    n_docs = docs0.count()
+    n_emb = emb0.count()
+
+    results: dict[str, dict[int, float]] = {}
+    for k in ks:
+        docs = scaled(docs0, "doc_id", k, n_docs).persist()
+        emb = scaled(emb0, "vec_id", k, n_emb).persist()
+        docs.count(), emb.count()  # materialize once, outside timings
+        for name, fn in probes(docs, emb).items():
+            fn()  # warm (codegen + exchange reuse)
+            t0 = time.time()
+            fn()
+            results.setdefault(name, {})[k] = round(time.time() - t0, 3)
+        docs.unpersist(), emb.unpersist()
+
+    # scaling exponent: slope of log(t) vs log(k) between first/last k
+    print(f"\n| operator | " + " | ".join(f"{k}x" for k in ks) + " | exponent |")
+    print("|---" * (len(ks) + 2) + "|")
+    exps = {}
+    for name, ts in results.items():
+        k0, k1 = ks[0], ks[-1]
+        exp = (
+            math.log(max(ts[k1], 1e-3) / max(ts[k0], 1e-3))
+            / math.log(k1 / k0)
+            if k1 > k0
+            else float("nan")
+        )
+        exps[name] = round(exp, 2)
+        row = " | ".join(f"{ts[k]:.2f}" for k in ks)
+        print(f"| {name} | {row} | {exps[name]} |")
+    print()
+    print(json.dumps({"sf_dir": sf_dir, "ks": ks, "timings": results,
+                      "exponents": exps}))
+
+
+if __name__ == "__main__":
+    main()
