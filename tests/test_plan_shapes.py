@@ -309,3 +309,47 @@ def test_near_dup_lsh_uses_arrow_kernel_no_collect(spark, sf0001):
     assert "FlatMapGroupsInPandas" in plan  # per-block pair scoring
     # the HOF fold would show as a chain of `aggregate(` expressions
     assert "aggregate(" not in plan
+
+
+def test_stratified_sample_is_scan_fused_filter(spark, sf0001):
+    """The sampler must stay a map-only filter: no exchange anywhere
+    in its plan (it combines with the scan at any scale)."""
+    from projet_big_data_boutin_danre_spark.operators import corpus_prep
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    df = corpus_prep.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.1
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_corpus_sample_no_cartesian(spark, sf0001):
+    plan = _plan(entrymod.queries()["corpus_sample"](spark, sf0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_rescore_joins_are_hash_joins(spark, sf0001):
+    """The re-score stage must be equi-joins on the shortlist (hash or
+    broadcast), never a nested loop; and the slot plan contains no
+    driver collect (scalar subquery) on the corpus path."""
+    plan = _plan(entrymod.queries()["cosine_topk"](spark, sf0001))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_media_plans_prunes_payload(spark, sf0001):
+    """resize/frame planning is metadata math — the binary payload
+    column must NOT be read (ReadSchema excludes it)."""
+    plan = _plan(entrymod.queries()["media_plans"](spark, sf0001))
+    import re
+
+    for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
+        assert "payload" not in m.group(1)
+        assert "text" not in m.group(1) or "n_chars" in m.group(1)
