@@ -279,3 +279,43 @@ def _pii_columns(text_col: str) -> list[Column]:
         F.length(scrubbed).alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     ]
+
+
+def assemble_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    chunk_col: str = "chunk",
+    sep: str = "",
+) -> DataFrame:
+    """Inverse of :func:`chunk_text`/:func:`chunk_tokens`: reassemble
+    per-document text from its chunks in ``order_col`` order —
+    the shuffle-read side of a chunked corpus (model outputs keyed by
+    chunk, multi-part documents, conversation threads).
+
+    One shuffle on the id; order is enforced inside the aggregation
+    (``sort_array`` over (order, chunk) structs — deterministic
+    regardless of arrival order), so no global sort is needed. For
+    zero-overlap char chunks, ``assemble_chunks(chunk_text(df, ...,
+    overlap=0))`` reproduces the original text exactly (property-
+    tested)."""
+    return (
+        chunks.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("o"),
+                                F.col(chunk_col).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )

@@ -317,3 +317,42 @@ def test_np_bucket_kernel_matches_column_fold(spark, sf0001):
         ).collect()
     }
     assert np_buckets == col_buckets
+
+
+def test_assemble_chunks_round_trips_zero_overlap(spark, sf0001):
+    """chunk_text(overlap=0) → assemble_chunks reproduces every
+    document byte-for-byte — the chunker drops nothing and the
+    assembler orders correctly regardless of shuffle arrival order."""
+    from projet_big_data_boutin_danre_spark.operators.text import (
+        assemble_chunks,
+        chunk_text,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    chunks = chunk_text(docs, "doc_id", "text", chunk_chars=100, overlap=0)
+    # scramble partitioning so assembly can't rely on arrival order
+    back = assemble_chunks(chunks.repartition(16), "doc_id", "chunk_id")
+    joined = back.join(
+        docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    )
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("text") != F.col("orig")).count() == 0
+
+
+def test_assemble_chunks_with_separator(spark):
+    from projet_big_data_boutin_danre_spark.operators.text import (
+        assemble_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, "c"), (1, 0, "a"), (1, 1, "b"), (2, 0, "solo")],
+        "doc_id long, chunk_id int, chunk string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_chunks"])
+        for r in assemble_chunks(df, sep="|").collect()
+    }
+    assert got == {1: ("a|b|c", 3), 2: ("solo", 1)}
