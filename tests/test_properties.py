@@ -375,3 +375,69 @@ def test_stream_keep_last_agrees_with_batch_on_random_data(
         ).collect()
     }
     assert streamed == batch
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        min_size=0,
+        max_size=300,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=_texts)
+def test_chunk_assemble_round_trip_random_unicode(spark, texts):
+    """chunk_text(overlap=0) → assemble_chunks is the identity on
+    arbitrary unicode documents (emoji, CJK, combining marks,
+    newlines): the substring windows partition the text exactly and
+    reassembly is arrival-order-proof."""
+    from projet_big_data_boutin_danre_spark.operators.text import (
+        assemble_chunks,
+        chunk_text,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_text(df, "doc_id", "text", chunk_chars=7, overlap=0)
+    back = {
+        r["doc_id"]: r["text"]
+        for r in assemble_chunks(chunks.repartition(5)).collect()
+    }
+    assert back == {i: t for i, t in rows}
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=40, unique=True),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_stratified_sample_matches_hashlib_reference(spark, ids, frac, seed):
+    """The Spark sampler's keep set == a plain-Python hashlib.md5
+    reference — a third engine opinion (beyond DuckDB) that the md5
+    threshold semantics are exactly as specified."""
+    import hashlib
+
+    from projet_big_data_boutin_danre_spark.operators import corpus_prep as cp
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id long, grp string"
+    )
+    got = {
+        r["doc_id"]
+        for r in cp.stratified_sample(
+            df, "doc_id", "grp", {"s": frac}, seed=seed
+        ).collect()
+    }
+    thr = cp.hex_threshold(frac)
+    expect = {
+        i
+        for i in ids
+        if hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8] < thr
+    }
+    assert got == expect
