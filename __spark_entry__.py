@@ -837,8 +837,13 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
       runs over the already-limited 20 rows (bounded, driver-safe).
 
     All randomness is md5-derived, so the DuckDB twin reproduces every
-    decision bit-for-bit."""
-    docs = load_table(spark, sf, "documents")
+    decision bit-for-bit. NULL ids are excluded up front on BOTH sides:
+    a NULL sample key would sort NULLS FIRST in Spark's window but
+    NULLS LAST in DuckDB's — the one ordering default the engines
+    disagree on."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     samp = corpus_prep.stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_FRACTIONS,
         default_fraction=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED,
@@ -1402,7 +1407,9 @@ def _sql_corpus_sample() -> str:
     """DuckDB twin of q_corpus_sample, generated from the SAME
     fraction/count/seed constants so Spark and oracle can't drift.
     Thresholds come from corpus_prep.hex_threshold — keep/drop is a
-    string compare over md5 hex slices, identical in both engines."""
+    string compare over md5 hex slices, identical in both engines.
+    ``doc_id IS NOT NULL`` mirrors the Spark-side guard (NULLS
+    FIRST/LAST window defaults differ between engines)."""
     skey = "substr(md5('{seed}|' || CAST(doc_id AS VARCHAR)), 1, 8)"
     thr = " ".join(
         f"WHEN '{k}' THEN '{corpus_prep.hex_threshold(v)}'"
@@ -1416,7 +1423,8 @@ def _sql_corpus_sample() -> str:
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(doc_id) AS BIGINT) AS sum_ids
         FROM documents
-        WHERE {skey.format(seed=_SAMPLE_SEED)} <
+        WHERE doc_id IS NOT NULL
+          AND {skey.format(seed=_SAMPLE_SEED)} <
               CASE lang {thr}
                    ELSE '{corpus_prep.hex_threshold(_SAMPLE_DEFAULT)}' END
         GROUP BY lang
@@ -1429,7 +1437,7 @@ def _sql_corpus_sample() -> str:
                        PARTITION BY lang
                        ORDER BY {skey.format(seed=_MIX_SEED)}, doc_id
                    ) AS rk
-            FROM documents
+            FROM documents WHERE doc_id IS NOT NULL
         )
         WHERE rk <= CASE lang {take} ELSE 0 END
         GROUP BY lang
@@ -1441,7 +1449,7 @@ def _sql_corpus_sample() -> str:
                    row_number() OVER (
                        ORDER BY {skey.format(seed=_SHUF_SEED)}, doc_id
                    ) AS rk
-            FROM documents
+            FROM documents WHERE doc_id IS NOT NULL
         )
         WHERE rk <= {_HEAD_N}
     """
