@@ -1,0 +1,178 @@
+"""Training-corpus pipeline runner — the LLM-data analog of
+``pipeline.py`` (which runs the reference's real-estate DAG): one
+program composing the corpus operators over a layer-contract lake,
+idempotent per stage, with per-stage document counts as the run
+report.
+
+    raw documents
+      → profile+scrub   (text_profile include_pii — quality, lang,
+                         fingerprints, PII counts)
+      → gate            (quality + token floor; PII-heavy docs dropped)
+      → dedup           (exact normalized-hash, then MinHash-LSH
+                         near-dup at the production scale profile)
+      → recipe          (deterministic stratified sample, then
+                         exact-count domain mix per language)
+      → chunks          (token windows)
+      → shards          (deterministic interleave, ordered shard files)
+
+Every layer boundary is Parquet under ``<root>/<layer>``; a stage is
+skipped when its layer already exists (re-run = resume), ``force``
+rebuilds. All decisions are md5-deterministic (corpus_prep), so a
+re-run from any stage reproduces the same corpus byte-for-byte —
+the property that makes a 100 TB pipeline debuggable.
+
+Scale: each stage is scan → narrow map / bounded shuffle → write; the
+only super-linear risk (LSH pair fan-out) is capped by the production
+hot-bucket guard (measured linear at 32× duplicates,
+tools/scale_probe.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import corpus_prep, dedup, text
+
+
+@dataclass(frozen=True)
+class CorpusRecipe:
+    """The data recipe: gates + per-language sampling/mixing."""
+
+    min_quality: float = 0.05
+    min_tokens: int = 5
+    max_pii_hits: int = 1_000_000  # default: scrub, don't drop
+    sample_fractions: Mapping[str, float] | None = None  # None = keep all
+    sample_default: float = 1.0
+    mix_counts: Mapping[str, int] | None = None  # None = no mix stage
+    chunk_tokens: int = 64
+    chunk_overlap: int = 8
+    n_shards: int = 32
+    seed: int = 42
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    recipe: CorpusRecipe = CorpusRecipe(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    force: bool = False,
+) -> dict[str, int]:
+    """Run all stages; returns per-stage surviving-document counts
+    (chunks/shards report chunk counts). Stages resume from existing
+    layers unless ``force``."""
+    counts: dict[str, int] = {}
+
+    def layer(name: str) -> str:
+        return f"{out_root}/{name}"
+
+    def stage(name: str, build) -> DataFrame:
+        path = layer(name)
+        if force or not _exists(spark, path):
+            build().write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        counts[name] = out.count()
+        return out
+
+    prof = stage(
+        "profiled",
+        lambda: text.text_profile(docs, id_col, text_col, include_pii=True),
+    )
+
+    def build_gated() -> DataFrame:
+        keep = prof.filter(
+            (F.col("quality") >= recipe.min_quality)
+            & (F.col("n_tokens") >= recipe.min_tokens)
+            & (
+                F.coalesce(F.col("n_emails"), F.lit(0))
+                + F.coalesce(F.col("n_ips"), F.lit(0))
+                + F.coalesce(F.col("n_long_nums"), F.lit(0))
+                <= recipe.max_pii_hits
+            )
+        ).select(F.col(id_col))
+        return docs.join(keep, id_col, "left_semi")
+
+    gated = stage("gated", build_gated)
+
+    def build_deduped() -> DataFrame:
+        exact = dedup.exact_dedup(gated, id_col, text_col)
+        pairs = dedup.minhash_lsh_pairs(
+            exact, id_col, text_col, scale_profile="production"
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return exact.join(losers, id_col, "left_anti")
+
+    deduped = stage("deduped", build_deduped)
+
+    def build_recipe() -> DataFrame:
+        out = deduped
+        if recipe.sample_fractions is not None:
+            out = corpus_prep.stratified_sample(
+                out, id_col, lang_col, recipe.sample_fractions,
+                default_fraction=recipe.sample_default, seed=recipe.seed,
+            )
+        if recipe.mix_counts is not None:
+            out = corpus_prep.domain_mix(
+                out, id_col, lang_col, recipe.mix_counts, seed=recipe.seed
+            )
+        return out
+
+    mixed = stage("recipe", build_recipe)
+
+    chunks = stage(
+        "chunks",
+        lambda: text.chunk_tokens(
+            mixed, id_col, text_col,
+            chunk_tokens=recipe.chunk_tokens, overlap=recipe.chunk_overlap,
+        ).withColumn(
+            "chunk_key",
+            F.concat_ws(":", F.col(id_col), F.col("chunk_id")),
+        ),
+    )
+
+    shards_path = layer("shards")
+    if force or not _exists(spark, shards_path):
+        corpus_prep.write_training_shards(
+            chunks, "chunk_key", shards_path,
+            seed=recipe.seed, n_shards=recipe.n_shards,
+        )
+    counts["shards"] = spark.read.parquet(shards_path).count()
+    return counts
+
+
+def main() -> None:  # pragma: no cover - thin CLI wrapper
+    import argparse
+
+    from .session import get_spark
+    from .sources.readers import load_table
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("sf_dir", help="testdata dir holding documents.parquet")
+    p.add_argument("out_root", help="output lake root")
+    p.add_argument("--force", action="store_true")
+    args = p.parse_args()
+    spark = get_spark("corpus_pipeline")
+    docs = load_table(spark, args.sf_dir, "documents")
+    counts = run_corpus_pipeline(
+        spark, docs, args.out_root, force=args.force
+    )
+    for k, v in counts.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

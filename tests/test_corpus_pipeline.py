@@ -119,3 +119,41 @@ def test_llm_corpus_pipeline_end_to_end(spark, sf0001):
     # the whole chain is one lazy plan culminating in counts — no
     # operator broke the DataFrame contract along the way
     assert {"doc_id", "chunk_id", "chunk", "n_tokens"} == set(chunks.columns)
+
+
+def test_corpus_pipeline_runner_layers_and_resume(spark, sf0001, tmp_path):
+    """The runnable corpus program: layers land as parquet with
+    monotone counts, a re-run resumes from existing layers without
+    recomputing (byte-stable), and the recipe stages apply."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    root = str(tmp_path / "corpus_lake")
+    recipe = CorpusRecipe(
+        sample_fractions={"en": 1.0, "fr": 1.0},
+        sample_default=0.5,
+        mix_counts={"en": 10, "fr": 10, "de": 5, "es": 5, "und": 5},
+        n_shards=4,
+    )
+    counts = run_corpus_pipeline(spark, docs, root, recipe)
+    assert list(counts) == [
+        "profiled", "gated", "deduped", "recipe", "chunks", "shards"
+    ]
+    assert counts["profiled"] >= counts["gated"] >= counts["deduped"]
+    assert counts["recipe"] <= min(counts["deduped"], 35)
+    assert counts["chunks"] == counts["shards"] >= counts["recipe"]
+
+    # resume: deleting ONE downstream layer re-runs only that stage;
+    # the upstream layers are reused and totals are unchanged
+    import shutil
+
+    shutil.rmtree(f"{root}/recipe")
+    again = run_corpus_pipeline(spark, docs, root, recipe)
+    assert again == counts
+    # shard layer replays the interleave order of the chunk keys
+    shards = spark.read.parquet(f"{root}/shards")
+    assert {"__shard", "__key", "chunk_key"} <= set(shards.columns)
