@@ -157,3 +157,38 @@ def test_corpus_pipeline_runner_layers_and_resume(spark, sf0001, tmp_path):
     # shard layer replays the interleave order of the chunk keys
     shards = spark.read.parquet(f"{root}/shards")
     assert {"__shard", "__key", "chunk_key"} <= set(shards.columns)
+
+
+def test_incremental_ingest_is_idempotent_and_content_keyed(spark, tmp_path):
+    """At-least-once ingestion: replays admit nothing, content dupes
+    across batches admit once, within-batch dupes admit once."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "inc_lake")
+    schema = "doc_id long, text string, lang string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta", "en"),
+         (3, "ALPHA   beta!", "en")],  # normalized dup of 1
+        schema,
+    )
+    r1 = incremental_ingest(spark, b1, root)
+    assert r1 == {"arrived": 3, "admitted": 2, "total_docs": 2}
+
+    # replay the same batch: nothing admitted
+    r1b = incremental_ingest(spark, b1, root)
+    assert r1b["admitted"] == 0 and r1b["total_docs"] == 2
+
+    # new batch: one genuinely new doc, one cross-batch content dup
+    b2 = spark.createDataFrame(
+        [(10, "epsilon zeta", "fr"), (11, "gamma DELTA", "en")],
+        schema,
+    )
+    r2 = incremental_ingest(spark, b2, root)
+    assert r2 == {"arrived": 2, "admitted": 1, "total_docs": 3}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{root}/docs").collect()
+    }
+    assert set(texts) == {1, 2, 10}
