@@ -139,6 +139,39 @@ def skew_plan_probe(spark) -> float:
             spark.conf.set(k, v)
 
 
+def corpus_pipeline_probe(spark, sf_dir: str) -> float:
+    """One cold end-to-end corpus-pipeline run (all six layers,
+    parquet writes included) into a throwaway lake; returns seconds.
+    Returns -1.0 on failure — the graded per-query numbers must not
+    die on a probe."""
+    import shutil
+    import tempfile
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    root = tempfile.mkdtemp(prefix="bench_corpus_lake_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.time()
+        run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(
+                sample_fractions={"en": 1.0, "fr": 1.0},
+                sample_default=0.5,
+            ),
+            force=True,
+        )
+        return round(time.time() - t0, 3)
+    except Exception:
+        return -1.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -205,6 +238,12 @@ def main() -> None:
     # per-probe but excluded from the headline total so round-over-
     # round totals stay comparable)
     timings.update(skew_probe(spark, sf_dir))
+    # End-to-end corpus program (profile→gate→dedup→recipe→chunk→
+    # shards, corpus_pipeline.py) — cold run into a fresh tmp lake;
+    # excluded from the headline total (it re-runs operators already
+    # timed individually; this measures stage-composition overhead +
+    # the write path)
+    timings["corpus_pipeline_e2e"] = corpus_pipeline_probe(spark, sf_dir)
     # 1.0/0.0 flag (not a timing): did OptimizeSkewedJoin split the
     # hot partition in the final adaptive plan?
     timings["skew_join_plan_split"] = skew_plan_probe(spark)
