@@ -691,11 +691,45 @@ def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidate near-dup pairs (4 bands × 2 rows)."""
+    """MinHash+LSH near-dup pipeline, tagged union (r5 widening):
+
+    - ``pair``: candidate pairs sharing an LSH band (4 bands × 2 rows)
+      — ``(id_a, id_b)``, n NULL;
+    - ``member``: connected components over those pairs
+      (large-star/small-star, operators/dedup.py:connected_components)
+      — id_a = doc, id_b = component (min reachable id), n NULL;
+    - ``cluster``: one row per duplicate cluster — id_a = keeper
+      (component min), id_b NULL, n = cluster size.
+
+    The oracle twin recomputes the components with a recursive
+    transitive-closure CTE — an independent formulation (closure +
+    group-min vs star-contraction), so the iterative Spark algorithm
+    is checked against graph-reachability ground truth, not against
+    itself."""
     docs = load_table(spark, sf, "documents")
-    return dedup.minhash_lsh_pairs(
+    # materialize the LSH pairs once: the 'pair' output branch and the
+    # component iteration would otherwise each recompute the full
+    # shingle→signature→band plan
+    pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8
+    ).localCheckpoint()
+    members = dedup.connected_components(pairs)
+    nul = F.lit(None).cast("bigint")
+    p = pairs.select(
+        F.lit("pair").alias("tag"), "id_a", "id_b", nul.alias("n")
     )
+    m = members.select(
+        F.lit("member").alias("tag"),
+        F.col("node").alias("id_a"),
+        F.col("component").alias("id_b"),
+        nul.alias("n"),
+    )
+    c = members.groupBy(F.col("component").alias("id_a")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("cluster").alias("tag"), "id_a", nul.alias("id_b"), "n"
+    )
+    return p.unionByName(m).unionByName(c)
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1993,7 +2027,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM sigs
         """,
         "minhash_lsh_pairs": f"""
-            WITH {_sql_minhash_sigs_cte()},
+            WITH RECURSIVE {_sql_minhash_sigs_cte()},
             bands AS (
                 SELECT id, 0 AS band, md5(concat_ws('|', sig_0, sig_1)) AS band_key FROM sigs
                 UNION ALL
@@ -2002,11 +2036,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT id, 2, md5(concat_ws('|', sig_4, sig_5)) FROM sigs
                 UNION ALL
                 SELECT id, 3, md5(concat_ws('|', sig_6, sig_7)) FROM sigs
+            ),
+            pairs AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bands a
+                JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                            AND a.id < b.id
+            ),
+            -- components by transitive closure + group-min: an
+            -- independent formulation of the Spark side's iterative
+            -- star-contraction (large-star/small-star)
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r
+                JOIN edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            comp AS (
+                SELECT u AS node, least(u, min(v)) AS component
+                FROM reach GROUP BY u
             )
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-                        AND a.id < b.id
+            SELECT 'pair' AS tag, id_a, id_b, CAST(NULL AS BIGINT) AS n
+            FROM pairs
+            UNION ALL
+            SELECT 'member', node, component, NULL FROM comp
+            UNION ALL
+            SELECT 'cluster', component, NULL, count(*)
+            FROM comp GROUP BY component
         """,
         "simhash": _sql_simhash(32),
         "ngram_jaccard": f"""

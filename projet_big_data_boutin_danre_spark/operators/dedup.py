@@ -453,3 +453,158 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= F.lit(min_jaccard))
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step
+    that turns near-dup CANDIDATE PAIRS (minhash_lsh_pairs /
+    ngram_jaccard_pairs / near-dup cosine) into duplicate CLUSTERS a
+    pipeline can actually act on. Returns one row per node that
+    appears in any pair: ``(node, component)`` where ``component`` is
+    the smallest node id reachable from ``node`` (the canonical
+    keeper).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    scale-correct choice: converges in O(log²n) rounds even on
+    pathological chain graphs where naive min-label propagation needs
+    O(diameter) rounds. Each round is two hash-aggregations and two
+    joins on the node id (map-side partial mins; no driver-side graph,
+    no all-pairs anywhere):
+
+    - large-star: every node attaches its strictly-larger neighbors to
+      ``m(u) = min(Γ(u) ∪ {u})``;
+    - small-star: edges oriented high→low; every node and its smaller
+      neighbors re-attach to the minimum of the closed neighborhood.
+
+    Convergence is detected by an order-insensitive edge-set digest
+    (count + bit_xor of xxhash64) — one 1-row collect per round, the same
+    legitimate driver-side model state as IVF's centroids. Lineage is
+    truncated every round with ``localCheckpoint`` (iterative plans
+    otherwise grow exponentially and re-execute prior rounds; on a
+    cluster with an unreliable-executor profile, swap for reliable
+    ``checkpoint`` on a DFS dir). Raises ``RuntimeError`` if the edge
+    set hasn't stabilized after ``max_iter`` rounds rather than
+    returning a partially-merged labeling."""
+    e0 = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    # orient high→low once; small-star's input invariant (v < u)
+    edges = (
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _digest(e: DataFrame) -> tuple:
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (sum(xxhash64) overflows long); edges are distinct, so xor
+        # cancellation of repeated rows can't occur
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _digest(edges)
+    for _ in range(max_iter):
+        # large-star over the symmetric view: attach larger neighbors
+        # to the closed-neighborhood min
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges already high→low; re-attach the node and
+        # its smaller neighbors to the neighborhood min
+        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+        lowered = edges.join(mins, "u")
+        edges = (
+            lowered.select(F.col("u"), F.col("m").alias("v"))
+            .unionByName(
+                lowered.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _digest(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged: edges form stars (node → component root). Roots point
+    # nowhere, so add their self-assignments from the parent side.
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    scale_profile: str = "exact",
+) -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidate pairs → connected
+    components → one row per clustered doc with its canonical keeper
+    (cluster minimum). Docs in no candidate pair are implicit
+    singletons (left out — at 100 TB emitting n singleton rows to say
+    "not a duplicate" is pure shuffle waste; consumers anti-join).
+
+    The production scale_profile composes correctly with clustering:
+    the hot-bucket guard chains every capped bucket member to the
+    bucket keeper, so components (and keepers) are identical to the
+    exact profile's whenever the true near-dup relation is transitive
+    within buckets."""
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        scale_profile=scale_profile,
+    )
+    return connected_components(pairs)
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, members: DataFrame
+) -> DataFrame:
+    """Apply a clustering: keep every row whose id is a cluster keeper
+    (component root) or unclustered. One broadcast-or-shuffle anti-join
+    against the non-keeper member set — never touches text."""
+    losers = members.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

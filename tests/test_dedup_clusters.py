@@ -1,0 +1,131 @@
+"""Connected components + cluster application over near-dup pairs.
+
+The Spark implementation (alternating large-star/small-star) is
+checked against a pure-Python union-find on adversarial graph shapes —
+chains (worst case for naive label propagation), cliques, stars,
+random multigraphs — plus end-to-end through dedup_clusters /
+drop_near_duplicates on real documents. The DuckDB oracle twin
+(recursive transitive-closure CTE in the minhash_lsh_pairs slot)
+covers the cross-engine angle; these tests cover shapes the sf
+corpus doesn't produce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.operators import dedup
+from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for ns in comp.values() for n in ns}
+
+
+def _cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        # chain: diameter n — naive min-propagation would need ~n
+        # rounds; star-contraction must still converge inside max_iter
+        ("chain", [(i, i + 1) for i in range(1, 40)]),
+        ("reverse_chain", [(i + 1, i) for i in range(50, 90)]),
+        (
+            "two_cliques",
+            [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+            + [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)],
+        ),
+        ("star", [(1, k) for k in range(2, 25)]),
+        ("self_loops_dups", [(3, 3), (1, 2), (2, 1), (1, 2), (7, 7)]),
+    ],
+)
+def test_connected_components_shapes(spark, name, edges):
+    clean = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _uf_components(clean)
+
+
+def test_connected_components_random_graph(spark):
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(1, 300), rng.randrange(1, 300)) for _ in range(250)
+    ]
+    clean = [(a, b) for a, b in edges if a != b]
+    assert _cc(spark, edges) == _uf_components(clean)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=1)
+
+
+def test_dedup_clusters_and_apply(spark, sf0001):
+    docs = load_table(spark, sf0001, "documents")
+    members = dedup.dedup_clusters(docs, "doc_id", "text")
+    rows = members.collect()
+    assert rows, "sf0.001 documents contain near-dups by construction"
+    by_node = {r["node"]: r["component"] for r in rows}
+    # component id is the cluster minimum and a member of the cluster
+    for comp in set(by_node.values()):
+        cluster = [n for n, c in by_node.items() if c == comp]
+        assert min(cluster) == comp
+    kept = dedup.drop_near_duplicates(docs, "doc_id", members)
+    n_docs = docs.count()
+    n_losers = sum(1 for n, c in by_node.items() if n != c)
+    assert kept.count() == n_docs - n_losers
+    # every kept id is either a keeper or unclustered
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert all(by_node.get(i, i) == i for i in kept_ids)
+
+
+def test_dedup_clusters_production_profile_matches_exact(spark, sf0001):
+    docs = load_table(spark, sf0001, "documents")
+    exact = dedup.dedup_clusters(docs, "doc_id", "text")
+    prod = dedup.dedup_clusters(
+        docs, "doc_id", "text", scale_profile="production"
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, prod.collect())
+    )
+
+
+def test_connected_components_single_shuffle_rounds(spark):
+    """Each round must stay pure DataFrame algebra: no cartesian
+    products and no Python row UDFs in the iterated plan."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 8)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
