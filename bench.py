@@ -90,6 +90,25 @@ def skew_probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def fast_hash_probe(spark, sf_dir: str) -> dict[str, float]:
+    """Production hash-family pair: the md5 family is what the oracle
+    can reproduce; hash_family="fast" (xxhash64, numeric signatures
+    and band keys) is what a real 100 TB dedup run should use. The
+    timing pair documents the constant-factor win (~2x on LSH pairs
+    measured at sf0.1); candidate SEMANTICS equivalence is pytest-
+    covered (tests/test_corpus_ops.py::test_fast_hash_family_*)."""
+    from projet_big_data_boutin_danre_spark.operators import dedup as dd
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+    for fam in ("md5", "fast"):
+        t0 = time.time()
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", hash_family=fam).count()
+        out[f"lsh_pairs_{fam}"] = round(time.time() - t0, 3)
+    return out
+
+
 def skew_plan_probe(spark) -> float:
     """Plan-level companion to the skew timing pair (pytest twin:
     tests/test_plan_shapes.py::test_aqe_splits_skewed_join_partition):
@@ -238,6 +257,9 @@ def main() -> None:
     # per-probe but excluded from the headline total so round-over-
     # round totals stay comparable)
     timings.update(skew_probe(spark, sf_dir))
+    # md5 (oracle-parity) vs xxhash64 (production) dedup hashing —
+    # bench-only pair, excluded from the headline total
+    timings.update(fast_hash_probe(spark, sf_dir))
     # End-to-end corpus program (profile→gate→dedup→recipe→chunk→
     # shards, corpus_pipeline.py) — cold run into a fresh tmp lake;
     # excluded from the headline total (it re-runs operators already

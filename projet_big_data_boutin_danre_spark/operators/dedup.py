@@ -78,16 +78,32 @@ def _plan_partitions(df: DataFrame) -> int | None:
         return None
 
 
+def _check_hash_family(hash_family: str) -> None:
+    if hash_family not in ("md5", "fast"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+
+
 def exact_dedup_stats(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, hash_family: str = "md5"
 ) -> DataFrame:
     """Exact duplicate groups by normalized-content hash: one row per
-    distinct content with the keeper (min id) and duplicate count."""
+    distinct content with the keeper (min id) and duplicate count.
+
+    ``hash_family``: ``"md5"`` (default) is cross-engine checkable
+    against the DuckDB oracle; ``"fast"`` swaps in ``xxhash64`` — a
+    JVM-intrinsic streaming hash with no per-row digest allocation and
+    a LONG group key instead of a 32-char string, the right choice for
+    production corpora where no SQL twin needs to reproduce the hash.
+    Duplicate GROUPS are identical under either family (both are
+    content-deterministic); only the opaque hash value differs."""
+    _check_hash_family(hash_family)
+    fp = (
+        F.md5(normalize_text(text_col))
+        if hash_family == "md5"
+        else F.xxhash64(normalize_text(text_col))
+    )
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.md5(normalize_text(text_col)).alias("content_hash"),
-        )
+        df.select(F.col(id_col).alias("id"), fp.alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min("id").alias("keeper_id"),
@@ -96,10 +112,12 @@ def exact_dedup_stats(
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, hash_family: str = "md5"
+) -> DataFrame:
     """Keep one row per distinct normalized content (min id wins —
     deterministic, unlike ``dropDuplicates``)."""
-    keepers = exact_dedup_stats(df, id_col, text_col).select(
+    keepers = exact_dedup_stats(df, id_col, text_col, hash_family).select(
         F.col("keeper_id").alias(id_col)
     )
     return df.join(keepers, id_col, "left_semi")
@@ -129,37 +147,64 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 8,
     shingle_k: int = 8,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` independent
-    min-of-hash columns ``sig_0..sig_{n-1}``, each an 8-hex slice of a
-    seeded md5 digest (see ``functions.hashing.minhash_component`` —
-    4 components per digest, so 8 signatures cost 2 md5/shingle, and
-    subexpression elimination computes each digest once per row).
+    min-of-hash columns ``sig_0..sig_{n-1}``.
+
+    ``hash_family="md5"`` (default, oracle-checkable): each component
+    is an 8-hex slice of a seeded md5 digest (see
+    ``functions.hashing.minhash_component`` — 4 components per digest,
+    so 8 signatures cost 2 md5/shingle, and subexpression elimination
+    computes each digest once per row). Lexicographic MIN over
+    fixed-width hex is a valid min-hash.
+
+    ``hash_family="fast"`` (production): component ``s`` is
+    ``xxhash64(s, shingle)`` — a JVM-intrinsic streaming hash; the
+    signature is a LONG and the min is a numeric min, so the aggregate
+    buffer is 8 longs instead of 8 strings. Same candidate-recall
+    statistics (any uniform hash induces a uniform order); not
+    bit-reproducible in ANSI SQL, hence not the oracle default.
 
     One explode + one hash-aggregate; partial mins combine map-side so
     the shuffle carries one row per (doc, partition)."""
+    _check_hash_family(hash_family)
     shingles = char_shingles(balance_for_fanout(df), id_col, text_col, k=shingle_k)
-    aggs = [
-        F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
-        for s in range(num_hashes)
-    ]
+    if hash_family == "fast":
+        aggs = [
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"sig_{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
+            for s in range(num_hashes)
+        ]
     return shingles.groupBy("id").agg(*aggs)
 
 
 def lsh_bands(
-    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+    sigs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Banding: hash each contiguous signature slice to a bucket key.
-    Output: (id, band, band_key) — ``bands`` rows per doc."""
+    Output: (id, band, band_key) — ``bands`` rows per doc. The fast
+    family emits LONG band keys (xxhash64 over the slice) instead of
+    md5 hex strings — smaller shuffle rows, cheaper bucket groupBy."""
+    _check_hash_family(hash_family)
     rows_per_band = num_hashes // bands
     band_structs = []
     for b in range(bands):
         cols = [F.col(f"sig_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        key = (
+            F.xxhash64(*cols)
+            if hash_family == "fast"
+            else F.md5(F.concat_ws("|", *cols))
+        )
         band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
         )
     return sigs.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
@@ -181,9 +226,14 @@ def minhash_lsh_pairs(
     shingle_k: int = 8,
     max_bucket: int | None = None,
     scale_profile: str = "exact",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
-    one LSH band bucket.
+    one LSH band bucket. ``hash_family="fast"`` switches signatures and
+    band keys from md5 hex strings to xxhash64 longs (see
+    ``minhash_signatures``) — same recall statistics, much cheaper
+    hashing and narrower shuffles; the md5 default is what the oracle
+    reproduces.
 
     One aggregation per bucket (collect ids) + double-explode pair
     expansion: a single pass over the signatures — no self-join, so
@@ -212,10 +262,14 @@ def minhash_lsh_pairs(
         raise ValueError(f"unknown scale_profile {scale_profile!r}")
     if scale_profile == "production" and max_bucket is None:
         max_bucket = PRODUCTION_MAX_BUCKET
+    _check_hash_family(hash_family)
     b = lsh_bands(
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_k),
+        minhash_signatures(
+            df, id_col, text_col, num_hashes, shingle_k, hash_family
+        ),
         num_hashes,
         bands,
+        hash_family,
     )
     if max_bucket is None:
         buckets = (
@@ -251,7 +305,8 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """SimHash over whitespace tokens of the normalized text.
 
@@ -261,15 +316,34 @@ def simhash(
 
     Explode + per-bit conditional sums with map-side combine; the
     per-bit expressions are generated Column algebra (bits ≤ 64).
-    """
+
+    ``hash_family="fast"``: token bits come straight off the xxhash64
+    long (shift + mask — no md5, no hex decode), so the per-token cost
+    drops to one intrinsic hash; same plan shape, different (still
+    uniform) bit source, so Hamming-distance STRUCTURE is preserved
+    but hashes are not comparable across families."""
+    _check_hash_family(hash_family)
     hex_chars = bits // 4
-    tokens = (
-        balance_for_fanout(df).select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .select("id", F.substring(F.md5(F.col("tok")), 1, hex_chars).alias("h"))
+    base = balance_for_fanout(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    if hash_family == "fast":
+        h = F.xxhash64("tok")
+        sums = [
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")) * 2 - 1
+            ).alias(f"s_{j}")
+            for j in range(bits)
+        ]
+        per_doc = base.groupBy("id").agg(*sums)
+        bit_chars = [
+            F.when(F.col(f"s_{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(bits)
+        ]
+        return per_doc.select("id", F.concat(*bit_chars).alias("simhash_bits"))
+    tokens = base.select(
+        "id", F.substring(F.md5(F.col("tok")), 1, hex_chars).alias("h")
     )
     # nibble value of hex char i (1-based): conv is Spark-side;
     # the oracle spells it instr('0123456789abcdef', ch)-1. Nibbles
@@ -574,6 +648,7 @@ def dedup_clusters(
     bands: int = 4,
     shingle_k: int = 8,
     scale_profile: str = "exact",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """End-to-end near-dup clustering: LSH candidate pairs → connected
     components → one row per clustered doc with its canonical keeper
@@ -594,6 +669,7 @@ def dedup_clusters(
         bands=bands,
         shingle_k=shingle_k,
         scale_profile=scale_profile,
+        hash_family=hash_family,
     )
     return connected_components(pairs)
 

@@ -356,3 +356,59 @@ def test_assemble_chunks_with_separator(spark):
         for r in assemble_chunks(df, sep="|").collect()
     }
     assert got == {1: ("a|b|c", 3), 2: ("solo", 1)}
+
+
+def test_fast_hash_family_dedup_parity(spark, docs):
+    """hash_family="fast" (xxhash64 longs) must preserve dedup
+    SEMANTICS: identical exact-dup groups (content-deterministic under
+    any hash), near-dup recall on the same fixture, and LONG-typed
+    signatures/band keys (the narrow-shuffle point of the fast path)."""
+    g_md5 = {
+        (r.keeper_id, r.n_copies)
+        for r in dedup.exact_dedup_stats(docs, "doc_id", "text").collect()
+    }
+    g_fast = {
+        (r.keeper_id, r.n_copies)
+        for r in dedup.exact_dedup_stats(
+            docs, "doc_id", "text", hash_family="fast"
+        ).collect()
+    }
+    assert g_md5 == g_fast
+
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", hash_family="fast"
+    )
+    assert all(
+        f.dataType.simpleString() == "bigint"
+        for f in sigs.schema.fields
+        if f.name.startswith("sig_")
+    )
+    pairs_df = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, hash_family="fast"
+    )
+    pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    # exact-after-normalization dups (1,2,3) always collide under any
+    # hash family; 4 and 5 share no shingles with anything
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+    bands_df = dedup.lsh_bands(sigs, hash_family="fast")
+    assert dict(bands_df.dtypes)["band_key"] == "bigint"
+
+
+def test_fast_hash_family_simhash(spark, docs):
+    out = {
+        r.id: r.simhash_bits
+        for r in dedup.simhash(
+            docs, "doc_id", "text", bits=32, hash_family="fast"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(len(b) == 32 and set(b) <= {"0", "1"} for b in out.values())
+    # normalized-identical docs hash identically; near-dups are close
+    assert out[1] == out[3] == out[2]
+    ham = sum(a != b for a, b in zip(out[1], out[4]))
+    assert ham > 4  # different content is far
+
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.simhash(docs, "doc_id", "text", hash_family="sha9")
