@@ -567,10 +567,15 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Text analysis: token count, heuristic language ID, quality
     score, md5 fingerprint — widened (r5) with the PII scrub pass
     (email/IPv4/long-digit-run redaction counts + scrubbed-text
-    fingerprint, staged-matching semantics) — still one narrow
-    JVM-side projection."""
+    fingerprint, staged-matching semantics) and with the Gopher-style
+    repetition signals (duplicate-bigram fraction, hottest-bigram
+    coverage — operators/text.py:repetition_profile). The projection
+    half stays narrow; repetition adds the canonical (doc, bigram)
+    wordcount rollup."""
     docs = load_table(spark, sf, "documents")
-    return text.text_profile(docs, "doc_id", "text", include_pii=True)
+    prof = text.text_profile(docs, "doc_id", "text", include_pii=True)
+    rep = text.repetition_profile(docs, "doc_id", "text").drop("n_tokens")
+    return prof.join(rep, "doc_id")
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1419,9 +1424,33 @@ def _sql_text_profile() -> str:
             SELECT doc_id, text, nt, n, n_alpha, n_space, ae, ai,
                    regexp_replace(ai, '{text.LONG_NUM_RE}', '<NUM>', 'g') AS scrubbed,
                    {hit_cols} FROM staged
+        ), ntok AS (
+            SELECT doc_id,
+                   list_filter(string_split(nt, ' '), x -> x <> '') AS t
+            FROM base
+        ), bigr AS (
+            SELECT doc_id,
+                   concat_ws(' ', t[CAST(i AS INT)], t[CAST(i AS INT) + 1]) AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM ntok WHERE len(t) >= 2)
+        ), bc AS (
+            SELECT doc_id, gram, count(*) AS c FROM bigr GROUP BY 1, 2
+        ), ranked AS (
+            SELECT doc_id, gram, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, gram) AS rn
+            FROM bc
+        ), rep_agg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+            FROM bc GROUP BY doc_id
+        ), rep_top AS (
+            SELECT doc_id, gram AS top_bigram, CAST(c AS BIGINT) AS top_bigram_n
+            FROM ranked WHERE rn = 1
         )
-        SELECT doc_id,
-               len(list_filter(string_split(nt, ' '), x -> x <> '')) AS n_tokens,
+        SELECT h.doc_id,
+               len(nk.t) AS n_tokens,
                {lang_case} AS lang_detected,
                floor((0.4 * least(n / 500.0, 1.0)
                       + 0.3 * (CASE WHEN n > 0 THEN n_alpha / n ELSE 0.0 END)
@@ -1432,8 +1461,25 @@ def _sql_text_profile() -> str:
                CAST(len(regexp_extract_all(ae, '{text.IPV4_RE}')) AS INT) AS n_ips,
                CAST(len(regexp_extract_all(ai, '{text.LONG_NUM_RE}')) AS INT) AS n_long_nums,
                CAST(length(scrubbed) AS INT) AS scrubbed_len,
-               md5(scrubbed) AS scrubbed_fp
-        FROM hits
+               md5(scrubbed) AS scrubbed_fp,
+               coalesce(ra.n_bigrams, 0) AS n_bigrams,
+               coalesce(ra.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+               CASE WHEN coalesce(ra.n_bigrams, 0) > 0
+                    THEN floor((1.0 - ra.n_distinct_bigrams
+                                      / CAST(ra.n_bigrams AS DOUBLE))
+                               * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS dup_bigram_frac,
+               rt.top_bigram,
+               coalesce(rt.top_bigram_n, 0) AS top_bigram_n,
+               CASE WHEN len(nk.t) > 0
+                    THEN floor((coalesce(rt.top_bigram_n, 0) * 2
+                                / CAST(len(nk.t) AS DOUBLE))
+                               * 1000000.0 + 0.5) / 1000000.0
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM hits h
+        JOIN ntok nk ON nk.doc_id = h.doc_id
+        LEFT JOIN rep_agg ra ON ra.doc_id = h.doc_id
+        LEFT JOIN rep_top rt ON rt.doc_id = h.doc_id
     """
 
 

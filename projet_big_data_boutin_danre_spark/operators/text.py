@@ -319,3 +319,94 @@ def assemble_chunks(
             F.count(F.lit(1)).alias("n_chunks"),
         )
     )
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 6
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1.1 use duplicate-n-gram and top-n-gram coverage as
+    corpus filters; boilerplate and spam are repetition-heavy):
+
+    - ``n_tokens``: whitespace tokens of the normalized text;
+    - ``n_bigrams`` / ``n_distinct_bigrams`` and ``dup_bigram_frac`` =
+      1 − distinct/total (0.0 when a doc has < 2 tokens);
+    - ``top_bigram`` (smallest lexicographically among the most
+      frequent — deterministic under ties), ``top_bigram_n``, and
+      ``top_bigram_frac`` = 2·top_n / n_tokens — the fraction of
+      tokens covered by occurrences of the single hottest bigram.
+
+    Shape: one explode to (doc, bigram), a (doc, bigram) wordcount
+    (map-side combine), a per-doc rollup with ``min_by`` for the
+    hottest gram, and a left join back so short docs survive with
+    zeroed signals — the canonical scalable wordcount plan, never
+    O(tokens²) per row. Fractions use the floor(x·10^r + 0.5)
+    rounding shared with :func:`quality_score` so the DuckDB twin is
+    bit-identical."""
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(toks, lambda t: t != "").alias("__toks"),
+    ).select(
+        "id", F.coalesce(F.size("__toks"), F.lit(0)).alias("n_tokens"),
+        "__toks",
+    )
+    grams = base.filter(F.col("n_tokens") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at("__toks", i),
+                    F.try_element_at("__toks", i + 1),
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.min_by("gram", F.struct((-F.col("c")).alias("nc"), "gram")).alias(
+            "top_bigram"
+        ),
+    )
+
+    def _r(x):  # shared cross-engine rounding (see quality_score)
+        scale = F.lit(float(10**round_to))
+        return F.floor(x * scale + F.lit(0.5)) / scale
+
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias(
+                "n_distinct_bigrams"
+            ),
+            F.when(
+                F.col("n_bigrams") > 0,
+                _r(
+                    F.lit(1.0)
+                    - F.col("n_distinct_bigrams") / F.col("n_bigrams")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
+            F.col("top_bigram"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.when(
+                F.col("n_tokens") > 0,
+                _r(
+                    F.coalesce(F.col("top_bigram_n"), F.lit(0))
+                    * 2
+                    / F.col("n_tokens")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )

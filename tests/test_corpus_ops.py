@@ -412,3 +412,35 @@ def test_fast_hash_family_simhash(spark, docs):
 
     with pytest.raises(ValueError, match="hash_family"):
         dedup.simhash(docs, "doc_id", "text", hash_family="sha9")
+
+
+def test_repetition_profile_signals(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),          # one bigram repeated
+        (2, "all words here are fully distinct"),  # no repetition
+        (3, "word"),                               # 1 token: no bigrams
+        (4, ""),                                   # empty
+        (5, "b a b a c c b a"),                    # tie + mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_profile(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    r1 = out[1]  # 5 tokens, 4 bigrams all "spam spam"
+    assert (r1.n_tokens, r1.n_bigrams, r1.n_distinct_bigrams) == (5, 4, 1)
+    assert r1.dup_bigram_frac == 0.75
+    assert r1.top_bigram == "spam spam" and r1.top_bigram_n == 4
+    assert r1.top_bigram_frac == 1.6  # 2*4/5: overlapping occurrences
+
+    r2 = out[2]
+    assert r2.dup_bigram_frac == 0.0 and r2.top_bigram_n == 1
+
+    for short in (3, 4):
+        r = out[short]
+        assert (r.n_bigrams, r.top_bigram_n) == (0, 0)
+        assert r.dup_bigram_frac == 0.0 and r.top_bigram_frac == 0.0
+        assert r.top_bigram is None
+    assert out[4].n_tokens == 0
+
+    r5 = out[5]  # "b a" x3 is the hottest; tie-break is lexicographic
+    assert r5.top_bigram == "b a" and r5.top_bigram_n == 3
