@@ -9,7 +9,9 @@ report.
                          fingerprints, PII counts)
       → gate            (quality + token floor; PII-heavy docs dropped)
       → dedup           (exact normalized-hash, then MinHash-LSH
-                         near-dup at the production scale profile)
+                         near-dup at the production scale profile,
+                         clustered by connected components — one
+                         keeper per near-dup cluster)
       → recipe          (deterministic stratified sample, then
                          exact-count domain mix per language)
       → chunks          (token windows)
@@ -110,11 +112,15 @@ def run_corpus_pipeline(
 
     def build_deduped() -> DataFrame:
         exact = dedup.exact_dedup(gated, id_col, text_col)
+        # cluster candidate pairs (connected components) and keep one
+        # doc per cluster — dropping raw pair id_b's instead would keep
+        # every LOCAL minimum, i.e. several docs of one duplicate
+        # cluster whenever near-dups chain through a middle doc
         pairs = dedup.minhash_lsh_pairs(
             exact, id_col, text_col, scale_profile="production"
         )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        return exact.join(losers, id_col, "left_anti")
+        members = dedup.connected_components(pairs)
+        return dedup.drop_near_duplicates(exact, id_col, members)
 
     deduped = stage("deduped", build_deduped)
 
