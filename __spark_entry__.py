@@ -744,11 +744,44 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Word-3-gram Jaccard similarity for pairs blocked by source."""
+    """n-gram overlap family, tagged union (r5 widening):
+
+    - ``jac``: word-3-gram Jaccard for pairs blocked by source
+      (id_a, id_b, jaccard; v1/v2 NULL);
+    - ``contam``: benchmark-decontamination scan
+      (operators/text.py:ngram_contamination) — docs with
+      ``doc_id % 41 == 0`` act as the held-out probe set, the rest as
+      the training corpus; flagged rows carry v1 = distinct colliding
+      4-grams, v2 = distinct probe docs hit (id_b/jaccard NULL).
+      n=4 keeps the check non-vacuous at sf0.01 (the operator default
+      is 8, the published-filter scale)."""
     docs = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(
+    jac = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", "source", n=3, min_jaccard=0.02
     )
+    probes = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    contam = text.ngram_contamination(
+        corpus, "doc_id", "text", probes, "doc_id", "text", n=4
+    )
+    nul_l = F.lit(None).cast("bigint")
+    j = jac.select(
+        F.lit("jac").alias("tag"),
+        "id_a",
+        "id_b",
+        "jaccard",
+        nul_l.alias("v1"),
+        nul_l.alias("v2"),
+    )
+    c = contam.select(
+        F.lit("contam").alias("tag"),
+        F.col("doc_id").alias("id_a"),
+        nul_l.alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("n_hit_grams").alias("v1"),
+        F.col("n_hit_probes").alias("v2"),
+    )
+    return j.unionByName(c)
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2142,14 +2175,40 @@ def oracle_sql() -> dict[str, str]:
                 JOIN grams b ON a.block = b.block AND a.gram = b.gram
                             AND a.id < b.id
                 GROUP BY 1, 2
+            ),
+            -- decontamination twin: FULL 4-token windows only (no
+            -- degraded short-doc gram), probes = doc_id % 41 = 0
+            grams4 AS (
+                SELECT DISTINCT id,
+                       concat_ws(' ', tk[CAST(i AS INT)],
+                                      tk[CAST(i AS INT) + 1],
+                                      tk[CAST(i AS INT) + 2],
+                                      tk[CAST(i AS INT) + 3]) AS gram
+                FROM (SELECT id, tk,
+                             unnest(generate_series(1, len(tk) - 3)) AS i
+                      FROM base WHERE len(tk) >= 4)
+            ),
+            contam AS (
+                SELECT dg.id,
+                       CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_hit_grams,
+                       CAST(count(DISTINCT pg.id) AS BIGINT) AS n_hit_probes
+                FROM (SELECT id, gram FROM grams4 WHERE id % 41 <> 0) dg
+                JOIN (SELECT id, gram FROM grams4 WHERE id % 41 = 0) pg
+                     USING (gram)
+                GROUP BY dg.id
             )
-            SELECT id_a, id_b,
+            SELECT 'jac' AS tag, id_a, id_b,
                    round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6)
-                       AS jaccard
+                       AS jaccard,
+                   CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
             FROM inter
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= 0.02
+            UNION ALL
+            SELECT 'contam', id, NULL, CAST(NULL AS DOUBLE),
+                   n_hit_grams, n_hit_probes
+            FROM contam
         """,
         "cosine_topk": f"""
             WITH q AS (

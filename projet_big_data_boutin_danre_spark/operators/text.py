@@ -410,3 +410,90 @@ def repetition_profile(
             .alias("top_bigram_frac"),
         )
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: DataFrame,
+    probe_id_col: str,
+    probe_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination scan (the GPT-3 appendix-C /
+    PaLM-style filter): find training documents sharing any word
+    ``n``-gram with a held-out probe set (benchmark prompts, eval
+    answers). Returns one row per contaminated doc:
+    ``(id, n_hit_grams, n_hit_probes)`` — distinct colliding grams and
+    distinct probe docs hit. Clean docs are absent (at 100 TB almost
+    everything is clean; emitting them would dwarf the signal).
+
+    Scale shape: the probe side (benchmarks: thousands of docs, not
+    billions) reduces to a distinct (gram → probe ids) table that is
+    BROADCAST; the corpus side explodes to distinct per-doc grams and
+    hash-joins without shuffling the corpus. The only wide exchange is
+    the per-doc rollup of hits — bounded by contaminated docs only.
+    Grams under ``n`` tokens don't match (short docs are never flagged
+    by a too-short gram): both sides gram only windows with a full
+    ``n`` tokens."""
+    from pyspark.sql.functions import broadcast
+
+    def _full_grams(df: DataFrame, i: str, t: str) -> DataFrame:
+        toks = F.split(normalize_text(t), " ")
+        # unlike word_ngrams (which degrades to a shorter gram for
+        # short docs, fine for Jaccard), contamination must only
+        # consider FULL n-token windows
+        return (
+            df.select(F.col(i).alias("id"), toks.alias("__toks"))
+            .filter(F.size("__toks") >= n)
+            .select(
+                "id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                        lambda s: F.concat_ws(
+                            " ",
+                            *[
+                                F.try_element_at("__toks", s + off)
+                                for off in range(n)
+                            ],
+                        ),
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    probe_grams = _full_grams(probes, probe_id_col, probe_text_col).select(
+        F.col("id").alias("probe_id"), "gram"
+    )
+    doc_grams = _full_grams(docs, id_col, text_col)
+    return (
+        doc_grams.join(broadcast(probe_grams), "gram")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("probe_id").alias("n_hit_probes"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: DataFrame,
+    probe_id_col: str,
+    probe_text_col: str,
+    n: int = 8,
+    min_hit_grams: int = 1,
+) -> DataFrame:
+    """Drop every training doc flagged by :func:`ngram_contamination`
+    with at least ``min_hit_grams`` colliding n-grams. One anti-join
+    against the (small) contaminated-id set."""
+    flagged = ngram_contamination(
+        docs, id_col, text_col, probes, probe_id_col, probe_text_col, n
+    ).filter(F.col("n_hit_grams") >= min_hit_grams).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

@@ -444,3 +444,58 @@ def test_repetition_profile_signals(spark):
 
     r5 = out[5]  # "b a" x3 is the hottest; tie-break is lexicographic
     assert r5.top_bigram == "b a" and r5.top_bigram_n == 3
+
+
+def test_ngram_contamination_and_decontaminate(spark):
+    probes = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "pid long, ptext string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains a full 8-gram of the probe
+            (1, "intro text the secret benchmark answer is forty two exactly and more"),
+            # shares only a 3-token overlap -> clean at n=8
+            (2, "the secret benchmark of something unrelated entirely here now"),
+            (3, "completely clean document with no overlap at all whatsoever"),
+            (4, "short doc"),  # < n tokens: never flagged
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: (r.n_hit_grams, r.n_hit_probes)
+        for r in text.ngram_contamination(
+            docs, "doc_id", "text", probes, "pid", "ptext", n=8
+        ).collect()
+    }
+    assert set(hits) == {1}
+    assert hits[1][1] == 1  # one probe doc hit
+    assert hits[1][0] >= 1
+
+    clean = text.decontaminate(
+        docs, "doc_id", "text", probes, "pid", "ptext", n=8
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3, 4]
+
+    # lowering n flags the partial-overlap doc too
+    hits3 = {
+        r.doc_id
+        for r in text.ngram_contamination(
+            docs, "doc_id", "text", probes, "pid", "ptext", n=3
+        ).collect()
+    }
+    assert {1, 2} <= hits3 and 3 not in hits3 and 4 not in hits3
+
+
+def test_ngram_contamination_probe_side_broadcast(spark):
+    probes = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "pid long, ptext string"
+    )
+    docs = spark.createDataFrame(
+        [(2, "x a b c d e f g h y")], "doc_id long, text string"
+    )
+    out = text.ngram_contamination(
+        docs, "doc_id", "text", probes, "pid", "ptext", n=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
