@@ -617,7 +617,21 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    return base.join(cc, "doc_id", "left").join(tc, "doc_id", "left")
+    # r5 widening: concat-and-chunk sequence packing (distributed
+    # prefix-sum over doc_id order, corpus_prep.pack_sequences) —
+    # global token offsets and first/last 512-token context bins. The
+    # oracle twin is a plain SQL running-total window; the Spark side
+    # deliberately is NOT (single-partition global windows are the
+    # scale-killer the operator avoids).
+    pack = corpus_prep.pack_sequences(
+        base.select("doc_id", "bpe_tokens"), "doc_id", "bpe_tokens",
+        budget=512,
+    )
+    return (
+        base.join(cc, "doc_id", "left")
+        .join(tc, "doc_id", "left")
+        .join(pack, "doc_id", "left")
+    )
 
 
 def q_corpus_cardinality(spark: SparkSession, sf: str) -> DataFrame:
@@ -2090,8 +2104,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(
                         generate_series(1, greatest(nt - 8, 1), 32),
                         s -> least(40, greatest(nt - s + 1, 0))))
-                        AS BIGINT) AS tok_chunk_tokens
+                        AS BIGINT) AS tok_chunk_tokens,
+                   p.pack_start, p.pack_end, p.bin_first, p.bin_last
             FROM t
+            -- packing twin: plain running-total window of what the
+            -- Spark side computes via distributed prefix-sum; NULL
+            -- ids excluded on both sides (engines disagree on NULL
+            -- sort position), left-joined back
+            LEFT JOIN (
+                SELECT doc_id,
+                       CAST(sum(bpe_tokens) OVER w - bpe_tokens AS BIGINT)
+                           AS pack_start,
+                       CAST(sum(bpe_tokens) OVER w AS BIGINT) AS pack_end,
+                       CAST(floor((sum(bpe_tokens) OVER w - bpe_tokens)
+                                  / 512.0) AS BIGINT) AS bin_first,
+                       CAST(CASE WHEN bpe_tokens > 0
+                            THEN floor((sum(bpe_tokens) OVER w - 1) / 512.0)
+                            ELSE floor((sum(bpe_tokens) OVER w - bpe_tokens)
+                                       / 512.0)
+                            END AS BIGINT) AS bin_last
+                FROM t WHERE doc_id IS NOT NULL
+                WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+            ) p USING (doc_id)
         """,
         "corpus_quantiles": """
             SELECT lang, count(*) AS n_docs,

@@ -220,3 +220,109 @@ def write_training_shards(
         .withColumn("__shard", F.spark_partition_id())
     )
     out.write.mode("overwrite").format(fmt).save(path)
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE running total of ``value_col`` over the global
+    ``order_col`` order — the distributed prefix-sum, without the
+    single-partition global window Spark would otherwise plan (an
+    ``orderBy``-only window moves ALL data to one task: the classic
+    100 TB scale-killer this helper exists to avoid).
+
+    Two-pass: (1) range-repartition + in-partition sort on the order
+    key, partition-local running totals via a window PARTITIONED by
+    ``spark_partition_id``; (2) per-partition totals — one row per
+    partition — collect to the driver (bounded model state, like a
+    range sampler's boundaries), turn into exclusive partition offsets,
+    broadcast-join back. Output is independent of where the range
+    boundaries land, so sampled partitioning does not leak into the
+    result. ``order_col`` must be a total order (unique keys): ties
+    could split across range boundaries and make tied rows' running
+    totals partition-dependent. Rows with a NULL order key are EXCLUDED (engines disagree
+    on NULL sort position; callers left-join the result if they need
+    those rows back)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    local = (
+        df.filter(F.col(order_col).isNotNull())
+        .repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = local.withColumn("__local_sum", F.sum(value_col).over(w))
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__tot"] or 0
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __off bigint",
+    )
+    return (
+        local.join(broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__local_sum"))
+        .drop("__pid", "__local_sum", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-chunk training packing: lay documents end-to-end in
+    ``id_col`` order and slice the stream into fixed ``budget``-token
+    context windows (the standard LM pretraining batch layout). Per
+    doc: ``pack_start`` / ``pack_end`` (global token offsets,
+    end-exclusive) and ``bin_first`` / ``bin_last`` (the context
+    windows the doc lands in; docs straddle bins rather than pad —
+    the concat-and-chunk convention). Zero-token docs occupy no span:
+    both bins are the bin their offset falls in.
+
+    Built on :func:`global_prefix_sum` — no single-partition window,
+    deterministic for a given corpus regardless of partition layout.
+    Rows with NULL ``id_col`` are excluded (callers needing them
+    re-join)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    with_sum = global_prefix_sum(
+        df.select(
+            F.col(id_col),
+            F.coalesce(F.col(tokens_col), F.lit(0)).cast("long").alias("__tk"),
+        ),
+        order_col=id_col,
+        value_col="__tk",
+        out_col="__csum",
+    )
+    start = F.col("__csum") - F.col("__tk")
+    end = F.col("__csum")
+    return with_sum.select(
+        F.col(id_col),
+        start.alias("pack_start"),
+        end.alias("pack_end"),
+        F.floor(start / budget).cast("bigint").alias("bin_first"),
+        F.when(F.col("__tk") > 0, F.floor((end - 1) / budget))
+        .otherwise(F.floor(start / budget))
+        .cast("bigint")
+        .alias("bin_last"),
+    )

@@ -4,6 +4,7 @@ interleaving (operators/corpus_prep.py), PII scrub (operators/text.py).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from projet_big_data_boutin_danre_spark.operators import corpus_prep as cp
@@ -234,3 +235,63 @@ def test_write_training_shards_replays_global_order(spark, tmp_path):
         for r in cp.interleave(docs, "doc_id", seed=21).collect()
     ]
     assert replay == want
+
+
+def test_global_prefix_sum_matches_serial(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 50)) for i in range(1, 301)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, v long")
+    for n_parts in (1, 3, 8):
+        out = {
+            r.id: r.prefix_sum
+            for r in cp.global_prefix_sum(
+                df, "id", "v", n_parts=n_parts
+            ).collect()
+        }
+        acc, expect = 0, {}
+        for i, v in sorted(rows):
+            acc += v
+            expect[i] = acc
+        # identical totals for ANY partition layout
+        assert out == expect, f"n_parts={n_parts}"
+
+
+def test_global_prefix_sum_excludes_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (None, 7), (2, 3)], "id long, v long"
+    )
+    out = {r.id: r.prefix_sum for r in cp.global_prefix_sum(df, "id", "v").collect()}
+    assert out == {1: 5, 2: 8}
+
+
+def test_pack_sequences_spans_and_bins(spark):
+    rows = [(1, 300), (2, 300), (3, 0), (4, 500), (5, 24)]
+    df = spark.createDataFrame(rows, "doc_id long, tk long")
+    out = {
+        r.doc_id: (r.pack_start, r.pack_end, r.bin_first, r.bin_last)
+        for r in cp.pack_sequences(df, "doc_id", "tk", budget=512).collect()
+    }
+    # doc1 [0,300) bin 0; doc2 [300,600) straddles 0-1; doc3 empty at
+    # 600 -> bin 1 only; doc4 [600,1100) bins 1-2; doc5 [1100,1124) bin 2
+    assert out[1] == (0, 300, 0, 0)
+    assert out[2] == (300, 600, 0, 1)
+    assert out[3] == (600, 600, 1, 1)
+    assert out[4] == (600, 1100, 1, 2)
+    assert out[5] == (1100, 1124, 2, 2)
+    with pytest.raises(ValueError, match="budget"):
+        cp.pack_sequences(df, "doc_id", "tk", budget=0)
+
+
+def test_global_prefix_sum_no_single_partition_exchange(spark):
+    """The whole point vs a global orderBy window: the plan must not
+    funnel the data through Exchange SinglePartition."""
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = cp.global_prefix_sum(df, "id", "v", n_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
