@@ -353,3 +353,45 @@ def test_media_plans_prunes_payload(spark, sf0001):
     for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
         assert "payload" not in m.group(1)
         assert "text" not in m.group(1) or "n_chars" in m.group(1)
+
+
+def test_runtime_bloom_filter_prunes_join_scan(spark, tmp_path):
+    """100 TB join hygiene: for a selective dim joined to a huge fact
+    with no broadcast, Spark's runtime bloom filter should inject a
+    might_contain predicate on the fact scan so non-matching rows die
+    at the scan instead of riding the shuffle. The application-side
+    size threshold (default 10 GB — exactly the real-scale trigger) is
+    lowered so test-scale data crosses it; the assertion is the
+    injected bloom aggregate + probe in the physical plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact_p = str(tmp_path / "fact")
+        dim_p = str(tmp_path / "dim")
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).write.mode("overwrite").parquet(fact_p)
+        spark.range(0, 300).select(
+            F.col("id").alias("k"), F.lit("x").alias("p")
+        ).write.mode("overwrite").parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("p") == "x")
+        joined = fact.join(dim, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the result is right: every fact row with k < 300 survives
+        assert joined.count() == 300
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
