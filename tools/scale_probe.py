@@ -78,6 +78,19 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         "chunk_tokens": lambda: text.chunk_tokens(
             docs, "doc_id", "text", chunk_tokens=64, overlap=8
         ).count(),
+        # pairs → clusters: candidate generation scales with the
+        # corpus; the star-contraction rounds scale with log²(n), so
+        # the measured exponent should stay near the pairs exponent
+        "dedup_clusters": lambda: dedup.dedup_clusters(
+            docs, "doc_id", "text", scale_profile="production",
+            hash_family="fast",
+        ).count(),
+        "pack_sequences": lambda: corpus_prep.pack_sequences(
+            docs.select(
+                "doc_id", F.length("text").alias("tk")
+            ),
+            "doc_id", "tk", budget=4096,
+        ).count(),
     }
 
 
