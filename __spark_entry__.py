@@ -692,6 +692,12 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         F.array_contains(srcs, "src1").alias("has_src1"),
         F.array_position(srcs, "src1").alias("src1_pos"),
         F.concat_ws(",", F.slice(srcs, 1, 2)).alias("first_two_srcs"),
+    ).join(
+        # r5 widening: per-language vocabulary size + deterministic
+        # top-3 tokens by frequency (text.vocab_topk — wordcount, a
+        # group-partitioned ranking window, rank-ordered CSV)
+        text.vocab_topk(docs, "text", "lang", k=3),
+        "lang",
     )
 
 
@@ -2061,10 +2067,37 @@ def oracle_sql() -> dict[str, str]:
                            FILTER (WHERE source IS NOT NULL)), [])
                            AS srcs
                 FROM documents GROUP BY lang
+            ),
+            -- vocab twin: per-lang wordcount, rank by (count desc,
+            -- token), top-3 as rank-ordered tok:count CSV
+            vtok AS (
+                SELECT lang,
+                       unnest(list_filter(string_split(
+                           {_NORM_SQL.format(c='text')}, ' '),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ),
+            vc AS (
+                SELECT lang, tok, count(*) AS c
+                FROM vtok GROUP BY 1, 2
+            ),
+            vr AS (
+                SELECT lang, tok, c,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY c DESC, tok) AS rn
+                FROM vc
+            ),
+            vocab AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+                       coalesce(string_agg(
+                           CASE WHEN rn <= 3
+                                THEN tok || ':' || CAST(c AS VARCHAR) END,
+                           ',' ORDER BY rn), '') AS top_tokens
+                FROM vr GROUP BY lang
             )
             -- coalesce(.., ''): DuckDB array_to_string of an EMPTY
             -- list is NULL, Spark concat_ws is '' — align to ''
-            SELECT lang, exact_distinct, n_docs, sources_csv, n_sources,
+            SELECT g.lang, exact_distinct, n_docs, sources_csv, n_sources,
                    coalesce(array_to_string(list_sort(list_intersect(srcs,
                        ['src1','src2','src42'])), ','), '') AS common_srcs,
                    coalesce(array_to_string(list_sort(list_filter(srcs,
@@ -2076,8 +2109,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(list_position(srcs, 'src1'), 0) AS BIGINT)
                        AS src1_pos,
                    coalesce(array_to_string(list_slice(srcs, 1, 2), ','), '')
-                       AS first_two_srcs
-            FROM g
+                       AS first_two_srcs,
+                   v.n_vocab, v.top_tokens
+            FROM g JOIN vocab v ON v.lang = g.lang
         """,
         "text_profile": _sql_text_profile(),
         "token_stats": f"""

@@ -497,3 +497,62 @@ def decontaminate(
         docs, id_col, text_col, probes, probe_id_col, probe_text_col, n
     ).filter(F.col("n_hit_grams") >= min_hit_grams).select(id_col)
     return docs.join(flagged, id_col, "left_anti")
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str, by: str, k: int = 3
+) -> DataFrame:
+    """Per-group vocabulary statistics: distinct-token count and the
+    top-``k`` tokens by frequency as a deterministic ``tok:count`` CSV
+    (rank order; ties broken lexicographically). The corpus-analysis
+    staple behind stopword lists, tokenizer health checks, and
+    boilerplate spotting.
+
+    Shape: token wordcount per group (explode + map-side-combined
+    count), one window ranking partitioned BY GROUP (never a global
+    window), then a per-group rollup. The ranking shuffle carries
+    (group, token, count) — post-combine, not raw tokens."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(by).alias("grp"),
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(text_col), " "),
+                    lambda t: t != "",
+                )
+            ).alias("tok"),
+        )
+    )
+    counts = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("tok"))
+    )
+    ranked = counts.withColumn("rn", rn)
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= k,
+                                F.struct(
+                                    F.col("rn"),
+                                    F.concat_ws(
+                                        ":", "tok", F.col("c").cast("string")
+                                    ).alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("top_tokens"),
+        )
+        .withColumnRenamed("grp", by)
+    )

@@ -499,3 +499,18 @@ def test_ngram_contamination_probe_side_broadcast(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+
+
+def test_vocab_topk_ranks_and_ties(spark):
+    rows = [
+        (1, "b b b a a c", "x"),
+        (2, "a d", "x"),
+        (3, "", "y"),          # empty text: no tokens for group y...
+        (4, "zz", "y"),        # ...but y still has one via doc 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.lang: (r.n_vocab, r.top_tokens) for r in text.vocab_topk(df, "text", "lang", k=2).collect()}
+    # group x: a=3, b=3 (tie -> 'a' first lexicographically), c=1, d=1
+    assert out["x"][0] == 4
+    assert out["x"][1] == "a:3,b:3"
+    assert out["y"] == (1, "zz:1")
