@@ -602,11 +602,13 @@ def connected_components(
         mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
             "u", F.least(F.col("u"), F.col("mn")).alias("m")
         )
+        # no distinct here: duplicate edges don't perturb the min
+        # aggregations and the post-small-star distinct dedups —
+        # saves one full shuffle per round
         edges = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: edges already high→low; re-attach the node and
         # its smaller neighbors to the neighborhood min
