@@ -47,6 +47,11 @@ class CorpusRecipe:
     min_quality: float = 0.05
     min_tokens: int = 5
     max_pii_hits: int = 1_000_000  # default: scrub, don't drop
+    # Gopher-style repetition gates (None = off): docs whose duplicate-
+    # bigram fraction or hottest-bigram token coverage exceeds the cap
+    # are boilerplate/spam-shaped and dropped at the gate
+    max_dup_bigram_frac: float | None = None
+    max_top_bigram_frac: float | None = None
     sample_fractions: Mapping[str, float] | None = None  # None = keep all
     sample_default: float = 1.0
     mix_counts: Mapping[str, int] | None = None  # None = no mix stage
@@ -106,7 +111,21 @@ def run_corpus_pipeline(
                 <= recipe.max_pii_hits
             )
         ).select(F.col(id_col))
-        return docs.join(keep, id_col, "left_semi")
+        gated_docs = docs.join(keep, id_col, "left_semi")
+        if (
+            recipe.max_dup_bigram_frac is not None
+            or recipe.max_top_bigram_frac is not None
+        ):
+            rep = text.repetition_profile(gated_docs, id_col, text_col)
+            cond = F.lit(True)
+            if recipe.max_dup_bigram_frac is not None:
+                cond &= F.col("dup_bigram_frac") <= recipe.max_dup_bigram_frac
+            if recipe.max_top_bigram_frac is not None:
+                cond &= F.col("top_bigram_frac") <= recipe.max_top_bigram_frac
+            gated_docs = gated_docs.join(
+                rep.filter(cond).select(F.col(id_col)), id_col, "left_semi"
+            )
+        return gated_docs
 
     gated = stage("gated", build_gated)
 

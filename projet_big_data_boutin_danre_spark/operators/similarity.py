@@ -824,3 +824,32 @@ def _cogroup_score_by_bucket(
         .cogroup(qk.groupBy("__p"))
         .applyInPandas(_score, schema=out_schema)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space (semantic) dedup end-to-end: self-blocking LSH
+    cosine near-dup pairs → connected components → keep one row per
+    semantic cluster (component minimum). The SemDeDup-style
+    companion to the lexical ``dedup.dedup_clusters`` — catches
+    paraphrases and re-encodings the shingle hash can't.
+
+    All three stages are the already-bounded operators:
+    ``near_dup_pairs_cosine_lsh`` (hyperplane buckets bound the pair
+    fan-out), ``dedup.connected_components`` (O(log²n) star
+    contraction), ``dedup.drop_near_duplicates`` (one anti-join).
+    Returns ``df`` minus cluster non-keepers."""
+    from .dedup import connected_components, drop_near_duplicates
+
+    pairs = near_dup_pairs_cosine_lsh(
+        df, id_col, vec_col,
+        threshold=threshold, n_planes=n_planes, dim=dim,
+    )
+    members = connected_components(pairs)
+    return drop_near_duplicates(df, id_col, members)

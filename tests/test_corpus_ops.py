@@ -514,3 +514,31 @@ def test_vocab_topk_ranks_and_ties(spark):
     assert out["x"][0] == 4
     assert out["x"][1] == "a:3,b:3"
     assert out["y"] == (1, "zz:1")
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    import math
+
+    def vec(theta):
+        # 64-dim embedding: unit 2D rotation embedded in the first two
+        # dims (cosine between vecs == cos of angle delta)
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    rows = [
+        (1, vec(0.00)),
+        (2, vec(0.01)),   # ~1 with cos ~0.99995
+        (3, vec(0.02)),   # chains to 2 (and 1)
+        (10, vec(1.2)),   # far from cluster A
+        (11, vec(1.21)),  # ~10
+        (20, vec(2.6)),   # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99
+        ).collect()
+    )
+    assert kept == [1, 10, 20]

@@ -192,3 +192,32 @@ def test_incremental_ingest_is_idempotent_and_content_keyed(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/docs").collect()
     }
     assert set(texts) == {1, 2, 10}
+
+
+def test_repetition_gate_drops_boilerplate(spark, tmp_path):
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    rows = [
+        (1, "buy now buy now buy now buy now buy now buy now", "en"),
+        (2, "a genuinely varied document about several distinct topics "
+            "with no repeated phrasing anywhere inside it at all", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        counts = run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(min_tokens=2, max_top_bigram_frac=0.5),
+            force=True,
+        )
+        gated = spark.read.parquet(f"{root}/gated")
+        kept = sorted(r.doc_id for r in gated.select("doc_id").collect())
+        assert kept == [2]  # the buy-now spam is gated out
+        assert counts["gated"] == 1
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
