@@ -441,3 +441,46 @@ def test_stratified_sample_matches_hashlib_reference(spark, ids, frac, seed):
         if hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8] < thr
     }
     assert got == expect
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(edges=_edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star-contraction CC == union-find min-labeling on arbitrary
+    multigraphs (self-loops, duplicate and reversed edges included) —
+    the distributed fixpoint must be a pure function of the edge SET."""
+    clean = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in clean for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expect = {n: min(ns) for ns in comp.values() for n in ns}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(5)
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == expect
