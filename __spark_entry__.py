@@ -557,10 +557,28 @@ def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup via normalized-content hash: duplicate groups with
-    deterministic keeper (min id) and copy count."""
+    """Exact-duplication family, tagged union (r5 widening):
+
+    - ``group``: normalized-content duplicate groups with
+      deterministic keeper (min id) and copy count — key =
+      content_hash, v1 = keeper_id, v2 = n_copies;
+    - ``span``: duplicated-substring spans (Lee et al. 2022 signal,
+      operators/dedup.py:duplicate_spans, 20-char windows) — key =
+      doc_id, v1/v2 = merged span start/end over normalized text."""
     docs = load_table(spark, sf, "documents")
-    return dedup.exact_dedup_stats(docs, "doc_id", "text")
+    groups = dedup.exact_dedup_stats(docs, "doc_id", "text").select(
+        F.lit("group").alias("tag"),
+        F.col("content_hash").alias("key"),
+        F.col("keeper_id").alias("v1"),
+        F.col("n_copies").alias("v2"),
+    )
+    spans = dedup.duplicate_spans(docs, "doc_id", "text", min_len=20).select(
+        F.lit("span").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("span_start").alias("v1"),
+        F.col("span_end").alias("v2"),
+    )
+    return groups.unionByName(spans)
 
 
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -2042,11 +2060,48 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id % 10
         """,
         "exact_dedup": f"""
-            SELECT md5({_NORM_SQL.format(c='text')}) AS content_hash,
-                   min(doc_id) AS keeper_id,
-                   count(*) AS n_copies
-            FROM documents
-            GROUP BY 1
+            WITH nd AS (
+                SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS nt
+                FROM documents
+            ),
+            -- duplicated-substring twin: stride-1 20-char windows,
+            -- global occurrence count, gaps-and-islands span merge
+            pos AS (
+                SELECT id, nt,
+                       unnest(generate_series(1, length(nt) - 19)) AS p
+                FROM nd WHERE length(nt) >= 20
+            ),
+            wins AS (
+                SELECT id, p, substr(nt, CAST(p AS INT), 20) AS w FROM pos
+            ),
+            dup AS (
+                SELECT id, p FROM (
+                    SELECT id, p, count(*) OVER (PARTITION BY w) AS c
+                    FROM wins
+                ) WHERE c >= 2
+            ),
+            brk AS (
+                SELECT id, p,
+                       CASE WHEN p - lag(p, 1, -1000000)
+                                 OVER (PARTITION BY id ORDER BY p) > 20
+                            THEN 1 ELSE 0 END AS b
+                FROM dup
+            ),
+            isl AS (
+                SELECT id, p,
+                       sum(b) OVER (PARTITION BY id ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS g
+                FROM brk
+            )
+            SELECT 'group' AS tag, md5(nt) AS key,
+                   CAST(min(id) AS BIGINT) AS v1,
+                   CAST(count(*) AS BIGINT) AS v2
+            FROM nd GROUP BY md5(nt)
+            UNION ALL
+            SELECT 'span', CAST(id AS VARCHAR),
+                   CAST(min(p) AS BIGINT),
+                   CAST(max(p) + 19 AS BIGINT)
+            FROM isl GROUP BY id, g
         """,
         "exact_cardinality": f"""
             WITH g AS (

@@ -686,3 +686,70 @@ def drop_near_duplicates(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 20
+) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022
+    "Deduplicating Training Data" signal, distributed): for every doc,
+    the merged character ranges (1-based, inclusive, over the
+    NORMALIZED text) covered by ``min_len``-char windows that occur
+    at least twice in the corpus (including twice within one doc —
+    self-repetition is duplication too). Memorization risk
+    concentrates in these spans; downstream can cut or down-weight
+    them.
+
+    Plan: stride-1 window explode (the same fan-out budget as MinHash
+    shingling — rows ≈ total chars, consumed immediately), a count
+    window partitioned by the window TEXT (at sf scale the substring
+    itself is the narrowest join key; at 100 TB swap in
+    ``xxhash64(win)`` to fix the shuffle width at 8 bytes), then
+    classic gaps-and-islands per doc (lag + running break-sum) to
+    merge overlapping hits into maximal spans. No driver state, no
+    quadratic step; suffix automata do this with less total work but
+    don't distribute — windows trade constant-factor work for
+    embarrassing parallelism."""
+    from pyspark.sql import Window
+
+    norm = normalize_text(text_col)
+    pos = (
+        balance_for_fanout(df)
+        .select(F.col(id_col).alias("id"), norm.alias("__nt"))
+        .filter(F.length("__nt") >= min_len)
+        .select(
+            "id",
+            F.posexplode(
+                F.sequence(F.lit(1), F.length("__nt") - F.lit(min_len - 1))
+            ).alias("__i", "p"),
+            F.col("__nt"),
+        )
+        .select("id", "p", F.substring("__nt", F.col("p"), min_len).alias("w"))
+    )
+    dup = (
+        pos.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("w")))
+        .filter(F.col("c") >= 2)
+        .select("id", "p")
+    )
+    wdoc = Window.partitionBy("id").orderBy("p")
+    brk = dup.withColumn(
+        "b",
+        F.when(
+            F.col("p") - F.lag("p", 1, -1_000_000).over(wdoc) > min_len,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    isl = brk.withColumn(
+        "g",
+        F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("id", "g")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(min_len - 1)).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end"
+        )
+    )

@@ -129,3 +129,33 @@ def test_connected_components_single_shuffle_rounds(spark):
     ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_duplicate_spans_merging_and_self_repetition(spark):
+    shared = "abcdefghijklmnopqrstuvwxyz"  # 26 chars > min_len
+    rows = [
+        # docs 1 and 2 share a 26-char run at different offsets
+        (1, "xx " + shared + " tail one"),
+        (2, "completely other prefix " + shared),
+        # doc 3: internal self-repetition of a 20-char block
+        (3, "00000000001111111111" + " mid " + "00000000001111111111"),
+        # doc 4: no duplication anywhere, long enough to window
+        (4, "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc vvbb"),
+        # doc 5: shorter than min_len -> never windowed
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {}
+    for r in dedup.duplicate_spans(df, "doc_id", "text", min_len=20).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 1 in spans and 2 in spans and 3 in spans
+    assert 4 not in spans and 5 not in spans
+    # cross-doc sharing merges into ONE span per doc
+    assert len(spans[1]) == 1 and len(spans[2]) == 1
+    # doc 1's normalized text is "xx abcdefghijklmnopqrstuvwxyz tail
+    # one": the shared run occupies [4, 29]; the span must cover it
+    s1, e1 = spans[1][0]
+    assert s1 <= 4 and e1 >= 29
+    # self-repetition: the two copies sit 25 apart (> min_len), so
+    # they form TWO islands, each covering its copy exactly
+    assert sorted(spans[3]) == [(1, 20), (26, 45)]
