@@ -753,3 +753,35 @@ def duplicate_spans(
             F.col("id").alias(id_col), "span_start", "span_end"
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, min_len: int = 20
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: total covered chars
+    and the covered fraction of the normalized text (the per-doc gate
+    signal derived from :func:`duplicate_spans`; docs with no spans get
+    0). One extra per-doc rollup + a left join against the doc
+    lengths."""
+    spans = duplicate_spans(df, id_col, text_col, min_len)
+    covered = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_chars"
+        ),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+    )
+    lens = df.select(
+        F.col(id_col),
+        F.length(normalize_text(text_col)).alias("__n"),
+    )
+    return lens.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.when(
+            F.col("__n") > 0,
+            F.coalesce("dup_chars", F.lit(0)) / F.col("__n"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_char_frac"),
+    )

@@ -159,3 +159,19 @@ def test_duplicate_spans_merging_and_self_repetition(spark):
     # self-repetition: the two copies sit 25 apart (> min_len), so
     # they form TWO islands, each covering its copy exactly
     assert sorted(spans[3]) == [(1, 20), (26, 45)]
+
+
+def test_duplicate_span_stats_fractions(spark):
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz"),   # fully duplicated vs doc 2
+        (2, "abcdefghijklmnopqrstuvwxyz"),
+        (3, "entirely unique content with no repeats whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_dup_spans, r.dup_chars, r.dup_char_frac)
+        for r in dedup.duplicate_span_stats(df, "doc_id", "text").collect()
+    }
+    assert out[1] == (1, 26, 1.0)  # whole doc covered
+    assert out[2] == (1, 26, 1.0)
+    assert out[3] == (0, 0, 0.0)
