@@ -251,7 +251,13 @@ def global_prefix_sum(
     from pyspark.sql.functions import broadcast
 
     spark = df.sparkSession
-    n = n_parts or spark.sparkContext.defaultParallelism
+    if n_parts:
+        n = n_parts
+    else:
+        try:
+            n = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect: no driver-side SparkContext
+            n = 32
     local = (
         df.filter(F.col(order_col).isNotNull())
         .repartitionByRange(n, F.col(order_col))
