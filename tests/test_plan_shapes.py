@@ -261,9 +261,20 @@ def test_aqe_splits_skewed_join_partition(spark, sf0001):
 
 
 def test_exact_dedup_single_shuffle(spark, sf0001):
-    plan = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
+    # the exact-dedup OPERATOR stays single-shuffle; the exact_dedup
+    # SLOT is a tagged union since r5 (group + duplicated-span halves)
+    # so the slot-level pin moved to the operator
+    from projet_big_data_boutin_danre_spark.operators import dedup
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    plan = _plan(dedup.exact_dedup_stats(docs, "doc_id", "text"))
     # hash + groupBy must shuffle exactly once (on content_hash)
     assert plan.count("Exchange hashpartitioning") == 1
+    # and the widened slot stays free of scale smells
+    slot = _plan(entrymod.queries()["exact_dedup"](spark, sf0001))
+    assert "CartesianProduct" not in slot
+    assert "BatchEvalPython" not in slot
 
 
 def test_partition_pruning_on_day_partitioned_layer(spark, tmp_path):
