@@ -19,6 +19,11 @@ Scale design:
 - ``ngram_jaccard_pairs``: candidate pairs come from a blocking key
   (caller-chosen, e.g. LSH band or source); the n-gram join is on
   (block, gram) — never all-pairs.
+- ``connected_components`` / ``dedup_clusters``: pairs → duplicate
+  clusters via alternating star contraction (O(log²n) rounds); one
+  keeper per cluster.
+- ``duplicate_spans``: exact repeated-substring ranges via stride-1
+  windows + gaps-and-islands merge.
 """
 
 from __future__ import annotations
