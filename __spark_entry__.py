@@ -878,7 +878,22 @@ def q_near_dup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     by_lsh = similarity.near_dup_pairs_cosine_lsh(
         emb, "vec_id", "embedding", threshold=0.25, n_planes=8, dim=64
     ).withColumn("blocking", F.lit("lsh"))
-    return by_label.unionByName(by_lsh)
+    # r5 widening: the full SemDeDup application on the same LSH pair
+    # graph — kept (cluster-keeper / unclustered) ids, one row each.
+    # NULL rows are excluded up front to mirror the oracle's pair-side
+    # filters (the pair ops skip them internally anyway).
+    kept = similarity.semantic_dedup(
+        emb.filter(
+            F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        ),
+        "vec_id", "embedding", threshold=0.25, n_planes=8, dim=64,
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.lit("semdedup").alias("blocking"),
+    )
+    return by_label.unionByName(by_lsh).unionByName(kept)
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -2423,7 +2438,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, 'sq8' AS tag FROM sq8_k
         """,
         "near_dup_cosine": f"""
-            WITH bb AS (
+            WITH RECURSIVE bb AS (
                 SELECT vec_id, embedding,
                        {_sql_rh_bucket('embedding')} AS blk
                 FROM embeddings
@@ -2452,12 +2467,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM bb a
                 JOIN bb b
                   ON a.blk = b.blk AND a.vec_id < b.vec_id
+            ),
+            -- semdedup twin: components over the SAME lsh pair set
+            -- (recursive closure + group-min); losers = non-minima
+            sd_edges AS (
+                SELECT id_a AS u, id_b AS v FROM lsh WHERE cosine >= 0.25
+                UNION
+                SELECT id_b, id_a FROM lsh WHERE cosine >= 0.25
+            ),
+            sd_reach(u, v) AS (
+                SELECT u, v FROM sd_edges
+                UNION
+                SELECT r.u, e.v FROM sd_reach r
+                JOIN sd_edges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            sd_losers AS (
+                SELECT u AS node
+                FROM sd_reach GROUP BY u
+                HAVING least(u, min(v)) <> u
             )
             SELECT id_a, id_b, cosine, 'label' AS blocking FROM lab
             WHERE cosine >= 0.25
             UNION ALL
             SELECT id_a, id_b, cosine, 'lsh' AS blocking FROM lsh
             WHERE cosine >= 0.25
+            UNION ALL
+            SELECT vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   'semdedup'
+            FROM bb
+            WHERE vec_id NOT IN (SELECT node FROM sd_losers)
         """,
         "multimodal_features": """
             WITH m AS (
