@@ -175,3 +175,13 @@ def test_duplicate_span_stats_fractions(spark):
     assert out[1] == (1, 26, 1.0)  # whole doc covered
     assert out[2] == (1, 26, 1.0)
     assert out[3] == (0, 0, 0.0)
+
+
+def test_connected_components_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(df).count() == 0
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    kept = dedup.drop_near_duplicates(
+        docs, "doc_id", dedup.connected_components(df)
+    )
+    assert kept.count() == 2  # empty clustering keeps everything
