@@ -130,13 +130,19 @@ def run_corpus_pipeline(
     gated = stage("gated", build_gated)
 
     def build_deduped() -> DataFrame:
-        exact = dedup.exact_dedup(gated, id_col, text_col)
+        # fast hash family throughout: the pipeline has no SQL-oracle
+        # constraint, so it takes the xxhash64 production path (same
+        # dedup semantics, ~2-3x cheaper hashing; see operators/dedup)
+        exact = dedup.exact_dedup(
+            gated, id_col, text_col, hash_family="fast"
+        )
         # cluster candidate pairs (connected components) and keep one
         # doc per cluster — dropping raw pair id_b's instead would keep
         # every LOCAL minimum, i.e. several docs of one duplicate
         # cluster whenever near-dups chain through a middle doc
         pairs = dedup.minhash_lsh_pairs(
-            exact, id_col, text_col, scale_profile="production"
+            exact, id_col, text_col, scale_profile="production",
+            hash_family="fast",
         )
         members = dedup.connected_components(pairs)
         return dedup.drop_near_duplicates(exact, id_col, members)
