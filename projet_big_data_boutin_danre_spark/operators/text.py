@@ -556,3 +556,62 @@ def vocab_topk(
         )
         .withColumnRenamed("grp", by)
     )
+
+
+def probe_gram_set(
+    probes: DataFrame, probe_id_col: str, probe_text_col: str, n: int = 8
+) -> list[str]:
+    """Driver-side distinct full-window n-gram set of a probe corpus —
+    bounded model state (benchmark sets are thousands of docs, not
+    billions), the same legitimacy class as IVF centroids. Sorted for
+    determinism. Feed to :func:`decontaminate_stream`."""
+    toks = F.split(normalize_text(probe_text_col), " ")
+    grams = (
+        probes.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                    lambda s: F.concat_ws(
+                        " ",
+                        *[F.try_element_at("__toks", s + off) for off in range(n)],
+                    ),
+                )
+            ).alias("gram")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["gram"] for r in grams)
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_grams: list[str],
+    n: int = 8,
+) -> DataFrame:
+    """Streaming-safe decontamination: drop docs sharing any full
+    n-gram with the (pre-collected) probe set. Fully STATELESS — the
+    doc's gram array is built row-locally (transform, no explode) and
+    tested with ``arrays_overlap`` against the probe literal, so the
+    same call runs under Structured Streaming append mode with no
+    state store, no watermark, and batch/stream agreement by
+    construction. The batch operator (:func:`decontaminate`) is the
+    scale path when the probe set is too large to ship in the plan
+    (~100k+ grams); this is the ingest-stream path."""
+    toks = F.split(normalize_text(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda s: F.concat_ws(
+                " ", *[F.try_element_at(toks, s + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    probe_arr = F.array(*[F.lit(g) for g in probe_grams]) if probe_grams else F.array().cast("array<string>")
+    hit = F.coalesce(F.arrays_overlap(grams, probe_arr), F.lit(False))
+    return docs.filter(~hit)

@@ -477,3 +477,65 @@ def test_stateful_sessionize_non_utc_session_tz(spark, tmp_path):
         assert r["session_end"] == t + dt.timedelta(minutes=5)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """The streaming decontamination variant is fully stateless (row-
+    local gram array + arrays_overlap against the collected probe
+    set), so it runs under append mode with no watermark and keeps
+    exactly the docs the batch operator keeps."""
+    from projet_big_data_boutin_danre_spark.operators import text as text_ops
+
+    probes = spark.createDataFrame(
+        [(100, "the held out benchmark answer is exactly forty two")],
+        "pid long, ptext string",
+    )
+    rows = [
+        (1, "prefix the held out benchmark answer is exactly forty two suffix", "en"),
+        (2, "a clean document with entirely original phrasing inside", "en"),
+        (3, "another clean one that matches nothing from the probe set", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    grams = text_ops.probe_gram_set(probes, "pid", "ptext", n=8)
+    assert grams and all(len(g.split(" ")) == 8 for g in grams)
+
+    # batch: stateless variant == aggregation-based operator
+    via_stream_op = {
+        r.doc_id
+        for r in text_ops.decontaminate_stream(
+            docs, "doc_id", "text", grams, n=8
+        ).collect()
+    }
+    via_batch_op = {
+        r.doc_id
+        for r in text_ops.decontaminate(
+            docs, "doc_id", "text", probes, "pid", "ptext", n=8
+        ).collect()
+    }
+    assert via_stream_op == via_batch_op == {2, 3}
+
+    # streaming: same call, append mode, no watermark, no state store
+    src = tmp_path / "decon_src"
+    docs.coalesce(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        text_ops.decontaminate_stream(stream, "doc_id", "text", grams, n=8)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("decon_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM decon_stream_out").collect()
+    }
+    assert got == {2, 3}
