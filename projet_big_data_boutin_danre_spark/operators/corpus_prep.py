@@ -43,6 +43,9 @@ __all__ = [
     "interleave",
     "sample_summary",
     "write_training_shards",
+    "global_prefix_sum",
+    "pack_sequences",
+    "corpus_diff",
 ]
 
 
@@ -331,4 +334,40 @@ def pack_sequences(
         .otherwise(F.floor(start / budget))
         .cast("bigint")
         .alias("bin_last"),
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot drift report between two corpus versions: one row per
+    doc whose membership or content changed — ``change`` ∈
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (id in both, normalized-content fingerprint differs).
+    Unchanged docs are absent (at 100 TB almost everything is
+    unchanged; emitting them would drown the signal).
+
+    One full-outer join on the id carrying (id, fingerprint) — text
+    never shuffles; fingerprints are computed map-side."""
+    from ..functions.hashing import stable_fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("id"), stable_fingerprint(text_col).alias("ofp")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), stable_fingerprint(text_col).alias("nfp")
+    )
+    joined = o.join(n, "id", "full_outer")
+    return (
+        joined.select(
+            F.col("id").alias(id_col),
+            F.when(F.col("ofp").isNull(), F.lit("added"))
+            .when(F.col("nfp").isNull(), F.lit("removed"))
+            .when(F.col("ofp") != F.col("nfp"), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
     )

@@ -295,3 +295,17 @@ def test_global_prefix_sum_no_single_partition_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_corpus_diff_classifies_membership_and_content(spark):
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT!"), (2, "has changed"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.change for r in cp.corpus_diff(old, new, "doc_id", "text").collect()}
+    # doc 1 normalizes identically -> unchanged -> absent
+    assert out == {2: "changed", 3: "removed", 4: "added"}
