@@ -2216,15 +2216,25 @@ def oracle_sql() -> dict[str, str]:
             -- ids excluded on both sides (engines disagree on NULL
             -- sort position), left-joined back
             LEFT JOIN (
+                -- coalesce(bpe_tokens, 0) THROUGHOUT: the Spark side
+                -- coalesces a NULL-text doc's token count to 0 before
+                -- the prefix sum; without the same here a NULL text
+                -- would NULL the running total (latent cross-engine
+                -- drift, same class as the chunk-sum alignment above)
                 SELECT doc_id,
-                       CAST(sum(bpe_tokens) OVER w - bpe_tokens AS BIGINT)
+                       CAST(sum(coalesce(bpe_tokens, 0)) OVER w
+                            - coalesce(bpe_tokens, 0) AS BIGINT)
                            AS pack_start,
-                       CAST(sum(bpe_tokens) OVER w AS BIGINT) AS pack_end,
-                       CAST(floor((sum(bpe_tokens) OVER w - bpe_tokens)
+                       CAST(sum(coalesce(bpe_tokens, 0)) OVER w AS BIGINT)
+                           AS pack_end,
+                       CAST(floor((sum(coalesce(bpe_tokens, 0)) OVER w
+                                   - coalesce(bpe_tokens, 0))
                                   / 512.0) AS BIGINT) AS bin_first,
-                       CAST(CASE WHEN bpe_tokens > 0
-                            THEN floor((sum(bpe_tokens) OVER w - 1) / 512.0)
-                            ELSE floor((sum(bpe_tokens) OVER w - bpe_tokens)
+                       CAST(CASE WHEN coalesce(bpe_tokens, 0) > 0
+                            THEN floor((sum(coalesce(bpe_tokens, 0)) OVER w
+                                        - 1) / 512.0)
+                            ELSE floor((sum(coalesce(bpe_tokens, 0)) OVER w
+                                        - coalesce(bpe_tokens, 0))
                                        / 512.0)
                             END AS BIGINT) AS bin_last
                 FROM t WHERE doc_id IS NOT NULL

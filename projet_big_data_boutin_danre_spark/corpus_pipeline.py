@@ -208,6 +208,18 @@ def incremental_ingest(
     at-least-once ingestion — exactly what a file-arrival or Kafka
     source needs).
 
+    Replay safety across the two appends (docs, then fingerprints —
+    not atomic): admission ALSO anti-joins the docs layer on the id
+    (id-column-pruned scan), so a crash between the appends cannot
+    re-admit the same batch on replay — the id guard catches what the
+    missing fingerprint rows would have. Known residual: after such a
+    crash, the unrecorded fingerprints stay missing until the same
+    ids replay (which heals them); identical content arriving later
+    under a NEW id in that window would be admitted once more. NULL
+    text fingerprints to a reserved sentinel (never a hex digest), so
+    NULL-content dedup works instead of NULL-propagating through the
+    anti-join and re-admitting every batch.
+
     At 100 TB the fingerprint layer is a ~2% sidecar of the corpus
     (32-char hex + id per doc); bucket it on ``fingerprint`` to make
     the anti-join exchange-free (sources/bucketing.py).
@@ -219,9 +231,11 @@ def incremental_ingest(
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
 
-    # within-batch keeper: smallest id per fingerprint (deterministic)
+    # within-batch keeper: smallest id per fingerprint (deterministic);
+    # NULL text -> sentinel so the anti-join can actually match it
     batch = dedup.exact_dedup(new_docs, id_col, text_col).withColumn(
-        "fingerprint", stable_fingerprint(text_col)
+        "fingerprint",
+        F.coalesce(stable_fingerprint(text_col), F.lit("<null-text>")),
     )
 
     arrived = new_docs.count()
@@ -230,6 +244,16 @@ def incremental_ingest(
         admitted = batch.join(seen, "fingerprint", "left_anti")
     else:
         admitted = batch
+    if _exists(spark, docs_path):
+        # crash-replay guard: ids already in the docs layer are never
+        # re-appended even if their fingerprint append didn't land
+        prior_ids = spark.read.parquet(docs_path).select(id_col)
+        admitted = admitted.join(prior_ids, id_col, "left_anti")
+    # one materialization for the three consumers below (count + two
+    # appends) — otherwise the dedup + both anti-joins re-run 3x, and
+    # the two appends could even admit different row sets if an input
+    # file changed between jobs
+    admitted = admitted.localCheckpoint()
     n_admitted = admitted.count()
     if n_admitted:
         admitted.drop("fingerprint").write.mode("append").parquet(docs_path)

@@ -271,7 +271,16 @@ def global_prefix_sum(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = local.withColumn("__local_sum", F.sum(value_col).over(w))
+    # materialize ONCE before the two consumers: the per-partition
+    # totals collect below and the output join are separate jobs, and
+    # re-executing repartitionByRange lineage in each could sample
+    # DIFFERENT range boundaries — a row landing in another partition
+    # in the second job would pair partition p+1's local sum with
+    # partition p's offset (silently wrong totals). One checkpoint
+    # pins the partitioning both consumers read.
+    local = local.withColumn(
+        "__local_sum", F.sum(value_col).over(w)
+    ).localCheckpoint()
     totals = (
         local.groupBy("__pid")
         .agg(F.sum(value_col).alias("__tot"))
@@ -354,19 +363,29 @@ def corpus_diff(
     never shuffles; fingerprints are computed map-side."""
     from ..functions.hashing import stable_fingerprint
 
+    # explicit presence markers: a NULL text fingerprints to NULL, so
+    # fingerprint NULL-ness must NOT double as the membership test (a
+    # NULL-text doc present in both snapshots would masquerade as
+    # added/removed forever)
     o = old.select(
-        F.col(id_col).alias("id"), stable_fingerprint(text_col).alias("ofp")
+        F.col(id_col).alias("id"),
+        stable_fingerprint(text_col).alias("ofp"),
+        F.lit(True).alias("oin"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), stable_fingerprint(text_col).alias("nfp")
+        F.col(id_col).alias("id"),
+        stable_fingerprint(text_col).alias("nfp"),
+        F.lit(True).alias("nin"),
     )
     joined = o.join(n, "id", "full_outer")
     return (
         joined.select(
             F.col("id").alias(id_col),
-            F.when(F.col("ofp").isNull(), F.lit("added"))
-            .when(F.col("nfp").isNull(), F.lit("removed"))
-            .when(F.col("ofp") != F.col("nfp"), F.lit("changed"))
+            F.when(F.col("oin").isNull(), F.lit("added"))
+            .when(F.col("nin").isNull(), F.lit("removed"))
+            # null-safe inequality: NULL text -> NULL fp counts as a
+            # distinct content value, compared with <=> semantics
+            .when(~F.col("ofp").eqNullSafe(F.col("nfp")), F.lit("changed"))
             .alias("change"),
         )
         .filter(F.col("change").isNotNull())

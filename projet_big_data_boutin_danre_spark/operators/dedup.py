@@ -94,18 +94,27 @@ def exact_dedup_stats(
     """Exact duplicate groups by normalized-content hash: one row per
     distinct content with the keeper (min id) and duplicate count.
 
-    ``hash_family``: ``"md5"`` (default) is cross-engine checkable
-    against the DuckDB oracle; ``"fast"`` swaps in ``xxhash64`` — a
-    JVM-intrinsic streaming hash with no per-row digest allocation and
-    a LONG group key instead of a 32-char string, the right choice for
-    production corpora where no SQL twin needs to reproduce the hash.
-    Duplicate GROUPS are identical under either family (both are
-    content-deterministic); only the opaque hash value differs."""
+    ``hash_family``: ``"md5"`` (default, 128-bit) is cross-engine
+    checkable against the DuckDB oracle; ``"fast"`` swaps in a
+    TWO-SEED xxhash64 composite — JVM-intrinsic streaming hashes with
+    a (long, long) struct group key instead of a 32-char string, the
+    right choice for production corpora where no SQL twin needs to
+    reproduce the hash. The composite keeps 128 key bits: a single
+    64-bit key would merge distinct contents by birthday collision at
+    real corpus sizes (~millions of expected collisions at 10^10
+    docs) and exact_dedup DELETES the merged doc; two independent
+    seeds make that failure as unreachable as md5's. Duplicate GROUPS
+    are identical under either family (both content-deterministic);
+    only the opaque hash value differs."""
     _check_hash_family(hash_family)
+    norm = normalize_text(text_col)
     fp = (
-        F.md5(normalize_text(text_col))
+        F.md5(norm)
         if hash_family == "md5"
-        else F.xxhash64(normalize_text(text_col))
+        else F.struct(
+            F.xxhash64(norm).alias("h0"),
+            F.xxhash64(F.lit(1), norm).alias("h1"),
+        )
     )
     return (
         df.select(F.col(id_col).alias("id"), fp.alias("content_hash"))

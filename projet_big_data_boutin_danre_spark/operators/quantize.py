@@ -114,7 +114,11 @@ def _sq8_dq_arrow(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{id_col} long, dqv array<double>"
+    # carry the caller's id type through the Arrow boundary — a
+    # hardcoded long would crash (or silently coerce) string/decimal
+    # ids and break the joins back to the float table
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, dqv array<double>"
 
     def _dq(batches):
         for pdf in batches:

@@ -440,28 +440,15 @@ def ngram_contamination(
     from pyspark.sql.functions import broadcast
 
     def _full_grams(df: DataFrame, i: str, t: str) -> DataFrame:
-        toks = F.split(normalize_text(t), " ")
-        # unlike word_ngrams (which degrades to a shorter gram for
-        # short docs, fine for Jaccard), contamination must only
-        # consider FULL n-token windows
         return (
-            df.select(F.col(i).alias("id"), toks.alias("__toks"))
-            .filter(F.size("__toks") >= n)
-            .select(
-                "id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                        lambda s: F.concat_ws(
-                            " ",
-                            *[
-                                F.try_element_at("__toks", s + off)
-                                for off in range(n)
-                            ],
-                        ),
-                    )
-                ).alias("gram"),
+            df.select(
+                F.col(i).alias("id"),
+                full_window_grams(F.split(normalize_text(t), " "), n).alias(
+                    "__g"
+                ),
             )
+            .filter(F.size("__g") > 0)
+            .select("id", F.explode("__g").alias("gram"))
             .distinct()
         )
 
@@ -558,6 +545,26 @@ def vocab_topk(
     )
 
 
+def full_window_grams(toks: Column, n: int) -> Column:
+    """Array of ALL full ``n``-token windows of a token array column —
+    empty when the doc has fewer than ``n`` tokens (a short doc must
+    never contribute a degraded shorter gram to containment-style
+    matching; contrast ``dedup.word_ngrams``, where degrading is fine
+    for Jaccard). The ONE shared gram builder behind the batch
+    contamination scan, the probe-set collector, and the streaming
+    filter — keeping their window arithmetic in lockstep is what makes
+    batch/stream decontamination agreement structural."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda s: F.concat_ws(
+                " ", *[F.try_element_at(toks, s + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def probe_gram_set(
     probes: DataFrame, probe_id_col: str, probe_text_col: str, n: int = 8
 ) -> list[str]:
@@ -565,21 +572,13 @@ def probe_gram_set(
     bounded model state (benchmark sets are thousands of docs, not
     billions), the same legitimacy class as IVF centroids. Sorted for
     determinism. Feed to :func:`decontaminate_stream`."""
-    toks = F.split(normalize_text(probe_text_col), " ")
     grams = (
-        probes.select(toks.alias("__toks"))
-        .filter(F.size("__toks") >= n)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                    lambda s: F.concat_ws(
-                        " ",
-                        *[F.try_element_at("__toks", s + off) for off in range(n)],
-                    ),
-                )
-            ).alias("gram")
+        probes.select(
+            full_window_grams(
+                F.split(normalize_text(probe_text_col), " "), n
+            ).alias("__g")
         )
+        .select(F.explode("__g").alias("gram"))
         .distinct()
         .collect()
     )
@@ -602,16 +601,11 @@ def decontaminate_stream(
     construction. The batch operator (:func:`decontaminate`) is the
     scale path when the probe set is too large to ship in the plan
     (~100k+ grams); this is the ingest-stream path."""
-    toks = F.split(normalize_text(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda s: F.concat_ws(
-                " ", *[F.try_element_at(toks, s + off) for off in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    probe_arr = F.array(*[F.lit(g) for g in probe_grams]) if probe_grams else F.array().cast("array<string>")
+    grams = full_window_grams(F.split(normalize_text(text_col), " "), n)
+    probe_arr = (
+        F.array(*[F.lit(g) for g in probe_grams])
+        if probe_grams
+        else F.array().cast("array<string>")
+    )
     hit = F.coalesce(F.arrays_overlap(grams, probe_arr), F.lit(False))
     return docs.filter(~hit)

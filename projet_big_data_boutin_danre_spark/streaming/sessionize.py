@@ -108,12 +108,30 @@ def sessionize_stateful(
                 out.append([s, last, n])
         return out
 
+    # State-format version sentinel: the buffer holds [MAGIC, s, last,
+    # n, s, last, n, ...]. An earlier format stored raw timestamps in
+    # the same array<bigint> column; parsing that as stride-3 triples
+    # would emit garbage sessions or crash mid-batch. MAGIC is a value
+    # no epoch-ms timestamp can take, so a checkpoint written by the
+    # old format is detected and REJECTED loudly (clear the checkpoint
+    # or replay the source) instead of being silently misread.
+    _STATE_MAGIC = -(2**62)
+
     def _fn(
         key: Tuple[Any], pdfs: Iterator, state: GroupState
     ) -> Iterator:
         import pandas as pd
 
         stored = list(state.get[0]) if state.exists else []
+        if stored:
+            if stored[0] != _STATE_MAGIC or (len(stored) - 1) % 3 != 0:
+                raise RuntimeError(
+                    "sessionize_stateful: state buffer does not carry "
+                    "the run-summary format marker — the checkpoint "
+                    "predates the current state layout; clear the "
+                    "checkpoint directory and replay the source"
+                )
+            stored = stored[1:]
         runs = [
             [stored[i], stored[i + 1], stored[i + 2]]
             for i in range(0, len(stored), 3)
@@ -131,7 +149,8 @@ def sessionize_stateful(
         if open_sessions:
             state.update(
                 (
-                    [
+                    [_STATE_MAGIC]
+                    + [
                         v
                         for s, last, n in open_sessions
                         for v in (s, last, n)
