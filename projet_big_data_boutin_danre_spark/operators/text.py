@@ -440,15 +440,24 @@ def ngram_contamination(
     from pyspark.sql.functions import broadcast
 
     def _full_grams(df: DataFrame, i: str, t: str) -> DataFrame:
+        # tokenize in its OWN projection (inlining normalize+split
+        # into the gram lambdas re-evaluates it per call site — the
+        # word_ngrams lesson), but explode the gram expression
+        # DIRECTLY: exploding a separately-projected array column
+        # defeats generator fusion and materializes every window
+        # array (measured ~17x slower on this scan). Explode of an
+        # empty array emits no rows, so short docs drop for free.
         return (
             df.select(
                 F.col(i).alias("id"),
-                full_window_grams(F.split(normalize_text(t), " "), n).alias(
-                    "__g"
-                ),
+                F.split(normalize_text(t), " ").alias("__toks"),
             )
-            .filter(F.size("__g") > 0)
-            .select("id", F.explode("__g").alias("gram"))
+            .select(
+                "id",
+                F.explode(
+                    full_window_grams(F.col("__toks"), n)
+                ).alias("gram"),
+            )
             .distinct()
         )
 
@@ -574,11 +583,11 @@ def probe_gram_set(
     determinism. Feed to :func:`decontaminate_stream`."""
     grams = (
         probes.select(
-            full_window_grams(
-                F.split(normalize_text(probe_text_col), " "), n
-            ).alias("__g")
+            F.split(normalize_text(probe_text_col), " ").alias("__toks")
         )
-        .select(F.explode("__g").alias("gram"))
+        .select(
+            F.explode(full_window_grams(F.col("__toks"), n)).alias("gram")
+        )
         .distinct()
         .collect()
     )
@@ -601,11 +610,20 @@ def decontaminate_stream(
     construction. The batch operator (:func:`decontaminate`) is the
     scale path when the probe set is too large to ship in the plan
     (~100k+ grams); this is the ingest-stream path."""
-    grams = full_window_grams(F.split(normalize_text(text_col), " "), n)
     probe_arr = (
         F.array(*[F.lit(g) for g in probe_grams])
         if probe_grams
         else F.array().cast("array<string>")
     )
-    hit = F.coalesce(F.arrays_overlap(grams, probe_arr), F.lit(False))
-    return docs.filter(~hit)
+    # tokenize in its own projection (not inline in the gram lambdas —
+    # see _full_grams), then test and drop the helper column
+    with_toks = docs.withColumn(
+        "__decon_toks", F.split(normalize_text(text_col), " ")
+    )
+    hit = F.coalesce(
+        F.arrays_overlap(
+            full_window_grams(F.col("__decon_toks"), n), probe_arr
+        ),
+        F.lit(False),
+    )
+    return with_toks.filter(~hit).drop("__decon_toks")
