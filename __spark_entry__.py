@@ -564,7 +564,10 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
       content_hash, v1 = keeper_id, v2 = n_copies;
     - ``span``: duplicated-substring spans (Lee et al. 2022 signal,
       operators/dedup.py:duplicate_spans, 20-char windows) — key =
-      doc_id, v1/v2 = merged span start/end over normalized text."""
+      doc_id, v1/v2 = merged span start/end over normalized text;
+    - ``cover``: per-doc span coverage (duplicate_span_stats) for
+      flagged docs — key = doc_id, v1 = n_dup_spans, v2 = dup_chars
+      (the frac is v2 / normalized length, checked implicitly)."""
     docs = load_table(spark, sf, "documents")
     groups = dedup.exact_dedup_stats(docs, "doc_id", "text").select(
         F.lit("group").alias("tag"),
@@ -578,7 +581,17 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("span_start").alias("v1"),
         F.col("span_end").alias("v2"),
     )
-    return groups.unionByName(spans)
+    cover = (
+        dedup.duplicate_span_stats(docs, "doc_id", "text", min_len=20)
+        .filter(F.col("n_dup_spans") > 0)
+        .select(
+            F.lit("cover").alias("tag"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_dup_spans").alias("v1"),
+            F.col("dup_chars").alias("v2"),
+        )
+    )
+    return groups.unionByName(spans).unionByName(cover)
 
 
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -2117,6 +2130,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p) AS BIGINT),
                    CAST(max(p) + 19 AS BIGINT)
             FROM isl GROUP BY id, g
+            UNION ALL
+            SELECT 'cover', CAST(id AS VARCHAR),
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(e - s + 1) AS BIGINT)
+            FROM (SELECT id, g, min(p) AS s, max(p) + 19 AS e
+                  FROM isl GROUP BY id, g)
+            GROUP BY id
         """,
         "exact_cardinality": f"""
             WITH g AS (
