@@ -269,3 +269,55 @@ def has_cols(df: DataFrame, required: Sequence[str]) -> bool:
     """P10: driver-side schema presence guard
     (``dags/lib/compute_usage.py:36-39``) — metadata only, no job."""
     return set(required).issubset(set(df.columns))
+
+
+def profile_table(df, max_distinct_cols: int = 64):
+    """Generic table profile: one row per column with row count, null
+    count, exact distinct count, and min/max rendered as strings —
+    the data-quality snapshot run before trusting any new source.
+
+    One pass: all per-column aggregates ride a single aggregation
+    (Spark plans count/min/max map-side; countDistinct columns expand
+    via a single Expand node with partial aggregation — still one
+    scan). ``max_distinct_cols`` guards the Expand blow-up: each
+    distinct-counted column multiplies the expanded row count, so very
+    wide tables profile distincts in chunks (here: first N columns
+    get exact distincts, the rest report NULL rather than silently
+    approximating). Complex-typed columns (struct/array/map/binary)
+    get NULL min/max — orderings are engine-specific."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    spark = df.sparkSession
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, f in enumerate(df.schema.fields):
+        c = F.col(f.name)
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__null_{i}")
+        )
+        if i < max_distinct_cols:
+            aggs.append(F.countDistinct(c).alias(f"__nd_{i}"))
+        if not isinstance(
+            f.dataType, (StructType, ArrayType, MapType, BinaryType)
+        ):
+            aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for i, f in enumerate(df.schema.fields):
+        out.append(
+            (
+                f.name,
+                f.dataType.simpleString(),
+                int(row["__n"]),
+                int(row[f"__null_{i}"] or 0),
+                int(row[f"__nd_{i}"]) if f"__nd_{i}" in row.asDict() else None,
+                row.asDict().get(f"__min_{i}"),
+                row.asDict().get(f"__max_{i}"),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "col_name string, col_type string, n_rows bigint, n_nulls bigint,"
+        " n_distinct bigint, min_str string, max_str string",
+    )

@@ -147,3 +147,27 @@ def test_corrupt_raw_ad_file_fails_loudly(spark, tmp_path):
     (tmp_path / "annonces_090000.json").write_text('{"truncated": ')
     with pytest.raises(Exception, match="unparseable raw ad file"):
         cleaning.read_raw_ad_files(spark, str(tmp_path / "*.json")).collect()
+
+
+def test_profile_table_counts_and_bounds(spark):
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 7.5), (None, None, None)],
+        "id long, cat string, val double",
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "cat", "val"}
+    r = prof["id"]
+    assert (r.n_rows, r.n_nulls, r.n_distinct) == (4, 1, 3)
+    assert (r.min_str, r.max_str) == ("1", "3")
+    assert (prof["cat"].n_distinct, prof["cat"].n_nulls) == (2, 1)
+    assert prof["val"].min_str == "5.0" and prof["val"].max_str == "7.5"
+    # distinct-column cap: columns past the cap report NULL distincts
+    capped = {
+        r.col_name: r.n_distinct
+        for r in profile_table(df, max_distinct_cols=1).collect()
+    }
+    assert capped["id"] == 3 and capped["cat"] is None and capped["val"] is None
