@@ -329,3 +329,16 @@ def test_corpus_diff_null_text_membership(spark):
     # doc 1: NULL text both sides -> unchanged (absent), NOT added
     # docs 2/3: present in both, content flipped NULL<->text -> changed
     assert out == {2: "changed", 3: "changed"}
+
+
+def test_pack_sequences_single_and_exact_boundary(spark):
+    # one doc exactly filling a bin, next doc starts bin 1 cleanly
+    df = spark.createDataFrame(
+        [(1, 512), (2, 512)], "doc_id long, tk long"
+    )
+    out = {
+        r.doc_id: (r.pack_start, r.pack_end, r.bin_first, r.bin_last)
+        for r in cp.pack_sequences(df, "doc_id", "tk", budget=512).collect()
+    }
+    assert out[1] == (0, 512, 0, 0)   # [0,512) stays inside bin 0
+    assert out[2] == (512, 1024, 1, 1)

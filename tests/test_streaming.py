@@ -539,3 +539,16 @@ def test_decontaminate_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT doc_id FROM decon_stream_out").collect()
     }
     assert got == {2, 3}
+
+
+def test_decontaminate_stream_empty_probe_set_keeps_all(spark):
+    from projet_big_data_boutin_danre_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "anything at all works here fine today now yes")],
+        "doc_id long, text string",
+    )
+    out = text_ops.decontaminate_stream(docs, "doc_id", "text", [], n=8)
+    assert out.count() == 1
+    # and the helper column never leaks into the output schema
+    assert out.columns == ["doc_id", "text"]
