@@ -575,14 +575,23 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("keeper_id").alias("v1"),
         F.col("n_copies").alias("v2"),
     )
-    spans = dedup.duplicate_spans(docs, "doc_id", "text", min_len=20).select(
+    # materialize the stride-1 span subplan once: the 'span' output
+    # branch and the 'cover' rollup would otherwise each recompute the
+    # full window-explode + count-window plan (same pattern as the LSH
+    # pairs checkpoint in q_minhash_lsh_pairs)
+    spans_df = dedup.duplicate_spans(
+        docs, "doc_id", "text", min_len=20
+    ).localCheckpoint()
+    spans = spans_df.select(
         F.lit("span").alias("tag"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("span_start").alias("v1"),
         F.col("span_end").alias("v2"),
     )
     cover = (
-        dedup.duplicate_span_stats(docs, "doc_id", "text", min_len=20)
+        dedup.duplicate_span_stats(
+            docs, "doc_id", "text", min_len=20, spans=spans_df
+        )
         .filter(F.col("n_dup_spans") > 0)
         .select(
             F.lit("cover").alias("tag"),
@@ -623,6 +632,7 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         text.token_count("text").alias("ws_tokens"),
         text.regex_token_count("text").alias("bpe_tokens"),
+        F.md5("text").alias("__orig_fp"),
     )
     # coalesce(.., 0) per row before summing: a NULL-text doc yields
     # one chunk row with NULL size; the oracle's greatest(NULL-s+1, 0)
@@ -658,10 +668,32 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         base.select("doc_id", "bpe_tokens"), "doc_id", "bpe_tokens",
         budget=512,
     )
+    # r6 widening: chunk→assemble round-trip fingerprint
+    # (text.assemble_chunks — sort_array-ordered aggregation). Chunks
+    # are zero-overlap 200-char windows, so reassembly must reproduce
+    # the original text byte-for-byte: reasm_fp = md5(assembled), and
+    # reasm_ok pins it against md5(text) null-safely. The oracle twin
+    # rebuilds the same windows analytically and string_aggs them in
+    # chunk order — an independent formulation of the ordering
+    # contract.
+    reasm = (
+        text.assemble_chunks(
+            text.chunk_text(docs, "doc_id", "text", chunk_chars=200, overlap=0),
+            "doc_id",
+            "chunk_id",
+            "chunk",
+        )
+        .select("doc_id", F.md5("text").alias("reasm_fp"))
+    )
     return (
         base.join(cc, "doc_id", "left")
         .join(tc, "doc_id", "left")
         .join(pack, "doc_id", "left")
+        .join(reasm, "doc_id", "left")
+        .withColumn(
+            "reasm_ok", F.col("reasm_fp").eqNullSafe(F.col("__orig_fp"))
+        )
+        .drop("__orig_fp")
     )
 
 
@@ -726,9 +758,18 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     ).join(
         # r5 widening: per-language vocabulary size + deterministic
         # top-3 tokens by frequency (text.vocab_topk — wordcount, a
-        # group-partitioned ranking window, rank-ordered CSV)
+        # group-partitioned ranking window, rank-ordered CSV). LEFT
+        # join + defaults (r6): a lang group whose docs are all
+        # empty/NULL text has no vocab row, and an inner join would
+        # silently drop its cardinality/sources row too.
         text.vocab_topk(docs, "text", "lang", k=3),
         "lang",
+        "left",
+    ).withColumns(
+        {
+            "n_vocab": F.coalesce("n_vocab", F.lit(0).cast("bigint")),
+            "top_tokens": F.coalesce("top_tokens", F.lit("")),
+        }
     )
 
 
@@ -974,6 +1015,21 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
       global order itself, not just membership. The re-rank window
       runs over the already-limited 20 rows (bounded, driver-safe).
 
+    r6 widenings (same digest schema):
+
+    - ``diff``: corpus snapshot drift (corpus_prep.corpus_diff — one
+      full-outer fingerprint join, text never shuffles) between two
+      deterministic snapshots derived in-slot: "old" drops
+      doc_id%7==1 (those become ``added``), "new" drops %7==2
+      (``removed``) and appends a drift marker to %7==3's text
+      (``changed``). One row per drifted doc: grp = change kind,
+      n = doc_id;
+    - ``profile``: the one-scan table profiler
+      (operators/cleaning.py:profile_table) over the ``orders``
+      table — per column grp = ``name|n_rows|min|max`` and
+      n = n_nulls, sum_ids = n_distinct (col_type stays out: Spark
+      and DuckDB spell type names differently).
+
     All randomness is md5-derived, so the DuckDB twin reproduces every
     decision bit-for-bit. NULL ids are excluded up front on BOTH sides:
     a NULL sample key would sort NULLS FIRST in Spark's window but
@@ -1016,7 +1072,41 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n"),
         F.lit(None).cast("bigint").alias("sum_ids"),
     )
-    return digest(samp, "sample").unionByName(digest(mix, "mix")).unionByName(head)
+    old_snap = docs.filter(F.col("doc_id") % 7 != 1)
+    new_snap = docs.filter(F.col("doc_id") % 7 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.col("text"), F.lit(" r6drift")),
+        ).otherwise(F.col("text")),
+    )
+    diff = corpus_prep.corpus_diff(old_snap, new_snap, "doc_id", "text").select(
+        F.lit("diff").alias("tag"),
+        F.col("change").alias("grp"),
+        F.col("doc_id").cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("sum_ids"),
+    )
+    prof = cleaning.profile_table(
+        load_table(spark, sf, "orders").select(*_PROFILE_COLS)
+    ).select(
+        F.lit("profile").alias("tag"),
+        F.concat_ws(
+            "|",
+            "col_name",
+            F.col("n_rows").cast("string"),
+            F.coalesce("min_str", F.lit("<null>")),
+            F.coalesce("max_str", F.lit("<null>")),
+        ).alias("grp"),
+        F.col("n_nulls").alias("n"),
+        F.col("n_distinct").alias("sum_ids"),
+    )
+    return (
+        digest(samp, "sample")
+        .unionByName(digest(mix, "mix"))
+        .unionByName(head)
+        .unionByName(diff)
+        .unionByName(prof)
+    )
 
 
 def q_sparse_document(spark: SparkSession, sf: str) -> DataFrame:
@@ -1582,6 +1672,18 @@ def _sql_text_profile() -> str:
     """
 
 
+# columns the corpus_sample 'profile' tag profiles — pinned on BOTH
+# sides so a testdata schema change can't silently skew the row set
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
 def _sql_corpus_sample() -> str:
     """DuckDB twin of q_corpus_sample, generated from the SAME
     fraction/count/seed constants so Spark and oracle can't drift.
@@ -1596,6 +1698,23 @@ def _sql_corpus_sample() -> str:
     )
     take = " ".join(
         f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(_MIX_COUNTS.items())
+    )
+    norm = _NORM_SQL.format(c="text")
+    # profile twin: per-column aggregates over the pinned orders
+    # columns, unpivoted as one UNION ALL branch per column (DuckDB
+    # renders CAST-to-VARCHAR of bigint/double/timestamp identically
+    # to Spark's cast-to-string for these values — verified per type)
+    profile_union = " ".join(
+        f"""UNION ALL
+        SELECT 'profile',
+               '{c}|' || CAST(count(*) AS VARCHAR) || '|'
+                    || coalesce(CAST(min({c}) AS VARCHAR), '<null>') || '|'
+                    || coalesce(CAST(max({c}) AS VARCHAR), '<null>'),
+               CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END),
+                             0) AS BIGINT),
+               CAST(count(DISTINCT {c}) AS BIGINT)
+        FROM orders"""
+        for c in _PROFILE_COLS
     )
     return f"""
         SELECT 'sample' AS tag, lang AS grp,
@@ -1631,6 +1750,38 @@ def _sql_corpus_sample() -> str:
             FROM documents WHERE doc_id IS NOT NULL
         )
         WHERE rk <= {_HEAD_N}
+        UNION ALL
+        -- diff twin: plain FULL OUTER JOIN on md5 fingerprints of the
+        -- same two derived snapshots (membership via side presence —
+        -- doc_id is non-NULL within each snapshot by construction;
+        -- content drift via null-safe fingerprint inequality)
+        SELECT 'diff', change, CAST(doc_id AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM (
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+                        END AS change
+            FROM (
+                SELECT doc_id, md5({norm}) AS fp
+                FROM documents
+                WHERE doc_id IS NOT NULL AND doc_id % 7 <> 1
+            ) o
+            FULL OUTER JOIN (
+                SELECT doc_id, md5({norm}) AS fp
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 7 = 3
+                                THEN text || ' r6drift'
+                                ELSE text END AS text
+                    FROM documents
+                    WHERE doc_id IS NOT NULL AND doc_id % 7 <> 2
+                )
+            ) n ON o.doc_id = n.doc_id
+        )
+        WHERE change IS NOT NULL
+        {profile_union}
     """
 
 
@@ -2200,13 +2351,17 @@ def oracle_sql() -> dict[str, str]:
                        AS src1_pos,
                    coalesce(array_to_string(list_slice(srcs, 1, 2), ','), '')
                        AS first_two_srcs,
-                   v.n_vocab, v.top_tokens
-            FROM g JOIN vocab v ON v.lang = g.lang
+                   -- LEFT join + defaults: an all-empty-text lang
+                   -- group has no vocab row; keep its cardinality row
+                   coalesce(v.n_vocab, 0) AS n_vocab,
+                   coalesce(v.top_tokens, '') AS top_tokens
+            FROM g LEFT JOIN vocab v ON v.lang = g.lang
         """,
         "text_profile": _sql_text_profile(),
         "token_stats": f"""
             WITH t AS (
                 SELECT doc_id,
+                       text,
                        length(text) AS cl,
                        len(list_filter(string_split(
                            {_NORM_SQL.format(c="text")}, ' '),
@@ -2229,7 +2384,13 @@ def oracle_sql() -> dict[str, str]:
                         generate_series(1, greatest(nt - 8, 1), 32),
                         s -> least(40, greatest(nt - s + 1, 0))))
                         AS BIGINT) AS tok_chunk_tokens,
-                   p.pack_start, p.pack_end, p.bin_first, p.bin_last
+                   p.pack_start, p.pack_end, p.bin_first, p.bin_last,
+                   r.reasm_fp,
+                   -- null-safe compare: a NULL-text doc has fp
+                   -- md5('') but md5(text) NULL -> reasm_ok false on
+                   -- both engines
+                   (r.reasm_fp IS NOT DISTINCT FROM md5(t.text))
+                       AS reasm_ok
             FROM t
             -- packing twin: plain running-total window of what the
             -- Spark side computes via distributed prefix-sum; NULL
@@ -2261,6 +2422,23 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
                              PRECEDING AND CURRENT ROW)
             ) p USING (doc_id)
+            -- chunk→assemble round-trip twin: rebuild the
+            -- zero-overlap 200-char windows analytically and
+            -- string_agg them in window order. coalesce to '': a
+            -- NULL text yields one NULL chunk, which Spark's
+            -- array_join skips (assembled = '') but string_agg
+            -- aggregates to NULL
+            LEFT JOIN (
+                SELECT doc_id,
+                       md5(coalesce(string_agg(substring(text, s, 200),
+                                               '' ORDER BY s), ''))
+                           AS reasm_fp
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1,
+                                 greatest(length(text), 1), 200)) AS s
+                      FROM documents) ch
+                GROUP BY doc_id
+            ) r USING (doc_id)
         """,
         "corpus_quantiles": """
             SELECT lang, count(*) AS n_docs,

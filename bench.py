@@ -106,6 +106,16 @@ def fast_hash_probe(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         dd.minhash_lsh_pairs(docs, "doc_id", "text", hash_family=fam).count()
         out[f"lsh_pairs_{fam}"] = round(time.time() - t0, 3)
+    # span pair (r6): same contract for duplicate_spans — fast swaps
+    # the raw 20-char count-window key for a two-seed xxhash64 struct
+    # (fixed 16-byte shuffle rows on the stride-1 fan-out); identical
+    # spans pytest-pinned (test_duplicate_spans_hash_family_parity)
+    for fam in ("md5", "fast"):
+        t0 = time.time()
+        dd.duplicate_spans(
+            docs, "doc_id", "text", min_len=20, hash_family=fam
+        ).count()
+        out[f"span_{fam}"] = round(time.time() - t0, 3)
     return out
 
 

@@ -191,6 +191,7 @@ def incremental_ingest(
     out_root: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    catalog_prefix: str | None = None,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -221,8 +222,17 @@ def incremental_ingest(
     anti-join and re-admitting every batch.
 
     At 100 TB the fingerprint layer is a ~2% sidecar of the corpus
-    (32-char hex + id per doc); bucket it on ``fingerprint`` to make
-    the anti-join exchange-free (sources/bucketing.py).
+    (32-char hex + id per doc). Pass ``catalog_prefix`` to maintain
+    BOTH guard sidecars — ``<prefix>_fingerprints`` bucketed on
+    ``fingerprint`` and ``<prefix>_ids`` bucketed on the id — as
+    catalog tables (sources/bucketing.py): each per-batch anti-join
+    then reads its sidecar bucket-aligned with NO Exchange on the
+    corpus-sized side; only the small batch shuffles into bucket
+    layout. Without it (default, path-only lake) both guards are
+    plain parquet scans whose shuffle grows with total corpus size —
+    fine at test scale, the per-micro-batch bottleneck at 100 TB.
+    The docs layer itself stays plain parquet either way; the replay
+    guard reads the narrow id sidecar, never the full docs table.
 
     Returns counts: arrived, admitted (new + first-copy), appended.
     """
@@ -230,6 +240,9 @@ def incremental_ingest(
 
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
+    bucketed = catalog_prefix is not None
+    fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
+    id_table = f"{catalog_prefix}_ids" if bucketed else None
 
     # within-batch keeper: smallest id per fingerprint (deterministic);
     # NULL text -> sentinel so the anti-join can actually match it
@@ -239,27 +252,57 @@ def incremental_ingest(
     )
 
     arrived = new_docs.count()
-    if _exists(spark, fp_path):
+    if bucketed and spark.catalog.tableExists(fp_table):
+        seen = spark.table(fp_table).select("fingerprint")
+        admitted = batch.join(seen, "fingerprint", "left_anti")
+    elif not bucketed and _exists(spark, fp_path):
         seen = spark.read.parquet(fp_path).select("fingerprint")
         admitted = batch.join(seen, "fingerprint", "left_anti")
     else:
         admitted = batch
-    if _exists(spark, docs_path):
-        # crash-replay guard: ids already in the docs layer are never
-        # re-appended even if their fingerprint append didn't land
+    # crash-replay guard: ids already admitted are never re-appended
+    # even if their fingerprint append didn't land
+    if bucketed and spark.catalog.tableExists(id_table):
+        prior_ids = spark.table(id_table).select(id_col)
+        admitted = admitted.join(prior_ids, id_col, "left_anti")
+    elif not bucketed and _exists(spark, docs_path):
         prior_ids = spark.read.parquet(docs_path).select(id_col)
         admitted = admitted.join(prior_ids, id_col, "left_anti")
-    # one materialization for the three consumers below (count + two
-    # appends) — otherwise the dedup + both anti-joins re-run 3x, and
-    # the two appends could even admit different row sets if an input
+    # one materialization for the consumers below (count + appends) —
+    # otherwise the dedup + both anti-joins re-run per consumer, and
+    # the appends could even admit different row sets if an input
     # file changed between jobs
     admitted = admitted.localCheckpoint()
     n_admitted = admitted.count()
     if n_admitted:
         admitted.drop("fingerprint").write.mode("append").parquet(docs_path)
-        admitted.select("fingerprint", id_col).write.mode("append").parquet(
-            fp_path
-        )
+        if bucketed:
+            # append order docs → ids → fingerprints: a crash between
+            # ids and fingerprints is caught by the id guard on replay
+            # (as in path mode). The sidecar adds ONE new window — a
+            # crash between the docs append and the id append lets a
+            # replay re-append that batch's docs rows (duplicates, not
+            # loss; healed by the pipeline's exact-dedup stage). That
+            # commit-boundary-wide at-least-once window is the price
+            # of never scanning the corpus-sized docs layer per batch.
+            (
+                admitted.select(id_col)
+                .write.mode("append")
+                .format("parquet")
+                .bucketBy(32, id_col)
+                .saveAsTable(id_table)
+            )
+            (
+                admitted.select("fingerprint", id_col)
+                .write.mode("append")
+                .format("parquet")
+                .bucketBy(32, "fingerprint")
+                .saveAsTable(fp_table)
+            )
+        else:
+            admitted.select("fingerprint", id_col).write.mode(
+                "append"
+            ).parquet(fp_path)
     return {
         "arrived": arrived,
         "admitted": n_admitted,

@@ -271,38 +271,58 @@ def has_cols(df: DataFrame, required: Sequence[str]) -> bool:
     return set(required).issubset(set(df.columns))
 
 
-def profile_table(df, max_distinct_cols: int = 64):
-    """Generic table profile: one row per column with row count, null
-    count, exact distinct count, and min/max rendered as strings —
-    the data-quality snapshot run before trusting any new source.
-
-    One pass: all per-column aggregates ride a single aggregation
-    (Spark plans count/min/max map-side; countDistinct columns expand
-    via a single Expand node with partial aggregation — still one
-    scan). ``max_distinct_cols`` guards the Expand blow-up: each
-    distinct-counted column multiplies the expanded row count, so very
-    wide tables profile distincts in chunks (here: first N columns
-    get exact distincts, the rest report NULL rather than silently
-    approximating). Complex-typed columns (struct/array/map/binary)
-    get NULL min/max — orderings are engine-specific."""
+def _profile_aggs(df, max_distinct_cols: int, approx: bool):
+    """The single-pass aggregate list behind :func:`profile_table` —
+    exposed so plan-shape tests can assert the approx mode plans with
+    NO Expand node."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
-    spark = df.sparkSession
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, f in enumerate(df.schema.fields):
         c = F.col(f.name)
         aggs.append(
             F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__null_{i}")
         )
-        if i < max_distinct_cols:
+        # map-typed columns are not hashable/comparable as distinct
+        # keys in either mode — they report NULL like past-cap columns
+        if isinstance(f.dataType, MapType):
+            pass
+        elif approx:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{i}"))
+        elif i < max_distinct_cols:
             aggs.append(F.countDistinct(c).alias(f"__nd_{i}"))
         if not isinstance(
             f.dataType, (StructType, ArrayType, MapType, BinaryType)
         ):
             aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
             aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
-    row = df.agg(*aggs).collect()[0]
+    return aggs
+
+
+def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
+    """Generic table profile: one row per column with row count, null
+    count, distinct count, and min/max rendered as strings — the
+    data-quality snapshot run before trusting any new source.
+
+    One pass: all per-column aggregates ride a single aggregation
+    (Spark plans count/min/max map-side; countDistinct columns expand
+    via a single Expand node with partial aggregation — still one
+    scan). The Expand cost is MULTIPLICATIVE in data volume, not just
+    plan width: an Expand over k distinct-counted columns emits k+1
+    rows per input row before the partial aggregate, so profiling 64
+    columns of a 100 TB table pushes ~65× the scanned rows through
+    the first aggregation. ``max_distinct_cols`` caps the plan width
+    (columns past the cap report NULL rather than silently
+    approximating), but the 100 TB answer is ``approx=True``:
+    ``approx_count_distinct`` (HLL++) sketches merge map-side in the
+    SAME single aggregation as the other stats — no Expand node at
+    all (asserted in tests/test_plan_shapes.py) — at the standard ~2%
+    relative error. Exact stays the default so oracle-sized tables
+    profile exactly. Complex-typed columns (struct/array/map/binary)
+    get NULL min/max — orderings are engine-specific."""
+    spark = df.sparkSession
+    row = df.agg(*_profile_aggs(df, max_distinct_cols, approx)).collect()[0]
     out = []
     for i, f in enumerate(df.schema.fields):
         out.append(

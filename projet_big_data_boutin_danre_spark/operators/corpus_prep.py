@@ -247,9 +247,12 @@ def global_prefix_sum(
     boundaries land, so sampled partitioning does not leak into the
     result. ``order_col`` must be a total order (unique keys): ties
     could split across range boundaries and make tied rows' running
-    totals partition-dependent. Rows with a NULL order key are EXCLUDED (engines disagree
-    on NULL sort position; callers left-join the result if they need
-    those rows back)."""
+    totals partition-dependent. Rows with a NULL order key are
+    EXCLUDED (engines disagree on NULL sort position; callers
+    left-join the result if they need those rows back). NULL VALUES
+    count as 0: a window sum over an all-NULL prefix is NULL, so
+    without the coalesce every row before the first non-NULL value
+    would get a NULL running total — surprising for a prefix sum."""
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
@@ -263,6 +266,9 @@ def global_prefix_sum(
             n = 32
     local = (
         df.filter(F.col(order_col).isNotNull())
+        .withColumn(
+            value_col, F.coalesce(F.col(value_col), F.lit(0))
+        )
         .repartitionByRange(n, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
     )

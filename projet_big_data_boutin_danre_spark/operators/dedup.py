@@ -548,6 +548,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the step
     that turns near-dup CANDIDATE PAIRS (minhash_lsh_pairs /
@@ -578,7 +579,10 @@ def connected_components(
     cluster with an unreliable-executor profile, swap for reliable
     ``checkpoint`` on a DFS dir). Raises ``RuntimeError`` if the edge
     set hasn't stabilized after ``max_iter`` rounds rather than
-    returning a partially-merged labeling."""
+    returning a partially-merged labeling. Pass ``stats`` (a dict) to
+    read back the executed round count (``stats["rounds"]``) — the
+    convergence-regression telemetry a recurring production run
+    should track."""
     e0 = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
@@ -607,7 +611,9 @@ def connected_components(
         return (row["n"], row["h"])
 
     sig = _digest(edges)
-    for _ in range(max_iter):
+    for _round in range(max_iter):
+        if stats is not None:
+            stats["rounds"] = _round + 1
         # large-star over the symmetric view: attach larger neighbors
         # to the closed-neighborhood min
         sym = edges.unionByName(
@@ -703,7 +709,11 @@ def drop_near_duplicates(
 
 
 def duplicate_spans(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Exact duplicated-substring spans (the Lee et al. 2022
     "Deduplicating Training Data" signal, distributed): for every doc,
@@ -716,16 +726,30 @@ def duplicate_spans(
 
     Plan: stride-1 window explode (the same fan-out budget as MinHash
     shingling — rows ≈ total chars, consumed immediately), a count
-    window partitioned by the window TEXT (at sf scale the substring
-    itself is the narrowest join key; at 100 TB swap in
-    ``xxhash64(win)`` to fix the shuffle width at 8 bytes), then
-    classic gaps-and-islands per doc (lag + running break-sum) to
-    merge overlapping hits into maximal spans. No driver state, no
+    window partitioned by the window key, then classic
+    gaps-and-islands per doc (lag + running break-sum) to merge
+    overlapping hits into maximal spans. No driver state, no
     quadratic step; suffix automata do this with less total work but
     don't distribute — windows trade constant-factor work for
-    embarrassing parallelism."""
+    embarrassing parallelism.
+
+    ``hash_family``: ``"md5"`` (default, oracle-checkable) partitions
+    the count window by the raw ``min_len``-char substring — at sf
+    scale the substring itself is the narrowest key DuckDB can
+    reproduce. ``"fast"`` (production) partitions by a TWO-SEED
+    xxhash64 composite of the substring instead: the stride-1 shuffle
+    (rows ≈ corpus chars) then carries a fixed 16-byte struct per row
+    instead of a ~``min_len``-byte string, and the window-count stage
+    — which, unlike the groupBy dedup ops, gets no map-side partial
+    aggregation — sorts longs, not strings. Two independent seeds
+    keep 128 key bits: a single 64-bit key would birthday-collide at
+    real corpus window counts (~10^14 windows at 100 TB) and a
+    collision FLAGS a unique span as duplicated. Span output is
+    identical across families (both keys are content-deterministic);
+    only the shuffle width differs."""
     from pyspark.sql import Window
 
+    _check_hash_family(hash_family)
     norm = normalize_text(text_col)
     pos = (
         balance_for_fanout(df)
@@ -740,6 +764,15 @@ def duplicate_spans(
         )
         .select("id", "p", F.substring("__nt", F.col("p"), min_len).alias("w"))
     )
+    if hash_family == "fast":
+        pos = pos.select(
+            "id",
+            "p",
+            F.struct(
+                F.xxhash64("w").alias("h0"),
+                F.xxhash64(F.lit(1), F.col("w")).alias("h1"),
+            ).alias("w"),
+        )
     dup = (
         pos.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("w")))
         .filter(F.col("c") >= 2)
@@ -770,14 +803,27 @@ def duplicate_spans(
 
 
 def duplicate_span_stats(
-    df: DataFrame, id_col: str, text_col: str, min_len: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    hash_family: str = "md5",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring coverage: total covered chars
     and the covered fraction of the normalized text (the per-doc gate
     signal derived from :func:`duplicate_spans`; docs with no spans get
     0). One extra per-doc rollup + a left join against the doc
-    lengths."""
-    spans = duplicate_spans(df, id_col, text_col, min_len)
+    lengths.
+
+    Pass a precomputed ``spans`` frame (same schema as
+    :func:`duplicate_spans` output) when the caller also needs the
+    spans themselves — the stride-1 window plan is the expensive part,
+    so computing it once (ideally ``localCheckpoint``-ed) and deriving
+    the coverage rollup from it halves the work; without it this
+    function rebuilds the span plan from scratch."""
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, min_len, hash_family)
     covered = spans.groupBy(id_col).agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
             "dup_chars"

@@ -171,3 +171,36 @@ def test_profile_table_counts_and_bounds(spark):
         for r in profile_table(df, max_distinct_cols=1).collect()
     }
     assert capped["id"] == 3 and capped["cat"] is None and capped["val"] is None
+
+
+def test_profile_table_approx_mode_no_expand(spark):
+    """approx=True swaps exact countDistinct (Expand node — a k+1×
+    row multiplication of the scan) for HLL++ sketches that merge
+    map-side in the same single aggregation: the 100 TB profile."""
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        profile_table,
+    )
+
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        _profile_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "a", 7.5), (None, None, None)],
+        "id long, cat string, val double",
+    )
+
+    def plan(approx):
+        agg = df.agg(*_profile_aggs(df, 64, approx))
+        return agg._jdf.queryExecution().executedPlan().toString()
+
+    assert "Expand" in plan(False)  # exact distincts expand the scan
+    assert "Expand" not in plan(True)  # HLL++ sketches do not
+    prof = {r.col_name: r for r in profile_table(df, approx=True).collect()}
+    # HLL++ at default rsd is exact at these cardinalities
+    assert prof["id"].n_distinct == 3
+    assert prof["cat"].n_distinct == 2
+    assert prof["val"].n_distinct == 2
+    # non-distinct stats identical to exact mode
+    assert (prof["id"].n_rows, prof["id"].n_nulls) == (4, 1)
+    assert (prof["id"].min_str, prof["id"].max_str) == ("1", "3")

@@ -221,3 +221,48 @@ def test_repetition_gate_drops_boilerplate(spark, tmp_path):
         assert counts["gated"] == 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_ingest_bucketed_catalog_mode(spark, tmp_path):
+    """catalog_prefix mode: same admit semantics as the path-only
+    lake, guard sidecars maintained as bucketed catalog tables, and
+    the corpus-sized side of each guard anti-join reads WITHOUT an
+    Exchange (only the small batch shuffles into bucket layout)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "inc_lake_b")
+    prefix = "t_r6_ing"
+    schema = "doc_id long, text string, lang string"
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta", "en"), (2, "gamma delta", "en"),
+             (3, "ALPHA   beta!", "en")],
+            schema,
+        )
+        r1 = incremental_ingest(spark, b1, root, catalog_prefix=prefix)
+        assert r1 == {"arrived": 3, "admitted": 2, "total_docs": 2}
+        # replay: id guard + fingerprint guard both hold
+        r1b = incremental_ingest(spark, b1, root, catalog_prefix=prefix)
+        assert r1b["admitted"] == 0 and r1b["total_docs"] == 2
+        # cross-batch content dup admits once
+        b2 = spark.createDataFrame(
+            [(10, "epsilon zeta", "fr"), (11, "gamma DELTA", "en")],
+            schema,
+        )
+        r2 = incremental_ingest(spark, b2, root, catalog_prefix=prefix)
+        assert r2 == {"arrived": 2, "admitted": 1, "total_docs": 3}
+        # both sidecars exist, bucketed: an anti-join against them
+        # needs exactly ONE Exchange (the probe side), never one on
+        # the bucketed scan
+        probe = spark.createDataFrame([(99,)], "doc_id long")
+        j = probe.join(
+            spark.table(f"{prefix}_ids"), "doc_id", "left_anti"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+        assert "SELECT" not in plan  # sanity: it's a physical plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_fingerprints")

@@ -342,3 +342,18 @@ def test_pack_sequences_single_and_exact_boundary(spark):
     }
     assert out[1] == (0, 512, 0, 0)   # [0,512) stays inside bin 0
     assert out[2] == (512, 1024, 1, 1)
+
+
+def test_global_prefix_sum_null_values_count_as_zero(spark):
+    """NULL values must not NULL the running total: a window sum over
+    an all-NULL prefix is NULL, so rows before the first non-NULL
+    value would otherwise get NULL prefix sums."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5), (4, None), (5, 7)],
+        "id long, v long",
+    )
+    out = {
+        r.id: r.prefix_sum
+        for r in cp.global_prefix_sum(df, "id", "v", n_parts=3).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 5, 4: 5, 5: 12}

@@ -185,3 +185,54 @@ def test_connected_components_empty_pairs(spark):
         docs, "doc_id", dedup.connected_components(df)
     )
     assert kept.count() == 2  # empty clustering keeps everything
+
+
+def test_duplicate_spans_hash_family_parity(spark):
+    """md5 (oracle) and fast (xxhash64 struct window key) families
+    must emit IDENTICAL spans — only the shuffle key width differs."""
+    rows = [
+        (1, "xx abcdefghijklmnopqrstuvwxyz tail one"),
+        (2, "completely other prefix abcdefghijklmnopqrstuvwxyz"),
+        (3, "00000000001111111111 mid 00000000001111111111"),
+        (4, "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spans(fam):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in dedup.duplicate_spans(
+                df, "doc_id", "text", min_len=20, hash_family=fam
+            ).collect()
+        )
+
+    assert spans("md5") == spans("fast")
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.duplicate_spans(df, "doc_id", "text", hash_family="crc")
+
+
+def test_duplicate_span_stats_accepts_precomputed_spans(spark):
+    """The cover rollup derived from a precomputed spans frame must
+    equal the recompute-from-scratch path (the q_exact_dedup reuse)."""
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz"),
+        (2, "abcdefghijklmnopqrstuvwxyz"),
+        (3, "entirely unique content with no repeats whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pre = dedup.duplicate_spans(df, "doc_id", "text", min_len=20)
+    a = sorted(
+        map(tuple, dedup.duplicate_span_stats(df, "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.duplicate_span_stats(
+                df, "doc_id", "text", spans=pre
+            ).collect(),
+        )
+    )
+    assert a == b
