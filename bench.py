@@ -102,20 +102,36 @@ def fast_hash_probe(spark, sf_dir: str) -> dict[str, float]:
 
     docs = load_table(spark, sf_dir, "documents")
     out: dict[str, float] = {}
+
+    def timed(thunk) -> float:
+        # min-of-2: a probe pair exists to show a CODE delta, and a
+        # single run per family lets first-run JIT/page noise invert
+        # the comparison (observed: struct-key span probe 1.7 vs 3.0 s
+        # cold, dead even warm)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            thunk()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     for fam in ("md5", "fast"):
-        t0 = time.time()
-        dd.minhash_lsh_pairs(docs, "doc_id", "text", hash_family=fam).count()
-        out[f"lsh_pairs_{fam}"] = round(time.time() - t0, 3)
+        out[f"lsh_pairs_{fam}"] = timed(
+            lambda: dd.minhash_lsh_pairs(
+                docs, "doc_id", "text", hash_family=fam
+            ).count()
+        )
     # span pair (r6): same contract for duplicate_spans — fast swaps
-    # the raw 20-char count-window key for a two-seed xxhash64 struct
-    # (fixed 16-byte shuffle rows on the stride-1 fan-out); identical
-    # spans pytest-pinned (test_duplicate_spans_hash_family_parity)
+    # the raw 20-char count-window key for two flat two-seed xxhash64
+    # longs (fixed 16-byte shuffle rows on the stride-1 fan-out);
+    # identical spans pytest-pinned
+    # (test_duplicate_spans_hash_family_parity)
     for fam in ("md5", "fast"):
-        t0 = time.time()
-        dd.duplicate_spans(
-            docs, "doc_id", "text", min_len=20, hash_family=fam
-        ).count()
-        out[f"span_{fam}"] = round(time.time() - t0, 3)
+        out[f"span_{fam}"] = timed(
+            lambda: dd.duplicate_spans(
+                docs, "doc_id", "text", min_len=20, hash_family=fam
+            ).count()
+        )
     return out
 
 

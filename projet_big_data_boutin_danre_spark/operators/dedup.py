@@ -736,17 +736,17 @@ def duplicate_spans(
     ``hash_family``: ``"md5"`` (default, oracle-checkable) partitions
     the count window by the raw ``min_len``-char substring — at sf
     scale the substring itself is the narrowest key DuckDB can
-    reproduce. ``"fast"`` (production) partitions by a TWO-SEED
-    xxhash64 composite of the substring instead: the stride-1 shuffle
-    (rows ≈ corpus chars) then carries a fixed 16-byte struct per row
-    instead of a ~``min_len``-byte string, and the window-count stage
-    — which, unlike the groupBy dedup ops, gets no map-side partial
-    aggregation — sorts longs, not strings. Two independent seeds
-    keep 128 key bits: a single 64-bit key would birthday-collide at
-    real corpus window counts (~10^14 windows at 100 TB) and a
-    collision FLAGS a unique span as duplicated. Span output is
-    identical across families (both keys are content-deterministic);
-    only the shuffle width differs."""
+    reproduce. ``"fast"`` (production) partitions by TWO flat
+    two-seed xxhash64 columns of the substring instead: the stride-1
+    shuffle (rows ≈ corpus chars) then carries two fixed 8-byte longs
+    per row instead of a ~``min_len``-byte string, and the
+    window-count stage — which, unlike the groupBy dedup ops, gets no
+    map-side partial aggregation — sorts longs, not strings. Two
+    independent seeds keep 128 key bits: a single 64-bit key would
+    birthday-collide at real corpus window counts (~10^14 windows at
+    100 TB) and a collision FLAGS a unique span as duplicated. Span
+    output is identical across families (both keys are
+    content-deterministic); only the shuffle width differs."""
     from pyspark.sql import Window
 
     _check_hash_family(hash_family)
@@ -765,16 +765,21 @@ def duplicate_spans(
         .select("id", "p", F.substring("__nt", F.col("p"), min_len).alias("w"))
     )
     if hash_family == "fast":
+        # two FLAT long columns, not a struct: window partitioning on
+        # plain longs stays in the fastest unsafe-row comparator path
+        # (a struct key adds per-row nested-row overhead, measured
+        # slower at sf0.1 for zero extra safety)
         pos = pos.select(
             "id",
             "p",
-            F.struct(
-                F.xxhash64("w").alias("h0"),
-                F.xxhash64(F.lit(1), F.col("w")).alias("h1"),
-            ).alias("w"),
+            F.xxhash64("w").alias("__h0"),
+            F.xxhash64(F.lit(1), F.col("w")).alias("__h1"),
         )
+        wkey = ["__h0", "__h1"]
+    else:
+        wkey = ["w"]
     dup = (
-        pos.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("w")))
+        pos.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy(*wkey)))
         .filter(F.col("c") >= 2)
         .select("id", "p")
     )
