@@ -1000,6 +1000,10 @@ _MIX_COUNTS = {"en": 40, "fr": 15}
 _MIX_SEED = 3
 _SHUF_SEED = 9
 _HEAD_N = 20
+_TEMP_TOTAL = 120
+_TEMP_SEED = 13
+_BUDGET_CHARS = 20_000
+_BUDGET_SEED = 11
 
 
 def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1017,6 +1021,13 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     r6 widenings (same digest schema):
 
+    - ``temp``: temperature-reweighted mix (α=0.5 — per-lang quota
+      ∝ √n via integer-quantized weights,
+      corpus_prep.domain_mix_temperature) — per-lang kept-count + id
+      checksum;
+    - ``budget``: greedy char-budget fill per lang
+      (corpus_prep.token_budget_take over length(text), 20k chars) —
+      same digest;
     - ``diff``: corpus snapshot drift (corpus_prep.corpus_diff — one
       full-outer fingerprint join, text never shuffles) between two
       deterministic snapshots derived in-slot: "old" drops
@@ -1072,6 +1083,22 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n"),
         F.lit(None).cast("bigint").alias("sum_ids"),
     )
+    # r6 widening: temperature mix (α=0.5 — per-lang quota ∝ √n,
+    # integer-quantized weights so the allocation is oracle-exact) and
+    # greedy char-budget fill per lang (token_budget_take with
+    # length(text) as the budget unit)
+    temp = corpus_prep.domain_mix_temperature(
+        docs, "doc_id", "lang", total_out=_TEMP_TOTAL, alpha=0.5,
+        seed=_TEMP_SEED,
+    )
+    budget = corpus_prep.token_budget_take(
+        docs.withColumn("__chars", F.length("text")),
+        "doc_id",
+        "lang",
+        "__chars",
+        budget=_BUDGET_CHARS,
+        seed=_BUDGET_SEED,
+    )
     old_snap = docs.filter(F.col("doc_id") % 7 != 1)
     new_snap = docs.filter(F.col("doc_id") % 7 != 2).withColumn(
         "text",
@@ -1104,6 +1131,8 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         digest(samp, "sample")
         .unionByName(digest(mix, "mix"))
         .unionByName(head)
+        .unionByName(digest(temp, "temp"))
+        .unionByName(digest(budget, "budget"))
         .unionByName(diff)
         .unionByName(prof)
     )
@@ -1750,6 +1779,50 @@ def _sql_corpus_sample() -> str:
             FROM documents WHERE doc_id IS NOT NULL
         )
         WHERE rk <= {_HEAD_N}
+        UNION ALL
+        -- temperature-mix twin: per-lang quota = (total * s) div Σs
+        -- with s = floor(sqrt(n)*1e6) — integer arithmetic after one
+        -- IEEE sqrt+multiply, so no float summation-order hazard
+        SELECT 'temp', lang, CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {skey.format(seed=_TEMP_SEED)}, doc_id
+                   ) AS rk
+            FROM documents WHERE doc_id IS NOT NULL
+        ) d
+        JOIN (
+            SELECT lang,
+                   least(__n, (CAST({_TEMP_TOTAL} AS BIGINT) * __s)
+                              // (sum(__s) OVER ())) AS takev
+            FROM (
+                SELECT lang, CAST(count(*) AS BIGINT) AS __n,
+                       CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                                  * 1000000.0) AS BIGINT) AS __s
+                FROM documents WHERE doc_id IS NOT NULL
+                GROUP BY lang
+            )
+        ) t USING (lang)
+        WHERE rk <= takev
+        GROUP BY lang
+        UNION ALL
+        -- char-budget twin: greedy prefix in seeded-hash order; keep
+        -- while the chars BEFORE the doc fit strictly in the budget
+        SELECT 'budget', lang, CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM (
+            SELECT doc_id, lang,
+                   coalesce(sum(coalesce(length(text), 0)) OVER (
+                       PARTITION BY lang
+                       ORDER BY {skey.format(seed=_BUDGET_SEED)}, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+            FROM documents WHERE doc_id IS NOT NULL
+        )
+        WHERE cb < {_BUDGET_CHARS}
+        GROUP BY lang
         UNION ALL
         -- diff twin: plain FULL OUTER JOIN on md5 fingerprints of the
         -- same two derived snapshots (membership via side presence —

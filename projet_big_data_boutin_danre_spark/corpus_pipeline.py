@@ -312,6 +312,52 @@ def incremental_ingest(
     }
 
 
+def streaming_ingest(
+    stream_df: DataFrame,
+    out_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    catalog_prefix: str | None = None,
+):
+    """Continuous corpus ingestion: the Structured-Streaming face of
+    :func:`incremental_ingest`. Each micro-batch runs the SAME
+    content-fingerprint + id-guard admission against the lake, so the
+    batch contract carries over to a file-arrival or Kafka source
+    unchanged: at-least-once delivery is enough (a replayed batch
+    admits nothing — decisions are a pure function of content), and no
+    state store is needed because the lake's own fingerprint layer IS
+    the state. ``foreachBatch`` is the right tool here, not a stateful
+    operator: admission must consult (and append to) the whole
+    historical lake, which per-key stream state cannot hold at 100 TB.
+
+    Returns the started ``StreamingQuery`` (caller awaits/stops it).
+    The default trigger processes whatever is available and keeps
+    listening; wrap with ``.trigger(availableNow=True)`` semantics by
+    stopping after ``processAllAvailable()`` in tests. Pass
+    ``catalog_prefix`` to run the guards against the bucketed catalog
+    sidecars (the 100 TB path — see :func:`incremental_ingest`)."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_ingest(
+            batch_df.sparkSession,
+            batch_df,
+            out_root,
+            id_col=id_col,
+            text_col=text_col,
+            catalog_prefix=catalog_prefix,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_ingest)
+        .option(
+            "checkpointLocation",
+            checkpoint or f"{out_root}/_checkpoints/ingest",
+        )
+        .start()
+    )
+
+
 def main() -> None:  # pragma: no cover - thin CLI wrapper
     import argparse
 

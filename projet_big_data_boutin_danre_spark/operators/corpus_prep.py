@@ -39,6 +39,8 @@ __all__ = [
     "hex_threshold",
     "stratified_sample",
     "domain_mix",
+    "domain_mix_temperature",
+    "token_budget_take",
     "mix_underflow",
     "interleave",
     "sample_summary",
@@ -142,6 +144,124 @@ def domain_mix(
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= limit)
         .drop("__rk")
+    )
+
+
+def domain_mix_temperature(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    total_out: int,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-reweighted domain mix — the standard pretraining
+    recipe (GPT-3 §2.2 / sampling ∝ n^α): allocate ``total_out``
+    documents across strata proportional to ``n_stratum**alpha``, so
+    α<1 up-weights small domains relative to their raw share (α=1 is
+    proportional, α=0 equal-per-domain). The allocation is DERIVED
+    FROM THE DATA (one tiny per-stratum count aggregate), then applied
+    exactly like :func:`domain_mix`: first ``take_i`` rows per stratum
+    in seeded-hash order.
+
+    Cross-engine exactness: weights avoid float summation-order hazards
+    by quantizing to integers before any cross-stratum arithmetic —
+    ``s_i = floor(sqrt(n_i) * 1e6)`` for the default α=0.5 (IEEE sqrt
+    and one multiply are bit-identical in Spark and DuckDB), summed and
+    divided as exact bigints (``div``). α=1.0 uses ``n_i`` directly.
+    Other α values use ``pow`` — correct, but libm pow is NOT
+    cross-engine bit-stable, so only α ∈ {0.5, 1.0} belongs in an
+    oracle slot. Clipped at ``n_i`` (a small stratum can't over-fill;
+    the lost quota is NOT redistributed — the audit signal is
+    ``mix_underflow``-style: Σ kept < total_out).
+
+    Scale: the counts aggregate is map-side-combined and yields one
+    row per stratum (bounded, like a range sampler's boundaries); the
+    per-stratum total rides a window over that TINY frame, and the
+    take join broadcasts it. The big side pays exactly what
+    ``domain_mix`` pays: one stratum-partitioned ranking window."""
+    nexp = F.col("__n").cast("double")
+    if alpha == 0.5:
+        s = F.floor(F.sqrt(nexp) * F.lit(1_000_000.0))
+    elif alpha == 1.0:
+        s = F.col("__n").cast("bigint")
+    else:  # correct but not oracle-exact (libm pow)
+        s = F.floor(F.pow(nexp, F.lit(float(alpha))) * F.lit(1_000_000.0))
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__s", s.cast("bigint"))
+    )
+    # total over the #strata-sized frame: a single-partition window
+    # over bounded rows (same class as the head re-rank in
+    # __spark_entry__.q_corpus_sample), never over the corpus
+    takes = (
+        counts.withColumn(
+            "__tot",
+            F.sum("__s").over(
+                Window.partitionBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .withColumn(
+            "__take",
+            F.least(
+                F.col("__n"),
+                F.expr(f"(CAST({int(total_out)} AS BIGINT) * __s) div __tot"),
+            ),
+        )
+        .select(strata_col, "__take")
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_key(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(takes), strata_col, "inner")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__take"))
+        .drop("__rk", "__take")
+    )
+
+
+def token_budget_take(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy token-budget fill per stratum: walk each stratum in
+    seeded-hash order and keep documents until the stratum's token
+    budget is exhausted — the recipe primitive when quotas are
+    denominated in TOKENS, not documents (context-window budgets,
+    per-language token targets). A document is kept iff the tokens
+    BEFORE it fit strictly inside the budget, so the budget can
+    overshoot by at most one document (the standard greedy-prefix
+    convention — dropping the crossing doc instead would under-fill
+    forever when the next doc is huge).
+
+    Deterministic (pure function of ids + seed), incremental-safe in
+    the same sense as :func:`stratified_sample` EXCEPT that new docs
+    hashing into the prefix displace the tail — budget fills are
+    prefix-dependent by definition; re-run on identical data is
+    byte-stable. NULL token counts count 0. One stratum-partitioned
+    running-sum window — per-stratum, never global, so no
+    single-partition bottleneck at 100 TB."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_key(id_col, seed), F.col(id_col)
+    )
+    before = F.coalesce(
+        F.sum(F.coalesce(F.col(tokens_col), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("__before", before)
+        .filter(F.col("__before") < F.lit(int(budget)))
+        .drop("__before")
     )
 
 

@@ -266,3 +266,52 @@ def test_incremental_ingest_bucketed_catalog_mode(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_ids")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_fingerprints")
+
+
+def test_streaming_ingest_file_source_dedups_across_batches(spark, tmp_path):
+    """A real readStream over an arrival directory, ingesting through
+    the lake's content-fingerprint admission: cross-file content dups
+    admit once, and late-arriving files only add genuinely new
+    content (the batch contract, proven under the streaming engine)."""
+    import json
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    root = str(tmp_path / "stream_lake")
+
+    def drop(name, rows):
+        (arrivals / name).write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+
+    drop("b1.json", [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma delta"},
+        {"doc_id": 3, "text": "ALPHA   beta!"},  # normalized dup of 1
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(arrivals))
+    )
+    q = streaming_ingest(
+        stream, root, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        docs = spark.read.parquet(f"{root}/docs")
+        assert {r.doc_id for r in docs.collect()} == {1, 2}
+        # second arrival: one new doc, one cross-batch content dup
+        drop("b2.json", [
+            {"doc_id": 10, "text": "epsilon zeta"},
+            {"doc_id": 11, "text": "gamma DELTA"},
+        ])
+        q.processAllAvailable()
+        docs = spark.read.parquet(f"{root}/docs")
+        assert {r.doc_id for r in docs.collect()} == {1, 2, 10}
+    finally:
+        q.stop()

@@ -357,3 +357,88 @@ def test_global_prefix_sum_null_values_count_as_zero(spark):
         for r in cp.global_prefix_sum(df, "id", "v", n_parts=3).collect()
     }
     assert out == {1: 0, 2: 0, 3: 5, 4: 5, 5: 12}
+
+
+def test_domain_mix_temperature_allocation_and_clip(spark):
+    """α=0.5: quotas ∝ √n with integer-quantized weights; a stratum
+    smaller than its quota is clipped (quota not redistributed)."""
+    import math
+
+    rows = [(i, "big") for i in range(400)]
+    rows += [(1000 + i, "small") for i in range(100)]
+    rows += [(2000 + i, "tiny") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = cp.domain_mix_temperature(
+        df, "doc_id", "lang", total_out=100, alpha=0.5, seed=13
+    )
+    got = {r.lang: r.n_kept for r in cp.sample_summary(out, "doc_id", "lang").collect()}
+    s = {g: math.floor(math.sqrt(n) * 1e6) for g, n in
+         (("big", 400), ("small", 100), ("tiny", 4))}
+    tot = sum(s.values())
+    want = {g: min(n, (100 * s[g]) // tot) for g, n in
+            (("big", 400), ("small", 100), ("tiny", 4))}
+    assert got == {g: w for g, w in want.items() if w > 0}
+    # √n reweighting up-weights small strata vs raw share
+    assert got["small"] / 100 > got["big"] / 400
+    # deterministic: re-run keeps identical ids
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in cp.domain_mix_temperature(
+            df, "doc_id", "lang", total_out=100, alpha=0.5, seed=13
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_domain_mix_temperature_alpha_one_is_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(300)] + [(1000 + i, "b") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = cp.domain_mix_temperature(
+        df, "doc_id", "lang", total_out=40, alpha=1.0, seed=1
+    )
+    got = {r.lang: r.n_kept for r in cp.sample_summary(out, "doc_id", "lang").collect()}
+    assert got == {"a": 30, "b": 10}
+
+
+def test_token_budget_take_greedy_prefix(spark):
+    """Keep while tokens-before < budget: overshoot is at most the
+    crossing doc; NULL token counts cost 0; per-stratum budgets are
+    independent."""
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 50), (3, "a", 50), (4, "a", None),
+         (5, "b", 500), (6, "b", 1)],
+        "doc_id long, lang string, tok int",
+    )
+    out = cp.token_budget_take(df, "doc_id", "lang", "tok", budget=100, seed=11)
+    kept = {r.doc_id for r in out.collect()}
+    # stratum a: hash order of (1,2,3,4); cumulative-before of the
+    # kept set must all be < 100 -> exactly the first 2 non-null-cost
+    # docs after any zero-cost ones
+    ordered = [
+        r.doc_id
+        for r in df.filter(F.col("lang") == "a")
+        .orderBy(cp.sample_key("doc_id", 11), "doc_id")
+        .collect()
+    ]
+    run, expect_a = 0, []
+    costs = {1: 50, 2: 50, 3: 50, 4: 0}
+    for d in ordered:
+        if run < 100:
+            expect_a.append(d)
+        run += costs[d]
+    assert kept & {1, 2, 3, 4} == set(expect_a)
+    # stratum b: first doc always kept even if it alone busts the
+    # budget; the doc after a busted budget is dropped
+    ordered_b = [
+        r.doc_id
+        for r in df.filter(F.col("lang") == "b")
+        .orderBy(cp.sample_key("doc_id", 11), "doc_id")
+        .collect()
+    ]
+    if ordered_b == [5, 6]:
+        assert kept & {5, 6} == {5}
+    else:
+        assert kept & {5, 6} == {6, 5}  # 1 token, then 500 crosses
