@@ -130,6 +130,41 @@ def length_quantiles(
     return df.groupBy(by).agg(*aggs)
 
 
+def length_quantiles_approx(
+    df: DataFrame,
+    text_col: str,
+    by: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB companion of :func:`length_quantiles`: same output
+    shape, ``approx_percentile`` instead of exact ``percentile``. The
+    exact aggregate buffers EVERY group-local value for a final
+    per-group sort — memory ∝ group size, the thing that OOMs when one
+    language holds 10^11 documents. The approximation keeps a
+    fixed-size quantile summary per group that merges map-side
+    (partial aggregation works, memory bounded by ``accuracy``
+    regardless of group size), with rank error ≤ 1/accuracy.
+    Accuracy=10k → ±0.01% rank error: indistinguishable from exact
+    for corpus-profile decisions. Approx results are engine-specific
+    (no DuckDB twin) — pytest pins them against exact within the rank
+    bound at test scale."""
+    plist = ", ".join(str(p) for p in probs)
+    qs = F.expr(
+        f"approx_percentile(length({text_col}), array({plist}),"
+        f" {int(accuracy)})"
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length(text_col)).alias("avg_len"),
+        *[
+            qs.getItem(i).cast("double").alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+    ]
+    return df.groupBy(by).agg(*aggs)
+
+
 def text_profile(
     df: DataFrame, id_col: str, text_col: str, include_pii: bool = False
 ) -> DataFrame:
