@@ -567,7 +567,11 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
       doc_id, v1/v2 = merged span start/end over normalized text;
     - ``cover``: per-doc span coverage (duplicate_span_stats) for
       flagged docs — key = doc_id, v1 = n_dup_spans, v2 = dup_chars
-      (the frac is v2 / normalized length, checked implicitly)."""
+      (the frac is v2 / normalized length, checked implicitly);
+    - ``topwin`` (r6): the 15 most-repeated 20-char windows
+      corpus-wide (dedup.top_duplicate_windows — the boilerplate
+      detector; groupBy count + TakeOrderedAndProject) — key = the
+      window text, v1 = occurrence count, v2 NULL."""
     docs = load_table(spark, sf, "documents")
     groups = dedup.exact_dedup_stats(docs, "doc_id", "text").select(
         F.lit("group").alias("tag"),
@@ -600,7 +604,17 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("dup_chars").alias("v2"),
         )
     )
-    return groups.unionByName(spans).unionByName(cover)
+    topwin = dedup.top_duplicate_windows(
+        docs, "doc_id", "text", min_len=20, k=15
+    ).select(
+        F.lit("topwin").alias("tag"),
+        F.col("w").alias("key"),
+        F.col("n_occurrences").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
+    return (
+        groups.unionByName(spans).unionByName(cover).unionByName(topwin)
+    )
 
 
 def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -846,7 +860,11 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       the training corpus; flagged rows carry v1 = distinct colliding
       4-grams, v2 = distinct probe docs hit (id_b/jaccard NULL).
       n=4 keeps the check non-vacuous at sf0.01 (the operator default
-      is 8, the published-filter scale)."""
+      is 8, the published-filter scale);
+    - ``lev`` (r6): candidate VERIFICATION — the jac pairs rescored
+      by edit distance over an 80-char normalized prefix
+      (dedup.verify_pairs_levenshtein, the sketch-then-verify
+      pattern) — v1 = lev_dist, v2 = longer prefix length."""
     docs = load_table(spark, sf, "documents")
     jac = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", "source", n=3, min_jaccard=0.02
@@ -873,7 +891,17 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_hit_grams").alias("v1"),
         F.col("n_hit_probes").alias("v2"),
     )
-    return j.unionByName(c)
+    lev = dedup.verify_pairs_levenshtein(
+        docs, "doc_id", "text", jac.select("id_a", "id_b"), prefix_len=80
+    ).select(
+        F.lit("lev").alias("tag"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("lev_dist").cast("bigint").alias("v1"),
+        F.col("lev_len").cast("bigint").alias("v2"),
+    )
+    return j.unionByName(c).unionByName(lev)
 
 
 def q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2361,6 +2389,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT id, g, min(p) AS s, max(p) + 19 AS e
                   FROM isl GROUP BY id, g)
             GROUP BY id
+            UNION ALL
+            -- boilerplate top-k twin: most-repeated windows, ties
+            -- broken lexicographically
+            SELECT 'topwin', w, CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+            FROM (
+                SELECT w, count(*) AS n FROM wins GROUP BY w
+                HAVING count(*) >= 2
+                ORDER BY n DESC, w LIMIT 15
+            )
         """,
         "exact_cardinality": f"""
             WITH g AS (
@@ -2629,6 +2666,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'contam', id, NULL, CAST(NULL AS DOUBLE),
                    n_hit_grams, n_hit_probes
             FROM contam
+            UNION ALL
+            -- verification twin: same jac pair set, levenshtein over
+            -- the 80-char normalized prefix (identical edit-distance
+            -- definitions in both engines)
+            SELECT 'lev', p.id_a, p.id_b, CAST(NULL AS DOUBLE),
+                   CAST(levenshtein(ta.pt, tb.pt) AS BIGINT),
+                   CAST(greatest(length(ta.pt), length(tb.pt)) AS BIGINT)
+            FROM (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter),
+                            6) >= 0.02
+            ) p
+            JOIN (SELECT doc_id AS id,
+                         substr({_NORM_SQL.format(c='text')}, 1, 80) AS pt
+                  FROM documents) ta ON ta.id = p.id_a
+            JOIN (SELECT doc_id AS id,
+                         substr({_NORM_SQL.format(c='text')}, 1, 80) AS pt
+                  FROM documents) tb ON tb.id = p.id_b
         """,
         "cosine_topk": f"""
             WITH q AS (

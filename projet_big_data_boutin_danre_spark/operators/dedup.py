@@ -807,6 +807,159 @@ def duplicate_spans(
     )
 
 
+def verify_pairs_levenshtein(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    prefix_len: int = 100,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Candidate-pair VERIFICATION by edit distance: rescore the
+    output of a blocking stage (LSH bands, n-gram Jaccard, cosine
+    buckets) with ``levenshtein`` over a bounded prefix of the
+    normalized text — the cheap-sketch-then-exact-verify pattern every
+    production dedup pipeline ends with (sketches admit false
+    positives; the verifier kills them before the delete step).
+
+    Adds ``lev_dist`` (edit distance over the first ``prefix_len``
+    normalized chars) and ``lev_len`` (longer prefix length — the
+    denominator for a similarity ratio ``1 - dist/len``). Levenshtein
+    is O(n·m) PER PAIR: never run it corpus × corpus; here the pair
+    count is bounded by the blocking stage and the prefix bound caps
+    per-pair cost at ``prefix_len²`` regardless of document length.
+    Two joins of the (small) pair set against a two-column projection
+    of the docs — text never fans out."""
+    t = df.select(
+        F.col(id_col).alias("__vid"),
+        F.substring(normalize_text(text_col), 1, prefix_len).alias("__vt"),
+    )
+    out_cols = list(pairs.columns)
+    return (
+        pairs.join(
+            t.select(F.col("__vid").alias(a_col), F.col("__vt").alias("__ta")),
+            a_col,
+        )
+        .join(
+            t.select(F.col("__vid").alias(b_col), F.col("__vt").alias("__tb")),
+            b_col,
+        )
+        .select(
+            *out_cols,
+            F.levenshtein("__ta", "__tb").alias("lev_dist"),
+            F.greatest(F.length("__ta"), F.length("__tb")).alias("lev_len"),
+        )
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    spans: DataFrame | None = None,
+    out_col: str = "cut_text",
+) -> DataFrame:
+    """The ACTION step of the Lee et al. 2022 signal: remove every
+    duplicated span from each document's NORMALIZED text (the paper
+    cuts rather than drops — a doc that quotes a license header is
+    still good training data minus the header). Output: one row per
+    input doc with ``out_col`` (the cut text) and ``n_cut_chars``;
+    docs with no spans pass through unchanged.
+
+    Plan: spans (precomputable, see :func:`duplicate_spans`) are
+    rolled up to one sorted struct array per doc (merged islands are
+    non-overlapping by construction), joined to the docs, and the cut
+    is a single higher-order ``aggregate`` fold over that array —
+    per-row Column algebra stitching the kept segments, no UDF, no
+    extra shuffle beyond the span rollup join. Span arrays are
+    per-doc and bounded by doc length, so the fold is safe at any
+    corpus size."""
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    nt = normalize_text(text_col)
+    base = df.select(F.col(id_col), nt.alias("__nt"))
+    joined = base.join(per_doc, id_col, "left")
+    folded = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(1).cast("int").alias("prev"), F.lit("").alias("acc")
+        ),
+        lambda acc, s: F.struct(
+            (s["span_end"] + 1).cast("int").alias("prev"),
+            F.concat(
+                acc["acc"],
+                F.col("__nt").substr(
+                    acc["prev"], s["span_start"] - acc["prev"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col("__nt").substr(
+                acc["prev"], F.length("__nt") - acc["prev"] + F.lit(1)
+            ),
+        ),
+    )
+    cut = F.when(F.col("__spans").isNull(), F.col("__nt")).otherwise(folded)
+    return joined.select(
+        F.col(id_col),
+        cut.alias(out_col),
+        (
+            F.coalesce(F.length("__nt"), F.lit(0))
+            - F.coalesce(F.length(cut), F.lit(0))
+        ).alias("n_cut_chars"),
+    )
+
+
+def top_duplicate_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level boilerplate detector: the ``k`` most-repeated
+    ``min_len``-char windows of normalized text with their occurrence
+    counts — the strings behind the per-doc spans
+    (:func:`duplicate_spans` says WHERE duplication sits; this says
+    WHAT keeps repeating: license headers, nav chrome, template
+    boilerplate worth a targeted filter).
+
+    Shape: the same stride-1 window explode, then a plain groupBy
+    count (map-side partial aggregation — unlike the span count
+    window) and a global top-k that compiles to
+    ``TakeOrderedAndProject`` (per-partition heaps + driver merge of
+    k rows, no global sort). Ties broken lexicographically so the
+    result is deterministic and oracle-checkable."""
+    norm = normalize_text(text_col)
+    pos = (
+        balance_for_fanout(df)
+        .select(norm.alias("__nt"))
+        .filter(F.length("__nt") >= min_len)
+        .select(
+            F.posexplode(
+                F.sequence(F.lit(1), F.length("__nt") - F.lit(min_len - 1))
+            ).alias("__i", "p"),
+            F.col("__nt"),
+        )
+        .select(F.substring("__nt", F.col("p"), min_len).alias("w"))
+    )
+    return (
+        pos.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), F.col("w"))
+        .limit(k)
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str,

@@ -236,3 +236,103 @@ def test_duplicate_span_stats_accepts_precomputed_spans(spark):
         )
     )
     assert a == b
+
+
+def test_cut_duplicate_spans_removes_exactly_the_covered_chars(spark):
+    """The apply step: cut text = normalized text minus the merged
+    duplicated spans; clean docs unchanged; cut length reconciles
+    with duplicate_span_stats coverage on every doc."""
+    rows = [
+        (1, "xx abcdefghijklmnopqrstuvwxyz tail one"),
+        (2, "completely other prefix abcdefghijklmnopqrstuvwxyz"),
+        (3, "00000000001111111111 mid 00000000001111111111"),
+        (4, "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = {
+        r.doc_id: (r.cut_text, r.n_cut_chars)
+        for r in dedup.cut_duplicate_spans(df, "doc_id", "text").collect()
+    }
+    assert set(cut) == {1, 2, 3, 4, 5}
+    stats = {
+        r.doc_id: r.dup_chars
+        for r in dedup.duplicate_span_stats(df, "doc_id", "text").collect()
+    }
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        normalize_text,
+    )
+
+    norm = {
+        r.doc_id: r.nt
+        for r in df.select(
+            "doc_id", normalize_text("text").alias("nt")
+        ).collect()
+    }
+    for d in cut:
+        text, n = cut[d]
+        assert n == stats[d]
+        assert len(text) == len(norm[d]) - stats[d]
+    # clean docs untouched
+    assert cut[4][0] == norm[4] and cut[5][0] == norm[5]
+    # doc 3: two exact islands cut -> the middle survives
+    assert cut[3][0] == " mid "
+    # interior cut keeps both flanks (doc 1: the shared run reaches
+    # p=2 — doc 2's "prefix" ends in 'x', extending the window match
+    # one char left — so one 'x' survives plus the unique suffix)
+    assert cut[1][0] == "x tail one"
+
+
+def test_cut_duplicate_spans_accepts_precomputed_spans(spark):
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz and more text here"),
+        (2, "abcdefghijklmnopqrstuvwxyz plus other stuff"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pre = dedup.duplicate_spans(df, "doc_id", "text")
+    a = sorted(map(tuple, dedup.cut_duplicate_spans(df, "doc_id", "text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.cut_duplicate_spans(df, "doc_id", "text", spans=pre).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_verify_pairs_levenshtein_kills_false_positives(spark):
+    """Sketch-then-verify: a blocking stage admits (near-dup, junk)
+    candidates; the edit-distance rescore separates them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated content about parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): (r.lev_dist, r.lev_len)
+        for r in dedup.verify_pairs_levenshtein(
+            docs, "doc_id", "text", pairs, prefix_len=100
+        ).collect()
+    }
+    d12, l12 = out[(1, 2)]
+    d13, l13 = out[(1, 3)]
+    assert d12 == 3  # dog -> cat
+    assert 1 - d12 / l12 > 0.9  # real near-dup survives
+    assert 1 - d13 / l13 < 0.5  # junk candidate killed
+    # bounded prefix: cost cap regardless of doc length
+    long_docs = spark.createDataFrame(
+        [(1, "a" * 10_000), (2, "a" * 9_000 + "b" * 1_000)],
+        "doc_id long, text string",
+    )
+    r = dedup.verify_pairs_levenshtein(
+        long_docs, "doc_id", "text",
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+        prefix_len=50,
+    ).collect()[0]
+    assert r.lev_len == 50 and r.lev_dist == 0  # identical prefixes
