@@ -790,9 +790,22 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
 def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus length distribution (exact percentiles —
     Spark `percentile` and DuckDB `quantile_cont` share the linear-
-    interpolation definition, so values match bit-for-bit)."""
+    interpolation definition, so values match bit-for-bit). r6: joined
+    with the fixed-width length histogram (text.length_histogram,
+    64-char bins as a bin-ordered bin:count CSV — integer-exact, the
+    SHAPE companion to the percentiles; the approx_percentile scale
+    variant stays pytest-only, estimates being engine-specific)."""
     docs = load_table(spark, sf, "documents")
-    return text.length_quantiles(docs, "text", "lang")
+    return text.length_quantiles(docs, "text", "lang").join(
+        text.length_histogram(docs, "text", "lang", bin_width=64),
+        "lang",
+        "left",
+    ).withColumns(
+        {
+            "hist": F.coalesce("hist", F.lit("")),
+            "n_bins": F.coalesce("n_bins", F.lit(0).cast("bigint")),
+        }
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
@@ -2551,12 +2564,33 @@ def oracle_sql() -> dict[str, str]:
             ) r USING (doc_id)
         """,
         "corpus_quantiles": """
-            SELECT lang, count(*) AS n_docs,
-                   avg(length(text)) AS avg_len,
-                   quantile_cont(length(text), 0.5) AS p50,
-                   quantile_cont(length(text), 0.9) AS p90,
-                   quantile_cont(length(text), 0.99) AS p99
-            FROM documents GROUP BY lang
+            WITH q AS (
+                SELECT lang, count(*) AS n_docs,
+                       avg(length(text)) AS avg_len,
+                       quantile_cont(length(text), 0.5) AS p50,
+                       quantile_cont(length(text), 0.9) AS p90,
+                       quantile_cont(length(text), 0.99) AS p99
+                FROM documents GROUP BY lang
+            ),
+            -- histogram twin: fixed 64-char bins, bin-ordered CSV —
+            -- integer-exact, no interpolation to diverge on
+            h AS (
+                SELECT lang,
+                       string_agg(CAST(bin AS VARCHAR) || ':'
+                                  || CAST(c AS VARCHAR), ','
+                                  ORDER BY bin) AS hist,
+                       CAST(count(*) AS BIGINT) AS n_bins
+                FROM (
+                    SELECT lang,
+                           CAST(floor(length(text) / 64) AS BIGINT) AS bin,
+                           count(*) AS c
+                    FROM documents WHERE text IS NOT NULL
+                    GROUP BY 1, 2
+                ) GROUP BY lang
+            )
+            SELECT q.*, coalesce(h.hist, '') AS hist,
+                   coalesce(h.n_bins, 0) AS n_bins
+            FROM q LEFT JOIN h USING (lang)
         """,
         "minhash_signatures": f"""
             WITH {_sql_minhash_sigs_cte()}

@@ -130,6 +130,54 @@ def length_quantiles(
     return df.groupBy(by).agg(*aggs)
 
 
+def length_histogram(
+    df: DataFrame,
+    text_col: str,
+    by: str,
+    bin_width: int = 64,
+) -> DataFrame:
+    """Per-group document-length histogram with fixed-width bins:
+    ``(by, hist, n_bins)`` where ``hist`` is a bin-ordered
+    ``bin:count`` CSV (bin = floor(length / bin_width)). The
+    distribution companion to the percentile profile — percentiles
+    answer "where is the mass", the histogram shows SHAPE (bimodal
+    chunk-vs-doc mixes, truncation spikes at crawler limits).
+
+    Integer-exact by construction (no interpolation), so unlike
+    approx sketches it is oracle-hashable. Shape: one groupBy on
+    (group, bin) with map-side combine — at 100 TB the shuffle
+    carries one row per occupied bin per group, not per document —
+    then a per-group ordered rollup. NULL lengths are excluded (a
+    NULL text has no length, matching the quantile ops' treatment)."""
+    b = F.floor(F.length(text_col) / F.lit(int(bin_width))).cast("bigint")
+    per_bin = (
+        df.filter(F.length(text_col).isNotNull())
+        .groupBy(F.col(by), b.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return per_bin.groupBy(by).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__bin"),
+                            F.concat_ws(
+                                ":",
+                                F.col("__bin").cast("string"),
+                                F.col("__c").cast("string"),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("hist"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
 def length_quantiles_approx(
     df: DataFrame,
     text_col: str,

@@ -90,3 +90,38 @@ def test_length_quantiles_approx_within_rank_bound(spark):
     for g in exact:
         for e, a in zip(exact[g], approx[g]):
             assert abs(e - a) <= 2.0
+
+
+def test_length_histogram_bins_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "x" * 10),   # bin 0
+            ("en", "x" * 70),   # bin 1
+            ("en", "x" * 75),   # bin 1
+            ("en", "x" * 200),  # bin 3 (bin 2 unoccupied -> absent)
+            ("en", None),       # excluded
+            ("fr", "x" * 64),   # bin 1 exactly at the boundary
+        ],
+        "lang string, text string",
+    )
+    out = {
+        r.lang: (r.hist, r.n_bins)
+        for r in text_ops.length_histogram(
+            df, "text", "lang", bin_width=64
+        ).collect()
+    }
+    # bin-ordered CSV, unoccupied bins absent, NULL text excluded
+    assert out["en"] == ("0:1,1:2,3:1", 3)
+    assert out["fr"] == ("1:1", 1)
+
+
+def test_length_histogram_partial_aggregation_plan(spark):
+    """The (group, bin) count must partial-aggregate map-side — the
+    property that makes the shuffle carry occupied bins, not docs."""
+    df = spark.range(500).select(
+        (F.col("id") % 2).cast("string").alias("lang"),
+        F.col("id").cast("string").alias("text"),
+    )
+    agg = text_ops.length_histogram(df, "text", "lang")
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
