@@ -272,16 +272,35 @@ def has_cols(df: DataFrame, required: Sequence[str]) -> bool:
 
 
 def _profile_aggs(df, max_distinct_cols: int, approx: bool):
-    """The single-pass aggregate list behind :func:`profile_table` —
-    exposed so plan-shape tests can assert the approx mode plans with
-    NO Expand node."""
+    """The aggregate lists behind :func:`profile_table`, returned as
+    ``(stats_aggs, distinct_aggs)`` — exposed so plan-shape tests can
+    assert the shapes below.
+
+    The split exists because of a physical-planning trap: ``min``/
+    ``max`` over string columns carry STRING aggregation buffers,
+    which HashAggregate cannot hold (mutable fixed-width buffer types
+    only), so any aggregation containing them falls back to
+    SortAggregate. With no grouping key that is harmless (nothing to
+    sort). But exact multi-column ``countDistinct`` rewrites through
+    an Expand node whose partial stages GROUP BY the expanded columns
+    — and a grouped SortAggregate sorts the k+1×-expanded scan twice
+    on wide keys. Measured at sf0.1 (150k-row orders, 6 columns):
+    ~3 s for the combined plan vs ~0.5 s split.
+
+    So: exact distinct counts go in a second, count-only aggregation
+    (all-long buffers → HashAggregate end-to-end, Expand but never a
+    sort); approx mode keeps everything in one pass (HLL++ sketches
+    are fixed-width ImperativeAggregate buffers — hash-friendly, no
+    Expand, and the empty-key SortAggregate the string min/max force
+    needs no Sort node)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    stats = [F.count(F.lit(1)).alias("__n")]
+    nd = []
     for i, f in enumerate(df.schema.fields):
         c = F.col(f.name)
-        aggs.append(
+        stats.append(
             F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"__null_{i}")
         )
         # map-typed columns are not hashable/comparable as distinct
@@ -289,15 +308,15 @@ def _profile_aggs(df, max_distinct_cols: int, approx: bool):
         if isinstance(f.dataType, MapType):
             pass
         elif approx:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{i}"))
+            stats.append(F.approx_count_distinct(c).alias(f"__nd_{i}"))
         elif i < max_distinct_cols:
-            aggs.append(F.countDistinct(c).alias(f"__nd_{i}"))
+            nd.append(F.countDistinct(c).alias(f"__nd_{i}"))
         if not isinstance(
             f.dataType, (StructType, ArrayType, MapType, BinaryType)
         ):
-            aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
-    return aggs
+            stats.append(F.min(c).cast("string").alias(f"__min_{i}"))
+            stats.append(F.max(c).cast("string").alias(f"__max_{i}"))
+    return stats, nd
 
 
 def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
@@ -305,24 +324,37 @@ def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
     count, distinct count, and min/max rendered as strings — the
     data-quality snapshot run before trusting any new source.
 
-    One pass: all per-column aggregates ride a single aggregation
-    (Spark plans count/min/max map-side; countDistinct columns expand
-    via a single Expand node with partial aggregation — still one
-    scan). The Expand cost is MULTIPLICATIVE in data volume, not just
-    plan width: an Expand over k distinct-counted columns emits k+1
-    rows per input row before the partial aggregate, so profiling 64
+    Exact mode runs TWO aggregation passes over the scan: a stats
+    pass (count / null counts / min / max — no Expand, and its
+    empty-key aggregate needs no sort even though string min/max
+    buffers force SortAggregate) and a distinct pass (multi-column
+    ``countDistinct`` → one Expand node with all-long buffers, so it
+    stays in HashAggregate; see :func:`_profile_aggs` for why mixing
+    the two forces a double full sort of the expanded scan). The
+    Expand cost is MULTIPLICATIVE in data volume, not just plan
+    width: an Expand over k distinct-counted columns emits k+1 rows
+    per input row before the partial aggregate, so profiling 64
     columns of a 100 TB table pushes ~65× the scanned rows through
     the first aggregation. ``max_distinct_cols`` caps the plan width
     (columns past the cap report NULL rather than silently
     approximating), but the 100 TB answer is ``approx=True``:
-    ``approx_count_distinct`` (HLL++) sketches merge map-side in the
-    SAME single aggregation as the other stats — no Expand node at
-    all (asserted in tests/test_plan_shapes.py) — at the standard ~2%
-    relative error. Exact stays the default so oracle-sized tables
-    profile exactly. Complex-typed columns (struct/array/map/binary)
-    get NULL min/max — orderings are engine-specific."""
+    ``approx_count_distinct`` (HLL++) sketches merge map-side in ONE
+    single aggregation with the other stats — no Expand node at all,
+    one scan (asserted in tests/test_plan_shapes.py) — at the
+    standard ~2% relative error. Exact stays the default so
+    oracle-sized tables profile exactly. Complex-typed columns
+    (struct/array/map/binary) get NULL min/max — orderings are
+    engine-specific."""
     spark = df.sparkSession
-    row = df.agg(*_profile_aggs(df, max_distinct_cols, approx)).collect()[0]
+    stats_aggs, nd_aggs = _profile_aggs(df, max_distinct_cols, approx)
+    row = df.agg(*stats_aggs).collect()[0]
+    if nd_aggs:
+        nd_row = df.agg(*nd_aggs).collect()[0]
+        merged = row.asDict()
+        merged.update(nd_row.asDict())
+        from pyspark.sql import Row
+
+        row = Row(**merged)
     out = []
     for i, f in enumerate(df.schema.fields):
         out.append(

@@ -190,12 +190,23 @@ def test_profile_table_approx_mode_no_expand(spark):
         "id long, cat string, val double",
     )
 
-    def plan(approx):
-        agg = df.agg(*_profile_aggs(df, 64, approx))
+    def plan(approx, which):
+        stats, nd = _profile_aggs(df, 64, approx)
+        agg = df.agg(*(stats if which == "stats" else nd))
         return agg._jdf.queryExecution().executedPlan().toString()
 
-    assert "Expand" in plan(False)  # exact distincts expand the scan
-    assert "Expand" not in plan(True)  # HLL++ sketches do not
+    # exact mode: distincts live in their own count-only aggregation —
+    # Expand is there, but with all-long buffers it must stay in
+    # HashAggregate (string min/max buffers in the same plan would
+    # demote the grouped partial stages to SortAggregate and sort the
+    # k+1×-expanded scan twice)
+    nd_plan = plan(False, "nd")
+    assert "Expand" in nd_plan
+    assert "SortAggregate" not in nd_plan and "HashAggregate" in nd_plan
+    # the stats pass never expands, in either mode
+    assert "Expand" not in plan(False, "stats")
+    assert "Expand" not in plan(True, "stats")  # HLL++ sketches ride along
+    assert _profile_aggs(df, 64, True)[1] == []  # approx: one pass total
     prof = {r.col_name: r for r in profile_table(df, approx=True).collect()}
     # HLL++ at default rsd is exact at these cardinalities
     assert prof["id"].n_distinct == 3
