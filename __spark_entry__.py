@@ -30,6 +30,7 @@ from projet_big_data_boutin_danre_spark.operators import (
     cleaning,
     corpus_prep,
     dedup,
+    lm,
     multimodal,
     pagination,
     similarity,
@@ -625,11 +626,51 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     repetition signals (duplicate-bigram fraction, hottest-bigram
     coverage — operators/text.py:repetition_profile). The projection
     half stays narrow; repetition adds the canonical (doc, bigram)
-    wordcount rollup."""
+    wordcount rollup.
+
+    r6 widening: the n-gram LM quality signal (operators/lm.py — the
+    CCNet-style perplexity filter's plumbing). Self-trained bigram
+    model (min_count=2) scored back over the corpus; the slot carries
+    the INTEGER surfaces only (gram count, pruned-model hits, summed
+    model counts / context totals — exact cross-engine), while the
+    float perplexity itself is pytest-pinned against a pure-Python
+    reference (ln + float summation are not bit-stable across
+    engines). Docs too short to score keep their profile row via the
+    left join with zero defaults."""
     docs = load_table(spark, sf, "documents")
     prof = text.text_profile(docs, "doc_id", "text", include_pii=True)
     rep = text.repetition_profile(docs, "doc_id", "text").drop("n_tokens")
-    return prof.join(rep, "doc_id")
+    # shared gram subplan: training, context totals, and scoring all
+    # consume the same tokenize+explode frame. Measured at sf0.1 the
+    # in-plan recompute (~0.3 s/scan warm) beats a localCheckpoint
+    # (write+read of every gram row, ~1.2 s) — the opposite tradeoff
+    # from q_exact_dedup's spans, whose subplan is char-stride-1. The
+    # grams= hook is there for callers where the balance flips.
+    # with_ppl=False: the slot carries only the integer digest, so
+    # skip the float columns and the vocab-size driver job they need.
+    grams = lm.doc_ngrams(docs, ["doc_id"], "text", n=2)
+    counts_raw = lm.ngram_counts(None, n=2, min_count=1, grams=grams)
+    model = counts_raw.filter(F.col("c") >= 2)
+    # context totals roll up from the model-sized counts frame, not a
+    # third corpus-sized gram scan
+    ctx = lm.context_totals(None, n=2, counts=counts_raw)
+    scored = lm.score_documents(
+        docs, "doc_id", "text", model, ctx, n=2, grams=grams,
+        with_ppl=False,
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        prof.join(rep, "doc_id")
+        .join(scored, "doc_id", "left")
+        .withColumns(
+            {
+                "lm_grams": F.coalesce("lm_grams", zero),
+                "lm_hits": F.coalesce("lm_hits", zero),
+                "lm_c": F.coalesce("lm_c", zero),
+                "lm_ctx": F.coalesce("lm_ctx", zero),
+            }
+        )
+    )
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1707,6 +1748,32 @@ def _sql_text_profile() -> str:
         ), rep_top AS (
             SELECT doc_id, gram AS top_bigram, CAST(c AS BIGINT) AS top_bigram_n
             FROM ranked WHERE rn = 1
+        ),
+        -- LM twin (r6): self-trained bigram model (min_count=2),
+        -- integer surfaces only — the add-k perplexity itself is
+        -- float and stays out of the oracle
+        lmg AS (
+            SELECT doc_id, t[CAST(i AS INT)] AS ctx,
+                   t[CAST(i AS INT) + 1] AS w
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM ntok WHERE len(t) >= 2)
+        ), lmmodel AS (
+            SELECT ctx, w, count(*) AS c FROM lmg
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ), lmctx AS (
+            SELECT ctx, count(*) AS c_ctx FROM lmg GROUP BY 1
+        ), lmdoc AS (
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS lm_grams,
+                   CAST(sum(CASE WHEN m.c IS NOT NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS lm_hits,
+                   CAST(coalesce(sum(m.c), 0) AS BIGINT) AS lm_c,
+                   CAST(coalesce(sum(ct.c_ctx), 0) AS BIGINT) AS lm_ctx
+            FROM lmg g
+            LEFT JOIN lmmodel m ON m.ctx = g.ctx AND m.w = g.w
+            LEFT JOIN lmctx ct ON ct.ctx = g.ctx
+            GROUP BY 1
         )
         SELECT h.doc_id,
                len(nk.t) AS n_tokens,
@@ -1734,11 +1801,16 @@ def _sql_text_profile() -> str:
                     THEN floor((coalesce(rt.top_bigram_n, 0) * 2
                                 / CAST(len(nk.t) AS DOUBLE))
                                * 1000000.0 + 0.5) / 1000000.0
-                    ELSE 0.0 END AS top_bigram_frac
+                    ELSE 0.0 END AS top_bigram_frac,
+               coalesce(ld.lm_grams, 0) AS lm_grams,
+               coalesce(ld.lm_hits, 0) AS lm_hits,
+               coalesce(ld.lm_c, 0) AS lm_c,
+               coalesce(ld.lm_ctx, 0) AS lm_ctx
         FROM hits h
         JOIN ntok nk ON nk.doc_id = h.doc_id
         LEFT JOIN rep_agg ra ON ra.doc_id = h.doc_id
         LEFT JOIN rep_top rt ON rt.doc_id = h.doc_id
+        LEFT JOIN lmdoc ld ON ld.doc_id = h.doc_id
     """
 
 
