@@ -217,6 +217,29 @@ def corpus_pipeline_probe(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bpe_probe(spark, sf_dir: str) -> float:
+    """Train a 64-merge BPE tokenizer on the documents word histogram
+    and encode the whole corpus (Arrow-batched, map-only). Returns
+    seconds, -1.0 on failure."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators import bpe
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.time()
+        merges = bpe.train_bpe(
+            bpe.word_histogram(docs, "text", max_words=50_000), n_merges=64
+        )
+        bpe.encode(docs, "doc_id", "text", merges).select(
+            F.sum("n_bpe")
+        ).collect()
+        return round(time.time() - t0, 3)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -292,6 +315,11 @@ def main() -> None:
     # timed individually; this measures stage-composition overhead +
     # the write path)
     timings["corpus_pipeline_e2e"] = corpus_pipeline_probe(spark, sf_dir)
+    # BPE tokenizer: train (one wordcount shuffle + bounded-histogram
+    # merge loop) + full-corpus Arrow encode — bench-only, excluded
+    # from the headline total (pytest-verified family; not
+    # SQL-expressible so it has no oracle slot)
+    timings["bpe_train_encode"] = bpe_probe(spark, sf_dir)
     # 1.0/0.0 flag (not a timing): did OptimizeSkewedJoin split the
     # hot partition in the final adaptive plan?
     timings["skew_join_plan_split"] = skew_plan_probe(spark)
