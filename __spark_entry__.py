@@ -740,14 +740,21 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", F.md5("text").alias("reasm_fp"))
     )
+    # r6 widening: per-doc keyword extraction (text.doc_keywords —
+    # tf desc / df asc / token ranking, the integer-exact tf-idf
+    # core). Empty/NULL-text docs have no keyword row: left join +
+    # '' default.
+    kw = text.doc_keywords(docs, "doc_id", "text", k=3)
     return (
         base.join(cc, "doc_id", "left")
         .join(tc, "doc_id", "left")
         .join(pack, "doc_id", "left")
         .join(reasm, "doc_id", "left")
+        .join(kw, "doc_id", "left")
         .withColumn(
             "reasm_ok", F.col("reasm_fp").eqNullSafe(F.col("__orig_fp"))
         )
+        .withColumn("top_terms", F.coalesce("top_terms", F.lit("")))
         .drop("__orig_fp")
     )
 
@@ -835,17 +842,42 @@ def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     with the fixed-width length histogram (text.length_histogram,
     64-char bins as a bin-ordered bin:count CSV — integer-exact, the
     SHAPE companion to the percentiles; the approx_percentile scale
-    variant stays pytest-only, estimates being engine-specific)."""
+    variant stays pytest-only, estimates being engine-specific).
+
+    r6: also the quantile-trim ACTION on the same distribution —
+    text.length_trim keeps docs inside the per-lang [p5, p95] length
+    band (exact percentile here = DuckDB quantile_cont bit-for-bit;
+    approx=True is the 100 TB mode, pytest-pinned); the slot digests
+    the kept set as per-lang count + id checksum."""
     docs = load_table(spark, sf, "documents")
-    return text.length_quantiles(docs, "text", "lang").join(
-        text.length_histogram(docs, "text", "lang", bin_width=64),
-        "lang",
-        "left",
-    ).withColumns(
-        {
-            "hist": F.coalesce("hist", F.lit("")),
-            "n_bins": F.coalesce("n_bins", F.lit(0).cast("bigint")),
-        }
+    trimmed = (
+        text.length_trim(docs, "text", "lang", lo=0.05, hi=0.95)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept_trim"),
+            F.sum("doc_id").cast("bigint").alias("trim_sum_ids"),
+        )
+    )
+    return (
+        text.length_quantiles(docs, "text", "lang")
+        .join(
+            text.length_histogram(docs, "text", "lang", bin_width=64),
+            "lang",
+            "left",
+        )
+        .join(trimmed, "lang", "left")
+        .withColumns(
+            {
+                "hist": F.coalesce("hist", F.lit("")),
+                "n_bins": F.coalesce("n_bins", F.lit(0).cast("bigint")),
+                "n_kept_trim": F.coalesce(
+                    "n_kept_trim", F.lit(0).cast("bigint")
+                ),
+                "trim_sum_ids": F.coalesce(
+                    "trim_sum_ids", F.lit(0).cast("bigint")
+                ),
+            }
+        )
     )
 
 
@@ -2567,6 +2599,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, nt AS ws_tokens, bpe_tokens,
+                   coalesce(kw.top_terms, '') AS top_terms,
                    CAST(len(generate_series(1, greatest(cl - 50, 1), 150))
                         AS BIGINT) AS n_char_chunks,
                    CAST(list_sum(list_transform(
@@ -2634,6 +2667,32 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents) ch
                 GROUP BY doc_id
             ) r USING (doc_id)
+            -- keyword twin (r6): tf per (doc, token), vocabulary-
+            -- sized df rollup, rank by (tf desc, df asc, token) —
+            -- integer-exact tf-idf core, no log
+            LEFT JOIN (
+                WITH tf AS (
+                    SELECT doc_id, tok, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(list_filter(
+                              string_split({_NORM_SQL.format(c="text")},
+                                           ' '), x -> x <> '')) AS tok
+                          FROM documents)
+                    GROUP BY 1, 2
+                ), dfq AS (
+                    SELECT tok, count(*) AS df FROM tf GROUP BY 1
+                ), rk AS (
+                    SELECT doc_id, tok, tf.tf, dfq.df,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf.tf DESC, dfq.df ASC, tok)
+                               AS rn
+                    FROM tf JOIN dfq USING (tok)
+                )
+                SELECT doc_id,
+                       string_agg(tok || ':' || CAST(tf AS VARCHAR)
+                                  || ':' || CAST(df AS VARCHAR), ','
+                                  ORDER BY rn) AS top_terms
+                FROM rk WHERE rn <= 3 GROUP BY doc_id
+            ) kw USING (doc_id)
         """,
         "corpus_quantiles": """
             WITH q AS (
@@ -2660,9 +2719,28 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY 1, 2
                 ) GROUP BY lang
             )
+            ,
+            -- trim twin (r6): per-lang [p5, p95] length band
+            -- (quantile_cont == Spark exact percentile), keep-count +
+            -- id checksum of the surviving docs
+            tb AS (
+                SELECT lang,
+                       quantile_cont(length(text), 0.05) AS qlo,
+                       quantile_cont(length(text), 0.95) AS qhi
+                FROM documents GROUP BY lang
+            ),
+            tk AS (
+                SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept_trim,
+                       CAST(sum(d.doc_id) AS BIGINT) AS trim_sum_ids
+                FROM documents d JOIN tb USING (lang)
+                WHERE length(d.text) BETWEEN tb.qlo AND tb.qhi
+                GROUP BY d.lang
+            )
             SELECT q.*, coalesce(h.hist, '') AS hist,
-                   coalesce(h.n_bins, 0) AS n_bins
-            FROM q LEFT JOIN h USING (lang)
+                   coalesce(h.n_bins, 0) AS n_bins,
+                   coalesce(tk.n_kept_trim, 0) AS n_kept_trim,
+                   coalesce(tk.trim_sum_ids, 0) AS trim_sum_ids
+            FROM q LEFT JOIN h USING (lang) LEFT JOIN tk USING (lang)
         """,
         "minhash_signatures": f"""
             WITH {_sql_minhash_sigs_cte()}

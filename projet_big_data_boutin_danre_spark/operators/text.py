@@ -178,6 +178,40 @@ def length_histogram(
     )
 
 
+def length_trim(
+    df: DataFrame,
+    text_col: str,
+    by: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group length-outlier removal: keep documents whose text
+    length lies within the group's [``lo``, ``hi``] length quantiles
+    (inclusive) — the standard trim of truncated fragments and
+    concatenation accidents before training. NULL-text docs are
+    dropped (no length, no evidence).
+
+    Shape: one per-group quantile aggregation (#groups rows — model
+    state), broadcast back onto the corpus, map-only filter. Exact
+    ``percentile`` buffers each group's lengths (fine at oracle SF
+    and shares DuckDB's ``quantile_cont`` interpolation bit-for-bit);
+    ``approx=True`` swaps in the fixed-memory mergeable
+    ``approx_percentile`` sketch — the 100 TB default, same plan
+    shape."""
+    ln = F.length(text_col)
+    fn = "approx_percentile" if approx else "percentile"
+    qs = F.expr(f"{fn}(length({text_col}), array({float(lo)}, {float(hi)}))")
+    bounds = df.groupBy(by).agg(
+        qs.getItem(0).alias("__q_lo"), qs.getItem(1).alias("__q_hi")
+    )
+    return (
+        df.join(F.broadcast(bounds), by)
+        .filter(ln.between(F.col("__q_lo"), F.col("__q_hi")))
+        .drop("__q_lo", "__q_hi")
+    )
+
+
 def length_quantiles_approx(
     df: DataFrame,
     text_col: str,
@@ -401,6 +435,63 @@ def assemble_chunks(
             ).alias("text"),
             F.count(F.lit(1)).alias("n_chunks"),
         )
+    )
+
+
+def doc_keywords(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction: ``(id, top_terms)`` where
+    ``top_terms`` is the top-``k`` tokens as a rank-ordered
+    ``tok:tf:df`` CSV. Ranking is (term frequency desc, document
+    frequency asc, token asc) — the integer-exact core of tf-idf
+    (higher tf first; rarer-across-corpus breaks ties) with no float
+    ``log`` to diverge cross-engine, so the whole surface is
+    oracle-hashable.
+
+    Shape: one (doc, token) wordcount (map-side combine — the shuffle
+    carries per-doc distinct tokens, not the token stream), a
+    vocabulary-sized document-frequency rollup derived FROM that
+    frame (post-combine rows, not a second corpus scan), one join
+    keyed on token (AQE broadcasts the df side while the vocabulary
+    fits; web-scale vocabularies fall back to a shuffle join), and a
+    ranking window partitioned BY DOCUMENT — never global."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("tf").desc(), F.col("df").asc(), F.col("tok")
+        )
+    )
+    ranked = tf.join(dfreq, "tok").withColumn("rn", rn).filter(
+        F.col("rn") <= k
+    )
+    return ranked.groupBy(id_col).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn"),
+                            F.concat_ws(
+                                ":",
+                                "tok",
+                                F.col("tf").cast("string"),
+                                F.col("df").cast("string"),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("top_terms")
     )
 
 

@@ -542,3 +542,45 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
         ).collect()
     )
     assert kept == [1, 10, 20]
+
+
+def test_doc_keywords_rank_and_ties(spark):
+    from projet_big_data_boutin_danre_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: 'alpha' tf=3; 'beta'/'gamma' tf=1 -> df tiebreak:
+            # gamma (df=1, rarer) beats beta (df=2); then token asc
+            (1, "alpha alpha alpha beta gamma"),
+            (2, "beta delta delta"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.top_terms for r in t.doc_keywords(df, "doc_id", "text", k=2).collect()}
+    assert out[1] == "alpha:3:1,gamma:1:1"
+    assert out[2] == "delta:2:1,beta:1:2"
+    assert 3 not in out  # empty text: no tokens, no row
+
+
+def test_length_trim_exact_and_null_handling(spark):
+    from projet_big_data_boutin_danre_spark.operators import text as t
+
+    rows = [("en", "x" * n) for n in range(1, 101)] + [
+        ("en", None),
+        ("fr", "y" * 10),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    kept = t.length_trim(df, "text", "lang", lo=0.05, hi=0.95)
+    lens = sorted(len(r.text) for r in kept.filter("lang='en'").collect())
+    # exact percentile (linear interp) of 1..100: p5=5.95, p95=95.05
+    assert lens[0] == 6 and lens[-1] == 95
+    assert kept.filter("text IS NULL").count() == 0
+    # single-doc group: its own length is both bounds -> kept
+    assert kept.filter("lang='fr'").count() == 1
+    # approx mode keeps a similar band and the same plan shape
+    ka = t.length_trim(df, "text", "lang", lo=0.05, hi=0.95, approx=True)
+    la = sorted(len(r.text) for r in ka.filter("lang='en'").collect())
+    assert abs(la[0] - 6) <= 2 and abs(la[-1] - 95) <= 2
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
