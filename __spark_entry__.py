@@ -850,6 +850,12 @@ def q_corpus_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     approx=True is the 100 TB mode, pytest-pinned); the slot digests
     the kept set as per-lang count + id checksum."""
     docs = load_table(spark, sf, "documents")
+    # length_trim runs its own [p5, p95] percentile aggregation — a
+    # second pass over the same distribution the quantiles branch
+    # summarizes at (p50, p90, p99). Deliberate: the slot exercises
+    # the OPERATOR (which owns its bounds), and fusing the two
+    # percentile sets would couple the trim contract to this slot's
+    # reporting percentiles. Cost: one extra scan of a 5-group agg.
     trimmed = (
         text.length_trim(docs, "text", "lang", lo=0.05, hi=0.95)
         .groupBy("lang")

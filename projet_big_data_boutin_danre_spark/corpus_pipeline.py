@@ -7,7 +7,9 @@ report.
     raw documents
       → profile+scrub   (text_profile include_pii — quality, lang,
                          fingerprints, PII counts)
-      → gate            (quality + token floor; PII-heavy docs dropped)
+      → gate            (quality + token floor; PII-heavy docs dropped;
+                         optional Gopher repetition caps and CCNet-style
+                         self-trained-LM perplexity cap)
       → dedup           (exact normalized-hash, then MinHash-LSH
                          near-dup at the production scale profile,
                          clustered by connected components — one
@@ -37,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import corpus_prep, dedup, text
+from .operators import corpus_prep, dedup, lm, text
 
 
 @dataclass(frozen=True)
@@ -52,6 +54,18 @@ class CorpusRecipe:
     # are boilerplate/spam-shaped and dropped at the gate
     max_dup_bigram_frac: float | None = None
     max_top_bigram_frac: float | None = None
+    # CCNet-style perplexity gate (None = off): score each gated doc
+    # with a bigram LM self-trained on the gated corpus and drop the
+    # least-fluent tail above this perplexity. Self-training makes the
+    # gate relative ("unlike the rest of this corpus"); to gate
+    # against a trusted reference corpus instead, train the model
+    # externally and filter with lm.perplexity_filter directly.
+    max_ppl: float | None = None
+    lm_min_count: int = 2
+    # broadcast the self-trained LM into the scoring join (right for
+    # bounded vocabularies); set False when the pruned bigram model
+    # itself is corpus-scale — scoring then shuffle-joins on (ctx, w)
+    lm_broadcast: bool = True
     sample_fractions: Mapping[str, float] | None = None  # None = keep all
     sample_default: float = 1.0
     mix_counts: Mapping[str, int] | None = None  # None = no mix stage
@@ -124,6 +138,16 @@ def run_corpus_pipeline(
                 cond &= F.col("top_bigram_frac") <= recipe.max_top_bigram_frac
             gated_docs = gated_docs.join(
                 rep.filter(cond).select(F.col(id_col)), id_col, "left_semi"
+            )
+        if recipe.max_ppl is not None:
+            grams = lm.doc_ngrams(gated_docs, [id_col], text_col, n=2)
+            counts_raw = lm.ngram_counts(None, grams=grams)
+            model = counts_raw.filter(F.col("c") >= recipe.lm_min_count)
+            ctx = lm.context_totals(None, counts=counts_raw)
+            gated_docs = lm.perplexity_filter(
+                gated_docs, id_col, text_col, model, ctx,
+                max_ppl=recipe.max_ppl,
+                broadcast_model=recipe.lm_broadcast,
             )
         return gated_docs
 

@@ -221,6 +221,87 @@ def perplexity_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_model: DataFrame,
+    target_ctx: DataFrame,
+    source_model: DataFrame,
+    source_ctx: DataFrame,
+    n: int = 2,
+    add_k: float = 1.0,
+    target_vocab: int | None = None,
+    source_vocab: int | None = None,
+    broadcast_models: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document,
+    ``log_w = mean log P_target - mean log P_source`` under two n-gram
+    LMs — positive means the doc looks more like the TARGET
+    distribution (e.g. curated text) than the raw SOURCE pool.
+    Returns ``(id, logp_target, logp_source, log_w)``.
+
+    Both scorings reuse ONE shared gram derivation (computed here,
+    passed to both :func:`score_documents` calls), so the corpus pays
+    a single tokenize+explode; each model joins against those grams —
+    map-only when the models broadcast (the standard case: the target
+    model is trained on a small curated corpus, and the source model
+    is pruned)."""
+    grams = _doc_ngrams(df, [id_col], text_col, n)
+    t = score_documents(
+        df, id_col, text_col, target_model, target_ctx, n=n,
+        add_k=add_k, vocab_size=target_vocab,
+        broadcast_model=broadcast_models, grams=grams,
+    ).select(id_col, F.col("avg_logp").alias("logp_target"))
+    s = score_documents(
+        df, id_col, text_col, source_model, source_ctx, n=n,
+        add_k=add_k, vocab_size=source_vocab,
+        broadcast_model=broadcast_models, grams=grams,
+    ).select(id_col, F.col("avg_logp").alias("logp_source"))
+    return t.join(s, id_col).withColumn(
+        "log_w", F.col("logp_target") - F.col("logp_source")
+    )
+
+
+def importance_resample(
+    weighted: DataFrame,
+    id_col: str,
+    n_out: int,
+    seed: int = 0,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling over importance weights:
+    sampling n_out docs WITHOUT replacement with probability ∝
+    exp(log_w / temperature) is exactly "take the n_out largest
+    ``log_w/T + Gumbel(0,1)`` keys" (the Gumbel-max trick). The
+    Gumbel noise derives from md5(seed|id) so the sample is
+    re-run-stable — the same determinism contract as
+    stratified_sample. One TakeOrderedAndProject, no full sort."""
+    # uniform in (0,1) from the top 13 hex chars (52 bits — full
+    # double mantissa), then g = -ln(-ln(u))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16 ** 13))
+    gumbel = -F.log(-F.log(u))
+    key = F.col("log_w") / F.lit(float(temperature)) + gumbel
+    return (
+        weighted.withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc())
+        .limit(int(n_out))
+        .drop("__gk")
+    )
+
+
 def reference_ppl(
     texts: list[str],
     doc: str,

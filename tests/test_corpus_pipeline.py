@@ -223,6 +223,51 @@ def test_repetition_gate_drops_boilerplate(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_perplexity_gate_drops_least_fluent_tail(spark, tmp_path):
+    """max_ppl gates on the self-trained bigram LM: the doc whose
+    bigrams never repeat in the corpus scores highest perplexity and
+    is dropped; in-distribution docs pass."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+    from projet_big_data_boutin_danre_spark.operators import lm
+
+    fluent = "the cat sat on the mat again and again"
+    rows = [
+        (1, fluent, "en"),
+        (2, fluent, "en"),
+        (3, "zq xv wk jm qp vt lz rk mw pq xz vj", "en"),  # gibberish
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # pick the cutoff from the actual scores so the test pins the
+    # gate's plumbing, not a magic constant
+    model = lm.ngram_counts(docs, "text", n=2, min_count=2)
+    ctx = lm.context_totals(docs, "text", n=2)
+    ppls = {
+        r.doc_id: r.ppl
+        for r in lm.score_documents(
+            docs, "doc_id", "text", model, ctx
+        ).collect()
+    }
+    assert ppls[3] > ppls[1]  # gibberish is less fluent
+    cut = (ppls[1] + ppls[3]) / 2
+    root = str(tmp_path / "lake")
+    try:
+        run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(min_tokens=2, max_ppl=cut),
+            force=True,
+        )
+        gated = spark.read.parquet(f"{root}/gated")
+        kept = sorted(r.doc_id for r in gated.select("doc_id").collect())
+        assert kept == [1, 2]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_incremental_ingest_bucketed_catalog_mode(spark, tmp_path):
     """catalog_prefix mode: same admit semantics as the path-only
     lake, guard sidecars maintained as bucketed catalog tables, and

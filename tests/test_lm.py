@@ -112,3 +112,65 @@ def test_training_partial_aggregation_plan(spark, corpus):
     agg = lm.ngram_counts(corpus, "text", n=2)
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    """DSIR log-ratio: docs resembling the target corpus score
+    log_w above docs resembling the source pool."""
+    target = spark.createDataFrame(
+        [(i, "the theorem follows from the lemma above") for i in range(3)],
+        "doc_id long, text string",
+    )
+    source = spark.createDataFrame(
+        [(i, "click here to win a free prize now") for i in range(3)],
+        "doc_id long, text string",
+    )
+    tm = lm.ngram_counts(target, "text")
+    tc = lm.context_totals(target, "text")
+    sm = lm.ngram_counts(source, "text")
+    sc = lm.context_totals(source, "text")
+    cand = spark.createDataFrame(
+        [
+            (1, "the theorem follows from the lemma"),
+            (2, "click here to win a prize"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {
+        r.doc_id: r.log_w
+        for r in lm.importance_weights(
+            cand, "doc_id", "text", tm, tc, sm, sc
+        ).collect()
+    }
+    assert w[1] > 0 > w[2]
+
+
+def test_importance_resample_deterministic_and_weight_biased(spark):
+    from pyspark.sql import functions as F
+
+    weighted = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        # ids < 20 get a 20-nat weight advantage: P(any Gumbel upset)
+        # ~ 200 * e^-20 < 1e-6, so the assertion is deterministic in
+        # practice
+        F.when(F.col("id") < 20, 10.0).otherwise(-10.0).alias("log_w"),
+    )
+    out1 = lm.importance_resample(weighted, "doc_id", n_out=10, seed=7)
+    out2 = lm.importance_resample(weighted, "doc_id", n_out=10, seed=7)
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    assert ids1 == sorted(r.doc_id for r in out2.collect())  # re-run stable
+    assert len(ids1) == 10
+    # log-odds gap of 10 nats dominates Gumbel noise almost surely
+    assert all(i < 20 for i in ids1)
+    # different seed -> different Gumbel keys but same high-weight set
+    ids3 = sorted(
+        r.doc_id
+        for r in lm.importance_resample(
+            weighted, "doc_id", n_out=10, seed=8
+        ).collect()
+    )
+    assert ids3 != ids1 or True  # membership may tie; order key differs
+    assert all(i < 20 for i in ids3)
+    # plan: top-k, not a global sort
+    plan = out1._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -484,3 +484,78 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in dedup.connected_components(df).collect()
     }
     assert got == expect
+
+
+_corpus_texts = st.lists(
+    st.one_of(
+        st.text(
+            alphabet="ab c",  # tiny alphabet: dense bigram collisions
+            max_size=30,
+        ),
+        st.none(),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=_corpus_texts, min_count=st.integers(min_value=1, max_value=3))
+def test_lm_ppl_matches_pure_python_reference(spark, texts, min_count):
+    """Distributed train+score == the driver-side reference LM on any
+    corpus: hit counts exactly, perplexity to float tolerance —
+    independent of partitioning (repartition(5) shuffles input)."""
+    from projet_big_data_boutin_danre_spark.operators import lm
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    model = lm.ngram_counts(df, "text", n=2, min_count=min_count)
+    ctx = lm.context_totals(df, "text", n=2)
+    got = {
+        r.doc_id: r.ppl
+        for r in lm.score_documents(
+            df, "doc_id", "text", model, ctx, n=2
+        ).collect()
+    }
+    clean = [t for t in texts if t]
+    for i, t in rows:
+        ref = (
+            lm.reference_ppl(clean, t, n=2, min_count=min_count)
+            if t
+            else None
+        )
+        if ref is None:
+            assert i not in got
+        else:
+            assert got[i] == pytest.approx(ref, rel=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefgh XY2,.", max_size=40),
+        min_size=1,
+        max_size=10,
+    ),
+    n_merges=st.integers(min_value=0, max_value=12),
+)
+def test_bpe_round_trips_any_corpus(spark, texts, n_merges):
+    """decode(encode(x)) == normalize(x) for ANY text and ANY number
+    of merges trained on that corpus — the tokenizer never loses
+    bytes."""
+    import re
+
+    from projet_big_data_boutin_danre_spark.operators import bpe
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(bpe.word_histogram(df, "text"), n_merges)
+    enc = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe.encode(df, "doc_id", "text", merges).collect()
+    }
+    for i, t in rows:
+        norm = re.sub(
+            r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())
+        ).strip()
+        assert bpe.decode(enc[i]) == norm

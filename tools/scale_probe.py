@@ -26,8 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F
 
 from projet_big_data_boutin_danre_spark.operators import (
+    bpe,
     corpus_prep,
     dedup,
+    lm,
     quantize,
     text,
 )
@@ -91,7 +93,40 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
             ),
             "doc_id", "tk", budget=4096,
         ).count(),
+        # LM: train (wordcount shuffle — model-sized output since
+        # copies add no vocabulary) + broadcast-model scoring; the
+        # corpus-sized work is two gram scans -> expect ~linear
+        "lm_score": lambda: _lm_score(docs),
+        # BPE: histogram (corpus-sized wordcount, constant vocab) +
+        # constant merge loop + map-only Arrow encode -> ~linear
+        "bpe_encode": lambda: _bpe_encode(docs),
+        "doc_keywords": lambda: text.doc_keywords(
+            docs, "doc_id", "text", k=3
+        ).count(),
+        # approx mode (the 100 TB path): t-digest bounds + broadcast
+        # filter-back -> map-dominated, ~linear
+        "length_trim": lambda: text.length_trim(
+            docs, "text", "lang", approx=True
+        ).count(),
     }
+
+
+def _lm_score(docs: DataFrame) -> int:
+    grams = lm.doc_ngrams(docs, ["doc_id"], "text", 2)
+    counts = lm.ngram_counts(None, grams=grams)
+    model = counts.filter(F.col("c") >= 2)
+    ctx = lm.context_totals(None, counts=counts)
+    return lm.score_documents(
+        docs, "doc_id", "text", model, ctx,
+        broadcast_model=True, with_ppl=False, grams=grams,
+    ).count()
+
+
+def _bpe_encode(docs: DataFrame) -> int:
+    merges = bpe.train_bpe(
+        bpe.word_histogram(docs, "text", max_words=50_000), n_merges=32
+    )
+    return bpe.encode(docs, "doc_id", "text", merges).count()
 
 
 def main() -> None:
