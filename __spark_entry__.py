@@ -606,7 +606,7 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     topwin = dedup.top_duplicate_windows(
-        docs, "doc_id", "text", min_len=20, k=15
+        docs, "text", min_len=20, k=15
     ).select(
         F.lit("topwin").alias("tag"),
         F.col("w").alias("key"),
@@ -1946,8 +1946,11 @@ def _sql_corpus_sample() -> str:
         ) d
         JOIN (
             SELECT lang,
-                   least(__n, (CAST({_TEMP_TOTAL} AS BIGINT) * __s)
-                              // (sum(__s) OVER ())) AS takev
+                   -- HUGEINT product == Spark's DECIMAL(38,0) `div`
+                   -- path (both floor on non-negatives): no bigint
+                   -- overflow at any stratum size
+                   least(__n, CAST((CAST({_TEMP_TOTAL} AS HUGEINT) * __s)
+                              // (sum(__s) OVER ()) AS BIGINT)) AS takev
             FROM (
                 SELECT lang, CAST(count(*) AS BIGINT) AS __n,
                        CAST(floor(sqrt(CAST(count(*) AS DOUBLE))

@@ -141,13 +141,20 @@ def run_corpus_pipeline(
             )
         if recipe.max_ppl is not None:
             grams = lm.doc_ngrams(gated_docs, [id_col], text_col, n=2)
-            counts_raw = lm.ngram_counts(None, grams=grams)
+            # materialize the model-sized counts once: the vocab-size
+            # driver job and the scoring join both read them, and
+            # without the checkpoint each would re-run the corpus-
+            # sized gram explode behind the aggregation
+            counts_raw = lm.ngram_counts(
+                None, grams=grams
+            ).localCheckpoint()
             model = counts_raw.filter(F.col("c") >= recipe.lm_min_count)
             ctx = lm.context_totals(None, counts=counts_raw)
             gated_docs = lm.perplexity_filter(
                 gated_docs, id_col, text_col, model, ctx,
                 max_ppl=recipe.max_ppl,
                 broadcast_model=recipe.lm_broadcast,
+                grams=grams,
             )
         return gated_docs
 
@@ -267,6 +274,37 @@ def incremental_ingest(
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None
+
+    # Mode-switch guard: each mode consults ONLY its own guard
+    # sidecars, so flipping an existing lake between path mode and
+    # catalog mode would silently re-admit the entire corpus (the
+    # other mode's fingerprints are never read). Refuse loudly; a
+    # migration must backfill the new sidecars first.
+    if bucketed and not spark.catalog.tableExists(fp_table) and _exists(
+        spark, fp_path
+    ):
+        raise ValueError(
+            f"lake at {out_root} has path-mode fingerprints but catalog "
+            f"table {fp_table} does not exist — backfill the bucketed "
+            "sidecars from the path layers before switching to "
+            "catalog_prefix mode (or keep catalog_prefix=None)"
+        )
+    if (
+        not bucketed
+        and not _exists(spark, fp_path)
+        and _exists(spark, docs_path)
+    ):
+        # a docs layer with NO path-mode fingerprints is either a
+        # catalog-mode lake (whose guards live in catalog tables this
+        # call would never read) or a first batch that crashed between
+        # its two appends — both deserve a loud stop, not silent
+        # re-admission of everything in docs
+        raise ValueError(
+            f"lake at {out_root} has a docs layer but no path-mode "
+            "fingerprint sidecar — if it was built with "
+            "catalog_prefix, pass the same prefix; otherwise repair "
+            "the fingerprints layer before ingesting"
+        )
 
     # within-batch keeper: smallest id per fingerprint (deterministic);
     # NULL text -> sentinel so the anti-join can actually match it

@@ -36,7 +36,7 @@ from collections import Counter
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from .text import tokens
+from .text import tokens, tokens_py
 
 END = "</w>"  # end-of-word marker: makes decoding unambiguous
 
@@ -176,12 +176,8 @@ def encode(
         memo: dict[str, list[str]] = {}
 
         def enc_text(t):
-            if t is None:
-                return []
             out: list[str] = []
-            for w in _normalize_py(t).split(" "):
-                if not w:
-                    continue
+            for w in tokens_py(t):
                 if w not in memo:
                     memo[w] = encode_word(w, ranks)
                 out.extend(memo[w])
@@ -192,15 +188,6 @@ def encode(
     return df.select(
         id_col, enc(F.col(text_col)).alias("bpe_tokens")
     ).withColumn("n_bpe", F.size("bpe_tokens"))
-
-
-def _normalize_py(t: str) -> str:
-    """Python twin of cleaning.normalize_text (lower, non-alnum →
-    space, collapse, trim) so UDF-side word splitting matches the
-    JVM-side tokens() exactly — pinned by the round-trip test."""
-    import re
-
-    return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
 
 
 def decode(tokens_list: list[str]) -> str:

@@ -340,11 +340,17 @@ def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
     approximating), but the 100 TB answer is ``approx=True``:
     ``approx_count_distinct`` (HLL++) sketches merge map-side in ONE
     single aggregation with the other stats — no Expand node at all,
-    one scan (asserted in tests/test_plan_shapes.py) — at the
-    standard ~2% relative error. Exact stays the default so
-    oracle-sized tables profile exactly. Complex-typed columns
-    (struct/array/map/binary) get NULL min/max — orderings are
-    engine-specific."""
+    one scan (asserted in tests/test_cleaning.py::
+    test_profile_table_approx_mode_no_expand) — at the standard ~2%
+    relative error. Exact stays the default so oracle-sized tables
+    profile exactly. Complex-typed columns (struct/array/map/binary)
+    get NULL min/max — orderings are engine-specific.
+
+    Snapshot caveat: exact mode's two jobs read the input TWICE, so a
+    source whose files change between them can yield a self-
+    inconsistent profile (e.g. n_distinct > n_rows). Profile a
+    committed snapshot, or use ``approx=True`` — its single scan
+    keeps the old one-pass consistency AND the scale behavior."""
     spark = df.sparkSession
     stats_aggs, nd_aggs = _profile_aggs(df, max_distinct_cols, approx)
     row = df.agg(*stats_aggs).collect()[0]

@@ -206,9 +206,18 @@ def domain_mix_temperature(
         )
         .withColumn(
             "__take",
+            # DECIMAL(38,0) product: total_out * __s overflows BIGINT
+            # once total_out * sqrt(n_max) * 1e6 exceeds 2^63 (a 1e12-
+            # doc stratum gives __s ≈ 1e12, so any total_out ≥ ~9.2e6
+            # would die under ANSI or wrap silently without it).
+            # decimal `div` == DuckDB HUGEINT `//` on non-negatives
+            # (both floor), so the oracle twin stays bit-identical.
             F.least(
                 F.col("__n"),
-                F.expr(f"(CAST({int(total_out)} AS BIGINT) * __s) div __tot"),
+                F.expr(
+                    f"CAST((CAST({int(total_out)} AS DECIMAL(38,0))"
+                    " * CAST(__s AS DECIMAL(38,0))) div __tot AS BIGINT)"
+                ),
             ),
         )
         .select(strata_col, "__take")

@@ -920,7 +920,6 @@ def cut_duplicate_spans(
 
 def top_duplicate_windows(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     min_len: int = 20,
     k: int = 20,
@@ -930,7 +929,8 @@ def top_duplicate_windows(
     counts — the strings behind the per-doc spans
     (:func:`duplicate_spans` says WHERE duplication sits; this says
     WHAT keeps repeating: license headers, nav chrome, template
-    boilerplate worth a targeted filter).
+    boilerplate worth a targeted filter). Corpus-level by design —
+    no id column: the output is (window, count), not per-doc rows.
 
     Shape: the same stride-1 window explode, then a plain groupBy
     count (map-side partial aggregation — unlike the span count

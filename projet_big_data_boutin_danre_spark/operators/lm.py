@@ -205,17 +205,21 @@ def perplexity_filter(
     add_k: float = 1.0,
     vocab_size: int | None = None,
     broadcast_model: bool = False,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """The CCNet gate: keep documents whose model perplexity is at
     most ``max_ppl``. Documents with fewer than ``n`` tokens have no
     perplexity and are DROPPED (a doc the LM cannot score is not
     evidence of fluency). Composition: score → filter → semi-join
     back, so the kept frame carries the original columns and the text
-    column never rides the scoring shuffle."""
+    column never rides the scoring shuffle. ``grams`` passes a
+    precomputed :func:`doc_ngrams` frame straight through to the
+    scoring join (when the model was self-trained from the same
+    frame, the corpus then tokenizes exactly once)."""
     scored = score_documents(
         df, id_col, text_col, model, ctx_tot,
         n=n, add_k=add_k, vocab_size=vocab_size,
-        broadcast_model=broadcast_model,
+        broadcast_model=broadcast_model, grams=grams,
     )
     keep = scored.filter(F.col("ppl") <= max_ppl).select(id_col)
     return df.join(keep, id_col, "left_semi")
@@ -313,19 +317,10 @@ def reference_ppl(
     tests to pin the distributed math. Returns None for unscorable
     docs."""
 
-    def toks(t: str) -> list[str]:
-        import re
-
-        return [
-            w
-            for w in re.sub(
-                r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())
-            ).strip().split(" ")
-            if w
-        ]
+    from .text import tokens_py
 
     def grams(t: str):
-        tk = toks(t)
+        tk = tokens_py(t)
         return [
             (" ".join(tk[i : i + n - 1]), tk[i + n - 1])
             for i in range(len(tk) - n + 1)

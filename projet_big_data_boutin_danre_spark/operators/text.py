@@ -32,6 +32,25 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def normalize_text_py(t: str) -> str:
+    """THE driver/UDF-side Python twin of ``cleaning.normalize_text``
+    (lower → non-alnum→space → collapse runs → strip). Single shared
+    definition: lm.reference_ppl and bpe's encode UDF both pin
+    against the JVM tokenizer through this one function — a tweak to
+    the normalizer happens in exactly two places (Column + Python),
+    never three."""
+    import re
+
+    return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
+
+
+def tokens_py(t: str | None) -> list[str]:
+    """Python twin of :func:`tokens` (empty-safe, None-safe)."""
+    if not t:
+        return []
+    return [w for w in normalize_text_py(t).split(" ") if w]
+
+
 def token_count(col: Column | str) -> Column:
     """Token count (whitespace segmentation after normalization)."""
     return F.size(tokens(col))
@@ -118,7 +137,7 @@ def length_quantiles(
     ``approx_percentile``: exact is oracle-checkable bit-for-bit, and
     its cost is a per-group sort of group-local values — fine while
     group count is small. At 100 TB with huge groups, swap in
-    ``approx_percentile`` (t-digest, mergeable map-side) — same call
+    ``approx_percentile`` (Greenwald-Khanna-style summary, mergeable map-side; rank error ≤ 1/accuracy) — same call
     shape, bounded memory."""
     plist = ", ".join(str(p) for p in probs)
     qs = F.expr(f"percentile(length({text_col}), array({plist}))")

@@ -360,3 +360,30 @@ def test_streaming_ingest_file_source_dedups_across_batches(spark, tmp_path):
         assert {r.doc_id for r in docs.collect()} == {1, 2, 10}
     finally:
         q.stop()
+
+
+def test_ingest_mode_switch_refuses_loudly(spark, tmp_path):
+    """Flipping an existing lake between path mode and catalog mode
+    would silently re-admit the whole corpus (each mode reads only
+    its own guard sidecars) — the guard must refuse instead."""
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "lake")
+    incremental_ingest(spark, docs, root)  # path mode
+    with _pytest.raises(ValueError, match="path-mode fingerprints"):
+        incremental_ingest(spark, docs, root, catalog_prefix="t_modeswitch")
+    # a docs layer whose fingerprint sidecar is missing (catalog-mode
+    # lake or crashed first batch) also refuses in path mode
+    import shutil
+
+    shutil.rmtree(f"{root}/fingerprints")
+    with _pytest.raises(ValueError, match="no path-mode fingerprint"):
+        incremental_ingest(spark, docs, root)

@@ -103,7 +103,7 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         "doc_keywords": lambda: text.doc_keywords(
             docs, "doc_id", "text", k=3
         ).count(),
-        # approx mode (the 100 TB path): t-digest bounds + broadcast
+        # approx mode (the 100 TB path): GK-summary bounds + broadcast
         # filter-back -> map-dominated, ~linear
         "length_trim": lambda: text.length_trim(
             docs, "text", "lang", approx=True
