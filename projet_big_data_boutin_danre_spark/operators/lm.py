@@ -225,6 +225,115 @@ def perplexity_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+_GRAM_SEP = "\x1f"
+
+
+def ppl_gate_stream(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_counts: dict[tuple[str, str], int],
+    ctx_counts: dict[str, int],
+    max_ppl: float,
+    n: int = 2,
+    add_k: float = 1.0,
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Streaming-safe perplexity gate: the same add-k bigram score as
+    :func:`score_documents`, computed ROW-LOCALLY so it runs under
+    Structured Streaming append mode with no state store, no
+    watermark, and batch/stream agreement by construction (the
+    decontaminate_stream pattern). The model arrives as pre-collected
+    dicts — bounded driver state by contract, which is exactly the
+    CCNet deployment (a small trusted-corpus model), shipped into the
+    plan as constant-folded literal maps.
+
+    Per row: the token array materializes once in its own projection,
+    the gram array builds via ``transform`` (no explode), and one
+    ``aggregate`` fold sums the smoothed log-probs against the two
+    literal maps. Docs with fewer than ``n`` tokens have no
+    perplexity and are dropped, matching :func:`perplexity_filter`.
+
+    Cost contract: literal maps are array-backed in Spark, so each
+    lookup is LINEAR in model size — right for gate models up to a
+    few thousand entries; past that, use the batch operator's
+    broadcast join (hash lookup) via foreachBatch instead."""
+    if vocab_size is None:
+        vocab_size = len({w for (_, w) in model_counts})
+    k = float(add_k)
+    kv = k * float(max(vocab_size, 1))
+
+    def lit_map(d: dict) -> Column:
+        if not d:
+            return F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<long>"),
+            )
+        items = []
+        for key, v in d.items():
+            items += [F.lit(key), F.lit(int(v))]
+        return F.create_map(*items)
+
+    mmap = lit_map(
+        {f"{c}{_GRAM_SEP}{w}": v for (c, w), v in model_counts.items()}
+    )
+    cmap = lit_map(dict(ctx_counts))
+
+    with_toks = docs.withColumn("__lm_toks", tokens(text_col))
+    toks = F.col("__lm_toks")
+    idx = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("ctx"),
+            F.element_at(toks, i + (n - 1)).alias("w"),
+        ),
+    )
+    logp_sum = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.log(
+            (
+                F.coalesce(
+                    F.element_at(
+                        mmap,
+                        F.concat(g["ctx"], F.lit(_GRAM_SEP), g["w"]),
+                    ),
+                    F.lit(0),
+                )
+                + F.lit(k)
+            )
+            / (
+                F.coalesce(F.element_at(cmap, g["ctx"]), F.lit(0))
+                + F.lit(kv)
+            )
+        ),
+    )
+    ng = F.size(grams)
+    ppl = F.when(ng > 0, F.exp(-logp_sum / ng.cast("double")))
+    return (
+        with_toks.withColumn("__ppl", ppl)
+        .filter(F.col("__ppl") <= F.lit(float(max_ppl)))
+        .drop("__lm_toks", "__ppl")
+    )
+
+
+def collect_model(
+    model: DataFrame, ctx_tot: DataFrame
+) -> tuple[dict[tuple[str, str], int], dict[str, int]]:
+    """Collect a trained model into the dict form
+    :func:`ppl_gate_stream` ships in its plan — the explicit,
+    size-visible driver boundary (same contract as
+    text.probe_gram_set)."""
+    m = {(r["ctx"], r["w"]): int(r["c"]) for r in model.collect()}
+    c = {r["ctx"]: int(r["c_ctx"]) for r in ctx_tot.collect()}
+    return m, c
+
+
 def importance_weights(
     df: DataFrame,
     id_col: str,

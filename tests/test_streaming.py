@@ -552,3 +552,85 @@ def test_decontaminate_stream_empty_probe_set_keeps_all(spark):
     assert out.count() == 1
     # and the helper column never leaks into the output schema
     assert out.columns == ["doc_id", "text"]
+
+
+def test_ppl_gate_stream_matches_batch(spark, tmp_path):
+    """The stateless streaming perplexity gate (literal-map model +
+    row-local fold) keeps EXACTLY the docs the batch
+    perplexity_filter keeps, and runs under append mode with no
+    watermark and no state store."""
+    from projet_big_data_boutin_danre_spark.operators import lm
+
+    fluent = "the cat sat on the mat again and again"
+    rows = [
+        (1, fluent, "en"),
+        (2, fluent, "en"),
+        (3, "zq xv wk jm qp vt lz rk mw pq xz vj", "en"),
+        (4, "x", "en"),     # 1 token: unscorable, dropped by both
+        (5, None, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = lm.ngram_counts(docs, "text", n=2, min_count=2)
+    ctx = lm.context_totals(docs, "text", n=2)
+    ppls = {
+        r.doc_id: r.ppl
+        for r in lm.score_documents(docs, "doc_id", "text", model, ctx).collect()
+    }
+    cut = (ppls[1] + ppls[3]) / 2
+
+    batch_kept = {
+        r.doc_id
+        for r in lm.perplexity_filter(
+            docs, "doc_id", "text", model, ctx, max_ppl=cut
+        ).collect()
+    }
+    m, c = lm.collect_model(model, ctx)
+    stateless_kept_df = lm.ppl_gate_stream(
+        docs, "doc_id", "text", m, c, max_ppl=cut
+    )
+    stateless_kept = {r.doc_id for r in stateless_kept_df.collect()}
+    assert stateless_kept == batch_kept == {1, 2}
+    # helper columns never leak
+    assert stateless_kept_df.columns == ["doc_id", "text", "lang"]
+
+    # real stream: same call, append mode
+    src = tmp_path / "ppl_src"
+    docs.coalesce(2).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        lm.ppl_gate_stream(stream, "doc_id", "text", m, c, max_ppl=cut)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ppl_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM ppl_stream_out").collect()
+    }
+    assert got == {1, 2}
+
+
+def test_ppl_gate_stream_empty_model_smooths_everything(spark):
+    """An empty model (nothing survived pruning) still scores: every
+    gram gets the uniform add-k probability — docs pass any cutoff
+    above that uniform perplexity, none below."""
+    from projet_big_data_boutin_danre_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    # k/(0 + k*1) = 1 -> logp 0 -> ppl exactly 1.0
+    out = lm.ppl_gate_stream(docs, "doc_id", "text", {}, {}, max_ppl=1.5)
+    assert out.count() == 1
+    out2 = lm.ppl_gate_stream(docs, "doc_id", "text", {}, {}, max_ppl=0.5)
+    assert out2.count() == 0
