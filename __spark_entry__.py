@@ -1159,7 +1159,12 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
       (operators/cleaning.py:profile_table) over the ``orders``
       table — per column grp = ``name|n_rows|min|max`` and
       n = n_nulls, sum_ids = n_distinct (col_type stays out: Spark
-      and DuckDB spell type names differently).
+      and DuckDB spell type names differently);
+    - ``check``: declarative data-quality checks
+      (cleaning.data_checks — unique / non-null / accepted-values /
+      range) over pinned orders columns, one row per check with its
+      violation count and a deterministic sample offender; includes
+      a deliberately failing accepted-values check.
 
     All randomness is md5-derived, so the DuckDB twin reproduces every
     decision bit-for-bit. NULL ids are excluded up front on BOTH sides:
@@ -1233,6 +1238,27 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("n"),
         F.lit(None).cast("bigint").alias("sum_ids"),
     )
+    # r6 widening: declarative data-quality checks (cleaning.
+    # data_checks — the dbt-test/Deequ idea) over pinned orders
+    # columns. grp = kind|target|sample_key; n = violation count.
+    # The accepted-values check deliberately omits 'P' so the slot
+    # exercises a FAILING check with a deterministic sample value.
+    checks = cleaning.data_checks(
+        load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ),
+        unique=[["o_orderkey"], ["o_orderstatus"]],
+        non_null=["o_custkey"],
+        accepted={"o_orderstatus": ["O", "F"]},
+        ranges={"o_orderkey": (1, 10**9)},
+    ).select(
+        F.lit("check").alias("tag"),
+        F.concat_ws(
+            "|", "check", "target", F.coalesce("sample_key", F.lit("-"))
+        ).alias("grp"),
+        F.col("n_violations").alias("n"),
+        F.lit(None).cast("bigint").alias("sum_ids"),
+    )
     prof = cleaning.profile_table(
         load_table(spark, sf, "orders").select(*_PROFILE_COLS)
     ).select(
@@ -1255,6 +1281,7 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(digest(budget, "budget"))
         .unionByName(diff)
         .unionByName(prof)
+        .unionByName(checks)
     )
 
 
@@ -2009,6 +2036,50 @@ def _sql_corpus_sample() -> str:
         )
         WHERE change IS NOT NULL
         {profile_union}
+        -- data-checks twin (r6): one UNION ALL branch per declared
+        -- check; sample_key is the MIN over the STRING form of
+        -- offending keys/values (ASCII compare — identical to
+        -- Spark's string min), '-' when the check passes
+        UNION ALL
+        SELECT 'check',
+               'unique|o_orderkey|' || coalesce(min(k), '-'),
+               CAST(count(*) AS BIGINT), NULL
+        FROM (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+              GROUP BY o_orderkey HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'check',
+               'unique|o_orderstatus|' || coalesce(min(k), '-'),
+               CAST(count(*) AS BIGINT), NULL
+        FROM (SELECT CAST(o_orderstatus AS VARCHAR) AS k FROM orders
+              GROUP BY o_orderstatus HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'check', 'not_null|o_custkey|-',
+               CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1
+                                      ELSE 0 END), 0) AS BIGINT), NULL
+        FROM orders
+        UNION ALL
+        SELECT 'check',
+               'accepted_values|o_orderstatus|'
+                   || coalesce(min(CASE WHEN o_orderstatus NOT IN
+                                        ('O', 'F')
+                                   THEN o_orderstatus END), '-'),
+               CAST(coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                       AND o_orderstatus NOT IN ('O', 'F')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT), NULL
+        FROM orders
+        UNION ALL
+        SELECT 'check',
+               'in_range|o_orderkey|'
+                   || coalesce(min(CASE WHEN o_orderkey IS NOT NULL
+                                         AND o_orderkey NOT BETWEEN 1
+                                             AND 1000000000
+                                    THEN CAST(o_orderkey AS VARCHAR)
+                                    END), '-'),
+               CAST(coalesce(sum(CASE WHEN o_orderkey IS NOT NULL
+                                       AND o_orderkey NOT BETWEEN 1
+                                           AND 1000000000
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT), NULL
+        FROM orders
     """
 
 

@@ -379,3 +379,96 @@ def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
         "col_name string, col_type string, n_rows bigint, n_nulls bigint,"
         " n_distinct bigint, min_str string, max_str string",
     )
+
+
+def data_checks(
+    df,
+    unique: list[list[str]] | None = None,
+    non_null: list[str] | None = None,
+    accepted: dict[str, list] | None = None,
+    ranges: dict[str, tuple] | None = None,
+):
+    """Declarative data-quality checks (the dbt-test / Deequ idea as
+    plain DataFrame ops): one row per check —
+    ``(check, target, n_violations, sample_key)`` — zero violations
+    everywhere means the layer is safe to publish.
+
+    - ``unique``: list of key column-lists that must be unique;
+    - ``non_null``: columns that must never be NULL;
+    - ``accepted``: column → allowed literal values;
+    - ``ranges``: column → (lo, hi) inclusive bounds (NULLs are NOT
+      range violations — declare the column in ``non_null`` too if
+      they should be).
+
+    ``sample_key`` carries one offending key/value per failed check
+    (min — deterministic) so the report is actionable without a
+    second query. Scale shape: each uniqueness check is one map-side-
+    combined groupBy over its key (shuffle carries distinct keys);
+    all row-level checks (non-null / accepted / range) share ONE
+    aggregation pass over a single scan — conditional counts + min,
+    no shuffle beyond the 1-row final combine. The result is a tiny
+    frame; gate the pipeline on ``n_violations > 0``."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    results = []
+
+    def lit_str(c):
+        return F.min(F.when(c.isNotNull(), c.cast("string")))
+
+    row_aggs, row_meta = [], []
+    for col in non_null or []:
+        cond = F.col(col).isNull()
+        row_aggs += [
+            F.sum(cond.cast("long")).alias(f"__nn_{len(row_meta)}"),
+        ]
+        row_meta.append(("not_null", col, None))
+    for col, vals in (accepted or {}).items():
+        bad = (~F.col(col).isin(*vals)) & F.col(col).isNotNull()
+        i = len(row_meta)
+        row_aggs += [
+            F.sum(bad.cast("long")).alias(f"__nn_{i}"),
+            lit_str(F.when(bad, F.col(col))).alias(f"__sk_{i}"),
+        ]
+        row_meta.append(("accepted_values", col, f"__sk_{i}"))
+    for col, (lo, hi) in (ranges or {}).items():
+        bad = F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
+        i = len(row_meta)
+        row_aggs += [
+            F.sum(bad.cast("long")).alias(f"__nn_{i}"),
+            lit_str(F.when(bad, F.col(col))).alias(f"__sk_{i}"),
+        ]
+        row_meta.append(("in_range", col, f"__sk_{i}"))
+
+    if row_aggs:
+        row = df.agg(*row_aggs).collect()[0]
+        for i, (kind, col, sk) in enumerate(row_meta):
+            results.append(
+                (
+                    kind,
+                    col,
+                    int(row[f"__nn_{i}"] or 0),
+                    row[sk] if sk else None,
+                )
+            )
+
+    for keys in unique or []:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+        )
+        agg = dup.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])).alias(
+                "sk"
+            ),
+        ).collect()[0]
+        results.append(
+            ("unique", "|".join(keys), int(agg["n"] or 0), agg["sk"])
+        )
+
+    return spark.createDataFrame(
+        results,
+        "check string, target string, n_violations bigint, sample_key string",
+    )

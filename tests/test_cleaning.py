@@ -215,3 +215,56 @@ def test_profile_table_approx_mode_no_expand(spark):
     # non-distinct stats identical to exact mode
     assert (prof["id"].n_rows, prof["id"].n_nulls) == (4, 1)
     assert (prof["id"].min_str, prof["id"].max_str) == ("1", "3")
+
+
+def test_data_checks_all_kinds(spark):
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        data_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "OK"),
+            (2, "a", 20.0, "OK"),
+            (2, None, 999.0, "BAD"),
+            (3, "b", None, "OK"),
+        ],
+        "id long, grp string, val double, status string",
+    )
+    out = {
+        (r.check, r.target): (r.n_violations, r.sample_key)
+        for r in data_checks(
+            df,
+            unique=[["id"], ["id", "grp"]],
+            non_null=["grp"],
+            accepted={"status": ["OK"]},
+            ranges={"val": (0.0, 100.0)},
+        ).collect()
+    }
+    assert out[("unique", "id")] == (1, "2")        # id=2 twice
+    assert out[("unique", "id|grp")][0] == 0        # (id,grp) is unique
+    assert out[("not_null", "grp")] == (1, None)
+    assert out[("accepted_values", "status")] == (1, "BAD")
+    # NULL val is not a range violation; 999 is, and is the sample
+    assert out[("in_range", "val")] == (1, "999.0")
+
+
+def test_data_checks_clean_table_and_single_pass_plan(spark):
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        data_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, name string"
+    )
+    out = data_checks(
+        df,
+        unique=[["id"]],
+        non_null=["id", "name"],
+        accepted={"name": ["x", "y"]},
+    )
+    assert out.filter("n_violations > 0").count() == 0
+    # all row-level checks ride ONE aggregation (one scan); each
+    # uniqueness check adds exactly one groupBy job — asserted by
+    # the operator's shape, spot-checked here via its output size
+    assert out.count() == 4
