@@ -62,6 +62,14 @@ class CorpusRecipe:
     # externally and filter with lm.perplexity_filter directly.
     max_ppl: float | None = None
     lm_min_count: int = 2
+    # Lee et al. 2022 ACTION step (False = off): after near-dup
+    # removal, CUT duplicated >= cut_span_min_len-char substrings out
+    # of each surviving doc's normalized text instead of only
+    # dropping whole near-dup docs — a doc quoting a license header
+    # stays, minus the header. The deduped layer then carries the cut
+    # text (normalized) in text_col.
+    cut_spans: bool = False
+    cut_span_min_len: int = 20
     # broadcast the self-trained LM into the scoring join (right for
     # bounded vocabularies); set False when the pruned bigram model
     # itself is corpus-scale — scoring then shuffle-joins on (ctx, w)
@@ -176,7 +184,18 @@ def run_corpus_pipeline(
             hash_family="fast",
         )
         members = dedup.connected_components(pairs)
-        return dedup.drop_near_duplicates(exact, id_col, members)
+        out = dedup.drop_near_duplicates(exact, id_col, members)
+        if recipe.cut_spans:
+            # span detection + cut on the POST-dedup corpus (the
+            # whole-doc duplicates are already gone; what remains is
+            # cross-doc boilerplate). The cut text replaces text_col —
+            # normalized, per cut_duplicate_spans' contract.
+            cut = dedup.cut_duplicate_spans(
+                out, id_col, text_col,
+                min_len=recipe.cut_span_min_len,
+            ).select(id_col, F.col("cut_text").alias(text_col))
+            out = out.drop(text_col).join(cut, id_col)
+        return out
 
     deduped = stage("deduped", build_deduped)
 

@@ -387,3 +387,44 @@ def test_ingest_mode_switch_refuses_loudly(spark, tmp_path):
     shutil.rmtree(f"{root}/fingerprints")
     with _pytest.raises(ValueError, match="no path-mode fingerprint"):
         incremental_ingest(spark, docs, root)
+
+
+def test_cut_spans_stage_removes_shared_boilerplate(spark, tmp_path):
+    """cut_spans=True: the deduped layer carries the normalized text
+    with cross-doc duplicated substrings REMOVED (Lee et al. cut, not
+    drop) — the unique payload survives, the shared header doesn't."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    header = "this exact license header repeats across documents"
+    rows = [
+        (1, f"{header} unique payload one about spark windows "
+            "partition pruning codegen exchange reuse broadcast "
+            "thresholds adaptive execution and columnar batches", "en"),
+        (2, f"{header} a different second payload on joins here "
+            "bucketing sort merge shuffle hash skew salting "
+            "statistics cardinality estimation and cost models", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(min_tokens=2, cut_spans=True, cut_span_min_len=20),
+            force=True,
+        )
+        deduped = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(f"{root}/deduped").collect()
+        }
+        assert set(deduped) == {1, 2}  # both docs survive (cut, not drop)
+        for t in deduped.values():
+            assert "license header" not in t
+        assert "unique payload one" in deduped[1]
+        assert "second payload" in deduped[2]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
