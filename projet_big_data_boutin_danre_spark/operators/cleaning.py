@@ -402,55 +402,71 @@ def data_checks(
 
     ``sample_key`` carries one offending key/value per failed check
     (min — deterministic) so the report is actionable without a
-    second query. Scale shape: each uniqueness check is one map-side-
-    combined groupBy over its key (shuffle carries distinct keys);
-    all row-level checks (non-null / accepted / range) share ONE
-    aggregation pass over a single scan — conditional counts + min,
-    no shuffle beyond the 1-row final combine. The result is a tiny
-    frame; gate the pipeline on ``n_violations > 0``."""
+    second query. Scale shape: the result is fully LAZY — one
+    DataFrame the caller collects in a single job. All row-level
+    checks (non-null / accepted / range) ride ONE aggregation over a
+    single scan (conditional counts + min, nothing but the 1-row
+    final combine on the wire), unpivoted to per-check rows with
+    ``inline``; each uniqueness check adds one map-side-combined
+    groupBy over its key set (shuffle carries distinct keys). Gate
+    the pipeline on ``n_violations > 0``."""
     from pyspark.sql import functions as F
-
-    spark = df.sparkSession
-    results = []
 
     def lit_str(c):
         return F.min(F.when(c.isNotNull(), c.cast("string")))
 
-    row_aggs, row_meta = [], []
+    def out_row(kind, target, n, sk):
+        return F.struct(
+            F.lit(kind).alias("check"),
+            F.lit(target).alias("target"),
+            F.coalesce(n, F.lit(0)).cast("bigint").alias("n_violations"),
+            sk.cast("string").alias("sample_key"),
+        )
+
+    branches = []
+    row_aggs, row_structs = [], []
     for col in non_null or []:
-        cond = F.col(col).isNull()
-        row_aggs += [
-            F.sum(cond.cast("long")).alias(f"__nn_{len(row_meta)}"),
-        ]
-        row_meta.append(("not_null", col, None))
+        i = len(row_aggs)
+        row_aggs.append(
+            F.sum(F.col(col).isNull().cast("long")).alias(f"__a_{i}")
+        )
+        row_structs.append(
+            ("not_null", col, f"__a_{i}", None)
+        )
     for col, vals in (accepted or {}).items():
         bad = (~F.col(col).isin(*vals)) & F.col(col).isNotNull()
-        i = len(row_meta)
+        i = len(row_aggs)
         row_aggs += [
-            F.sum(bad.cast("long")).alias(f"__nn_{i}"),
-            lit_str(F.when(bad, F.col(col))).alias(f"__sk_{i}"),
+            F.sum(bad.cast("long")).alias(f"__a_{i}"),
+            lit_str(F.when(bad, F.col(col))).alias(f"__a_{i + 1}"),
         ]
-        row_meta.append(("accepted_values", col, f"__sk_{i}"))
+        row_structs.append(("accepted_values", col, f"__a_{i}", f"__a_{i + 1}"))
     for col, (lo, hi) in (ranges or {}).items():
-        bad = F.col(col).isNotNull() & ~F.col(col).between(F.lit(lo), F.lit(hi))
-        i = len(row_meta)
+        bad = F.col(col).isNotNull() & ~F.col(col).between(
+            F.lit(lo), F.lit(hi)
+        )
+        i = len(row_aggs)
         row_aggs += [
-            F.sum(bad.cast("long")).alias(f"__nn_{i}"),
-            lit_str(F.when(bad, F.col(col))).alias(f"__sk_{i}"),
+            F.sum(bad.cast("long")).alias(f"__a_{i}"),
+            lit_str(F.when(bad, F.col(col))).alias(f"__a_{i + 1}"),
         ]
-        row_meta.append(("in_range", col, f"__sk_{i}"))
+        row_structs.append(("in_range", col, f"__a_{i}", f"__a_{i + 1}"))
 
     if row_aggs:
-        row = df.agg(*row_aggs).collect()[0]
-        for i, (kind, col, sk) in enumerate(row_meta):
-            results.append(
-                (
+        rows = F.array(
+            *[
+                out_row(
                     kind,
-                    col,
-                    int(row[f"__nn_{i}"] or 0),
-                    row[sk] if sk else None,
+                    target,
+                    F.col(n),
+                    F.col(sk) if sk else F.lit(None),
                 )
-            )
+                for kind, target, n, sk in row_structs
+            ]
+        )
+        branches.append(
+            df.agg(*row_aggs).select(F.inline(rows))
+        )
 
     for keys in unique or []:
         dup = (
@@ -459,16 +475,31 @@ def data_checks(
             .filter(F.col("__c") > 1)
         )
         agg = dup.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])).alias(
-                "sk"
-            ),
-        ).collect()[0]
-        results.append(
-            ("unique", "|".join(keys), int(agg["n"] or 0), agg["sk"])
+            F.count(F.lit(1)).alias("__n"),
+            F.min(
+                F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+            ).alias("__sk"),
+        )
+        branches.append(
+            agg.select(
+                F.inline(
+                    F.array(
+                        out_row(
+                            "unique", "|".join(keys),
+                            F.col("__n"), F.col("__sk"),
+                        )
+                    )
+                )
+            )
         )
 
-    return spark.createDataFrame(
-        results,
-        "check string, target string, n_violations bigint, sample_key string",
-    )
+    if not branches:
+        return df.sparkSession.createDataFrame(
+            [],
+            "check string, target string, n_violations bigint,"
+            " sample_key string",
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
