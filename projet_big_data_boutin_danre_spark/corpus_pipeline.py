@@ -64,12 +64,20 @@ class CorpusRecipe:
     lm_min_count: int = 2
     # Lee et al. 2022 ACTION step (False = off): after near-dup
     # removal, CUT duplicated >= cut_span_min_len-char substrings out
-    # of each surviving doc's normalized text instead of only
-    # dropping whole near-dup docs — a doc quoting a license header
-    # stays, minus the header. The deduped layer then carries the cut
-    # text (normalized) in text_col.
+    # of each surviving doc's ORIGINAL text instead of only dropping
+    # whole near-dup docs — a doc quoting a license header stays,
+    # minus the header. Spans are detected over a length-preserving
+    # case/punct-insensitive view and removed from the raw text, so
+    # casing and punctuation survive outside the cut ranges. The
+    # deduped layer then carries the cut text in text_col.
     cut_spans: bool = False
     cut_span_min_len: int = 20
+    # hash family for the span-detection count window: "md5" (raw
+    # substring key) or "fast" (two flat xxhash64 longs). Measured at
+    # sf0.1 1x-32x (SCALE.md): the string key wins at every volume,
+    # so md5 IS the production default here — unlike the groupBy
+    # dedup ops, where "fast" wins and the pipeline uses it.
+    span_hash_family: str = "md5"
     # broadcast the self-trained LM into the scoring join (right for
     # bounded vocabularies); set False when the pruned bigram model
     # itself is corpus-scale — scoring then shuffle-joins on (ctx, w)
@@ -169,9 +177,14 @@ def run_corpus_pipeline(
     gated = stage("gated", build_gated)
 
     def build_deduped() -> DataFrame:
-        # fast hash family throughout: the pipeline has no SQL-oracle
-        # constraint, so it takes the xxhash64 production path (same
-        # dedup semantics, ~2-3x cheaper hashing; see operators/dedup)
+        # hash families per measurement, not dogma: the groupBy dedup
+        # ops (exact_dedup, minhash_lsh_pairs) take the xxhash64
+        # "fast" path — narrower map-side-combined keys, measured
+        # faster (BASELINE.md lsh_pairs probes). The span stage below
+        # takes recipe.span_hash_family, default "md5": its count
+        # window gets no partial aggregation and the raw-substring
+        # key measures FASTER than the two-hash variant at every
+        # probed volume (SCALE.md span table).
         exact = dedup.exact_dedup(
             gated, id_col, text_col, hash_family="fast"
         )
@@ -188,11 +201,15 @@ def run_corpus_pipeline(
         if recipe.cut_spans:
             # span detection + cut on the POST-dedup corpus (the
             # whole-doc duplicates are already gone; what remains is
-            # cross-doc boilerplate). The cut text replaces text_col —
-            # normalized, per cut_duplicate_spans' contract.
+            # cross-doc boilerplate). preserve_original: spans are
+            # detected over the length-preserving normalized view but
+            # cut from the RAW text, so text_col keeps its casing and
+            # punctuation outside the removed ranges.
             cut = dedup.cut_duplicate_spans(
                 out, id_col, text_col,
                 min_len=recipe.cut_span_min_len,
+                hash_family=recipe.span_hash_family,
+                preserve_original=True,
             ).select(id_col, F.col("cut_text").alias(text_col))
             out = out.drop(text_col).join(cut, id_col)
         return out

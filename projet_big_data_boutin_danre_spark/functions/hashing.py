@@ -28,6 +28,24 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(stripped, " +", " "))
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def normalize_text_aligned(col: Column | str) -> Column:
+    """LENGTH-PRESERVING variant of :func:`normalize_text`: ASCII
+    casefold via ``translate`` (guaranteed 1 char → 1 char, unlike
+    ``lower`` whose Unicode special cases can change length) and each
+    non-alphanumeric char becomes exactly ONE space — no run
+    collapsing, no trim. Character ``i`` of the output always
+    corresponds to character ``i`` of the input, so offsets computed
+    over this view (e.g. duplicated-span ranges) index the ORIGINAL
+    text directly. Non-ASCII letters normalize to spaces in both
+    variants."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.translate(c, _UPPER, _LOWER), "[^a-z0-9]", " ")
+
+
 def stable_fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))

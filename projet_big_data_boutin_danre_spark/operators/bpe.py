@@ -46,24 +46,21 @@ def word_histogram(
 ) -> DataFrame:
     """``(word, n)`` corpus word frequencies — the single
     corpus-sized stage of BPE training. With ``max_words``, keeps the
-    top-N by (n desc, word) via a rank over the histogram (model-
-    sized input, one small extra shuffle)."""
+    top-N by (n desc, word) via ``orderBy(...).limit(max_words)``,
+    which compiles to ``TakeOrderedAndProject`` — per-partition heaps
+    plus a driver merge of ``max_words`` rows. The distinct-word
+    histogram of 100 TB of web text is itself huge (hapax URLs and
+    typos run to billions of rows), so the cap must prune
+    per-partition rather than rank on a single reducer; the (n desc,
+    word) ordering keeps the cut deterministic under ties either
+    way."""
     out = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     if max_words is not None:
-        from pyspark.sql import Window
-
-        rn = F.row_number().over(
-            Window.orderBy(F.col("n").desc(), F.col("word"))
-        )
-        # single-partition window over HISTOGRAM rows, not corpus
-        # rows — acceptable exactly because the input is model-sized;
-        # cap before ranking if the vocabulary itself is pathological
-        out = out.withColumn("__rn", rn).filter(F.col("__rn") <= max_words)
-        out = out.drop("__rn")
+        out = out.orderBy(F.col("n").desc(), F.col("word")).limit(max_words)
     return out
 
 

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_component, normalize_text
+from ..functions.hashing import (
+    minhash_component,
+    normalize_text,
+    normalize_text_aligned,
+)
 
 
 def balance_for_fanout(df: DataFrame) -> DataFrame:
@@ -714,6 +718,7 @@ def duplicate_spans(
     text_col: str,
     min_len: int = 20,
     hash_family: str = "md5",
+    preserve_offsets: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring spans (the Lee et al. 2022
     "Deduplicating Training Data" signal, distributed): for every doc,
@@ -746,11 +751,27 @@ def duplicate_spans(
     birthday-collide at real corpus window counts (~10^14 windows at
     100 TB) and a collision FLAGS a unique span as duplicated. Span
     output is identical across families (both keys are
-    content-deterministic); only the shuffle width differs."""
+    content-deterministic); only the shuffle width differs.
+
+    ``preserve_offsets=True`` normalizes with the LENGTH-PRESERVING
+    variant (casefold + 1-char punctuation masking, no run collapse
+    — functions/hashing.normalize_text_aligned), so the returned
+    span ranges index the ORIGINAL ``text_col`` directly. That is
+    what a non-lossy cut needs: detect duplication over a
+    case/punct-insensitive view, then remove the spans from the raw
+    text without destroying casing or punctuation elsewhere
+    (:func:`cut_duplicate_spans` ``preserve_original=True``).
+    Detection differs slightly from the default view — whitespace
+    runs are not collapsed, so windows straddling them match only
+    when the runs match too (a strictly more conservative signal)."""
     from pyspark.sql import Window
 
     _check_hash_family(hash_family)
-    norm = normalize_text(text_col)
+    norm = (
+        normalize_text_aligned(text_col)
+        if preserve_offsets
+        else normalize_text(text_col)
+    )
     pos = (
         balance_for_fanout(df)
         .select(F.col(id_col).alias("id"), norm.alias("__nt"))
@@ -860,13 +881,25 @@ def cut_duplicate_spans(
     min_len: int = 20,
     spans: DataFrame | None = None,
     out_col: str = "cut_text",
+    hash_family: str = "md5",
+    preserve_original: bool = False,
 ) -> DataFrame:
     """The ACTION step of the Lee et al. 2022 signal: remove every
-    duplicated span from each document's NORMALIZED text (the paper
-    cuts rather than drops — a doc that quotes a license header is
-    still good training data minus the header). Output: one row per
-    input doc with ``out_col`` (the cut text) and ``n_cut_chars``;
-    docs with no spans pass through unchanged.
+    duplicated span from each document's text (the paper cuts rather
+    than drops — a doc that quotes a license header is still good
+    training data minus the header). Output: one row per input doc
+    with ``out_col`` (the cut text) and ``n_cut_chars``; docs with no
+    spans pass through unchanged.
+
+    ``preserve_original=False`` (default, the oracle-checkable form)
+    cuts from the NORMALIZED text. ``preserve_original=True`` — the
+    training-corpus mode — detects spans over the length-preserving
+    normalization (:func:`duplicate_spans` ``preserve_offsets``) and
+    cuts them out of the RAW ``text_col``, so casing and punctuation
+    survive everywhere outside the removed spans (replacing a corpus
+    with its lowercased, punctuation-stripped form is a lossy
+    transform the paper never asks for). ``hash_family`` forwards to
+    the internal span detection; ignored when ``spans`` is passed.
 
     Plan: spans (precomputable, see :func:`duplicate_spans`) are
     rolled up to one sorted struct array per doc (merged islands are
@@ -877,13 +910,16 @@ def cut_duplicate_spans(
     per-doc and bounded by doc length, so the fold is safe at any
     corpus size."""
     if spans is None:
-        spans = duplicate_spans(df, id_col, text_col, min_len)
+        spans = duplicate_spans(
+            df, id_col, text_col, min_len, hash_family,
+            preserve_offsets=preserve_original,
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("__spans")
     )
-    nt = normalize_text(text_col)
+    nt = F.col(text_col) if preserve_original else normalize_text(text_col)
     base = df.select(F.col(id_col), nt.alias("__nt"))
     joined = base.join(per_doc, id_col, "left")
     folded = F.aggregate(
@@ -923,6 +959,7 @@ def top_duplicate_windows(
     text_col: str,
     min_len: int = 20,
     k: int = 20,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Corpus-level boilerplate detector: the ``k`` most-repeated
     ``min_len``-char windows of normalized text with their occurrence
@@ -937,7 +974,18 @@ def top_duplicate_windows(
     window) and a global top-k that compiles to
     ``TakeOrderedAndProject`` (per-partition heaps + driver merge of
     k rows, no global sort). Ties broken lexicographically so the
-    result is deterministic and oracle-checkable."""
+    result is deterministic and oracle-checkable.
+
+    ``hash_family="fast"`` groups on two flat xxhash64 columns of
+    the window instead of the string (same key-narrowing dial as
+    :func:`duplicate_spans`, kept for pipeline symmetry) — but the
+    window STRING must survive to the output, so it rides the
+    shuffle as a ``min`` buffer either way and the narrowing only
+    touches the grouping comparator. Counts are identical across
+    families absent a 128-bit collision. Per the sf0.1–32× span
+    measurements (SCALE.md), the string key is not the bottleneck at
+    this shape; md5/raw stays the production default."""
+    _check_hash_family(hash_family)
     norm = normalize_text(text_col)
     pos = (
         balance_for_fanout(df)
@@ -951,10 +999,26 @@ def top_duplicate_windows(
         )
         .select(F.substring("__nt", F.col("p"), min_len).alias("w"))
     )
+    if hash_family == "fast":
+        counted = (
+            pos.select(
+                "w",
+                F.xxhash64("w").alias("__h0"),
+                F.xxhash64(F.lit(1), F.col("w")).alias("__h1"),
+            )
+            .groupBy("__h0", "__h1")
+            .agg(
+                F.min("w").alias("w"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+            )
+            .select("w", "n_occurrences")
+        )
+    else:
+        counted = pos.groupBy("w").agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
     return (
-        pos.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= 2)
+        counted.filter(F.col("n_occurrences") >= 2)
         .orderBy(F.col("n_occurrences").desc(), F.col("w"))
         .limit(k)
     )

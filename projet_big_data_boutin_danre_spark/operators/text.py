@@ -44,6 +44,19 @@ def normalize_text_py(t: str) -> str:
     return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
 
 
+def normalize_text_aligned_py(t: str) -> str:
+    """Python twin of ``hashing.normalize_text_aligned`` (ASCII
+    casefold via a char-for-char table + 1-char punctuation masking,
+    no collapse/trim — length-preserving by construction)."""
+    import re
+    import string
+
+    lowered = t.translate(
+        str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+    )
+    return re.sub(r"[^a-z0-9]", " ", lowered)
+
+
 def tokens_py(t: str | None) -> list[str]:
     """Python twin of :func:`tokens` (empty-safe, None-safe)."""
     if not t:

@@ -44,6 +44,20 @@ def test_word_histogram_matches_tokens(spark):
     assert {r.word for r in capped.collect()} == {"low", "newest"}
 
 
+def test_word_histogram_cap_is_distributed_topn(spark):
+    # the max_words cap must compile to TakeOrderedAndProject
+    # (per-partition heaps), never a Window with no partition key —
+    # the distinct-word histogram of web text is billions of rows,
+    # so a single-reducer rank over it is a scale-killer
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    capped = bpe.word_histogram(df, "text", max_words=3)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_encode_decode_round_trip(spark):
     df = spark.createDataFrame(
         [

@@ -300,6 +300,131 @@ def test_cut_duplicate_spans_accepts_precomputed_spans(spark):
     assert a == b
 
 
+def test_cut_duplicate_spans_hash_family_parity(spark):
+    """cut_duplicate_spans(hash_family=...) must produce IDENTICAL
+    cut text across families — the family only narrows the span
+    count-window key (the corpus_pipeline threading contract)."""
+    rows = [
+        (1, "xx abcdefghijklmnopqrstuvwxyz tail one"),
+        (2, "completely other prefix abcdefghijklmnopqrstuvwxyz"),
+        (3, "00000000001111111111 mid 00000000001111111111"),
+        (4, "qqww eerr ttyy uuii oopp aass ddff gghh jjkk llzz xxcc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cuts(fam):
+        return sorted(
+            (r.doc_id, r.cut_text, r.n_cut_chars)
+            for r in dedup.cut_duplicate_spans(
+                df, "doc_id", "text", hash_family=fam
+            ).collect()
+        )
+
+    assert cuts("md5") == cuts("fast")
+
+
+def test_cut_duplicate_spans_preserve_original(spark):
+    """preserve_original=True: spans detected over the aligned
+    (length-preserving) view, cut from the RAW text — casing and
+    punctuation survive everywhere outside the removed ranges.
+    Pinned against a brute-force pure-Python reference of the same
+    windows→count→gaps-and-islands→cut contract."""
+    from projet_big_data_boutin_danre_spark.operators.text import (
+        normalize_text_aligned_py,
+    )
+
+    rows = [
+        (1, "Keep Me! Q-abcdefghijklmnopqrstuvwxyz0123456789 Tail#1"),
+        (2, "Other start: Q-ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 fin"),
+        (3, "Clean DOC: unique punctuation, Casing & all..."),
+        (4, "tiny"),
+    ]
+    min_len = 20
+
+    # reference: global window counts over the aligned view, hit
+    # positions merged per doc (break when gap > min_len), spans cut
+    # from the ORIGINAL text (1-based inclusive, exactly the operator
+    # contract)
+    from collections import Counter
+
+    al = {d: normalize_text_aligned_py(t) for d, t in rows}
+    assert all(len(al[d]) == len(t) for d, t in rows)  # alignment
+    cnt: Counter = Counter()
+    wins = {}
+    for d, t in al.items():
+        ws = (
+            [t[i : i + min_len] for i in range(len(t) - min_len + 1)]
+            if len(t) >= min_len
+            else []
+        )
+        wins[d] = ws
+        cnt.update(ws)
+    expected = {}
+    for (d, orig) in rows:
+        ps = [i + 1 for i, w in enumerate(wins[d]) if cnt[w] >= 2]
+        spans, cur, prev = [], None, None
+        for p in ps:
+            if prev is None or p - prev > min_len:
+                if cur:
+                    spans.append(cur)
+                cur = [p, p]
+            else:
+                cur[1] = p
+            prev = p
+        if cur:
+            spans.append(cur)
+        ranges = [(s, e + min_len - 1) for s, e in spans]
+        out, at = [], 1
+        for s, e in ranges:
+            out.append(orig[at - 1 : s - 1])
+            at = e + 1
+        out.append(orig[at - 1 :])
+        expected[d] = "".join(out)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cut_text, r.n_cut_chars)
+        for r in dedup.cut_duplicate_spans(
+            df,
+            "doc_id",
+            "text",
+            min_len=min_len,
+            preserve_original=True,
+        ).collect()
+    }
+    for d, orig in rows:
+        assert got[d][0] == expected[d]
+        assert got[d][1] == len(orig) - len(expected[d])
+    # the lossiness regression: clean docs come back byte-for-byte,
+    # punctuation and casing intact
+    assert got[3][0] == rows[2][1]
+    assert got[4][0] == "tiny"
+    # cut docs keep their raw flanks (the span extends left through
+    # the punctuation-aligned spaces, so only "Keep Me"/"Other start"
+    # are guaranteed to survive verbatim)
+    assert got[1][0].startswith("Keep Me")
+    assert got[2][0].startswith("Other start")
+
+
+def test_top_duplicate_windows_hash_family_parity(spark):
+    rows = [
+        (1, "xx abcdefghijklmnopqrstuvwxyz tail one"),
+        (2, "completely other prefix abcdefghijklmnopqrstuvwxyz"),
+        (3, "00000000001111111111 mid 00000000001111111111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def top(fam):
+        return [
+            (r.w, r.n_occurrences)
+            for r in dedup.top_duplicate_windows(
+                df, "text", min_len=20, k=5, hash_family=fam
+            ).collect()
+        ]
+
+    assert top("md5") == top("fast")
+
+
 def test_verify_pairs_levenshtein_kills_false_positives(spark):
     """Sketch-then-verify: a blocking stage admits (near-dup, junk)
     candidates; the edit-distance rescore separates them."""
