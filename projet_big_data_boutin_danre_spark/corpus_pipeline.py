@@ -74,10 +74,12 @@ class CorpusRecipe:
     cut_span_min_len: int = 20
     # hash family for the span-detection count window: "md5" (raw
     # substring key) or "fast" (two flat xxhash64 longs). Measured at
-    # sf0.1 1x-32x (SCALE.md): the string key wins at every volume,
-    # so md5 IS the production default here — unlike the groupBy
-    # dedup ops, where "fast" wins and the pipeline uses it.
-    span_hash_family: str = "md5"
+    # sf0.1 1x-32x (SCALE.md span adjudication): raw wins below ~4x
+    # sf0.1 per node, the families tie through 16x, fast wins ~10% at
+    # 32x and trending — so "fast" is the default for this pipeline's
+    # design point (100 TB), and "md5" is the right override when
+    # running small single-node corpora.
+    span_hash_family: str = "fast"
     # broadcast the self-trained LM into the scoring join (right for
     # bounded vocabularies); set False when the pruned bigram model
     # itself is corpus-scale — scoring then shuffle-joins on (ctx, w)
@@ -180,11 +182,12 @@ def run_corpus_pipeline(
         # hash families per measurement, not dogma: the groupBy dedup
         # ops (exact_dedup, minhash_lsh_pairs) take the xxhash64
         # "fast" path — narrower map-side-combined keys, measured
-        # faster (BASELINE.md lsh_pairs probes). The span stage below
-        # takes recipe.span_hash_family, default "md5": its count
-        # window gets no partial aggregation and the raw-substring
-        # key measures FASTER than the two-hash variant at every
-        # probed volume (SCALE.md span table).
+        # faster at every volume (BASELINE.md lsh_pairs probes). The
+        # span stage below takes recipe.span_hash_family (default
+        # "fast"): its count window gets no partial aggregation and
+        # the families CROSS OVER — raw substring key faster below
+        # ~4x sf0.1 per node, fast ~10% faster at 32x and trending
+        # (SCALE.md span adjudication table).
         exact = dedup.exact_dedup(
             gated, id_col, text_col, hash_family="fast"
         )
@@ -311,36 +314,62 @@ def incremental_ingest(
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None
 
-    # Mode-switch guard: each mode consults ONLY its own guard
-    # sidecars, so flipping an existing lake between path mode and
-    # catalog mode would silently re-admit the entire corpus (the
-    # other mode's fingerprints are never read). Refuse loudly; a
-    # migration must backfill the new sidecars first.
-    if bucketed and not spark.catalog.tableExists(fp_table) and _exists(
-        spark, fp_path
-    ):
+    # Mode marker: a 1-row `_lake_mode` layer stamped at lake
+    # creation, BEFORE the first docs append. Each mode consults ONLY
+    # its own guard sidecars, so flipping an existing lake between
+    # path mode and catalog mode would silently re-admit the entire
+    # corpus — the marker makes the mismatch loud. It also makes a
+    # crashed FIRST batch (docs appended, fingerprints not)
+    # distinguishable from a catalog-mode lake: with a matching
+    # marker the call proceeds and the id guard absorbs the replay,
+    # so a streaming checkpoint retrying that batch self-heals
+    # instead of failing forever.
+    mode = f"catalog:{catalog_prefix}" if bucketed else "path"
+    marker_path = f"{out_root}/_lake_mode"
+    recorded = None
+    if _exists(spark, marker_path):
+        recorded = spark.read.parquet(marker_path).head()["mode"]
+    if recorded is not None and recorded != mode:
         raise ValueError(
-            f"lake at {out_root} has path-mode fingerprints but catalog "
-            f"table {fp_table} does not exist — backfill the bucketed "
-            "sidecars from the path layers before switching to "
-            "catalog_prefix mode (or keep catalog_prefix=None)"
+            f"lake at {out_root} was created in mode '{recorded}' but "
+            f"this call runs in mode '{mode}' — each mode reads only "
+            "its own dedup guards, so continuing would re-admit "
+            "already-ingested content. Pass the original mode, or "
+            "backfill the other mode's sidecars first."
         )
-    if (
-        not bucketed
-        and not _exists(spark, fp_path)
-        and _exists(spark, docs_path)
-    ):
-        # a docs layer with NO path-mode fingerprints is either a
-        # catalog-mode lake (whose guards live in catalog tables this
-        # call would never read) or a first batch that crashed between
-        # its two appends — both deserve a loud stop, not silent
-        # re-admission of everything in docs
-        raise ValueError(
-            f"lake at {out_root} has a docs layer but no path-mode "
-            "fingerprint sidecar — if it was built with "
-            "catalog_prefix, pass the same prefix; otherwise repair "
-            "the fingerprints layer before ingesting"
-        )
+    if recorded is None:
+        # no marker: a pre-marker (legacy) lake, or a brand-new one.
+        # Legacy lakes keep the conservative heuristics; new lakes
+        # stamp the marker before anything else is written.
+        if bucketed and not spark.catalog.tableExists(fp_table) and _exists(
+            spark, fp_path
+        ):
+            raise ValueError(
+                f"lake at {out_root} has path-mode fingerprints but "
+                f"catalog table {fp_table} does not exist — backfill "
+                "the bucketed sidecars from the path layers before "
+                "switching to catalog_prefix mode (or keep "
+                "catalog_prefix=None)"
+            )
+        if (
+            not bucketed
+            and not _exists(spark, fp_path)
+            and _exists(spark, docs_path)
+        ):
+            # an UNMARKED docs layer with no path-mode fingerprints is
+            # either a catalog-mode lake (whose guards this call would
+            # never read) or a pre-marker crashed first batch — can't
+            # tell apart, so stop loudly rather than re-admit
+            raise ValueError(
+                f"lake at {out_root} has a docs layer but no path-mode "
+                "fingerprint sidecar and no mode marker — if it was "
+                "built with catalog_prefix, pass the same prefix; "
+                "otherwise repair the fingerprints layer before "
+                "ingesting"
+            )
+        spark.createDataFrame([(mode,)], "mode string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(marker_path)
 
     # within-batch keeper: smallest id per fingerprint (deterministic);
     # NULL text -> sentinel so the anti-join can actually match it

@@ -739,19 +739,27 @@ def duplicate_spans(
     embarrassing parallelism.
 
     ``hash_family``: ``"md5"`` (default, oracle-checkable) partitions
-    the count window by the raw ``min_len``-char substring — at sf
-    scale the substring itself is the narrowest key DuckDB can
-    reproduce. ``"fast"`` (production) partitions by TWO flat
-    two-seed xxhash64 columns of the substring instead: the stride-1
-    shuffle (rows ≈ corpus chars) then carries two fixed 8-byte longs
-    per row instead of a ~``min_len``-byte string, and the
-    window-count stage — which, unlike the groupBy dedup ops, gets no
-    map-side partial aggregation — sorts longs, not strings. Two
-    independent seeds keep 128 key bits: a single 64-bit key would
-    birthday-collide at real corpus window counts (~10^14 windows at
-    100 TB) and a collision FLAGS a unique span as duplicated. Span
-    output is identical across families (both keys are
-    content-deterministic); only the shuffle width differs.
+    the count window by the raw ``min_len``-char substring.
+    ``"fast"`` partitions by TWO flat two-seed xxhash64 columns of
+    the substring instead — the stride-1 shuffle then carries two
+    fixed 8-byte longs per row instead of a ~``min_len``-byte string,
+    and the window-count stage (which, unlike the groupBy dedup ops,
+    gets no map-side partial aggregation) sorts longs, not strings.
+    Two independent seeds keep 128 key bits: a single 64-bit key
+    would birthday-collide at real corpus window counts (~10^14
+    windows at 100 TB) and a collision FLAGS a unique span as
+    duplicated. Span output is identical across families (both keys
+    are content-deterministic); only the shuffle width differs.
+
+    MEASURED, not asserted (SCALE.md "span hash-family adjudication",
+    interleaved min-of-4 warm runs, local[32]): the two xxhash64
+    evaluations over corpus-chars rows are NOT free, so the raw
+    string key WINS below ~4× sf0.1 (1×: md5 0.95 s vs fast 1.07 s),
+    the families tie at 4–16×, and fast pulls ahead ~10% at 32×
+    (8.5 s vs 9.4 s) with the gap widening as the shuffle grows
+    sort-bound. Prescription: md5/raw at single-node test volumes,
+    fast once the per-node window volume clears the crossover —
+    which a 1000-executor 100 TB run does by orders of magnitude.
 
     ``preserve_offsets=True`` normalizes with the LENGTH-PRESERVING
     variant (casefold + 1-char punctuation masking, no run collapse
@@ -851,25 +859,43 @@ def verify_pairs_levenshtein(
     count is bounded by the blocking stage and the prefix bound caps
     per-pair cost at ``prefix_len²`` regardless of document length.
     Two joins of the (small) pair set against a two-column projection
-    of the docs — text never fans out."""
+    of the docs — text never fans out.
+
+    ``lev_truncated`` flags pairs where either side actually hit the
+    prefix cap — the accuracy-observability counter (same idea as
+    ``connected_components``' ``stats["rounds"]``): a rising
+    ``sum(lev_truncated)`` across bench rounds means the verifier is
+    increasingly judging prefixes rather than documents, and
+    ``prefix_len`` should be revisited before trusting the
+    ratios."""
     t = df.select(
         F.col(id_col).alias("__vid"),
         F.substring(normalize_text(text_col), 1, prefix_len).alias("__vt"),
+        (F.length(normalize_text(text_col)) > prefix_len).alias("__vtr"),
     )
     out_cols = list(pairs.columns)
     return (
         pairs.join(
-            t.select(F.col("__vid").alias(a_col), F.col("__vt").alias("__ta")),
+            t.select(
+                F.col("__vid").alias(a_col),
+                F.col("__vt").alias("__ta"),
+                F.col("__vtr").alias("__tra"),
+            ),
             a_col,
         )
         .join(
-            t.select(F.col("__vid").alias(b_col), F.col("__vt").alias("__tb")),
+            t.select(
+                F.col("__vid").alias(b_col),
+                F.col("__vt").alias("__tb"),
+                F.col("__vtr").alias("__trb"),
+            ),
             b_col,
         )
         .select(
             *out_cols,
             F.levenshtein("__ta", "__tb").alias("lev_dist"),
             F.greatest(F.length("__ta"), F.length("__tb")).alias("lev_len"),
+            (F.col("__tra") | F.col("__trb")).alias("lev_truncated"),
         )
     )
 
@@ -982,9 +1008,11 @@ def top_duplicate_windows(
     window STRING must survive to the output, so it rides the
     shuffle as a ``min`` buffer either way and the narrowing only
     touches the grouping comparator. Counts are identical across
-    families absent a 128-bit collision. Per the sf0.1–32× span
-    measurements (SCALE.md), the string key is not the bottleneck at
-    this shape; md5/raw stays the production default."""
+    families absent a 128-bit collision. Unlike the span count
+    window, this groupBy DOES get map-side partial aggregation, so
+    the shuffle is already collapsed to distinct windows and the key
+    width matters even less than in the measured span crossover
+    (SCALE.md); md5/raw stays the sensible default here."""
     _check_hash_family(hash_family)
     norm = normalize_text(text_col)
     pos = (

@@ -238,6 +238,7 @@ def ppl_gate_stream(
     n: int = 2,
     add_k: float = 1.0,
     vocab_size: int | None = None,
+    max_model_entries: int = 4000,
 ) -> DataFrame:
     """Streaming-safe perplexity gate: the same add-k bigram score as
     :func:`score_documents`, computed ROW-LOCALLY so it runs under
@@ -257,7 +258,22 @@ def ppl_gate_stream(
     Cost contract: literal maps are array-backed in Spark, so each
     lookup is LINEAR in model size — right for gate models up to a
     few thousand entries; past that, use the batch operator's
-    broadcast join (hash lookup) via foreachBatch instead."""
+    broadcast join (hash lookup) via foreachBatch instead. The
+    contract is ENFORCED: more than ``max_model_entries`` total
+    literal-map entries raises rather than silently degrading plan
+    build, codegen, and per-row cost (raise the cap explicitly only
+    with a measured reason)."""
+    n_entries = len(model_counts) + len(ctx_counts)
+    if n_entries > max_model_entries:
+        raise ValueError(
+            f"model ships {n_entries} literal-map entries > "
+            f"max_model_entries={max_model_entries}: element_at over a "
+            "literal map is LINEAR in its size, so an oversized model "
+            "degrades every row it scores — score with the batch "
+            "broadcast-join path (lm.perplexity_filter inside "
+            "foreachBatch) instead, or raise max_model_entries if the "
+            "cost is measured and acceptable"
+        )
     if vocab_size is None:
         vocab_size = len({w for (_, w) in model_counts})
     k = float(add_k)
@@ -347,6 +363,7 @@ def importance_weights(
     target_vocab: int | None = None,
     source_vocab: int | None = None,
     broadcast_models: bool = True,
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): per document,
@@ -355,13 +372,36 @@ def importance_weights(
     distribution (e.g. curated text) than the raw SOURCE pool.
     Returns ``(id, logp_target, logp_source, log_w)``.
 
-    Both scorings reuse ONE shared gram derivation (computed here,
-    passed to both :func:`score_documents` calls), so the corpus pays
-    a single tokenize+explode; each model joins against those grams —
-    map-only when the models broadcast (the standard case: the target
-    model is trained on a small curated corpus, and the source model
-    is pruned)."""
+    Both scorings share ONE gram derivation. With
+    ``materialize_grams`` (default) the shared frame is
+    ``localCheckpoint``-ed so the corpus genuinely pays a single
+    tokenize+explode — without it the two scoring branches each
+    recompute the gram subplan (Spark reuses no un-materialized
+    subtree across actions); set False only when executor storage for
+    the gram frame costs more than the second scan (the page-cache
+    tradeoff corpus_pipeline documents for its LM gate).
+
+    ``target_vocab``/``source_vocab``: pass the training vocab sizes
+    when known — when either is unset, ONE driver job derives both
+    from the models' distinct predicted tokens at plan-build time
+    (still eager, but one job instead of the two that per-call
+    defaulting inside :func:`score_documents` would run)."""
     grams = _doc_ngrams(df, [id_col], text_col, n)
+    if materialize_grams:
+        grams = grams.localCheckpoint()
+    if target_vocab is None or source_vocab is None:
+        sides = (
+            target_model.select(F.lit(0).alias("__side"), "w")
+            .unionByName(source_model.select(F.lit(1).alias("__side"), "w"))
+            .distinct()
+            .groupBy("__side")
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        vs = {r["__side"]: int(r["v"]) for r in sides.collect()}
+        if target_vocab is None:
+            target_vocab = vs.get(0, 0)
+        if source_vocab is None:
+            source_vocab = vs.get(1, 0)
     t = score_documents(
         df, id_col, text_col, target_model, target_ctx, n=n,
         add_k=add_k, vocab_size=target_vocab,

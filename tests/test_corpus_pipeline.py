@@ -377,15 +377,23 @@ def test_ingest_mode_switch_refuses_loudly(spark, tmp_path):
         "doc_id long, text string",
     )
     root = str(tmp_path / "lake")
-    incremental_ingest(spark, docs, root)  # path mode
-    with _pytest.raises(ValueError, match="path-mode fingerprints"):
+    incremental_ingest(spark, docs, root)  # path mode, stamps marker
+    with _pytest.raises(ValueError, match="created in mode"):
         incremental_ingest(spark, docs, root, catalog_prefix="t_modeswitch")
-    # a docs layer whose fingerprint sidecar is missing (catalog-mode
-    # lake or crashed first batch) also refuses in path mode
+    # crashed-first-batch replay: docs landed, fingerprints didn't.
+    # WITH the mode marker this is provably a path-mode lake, so the
+    # replay proceeds and the id guard admits nothing twice — the
+    # self-heal a streaming checkpoint needs (it retries the same
+    # batch forever).
     import shutil
 
     shutil.rmtree(f"{root}/fingerprints")
-    with _pytest.raises(ValueError, match="no path-mode fingerprint"):
+    out = incremental_ingest(spark, docs, root)
+    assert out["admitted"] == 0
+    assert spark.read.parquet(f"{root}/docs").count() == 2
+    # legacy lake (no marker at all): ambiguous — refuse loudly
+    shutil.rmtree(f"{root}/_lake_mode")
+    with _pytest.raises(ValueError, match="no mode marker"):
         incremental_ingest(spark, docs, root)
 
 

@@ -439,12 +439,12 @@ def test_verify_pairs_levenshtein_kills_false_positives(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (1, 3)], "id_a long, id_b long"
     )
-    out = {
-        (r.id_a, r.id_b): (r.lev_dist, r.lev_len)
-        for r in dedup.verify_pairs_levenshtein(
-            docs, "doc_id", "text", pairs, prefix_len=100
-        ).collect()
-    }
+    rows = dedup.verify_pairs_levenshtein(
+        docs, "doc_id", "text", pairs, prefix_len=100
+    ).collect()
+    out = {(r.id_a, r.id_b): (r.lev_dist, r.lev_len) for r in rows}
+    # nothing here exceeds 100 normalized chars -> no truncation
+    assert all(r.lev_truncated is False for r in rows)
     d12, l12 = out[(1, 2)]
     d13, l13 = out[(1, 3)]
     assert d12 == 3  # dog -> cat
@@ -461,3 +461,4 @@ def test_verify_pairs_levenshtein_kills_false_positives(spark):
         prefix_len=50,
     ).collect()[0]
     assert r.lev_len == 50 and r.lev_dist == 0  # identical prefixes
+    assert r.lev_truncated is True  # the observability counter fires

@@ -97,6 +97,21 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         # copies add no vocabulary) + broadcast-model scoring; the
         # corpus-sized work is two gram scans -> expect ~linear
         "lm_score": lambda: _lm_score(docs),
+        # the self-trained corpus-sized-model fallback: scoring
+        # shuffle-joins grams against the model on (ctx, w) instead
+        # of broadcasting — the path a pruned-but-still-huge model
+        # takes; exponent should stay ~linear (hash join both sides)
+        "lm_score_shuffle": lambda: _lm_score(docs, broadcast=False),
+        # span hash-family adjudication (r6 verdict #1): the count
+        # window gets NO map-side partial aggregation, so the key
+        # width story must be measured, not asserted — md5 = raw
+        # 20-char substring key, fast = two flat xxhash64 longs
+        "span_md5": lambda: dedup.duplicate_spans(
+            docs, "doc_id", "text", hash_family="md5"
+        ).count(),
+        "span_fast": lambda: dedup.duplicate_spans(
+            docs, "doc_id", "text", hash_family="fast"
+        ).count(),
         # BPE: histogram (corpus-sized wordcount, constant vocab) +
         # constant merge loop + map-only Arrow encode -> ~linear
         "bpe_encode": lambda: _bpe_encode(docs),
@@ -111,14 +126,14 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
     }
 
 
-def _lm_score(docs: DataFrame) -> int:
+def _lm_score(docs: DataFrame, broadcast: bool = True) -> int:
     grams = lm.doc_ngrams(docs, ["doc_id"], "text", 2)
     counts = lm.ngram_counts(None, grams=grams)
     model = counts.filter(F.col("c") >= 2)
     ctx = lm.context_totals(None, counts=counts)
     return lm.score_documents(
         docs, "doc_id", "text", model, ctx,
-        broadcast_model=True, with_ppl=False, grams=grams,
+        broadcast_model=broadcast, with_ppl=False, grams=grams,
     ).count()
 
 
@@ -132,6 +147,9 @@ def _bpe_encode(docs: DataFrame) -> int:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # optional 3rd arg: comma-separated probe names to run (default
+    # all) — lets a single-question re-measure skip the full sweep
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     ks = [k for k in (1, 4, 16, 32, 64, 128) if k <= max_k]
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,6 +165,8 @@ def main() -> None:
         emb = scaled(emb0, "vec_id", k, n_emb).persist()
         docs.count(), emb.count()  # materialize once, outside timings
         for name, fn in probes(docs, emb).items():
+            if only is not None and name not in only:
+                continue
             fn()  # warm (codegen + exchange reuse)
             t0 = time.time()
             fn()
