@@ -681,7 +681,16 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     text.chunk_tokens (token windows, 40/8). The oracle twin computes
     the window arithmetic analytically — an independent formulation of
     the same contract, so substring/slice boundary math is checked
-    end-to-end."""
+    end-to-end.
+
+    Plan note (r7 SMJ audit): the packing join is the one
+    SortMergeJoin in this slot — pack_sequences emits ONE ROW PER DOC
+    off a range-repartitioned prefix-sum, so its build side is
+    corpus-sized by design and broadcasting it would ship the whole
+    corpus to every executor at 100 TB; a doc_id-keyed shuffle join
+    is the correct shape (the other per-doc rollups broadcast only
+    because AQE sees their sf-scale sizes). Locked by
+    tests/test_plan_shapes.py."""
     docs = load_table(spark, sf, "documents")
     base = docs.select(
         "doc_id",
@@ -1170,10 +1179,17 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     decision bit-for-bit. NULL ids are excluded up front on BOTH sides:
     a NULL sample key would sort NULLS FIRST in Spark's window but
     NULLS LAST in DuckDB's — the one ordering default the engines
-    disagree on."""
+    disagree on.
+
+    The filtered docs base is ``localCheckpoint``-ed: the eight tags
+    otherwise re-read `documents` 11 times (PLAN_REPORT r6), and the
+    measured warm tradeoff at sf0.1 is 2.77 s → 2.54 s min-of-4
+    (checkpoint write included) — the opposite call from the LM-gram
+    case, where the materialized frame is explode-sized rather than
+    table-sized (BASELINE.md r7 notes)."""
     docs = load_table(spark, sf, "documents").filter(
         F.col("doc_id").isNotNull()
-    )
+    ).localCheckpoint()
     samp = corpus_prep.stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_FRACTIONS,
         default_fraction=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED,

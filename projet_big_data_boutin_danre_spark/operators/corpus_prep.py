@@ -495,7 +495,12 @@ def corpus_diff(
     unchanged; emitting them would drown the signal).
 
     One full-outer join on the id carrying (id, fingerprint) — text
-    never shuffles; fingerprints are computed map-side."""
+    never shuffles; fingerprints are computed map-side. This plans as
+    a SortMergeJoin and that is CORRECT (r7 SMJ audit): both snapshot
+    sides are corpus-sized by definition, and a full-outer join can
+    never broadcast (every unmatched row on either side must surface)
+    — the narrow (id, 32-hex, bool) projection is what keeps the
+    shuffle cheap, not the join strategy."""
     from ..functions.hashing import stable_fingerprint
 
     # explicit presence markers: a NULL text fingerprints to NULL, so

@@ -406,3 +406,28 @@ def test_runtime_bloom_filter_prunes_join_scan(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_remaining_smjs_are_corpus_sized_by_design(spark, sf0001):
+    """r7 SMJ audit: exactly two SortMergeJoins survive across the 50
+    slots, both joins where BOTH sides are corpus-sized by design —
+    broadcast would ship the corpus to every executor at 100 TB:
+
+    - token_stats: the pack_sequences rollup (one row per doc off a
+      range-repartitioned prefix-sum) left-joined back on doc_id;
+    - corpus_sample: corpus_diff's FULL OUTER fingerprint join (full
+      outer can never broadcast — unmatched rows on either side must
+      surface).
+
+    A third SMJ appearing in either slot means a bounded build side
+    (df rollup, quantile bounds, keyword rollup) silently lost its
+    broadcast — fail loudly."""
+    plan = _plan(entrymod.queries()["token_stats"](spark, sf0001))
+    smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert len(smj) == 1, smj
+    assert "LeftOuter" in smj[0] and "doc_id" in smj[0]
+
+    plan = _plan(entrymod.queries()["corpus_sample"](spark, sf0001))
+    smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert len(smj) == 1, smj
+    assert "FullOuter" in smj[0]
