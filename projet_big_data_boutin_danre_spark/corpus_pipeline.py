@@ -283,10 +283,13 @@ def incremental_ingest(
     not atomic): admission ALSO anti-joins the docs layer on the id
     (id-column-pruned scan), so a crash between the appends cannot
     re-admit the same batch on replay — the id guard catches what the
-    missing fingerprint rows would have. Known residual: after such a
-    crash, the unrecorded fingerprints stay missing until the same
-    ids replay (which heals them); identical content arriving later
-    under a NEW id in that window would be admitted once more. NULL
+    missing fingerprint rows would have, AND the replay backfills the
+    missing fingerprints into the sidecar (they are recomputed on the
+    replayed batch, so the append costs no extra scan); the count is
+    surfaced as ``healed_fingerprints``. Known residual: between the
+    crash and the replay, identical content arriving under a NEW id
+    would be admitted once more — bounded by the source's replay
+    latency, not permanent. NULL
     text fingerprints to a reserved sentinel (never a hex digest), so
     NULL-content dedup works instead of NULL-propagating through the
     anti-join and re-admitting every batch.
@@ -304,7 +307,8 @@ def incremental_ingest(
     The docs layer itself stays plain parquet either way; the replay
     guard reads the narrow id sidecar, never the full docs table.
 
-    Returns counts: arrived, admitted (new + first-copy), appended.
+    Returns counts: arrived, admitted (new + first-copy),
+    healed_fingerprints (replay backfills), total_docs.
     """
     from .functions.hashing import stable_fingerprint
 
@@ -328,7 +332,18 @@ def incremental_ingest(
     marker_path = f"{out_root}/_lake_mode"
     recorded = None
     if _exists(spark, marker_path):
-        recorded = spark.read.parquet(marker_path).head()["mode"]
+        row = spark.read.parquet(marker_path).head()
+        if row is None:
+            # schema-readable but zero rows: an interrupted marker
+            # overwrite — refuse clearly instead of a None-subscript
+            # TypeError (the marker is 1 row; rewriting it is trivial)
+            raise ValueError(
+                f"lake at {out_root} has an EMPTY _lake_mode marker "
+                "(interrupted marker write?) — repair it by writing a "
+                "1-row parquet with the lake's mode ('path' or "
+                "'catalog:<prefix>') before ingesting"
+            )
+        recorded = row["mode"]
     if recorded is not None and recorded != mode:
         raise ValueError(
             f"lake at {out_root} was created in mode '{recorded}' but "
@@ -389,11 +404,28 @@ def incremental_ingest(
         admitted = batch
     # crash-replay guard: ids already admitted are never re-appended
     # even if their fingerprint append didn't land
+    prior_ids = None
     if bucketed and spark.catalog.tableExists(id_table):
         prior_ids = spark.table(id_table).select(id_col)
-        admitted = admitted.join(prior_ids, id_col, "left_anti")
     elif not bucketed and _exists(spark, docs_path):
         prior_ids = spark.read.parquet(docs_path).select(id_col)
+    healable = None
+    if prior_ids is not None:
+        # fingerprint-sidecar BACKFILL: a row the fingerprint guard
+        # passed (fingerprint absent) but the id guard catches (doc
+        # row present) is exactly a doc whose fingerprint append
+        # crashed before landing. Its fingerprint is in hand — just
+        # computed on this batch — so the replay appends it to the
+        # sidecar instead of only skipping the doc, which would leave
+        # content-level dedup silently off for the whole crashed batch
+        # (identical content under a NEW id would be re-admitted
+        # later). Empty on every healthy batch: a fully-landed batch
+        # is dropped by the fingerprint guard before reaching here.
+        healable = (
+            admitted.join(prior_ids, id_col, "left_semi")
+            .select("fingerprint", id_col)
+            .localCheckpoint()
+        )
         admitted = admitted.join(prior_ids, id_col, "left_anti")
     # one materialization for the consumers below (count + appends) —
     # otherwise the dedup + both anti-joins re-run per consumer, and
@@ -401,6 +433,17 @@ def incremental_ingest(
     # file changed between jobs
     admitted = admitted.localCheckpoint()
     n_admitted = admitted.count()
+    n_healed = healable.count() if healable is not None else 0
+    if n_healed:
+        if bucketed:
+            (
+                healable.write.mode("append")
+                .format("parquet")
+                .bucketBy(32, "fingerprint")
+                .saveAsTable(fp_table)
+            )
+        else:
+            healable.write.mode("append").parquet(fp_path)
     if n_admitted:
         admitted.drop("fingerprint").write.mode("append").parquet(docs_path)
         if bucketed:
@@ -433,6 +476,7 @@ def incremental_ingest(
     return {
         "arrived": arrived,
         "admitted": n_admitted,
+        "healed_fingerprints": n_healed,
         "total_docs": spark.read.parquet(docs_path).count()
         if _exists(spark, docs_path)
         else 0,

@@ -831,7 +831,21 @@ def duplicate_spans(
             (F.max("p") + F.lit(min_len - 1)).alias("span_end"),
         )
         .select(
-            F.col("id").alias(id_col), "span_start", "span_end"
+            F.col("id").alias(id_col),
+            # offsets-view marker: records WHICH text view the ranges
+            # index ("raw" = the original text_col via the
+            # length-preserving normalization; "normalized" = the
+            # run-collapsing view). cut_duplicate_spans refuses a
+            # precomputed spans frame whose marker contradicts its
+            # preserve_original mode — cutting normalized-view offsets
+            # out of raw text silently removes the WRONG characters.
+            F.col("span_start").alias(
+                "span_start",
+                metadata={
+                    "span_offsets": "raw" if preserve_offsets else "normalized"
+                },
+            ),
+            "span_end",
         )
     )
 
@@ -909,6 +923,7 @@ def cut_duplicate_spans(
     out_col: str = "cut_text",
     hash_family: str = "md5",
     preserve_original: bool = False,
+    spans_aligned: bool | None = None,
 ) -> DataFrame:
     """The ACTION step of the Lee et al. 2022 signal: remove every
     duplicated span from each document's text (the paper cuts rather
@@ -927,6 +942,21 @@ def cut_duplicate_spans(
     transform the paper never asks for). ``hash_family`` forwards to
     the internal span detection; ignored when ``spans`` is passed.
 
+    **Precomputed-spans alignment contract**: span offsets index the
+    text view they were detected on, so a ``spans`` frame combined
+    with the WRONG ``preserve_original`` mode silently cuts the wrong
+    characters. :func:`duplicate_spans` stamps its output with a
+    ``span_offsets`` column-metadata marker ("raw" when detected with
+    ``preserve_offsets=True``, else "normalized"); this function
+    REFUSES a marker that contradicts ``preserve_original``. A spans
+    frame without the marker (hand-built, or round-tripped through a
+    metadata-stripping sink) must declare its alignment explicitly
+    with ``spans_aligned=True`` ("these offsets index the view this
+    call cuts from: raw text if ``preserve_original`` else the
+    run-collapsing normalization") — otherwise the call raises
+    instead of corrupting output. ``spans_aligned`` is consulted only
+    when the marker is absent; a present marker is authoritative.
+
     Plan: spans (precomputable, see :func:`duplicate_spans`) are
     rolled up to one sorted struct array per doc (merged islands are
     non-overlapping by construction), joined to the docs, and the cut
@@ -940,6 +970,31 @@ def cut_duplicate_spans(
             df, id_col, text_col, min_len, hash_family,
             preserve_offsets=preserve_original,
         )
+    else:
+        expected = "raw" if preserve_original else "normalized"
+        marker = None
+        if "span_start" in spans.columns:
+            marker = (spans.schema["span_start"].metadata or {}).get(
+                "span_offsets"
+            )
+        if marker is not None:
+            if marker != expected:
+                raise ValueError(
+                    f"precomputed spans carry span_offsets='{marker}' "
+                    f"but preserve_original={preserve_original} cuts "
+                    f"from the '{expected}' view — these offsets would "
+                    "cut the wrong characters. Re-detect with "
+                    f"duplicate_spans(..., preserve_offsets="
+                    f"{preserve_original})."
+                )
+        elif spans_aligned is not True:
+            raise ValueError(
+                "precomputed spans have no span_offsets marker; pass "
+                "spans_aligned=True to assert they were detected with "
+                f"preserve_offsets={preserve_original} (offsets must "
+                f"index the '{expected}' text view), or re-detect via "
+                "duplicate_spans which stamps the marker"
+            )
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))

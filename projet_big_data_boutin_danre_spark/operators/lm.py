@@ -377,9 +377,17 @@ def importance_weights(
     ``localCheckpoint``-ed so the corpus genuinely pays a single
     tokenize+explode — without it the two scoring branches each
     recompute the gram subplan (Spark reuses no un-materialized
-    subtree across actions); set False only when executor storage for
-    the gram frame costs more than the second scan (the page-cache
-    tradeoff corpus_pipeline documents for its LM gate).
+    subtree across actions). The tradeoff is NOT only storage:
+    ``localCheckpoint`` pins an explode-sized frame (a multiple of
+    the corpus) on executor block storage AND truncates lineage — a
+    lost executor then FAILS the job instead of recomputing the lost
+    blocks, while the two-scan plan is fully recoverable. The default
+    suits single-node / small-cluster runs where the frame fits and
+    executors don't churn; at the 100 TB design point set
+    ``materialize_grams=False`` (two recoverable scans beat pinning
+    corpus-×-n grams — the same call the corpus_pipeline LM gate
+    makes, which checkpoints only the MODEL-sized counts, never the
+    gram frame).
 
     ``target_vocab``/``source_vocab``: pass the training vocab sizes
     when known — when either is unset, ONE driver job derives both

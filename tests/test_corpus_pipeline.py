@@ -174,7 +174,10 @@ def test_incremental_ingest_is_idempotent_and_content_keyed(spark, tmp_path):
         schema,
     )
     r1 = incremental_ingest(spark, b1, root)
-    assert r1 == {"arrived": 3, "admitted": 2, "total_docs": 2}
+    assert r1 == {
+        "arrived": 3, "admitted": 2, "healed_fingerprints": 0,
+        "total_docs": 2,
+    }
 
     # replay the same batch: nothing admitted
     r1b = incremental_ingest(spark, b1, root)
@@ -186,7 +189,10 @@ def test_incremental_ingest_is_idempotent_and_content_keyed(spark, tmp_path):
         schema,
     )
     r2 = incremental_ingest(spark, b2, root)
-    assert r2 == {"arrived": 2, "admitted": 1, "total_docs": 3}
+    assert r2 == {
+        "arrived": 2, "admitted": 1, "healed_fingerprints": 0,
+        "total_docs": 3,
+    }
     texts = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{root}/docs").collect()
@@ -287,17 +293,34 @@ def test_incremental_ingest_bucketed_catalog_mode(spark, tmp_path):
             schema,
         )
         r1 = incremental_ingest(spark, b1, root, catalog_prefix=prefix)
-        assert r1 == {"arrived": 3, "admitted": 2, "total_docs": 2}
+        assert r1 == {
+            "arrived": 3, "admitted": 2, "healed_fingerprints": 0,
+            "total_docs": 2,
+        }
         # replay: id guard + fingerprint guard both hold
         r1b = incremental_ingest(spark, b1, root, catalog_prefix=prefix)
         assert r1b["admitted"] == 0 and r1b["total_docs"] == 2
-        # cross-batch content dup admits once
+        assert r1b["healed_fingerprints"] == 0
+        # crash between the ids append and the fingerprints append
+        # (the documented residual window of the docs→ids→fps order):
+        # replay must admit nothing AND backfill the missing
+        # fingerprints from the batch in hand
+        spark.sql(f"DROP TABLE {prefix}_fingerprints")
+        r1c = incremental_ingest(spark, b1, root, catalog_prefix=prefix)
+        assert r1c["admitted"] == 0
+        assert r1c["healed_fingerprints"] == 2
+        assert spark.table(f"{prefix}_fingerprints").count() == 2
+        # cross-batch content dup admits once — running off the HEALED
+        # sidecar proves the backfill restored content-level dedup
         b2 = spark.createDataFrame(
             [(10, "epsilon zeta", "fr"), (11, "gamma DELTA", "en")],
             schema,
         )
         r2 = incremental_ingest(spark, b2, root, catalog_prefix=prefix)
-        assert r2 == {"arrived": 2, "admitted": 1, "total_docs": 3}
+        assert r2 == {
+            "arrived": 2, "admitted": 1, "healed_fingerprints": 0,
+            "total_docs": 3,
+        }
         # both sidecars exist, bucketed: an anti-join against them
         # needs exactly ONE Exchange (the probe side), never one on
         # the bucketed scan
@@ -391,8 +414,33 @@ def test_ingest_mode_switch_refuses_loudly(spark, tmp_path):
     out = incremental_ingest(spark, docs, root)
     assert out["admitted"] == 0
     assert spark.read.parquet(f"{root}/docs").count() == 2
-    # legacy lake (no marker at all): ambiguous — refuse loudly
+    # ...and the replay BACKFILLS the missing fingerprint sidecar from
+    # the batch in hand (id-guarded rows recompute their fingerprints)
+    # — without it, content dedup for the crashed batch is silently
+    # lost: identical content under a NEW id would be re-admitted.
+    assert out["healed_fingerprints"] == 2
+    fps = spark.read.parquet(f"{root}/fingerprints")
+    assert fps.count() == 2
+    dup_new_id = spark.createDataFrame(
+        [(99, "ALPHA   beta!")], "doc_id long, text string"
+    )  # normalized dup of doc 1 under a fresh id
+    out2 = incremental_ingest(spark, dup_new_id, root)
+    assert out2["admitted"] == 0
+    assert out2["healed_fingerprints"] == 0  # healthy batch: no heal
+    assert spark.read.parquet(f"{root}/docs").count() == 2
+    # empty marker layer (interrupted overwrite): refuse with the
+    # repair message, not a None-subscript TypeError
+    spark.createDataFrame([], "mode string").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/_lake_mode")
+    with _pytest.raises(ValueError, match="EMPTY _lake_mode marker"):
+        incremental_ingest(spark, docs, root)
+    # legacy lake (no marker at all, no fingerprint sidecar — the
+    # heal above restored it, so remove it again): ambiguous between
+    # a catalog-mode lake and a pre-marker crashed first batch —
+    # refuse loudly
     shutil.rmtree(f"{root}/_lake_mode")
+    shutil.rmtree(f"{root}/fingerprints")
     with _pytest.raises(ValueError, match="no mode marker"):
         incremental_ingest(spark, docs, root)
 

@@ -406,6 +406,76 @@ def test_cut_duplicate_spans_preserve_original(spark):
     assert got[2][0].startswith("Other start")
 
 
+def test_cut_duplicate_spans_alignment_guard(spark):
+    """The precomputed-spans alignment contract (r7 verdict #2):
+    offsets detected over one text view must never be cut from the
+    other. duplicate_spans stamps a span_offsets metadata marker;
+    cut_duplicate_spans refuses a contradicting marker, refuses
+    unmarked spans without an explicit spans_aligned=True, and
+    accepts the matching pairings unchanged."""
+    import pytest
+
+    rows = [
+        (1, "AA abcdefghijklmnopqrstuvwxyz zz"),
+        (2, "BB abcdefghijklmnopqrstuvwxyz yy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm_spans = dedup.duplicate_spans(df, "doc_id", "text")
+    raw_spans = dedup.duplicate_spans(
+        df, "doc_id", "text", preserve_offsets=True
+    )
+
+    # markers stamped by detection
+    assert (
+        norm_spans.schema["span_start"].metadata["span_offsets"]
+        == "normalized"
+    )
+    assert raw_spans.schema["span_start"].metadata["span_offsets"] == "raw"
+
+    # mismatched pairings REFUSED in both directions
+    with pytest.raises(ValueError, match="span_offsets='normalized'"):
+        dedup.cut_duplicate_spans(
+            df, "doc_id", "text", spans=norm_spans, preserve_original=True
+        )
+    with pytest.raises(ValueError, match="span_offsets='raw'"):
+        dedup.cut_duplicate_spans(
+            df, "doc_id", "text", spans=raw_spans, preserve_original=False
+        )
+
+    # matched pairings accepted, identical to internal detection
+    for spans, po in ((norm_spans, False), (raw_spans, True)):
+        a = sorted(
+            map(
+                tuple,
+                dedup.cut_duplicate_spans(
+                    df, "doc_id", "text", spans=spans, preserve_original=po
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.cut_duplicate_spans(
+                    df, "doc_id", "text", preserve_original=po
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    # unmarked spans (hand-built, or rebuilt under a plain schema that
+    # dropped the marker): refused without the explicit assertion,
+    # accepted with it
+    unmarked = spark.createDataFrame(
+        norm_spans.collect(), "doc_id long, span_start int, span_end int"
+    )
+    with pytest.raises(ValueError, match="spans_aligned=True"):
+        dedup.cut_duplicate_spans(df, "doc_id", "text", spans=unmarked)
+    ok = dedup.cut_duplicate_spans(
+        df, "doc_id", "text", spans=unmarked, spans_aligned=True
+    )
+    assert ok.count() == 2
+
+
 def test_top_duplicate_windows_hash_family_parity(spark):
     rows = [
         (1, "xx abcdefghijklmnopqrstuvwxyz tail one"),
