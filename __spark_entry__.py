@@ -636,7 +636,17 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     float perplexity itself is pytest-pinned against a pure-Python
     reference (ln + float summation are not bit-stable across
     engines). Docs too short to score keep their profile row via the
-    left join with zero defaults."""
+    left join with zero defaults.
+
+    r8 widening: the learned quality classifier's deterministic
+    surface (ml/quality_model.py — the filter-model leg next to the
+    ppl gate). The FIT is iterative MLlib L-BFGS with no SQL twin
+    (AUC + reproducibility pytest-gated, like the IVF k-means), but
+    its training INPUTS are exact cross-engine and ride here:
+    ``qm_label`` (the weak teacher label, quality >= 0.5) and
+    ``qm_train`` (the md5 80/20 split flag, ml/regression.py:
+    hash_split_flag — first md5 byte < 205). Hash-checking them pins
+    the exact example set any retrain sees."""
     docs = load_table(spark, sf, "documents")
     prof = text.text_profile(docs, "doc_id", "text", include_pii=True)
     rep = text.repetition_profile(docs, "doc_id", "text").drop("n_tokens")
@@ -658,6 +668,10 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
         docs, "doc_id", "text", model, ctx, n=2, grams=grams,
         with_ppl=False,
     )
+    from projet_big_data_boutin_danre_spark.ml.regression import (
+        hash_split_flag,
+    )
+
     zero = F.lit(0).cast("bigint")
     return (
         prof.join(rep, "doc_id")
@@ -668,6 +682,11 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
                 "lm_hits": F.coalesce("lm_hits", zero),
                 "lm_c": F.coalesce("lm_c", zero),
                 "lm_ctx": F.coalesce("lm_ctx", zero),
+                # classifier weak-label surface: computed on the
+                # slot's ROUNDED quality column so the 0.5 comparison
+                # sees the identical value both engines hash
+                "qm_label": (F.col("quality") >= F.lit(0.5)).cast("int"),
+                "qm_train": hash_split_flag(["doc_id"]).cast("int"),
             }
         )
     )
@@ -1886,7 +1905,18 @@ def _sql_text_profile() -> str:
                coalesce(ld.lm_grams, 0) AS lm_grams,
                coalesce(ld.lm_hits, 0) AS lm_hits,
                coalesce(ld.lm_c, 0) AS lm_c,
-               coalesce(ld.lm_ctx, 0) AS lm_ctx
+               coalesce(ld.lm_ctx, 0) AS lm_ctx,
+               -- classifier weak-label surface (r8): teacher label
+               -- off the rounded quality alias (DuckDB lateral alias
+               -- ref), split flag = first md5 byte < 205 (the
+               -- hash_split_flag contract)
+               CAST(quality >= 0.5 AS INT) AS qm_label,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(h.doc_id AS VARCHAR)), 1, 1)) - 1)
+                    * 16
+                    + (instr('0123456789abcdef',
+                             substr(md5(CAST(h.doc_id AS VARCHAR)), 2, 1)) - 1)
+                    < 205 AS INT) AS qm_train
         FROM hits h
         JOIN ntok nk ON nk.doc_id = h.doc_id
         LEFT JOIN rep_agg ra ON ra.doc_id = h.doc_id

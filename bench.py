@@ -91,12 +91,17 @@ def skew_probe(spark, sf_dir: str) -> dict[str, float]:
 
 
 def fast_hash_probe(spark, sf_dir: str) -> dict[str, float]:
-    """Production hash-family pair: the md5 family is what the oracle
-    can reproduce; hash_family="fast" (xxhash64, numeric signatures
-    and band keys) is what a real 100 TB dedup run should use. The
-    timing pair documents the constant-factor win (~2x on LSH pairs
-    measured at sf0.1); candidate SEMANTICS equivalence is pytest-
-    covered (tests/test_corpus_ops.py::test_fast_hash_family_*)."""
+    """Hash-family probe pairs: the md5 family is what the oracle can
+    reproduce; hash_family="fast" (xxhash64, numeric signatures and
+    band keys) is the production default for its hashing/aggregation
+    economics. NOTE (r8 adjudication, SCALE.md): the lsh_pairs pair
+    is NOT a clean constant-factor comparison — the families emit
+    different candidate SETS (same collision statistics, different
+    hash draws), so single-run deltas here mix stage cost with
+    candidate-volume luck and have inverted across rounds; the
+    order-bias-free story lives in tools/ab_probe.py + SCALE.md.
+    Candidate-statistics equivalence is pytest-covered
+    (tests/test_corpus_ops.py::test_fast_hash_family_*)."""
     from projet_big_data_boutin_danre_spark.operators import dedup as dd
     from projet_big_data_boutin_danre_spark.sources.readers import load_table
 
@@ -184,9 +189,13 @@ def skew_plan_probe(spark) -> float:
             spark.conf.set(k, v)
 
 
-def corpus_pipeline_probe(spark, sf_dir: str) -> float:
+def corpus_pipeline_probe(spark, sf_dir: str, cut_spans: bool = False) -> float:
     """One cold end-to-end corpus-pipeline run (all six layers,
     parquet writes included) into a throwaway lake; returns seconds.
+    ``cut_spans=True`` times the PRODUCTION span-cut configuration as
+    shipped (span detection over the aligned view, fast hash family,
+    raw-text HOF-fold cut) on top of the same recipe — the delta vs
+    the plain run is what the cut stage costs end-to-end.
     Returns -1.0 on failure — the graded per-query numbers must not
     die on a probe."""
     import shutil
@@ -207,6 +216,7 @@ def corpus_pipeline_probe(spark, sf_dir: str) -> float:
             CorpusRecipe(
                 sample_fractions={"en": 1.0, "fr": 1.0},
                 sample_default=0.5,
+                cut_spans=cut_spans,
             ),
             force=True,
         )
@@ -215,6 +225,44 @@ def corpus_pipeline_probe(spark, sf_dir: str) -> float:
         return -1.0
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def observability_probe(spark, sf_dir: str) -> dict[str, float]:
+    """Not timings: the accuracy/convergence counters the operators
+    expose, surfaced per-round so a regression is visible in the
+    BENCH_r* series instead of only inside a debugging session.
+
+    - ``cc_rounds``: executed large-star/small-star rounds for the
+      sf-volume near-dup component build (expected O(log² n); 4 at
+      sf0.1 — a jump means pathological chaining or a convergence
+      bug).
+    - ``lev_truncated_pairs``: LSH candidate pairs whose levenshtein
+      verification hit the prefix cap on either side (0 at sf0.1 —
+      growth means the verifier increasingly judges prefixes, and
+      prefix_len needs revisiting).
+    Returns -1.0 values on failure."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators import dedup as dd
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    out = {"cc_rounds": -1.0, "lev_truncated_pairs": -1.0}
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", hash_family="fast"
+        ).localCheckpoint()
+        stats: dict = {}
+        dd.connected_components(pairs, stats=stats).count()
+        out["cc_rounds"] = float(stats.get("rounds", -1))
+        ver = dd.verify_pairs_levenshtein(docs, "doc_id", "text", pairs)
+        row = ver.agg(
+            F.sum(F.col("lev_truncated").cast("long")).alias("t")
+        ).head()
+        out["lev_truncated_pairs"] = float(row["t"] or 0)
+    except Exception:
+        pass
+    return out
 
 
 def bpe_probe(spark, sf_dir: str) -> float:
@@ -315,6 +363,13 @@ def main() -> None:
     # timed individually; this measures stage-composition overhead +
     # the write path)
     timings["corpus_pipeline_e2e"] = corpus_pipeline_probe(spark, sf_dir)
+    # same program with the PRODUCTION span-cut stage enabled
+    # (cut_spans=True: aligned-view detection, fast family, raw-text
+    # fold) — excluded from the headline; the delta vs
+    # corpus_pipeline_e2e is the end-to-end cost of the cut stage
+    timings["corpus_pipeline_e2e_cut"] = corpus_pipeline_probe(
+        spark, sf_dir, cut_spans=True
+    )
     # BPE tokenizer: train (one wordcount shuffle + bounded-histogram
     # merge loop) + full-corpus Arrow encode — bench-only, excluded
     # from the headline total (pytest-verified family; not
@@ -323,6 +378,10 @@ def main() -> None:
     # 1.0/0.0 flag (not a timing): did OptimizeSkewedJoin split the
     # hot partition in the final adaptive plan?
     timings["skew_join_plan_split"] = skew_plan_probe(spark)
+    # operator observability counters (not timings): component-loop
+    # convergence rounds + levenshtein prefix-cap hits — carried in
+    # the round series so regressions surface between rounds
+    timings.update(observability_probe(spark, sf_dir))
 
     print(
         json.dumps(

@@ -62,6 +62,17 @@ class CorpusRecipe:
     # externally and filter with lm.perplexity_filter directly.
     max_ppl: float | None = None
     lm_min_count: int = 2
+    # learned quality gate (None = off): train the weak-supervised
+    # TF-IDF logistic classifier (ml/quality_model.py — heuristic
+    # quality_score as teacher, md5 train/test split) on the
+    # heuristically-gated docs, then keep docs the model scores
+    # >= this probability. The filter-model leg of the corpus stack
+    # (fastText-style recipe), alongside the relative ppl gate and
+    # DSIR. Like max_ppl it is RELATIVE — the model learns "what this
+    # corpus's high-heuristic docs look like"; to gate against an
+    # external curated corpus, train with train_quality_model on that
+    # corpus and apply its .score() yourself.
+    quality_model_min_p: float | None = None
     # Lee et al. 2022 ACTION step (False = off): after near-dup
     # removal, CUT duplicated >= cut_span_min_len-char substrings out
     # of each surviving doc's ORIGINAL text instead of only dropping
@@ -174,19 +185,42 @@ def run_corpus_pipeline(
                 broadcast_model=recipe.lm_broadcast,
                 grams=grams,
             )
+        if recipe.quality_model_min_p is not None:
+            # the learned quality gate: heuristic-taught TF-IDF
+            # logistic classifier, trained on (and applied to) the
+            # docs that survived the gates above. Training is MLlib's
+            # distributed L-BFGS (treeAggregate gradients); scoring
+            # broadcasts only the coefficient vector — a narrow map,
+            # no shuffle on the corpus side.
+            from .ml.quality_model import train_quality_model
+
+            qm = train_quality_model(gated_docs, id_col, text_col)
+            keep_q = (
+                qm.score(gated_docs, id_col, text_col)
+                .filter(F.col("p_quality") >= recipe.quality_model_min_p)
+                .select(F.col(id_col))
+            )
+            gated_docs = gated_docs.join(keep_q, id_col, "left_semi")
         return gated_docs
 
     gated = stage("gated", build_gated)
 
     def build_deduped() -> DataFrame:
-        # hash families per measurement, not dogma: the groupBy dedup
-        # ops (exact_dedup, minhash_lsh_pairs) take the xxhash64
-        # "fast" path — narrower map-side-combined keys, measured
-        # faster at every volume (BASELINE.md lsh_pairs probes). The
-        # span stage below takes recipe.span_hash_family (default
-        # "fast"): its count window gets no partial aggregation and
-        # the families CROSS OVER — raw substring key faster below
-        # ~4x sf0.1 per node, fast ~10% faster at 32x and trending
+        # hash families per measurement, not dogma (SCALE.md r8 LSH
+        # adjudication): exact_dedup and minhash_lsh_pairs take the
+        # xxhash64 "fast" path because its hashing/aggregation stage
+        # is measured faster at every volume (2.15x at 32x sf0.1) and
+        # avoids md5's string-min SortAggregate buffers. NOTE the
+        # end-to-end LSH time at high duplication is dominated by
+        # CANDIDATE VOLUME, which differs between families only as
+        # sampling variance of the hash draw (+30% for fast on the
+        # sf0.1 probe corpus, the other direction is equally
+        # possible) — candidate volume is governed by bands/rows and
+        # the production hot-bucket cap, not the family. The span
+        # stage below takes recipe.span_hash_family (default "fast"):
+        # its count window gets no partial aggregation and the
+        # families CROSS OVER — raw substring key faster below ~4x
+        # sf0.1 per node, fast ~10% faster at 32x and trending
         # (SCALE.md span adjudication table).
         exact = dedup.exact_dedup(
             gated, id_col, text_col, hash_family="fast"

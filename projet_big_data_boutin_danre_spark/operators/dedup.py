@@ -179,10 +179,15 @@ def minhash_signatures(
 
     ``hash_family="fast"`` (production): component ``s`` is
     ``xxhash64(s, shingle)`` — a JVM-intrinsic streaming hash; the
-    signature is a LONG and the min is a numeric min, so the aggregate
-    buffer is 8 longs instead of 8 strings. Same candidate-recall
-    statistics (any uniform hash induces a uniform order); not
-    bit-reproducible in ANSI SQL, hence not the oracle default.
+    signature is a LONG and the min is a numeric min, so the
+    aggregation stays in HashAggregate (md5's string-min buffers are
+    immutable → the whole agg demotes to SortAggregate). Measured
+    uniformly faster (SCALE.md r8: −11% at 1× sf0.1 growing to 2.15×
+    at 32×). Same candidate-recall STATISTICS (any uniform hash
+    induces a uniform order) but not the same candidate SET — a
+    different hash draw collides different borderline buckets
+    downstream (see ``minhash_lsh_pairs``). Not bit-reproducible in
+    ANSI SQL, hence not the oracle default.
 
     One explode + one hash-aggregate; partial mins combine map-side so
     the shuffle carries one row per (doc, partition)."""
@@ -249,9 +254,22 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
     one LSH band bucket. ``hash_family="fast"`` switches signatures and
     band keys from md5 hex strings to xxhash64 longs (see
-    ``minhash_signatures``) — same recall statistics, much cheaper
-    hashing and narrower shuffles; the md5 default is what the oracle
-    reproduces.
+    ``minhash_signatures``) — same recall STATISTICS, measurably
+    cheaper hashing; the md5 default is what the oracle reproduces.
+
+    MEASURED (SCALE.md r8 LSH adjudication, interleaved min-of-4 at
+    1×–32× sf0.1): the signature/banding stage is uniformly faster
+    under fast (−11% at 1× to 2.15× at 32×), but END-TO-END time at
+    high duplication is dominated by candidate VOLUME, and the two
+    families emit different candidate SETS — same expected collision
+    rate j² per band, different hash draws, so different borderline
+    medium-Jaccard buckets actually collide (fast drew +30% pairs on
+    the probe corpus; the reverse is equally possible elsewhere).
+    Consequently neither family "wins LSH" end-to-end: pick fast for
+    the hashing economics, and control candidate volume with the
+    knobs that govern it — ``bands``/``num_hashes`` and
+    ``max_bucket``. Track the returned pair count across corpus
+    versions; a swing there is workload, not regression.
 
     One aggregation per bucket (collect ids) + double-explode pair
     expansion: a single pass over the signatures — no self-join, so

@@ -445,6 +445,41 @@ def test_ingest_mode_switch_refuses_loudly(spark, tmp_path):
         incremental_ingest(spark, docs, root)
 
 
+def test_quality_model_gate_is_deterministic_and_monotone(spark, tmp_path, sf0001):
+    """quality_model_min_p: the learned-filter leg of the gate stage.
+    The classifier gate must (a) only ever REMOVE docs relative to the
+    heuristic gates, (b) be deterministic across re-runs (md5 split +
+    LBFGS on identical data — no RNG), (c) keep the pipeline green
+    end-to-end."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    recipe = CorpusRecipe(
+        min_tokens=1, min_quality=0.0, quality_model_min_p=0.5,
+    )
+    root = str(tmp_path / "lake_qm")
+    try:
+        c1 = run_corpus_pipeline(spark, docs, root, recipe, force=True)
+        assert 0 < c1["gated"] <= c1["profiled"]
+        c2 = run_corpus_pipeline(spark, docs, root, recipe, force=True)
+        assert c2["gated"] == c1["gated"]
+        # the gate only removes: every gated id came from the input
+        gated_ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/gated").collect()
+        }
+        all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        assert gated_ids <= all_ids
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_cut_spans_stage_removes_shared_boilerplate(spark, tmp_path):
     """cut_spans=True: the deduped layer carries the normalized text
     with cross-doc duplicated substrings REMOVED (Lee et al. cut, not

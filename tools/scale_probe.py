@@ -112,6 +112,20 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         "span_fast": lambda: dedup.duplicate_spans(
             docs, "doc_id", "text", hash_family="fast"
         ).count(),
+        # the PRODUCTION span-cut path as the corpus_pipeline ships it
+        # (r7 verdict #3): aligned-view detection (preserve_offsets)
+        # + spans rollup join + raw-text HOF fold — everything the
+        # cut stage adds on top of span detection; expect the span
+        # detection exponent plus a near-constant fold overhead.
+        # Forced via sum(length(cut_text)) — a bare count() lets the
+        # optimizer delete the row-preserving left join and with it
+        # the entire spans subplan.
+        "span_cut": lambda: dedup.cut_duplicate_spans(
+            docs, "doc_id", "text", hash_family="fast",
+            preserve_original=True,
+        )
+        .select(F.sum(F.length("cut_text")), F.sum("n_cut_chars"))
+        .collect(),
         # BPE: histogram (corpus-sized wordcount, constant vocab) +
         # constant merge loop + map-only Arrow encode -> ~linear
         "bpe_encode": lambda: _bpe_encode(docs),
