@@ -236,17 +236,25 @@ def observability_probe(spark, sf_dir: str) -> dict[str, float]:
       sf-volume near-dup component build (expected O(log² n); 4 at
       sf0.1 — a jump means pathological chaining or a convergence
       bug).
-    - ``lev_truncated_pairs``: LSH candidate pairs whose levenshtein
-      verification hit the prefix cap on either side (0 at sf0.1 —
-      growth means the verifier increasingly judges prefixes, and
-      prefix_len needs revisiting).
+    - ``lev_truncated_pairs`` / ``lev_pairs_total``: LSH candidate
+      pairs whose levenshtein verification hit the default 100-char
+      prefix cap on either side, plus the denominator. At sf0.1 the
+      ratio is ~97% — synthetic docs are mostly longer than the
+      prefix, so the verifier is judging prefixes BY DESIGN (the
+      bounded-cost contract); the number to watch across rounds is
+      the RATIO moving, not the absolute count (which tracks the
+      candidate volume).
     Returns -1.0 values on failure."""
     from pyspark.sql import functions as F
 
     from projet_big_data_boutin_danre_spark.operators import dedup as dd
     from projet_big_data_boutin_danre_spark.sources.readers import load_table
 
-    out = {"cc_rounds": -1.0, "lev_truncated_pairs": -1.0}
+    out = {
+        "cc_rounds": -1.0,
+        "lev_truncated_pairs": -1.0,
+        "lev_pairs_total": -1.0,
+    }
     try:
         docs = load_table(spark, sf_dir, "documents")
         pairs = dd.minhash_lsh_pairs(
@@ -257,9 +265,11 @@ def observability_probe(spark, sf_dir: str) -> dict[str, float]:
         out["cc_rounds"] = float(stats.get("rounds", -1))
         ver = dd.verify_pairs_levenshtein(docs, "doc_id", "text", pairs)
         row = ver.agg(
-            F.sum(F.col("lev_truncated").cast("long")).alias("t")
+            F.sum(F.col("lev_truncated").cast("long")).alias("t"),
+            F.count(F.lit(1)).alias("n"),
         ).head()
         out["lev_truncated_pairs"] = float(row["t"] or 0)
+        out["lev_pairs_total"] = float(row["n"] or 0)
     except Exception:
         pass
     return out
