@@ -930,19 +930,31 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
       (large-star/small-star, operators/dedup.py:connected_components)
       — id_a = doc, id_b = component (min reachable id), n NULL;
     - ``cluster``: one row per duplicate cluster — id_a = keeper
-      (component min), id_b NULL, n = cluster size.
+      (component min), id_b NULL, n = cluster size;
+    - ``bucket`` (r8): the candidate-volume diagnostic
+      (operators/dedup.py:lsh_bucket_profile) — one row per occupied
+      bucket size ≥ 2: id_a = bucket_size, id_b = candidate_pairs
+      (n_buckets · C(size, 2) within-bucket expansions), n =
+      n_buckets. The r8 LSH adjudication showed candidate volume, not
+      hash-family stage cost, dominates dedup end-to-end — this tag
+      hash-pins the exact volume the md5 banding produces.
 
     The oracle twin recomputes the components with a recursive
     transitive-closure CTE — an independent formulation (closure +
     group-min vs star-contraction), so the iterative Spark algorithm
     is checked against graph-reachability ground truth, not against
-    itself."""
+    itself; the bucket histogram is an independent GROUP BY over the
+    same bands CTE."""
     docs = load_table(spark, sf, "documents")
-    # materialize the LSH pairs once: the 'pair' output branch and the
-    # component iteration would otherwise each recompute the full
-    # shingle→signature→band plan
+    # materialize the BANDS once: the pair branch, the component
+    # iteration, and the bucket profile all consume the
+    # shingle→signature→band subplan
+    bands = dedup.lsh_bands(
+        dedup.minhash_signatures(docs, "doc_id", "text", 8, 8), 8, 4
+    ).localCheckpoint()
     pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8
+        docs, "doc_id", "text", num_hashes=8, bands=4, shingle_k=8,
+        bands_df=bands,
     ).localCheckpoint()
     members = dedup.connected_components(pairs)
     nul = F.lit(None).cast("bigint")
@@ -960,7 +972,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.lit("cluster").alias("tag"), "id_a", nul.alias("id_b"), "n"
     )
-    return p.unionByName(m).unionByName(c)
+    bkt = dedup.lsh_bucket_profile(None, bands_df=bands).select(
+        F.lit("bucket").alias("tag"),
+        F.col("bucket_size").alias("id_a"),
+        F.col("candidate_pairs").alias("id_b"),
+        F.col("n_buckets").alias("n"),
+    )
+    return p.unionByName(m).unionByName(c).unionByName(bkt)
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -2907,6 +2925,19 @@ def oracle_sql() -> dict[str, str]:
             comp AS (
                 SELECT u AS node, least(u, min(v)) AS component
                 FROM reach GROUP BY u
+            ),
+            -- bucket-size histogram over the same bands (r8): the
+            -- candidate-volume diagnostic the LSH adjudication
+            -- showed dominates end-to-end dedup cost
+            bsizes AS (
+                SELECT band, band_key, count(*) AS sz
+                FROM bands GROUP BY 1, 2
+            ),
+            bhist AS (
+                SELECT sz, count(*) AS n_buckets,
+                       CAST(count(*) * sz * (sz - 1) // 2 AS BIGINT)
+                           AS candidate_pairs
+                FROM bsizes WHERE sz >= 2 GROUP BY sz
             )
             SELECT 'pair' AS tag, id_a, id_b, CAST(NULL AS BIGINT) AS n
             FROM pairs
@@ -2915,6 +2946,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'cluster', component, NULL, count(*)
             FROM comp GROUP BY component
+            UNION ALL
+            SELECT 'bucket', sz, candidate_pairs, n_buckets FROM bhist
         """,
         "simhash": _sql_simhash(32),
         "ngram_jaccard": f"""

@@ -250,9 +250,14 @@ def minhash_lsh_pairs(
     max_bucket: int | None = None,
     scale_profile: str = "exact",
     hash_family: str = "md5",
+    bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that share at least
-    one LSH band bucket. ``hash_family="fast"`` switches signatures and
+    one LSH band bucket. ``bands_df``: precomputed
+    :func:`lsh_bands` output — pass it when another consumer (e.g.
+    :func:`lsh_bucket_profile`) shares the shingle→signature→band
+    subplan, so the corpus pays it once; ``num_hashes``/``bands``/
+    ``shingle_k``/``hash_family`` are then ignored for banding. ``hash_family="fast"`` switches signatures and
     band keys from md5 hex strings to xxhash64 longs (see
     ``minhash_signatures``) — same recall STATISTICS, measurably
     cheaper hashing; the md5 default is what the oracle reproduces.
@@ -299,14 +304,17 @@ def minhash_lsh_pairs(
     if scale_profile == "production" and max_bucket is None:
         max_bucket = PRODUCTION_MAX_BUCKET
     _check_hash_family(hash_family)
-    b = lsh_bands(
-        minhash_signatures(
-            df, id_col, text_col, num_hashes, shingle_k, hash_family
-        ),
-        num_hashes,
-        bands,
-        hash_family,
-    )
+    if bands_df is not None:
+        b = bands_df
+    else:
+        b = lsh_bands(
+            minhash_signatures(
+                df, id_col, text_col, num_hashes, shingle_k, hash_family
+            ),
+            num_hashes,
+            bands,
+            hash_family,
+        )
     if max_bucket is None:
         buckets = (
             b.groupBy("band", "band_key")
@@ -337,6 +345,65 @@ def minhash_lsh_pairs(
         buckets.select("ids", F.posexplode(head).alias("pa", "id_a"))
         .select("id_a", F.explode(partners).alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_profile(
+    df: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_family: str = "md5",
+    bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate-volume diagnostic for the LSH banding: the
+    bucket-size histogram, which is what actually governs end-to-end
+    dedup cost (r8 adjudication, SCALE.md: two hash families with
+    identical collision STATISTICS emitted 30%-different candidate
+    volumes — the swing lives entirely in which borderline buckets
+    formed). Returns one row per occupied bucket size ≥ 2:
+    ``(bucket_size, n_buckets, candidate_pairs)`` where
+    ``candidate_pairs = n_buckets · C(bucket_size, 2)`` — the
+    within-bucket pair expansions the pair stage performs (an upper
+    bound on DISTINCT pairs, which cross-band dedup then shrinks).
+
+    Production readings: the histogram's tail IS the mega-bucket
+    detector (a single boilerplate bucket past
+    ``PRODUCTION_MAX_BUCKET`` explains a quadratic blow-up before it
+    happens); the ``sum(candidate_pairs)`` total is the number to
+    track across corpus versions — a swing there is workload, not
+    regression. Plan: the same one-pass shingle→signature→band
+    subplan as :func:`minhash_lsh_pairs` (share it via ``bands_df``
+    when computing both), one groupBy count per bucket, one groupBy
+    count per size — all map-side-combining aggregations, no joins,
+    output rows ≈ distinct bucket sizes (tiny at any corpus size)."""
+    if bands_df is not None:
+        b = bands_df
+    else:
+        _check_hash_family(hash_family)
+        b = lsh_bands(
+            minhash_signatures(
+                df, id_col, text_col, num_hashes, shingle_k, hash_family
+            ),
+            num_hashes,
+            bands,
+            hash_family,
+        )
+    return (
+        b.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") >= 2)
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .withColumn(
+            "candidate_pairs",
+            F.expr(
+                "CAST(n_buckets * bucket_size * (bucket_size - 1) "
+                "AS BIGINT) div 2"
+            ),
+        )
     )
 
 

@@ -476,6 +476,51 @@ def test_cut_duplicate_spans_alignment_guard(spark):
     assert ok.count() == 2
 
 
+def test_lsh_bucket_profile_histogram_and_shared_bands(spark):
+    """lsh_bucket_profile: exact-duplicate groups share every band
+    bucket, so a 3-copy group contributes 4 buckets of size 3 (one
+    per band) and 4·C(3,2)=12 within-bucket pair expansions; the
+    candidate_pairs total upper-bounds the distinct pair count, and
+    the bands_df sharing path returns identical rows."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),
+        (4, "entirely different content about spark partitions here"),
+        (5, "entirely different content about spark partitions here"),
+        (6, "a third unrelated document with its own words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {
+        r.bucket_size: (r.n_buckets, r.candidate_pairs)
+        for r in dedup.lsh_bucket_profile(df, "doc_id", "text").collect()
+    }
+    # 4 bands: the 3-copy group fills 4 size-3 buckets, the 2-copy
+    # group 4 size-2 buckets (distinct texts collide with negligible
+    # probability at this scale)
+    assert prof[3] == (4, 12)
+    assert prof[2] == (4, 4)
+    distinct_pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text").count()
+    assert distinct_pairs == 4  # C(3,2) + C(2,2)
+    assert sum(p for _, p in prof.values()) >= distinct_pairs
+
+    bands = dedup.lsh_bands(
+        dedup.minhash_signatures(df, "doc_id", "text", 8, 8), 8, 4
+    )
+    shared = {
+        r.bucket_size: (r.n_buckets, r.candidate_pairs)
+        for r in dedup.lsh_bucket_profile(None, bands_df=bands).collect()
+    }
+    assert shared == prof
+    # and the pair path accepts the same precomputed bands
+    assert (
+        dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", bands_df=bands
+        ).count()
+        == distinct_pairs
+    )
+
+
 def test_top_duplicate_windows_hash_family_parity(spark):
     rows = [
         (1, "xx abcdefghijklmnopqrstuvwxyz tail one"),
