@@ -2934,8 +2934,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM bands GROUP BY 1, 2
             ),
             bhist AS (
+                -- C(sz,2) first, then the product — same overflow
+                -- margin/order as the Spark side
                 SELECT sz, count(*) AS n_buckets,
-                       CAST(count(*) * sz * (sz - 1) // 2 AS BIGINT)
+                       CAST(sz * (sz - 1) // 2 * count(*) AS BIGINT)
                            AS candidate_pairs
                 FROM bsizes WHERE sz >= 2 GROUP BY sz
             )

@@ -239,7 +239,8 @@ def observability_probe(spark, sf_dir: str) -> dict[str, float]:
     - ``lev_truncated_pairs`` / ``lev_pairs_total``: LSH candidate
       pairs whose levenshtein verification hit the default 100-char
       prefix cap on either side, plus the denominator. At sf0.1 the
-      ratio is ~97% — synthetic docs are mostly longer than the
+      ratio is 99.5% (72495/72846, the r8 baseline in BASELINE.md) —
+      synthetic docs are mostly longer than the
       prefix, so the verifier is judging prefixes BY DESIGN (the
       bounded-cost contract); the number to watch across rounds is
       the RATIO moving, not the absolute count (which tracks the

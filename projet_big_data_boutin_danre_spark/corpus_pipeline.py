@@ -191,9 +191,15 @@ def run_corpus_pipeline(
             # docs that survived the gates above. Training is MLlib's
             # distributed L-BFGS (treeAggregate gradients); scoring
             # broadcasts only the coefficient vector — a narrow map,
-            # no shuffle on the corpus side.
+            # no shuffle on the corpus side. localCheckpoint first:
+            # fit + split guards/counts + AUC + score consume the
+            # gated frame ~5 times, and un-materialized each would
+            # re-run the whole heuristic/repetition/ppl gate plan
+            # (table-sized frame — the corpus_sample tradeoff, not
+            # the explode-sized LM-gram one).
             from .ml.quality_model import train_quality_model
 
+            gated_docs = gated_docs.localCheckpoint()
             qm = train_quality_model(gated_docs, id_col, text_col)
             keep_q = (
                 qm.score(gated_docs, id_col, text_col)
@@ -445,28 +451,57 @@ def incremental_ingest(
         prior_ids = spark.read.parquet(docs_path).select(id_col)
     healable = None
     if prior_ids is not None:
-        # fingerprint-sidecar BACKFILL: a row the fingerprint guard
-        # passed (fingerprint absent) but the id guard catches (doc
-        # row present) is exactly a doc whose fingerprint append
-        # crashed before landing. Its fingerprint is in hand — just
-        # computed on this batch — so the replay appends it to the
-        # sidecar instead of only skipping the doc, which would leave
-        # content-level dedup silently off for the whole crashed batch
-        # (identical content under a NEW id would be re-admitted
-        # later). Empty on every healthy batch: a fully-landed batch
-        # is dropped by the fingerprint guard before reaching here.
+        if "__prior" in admitted.columns:
+            raise ValueError(
+                "incremental_ingest reserves the column name "
+                "'__prior' for its id guard — rename it in the input"
+            )
+        # id guard as ONE flag-join (not a semi + anti pair, which
+        # would run the dedup + fingerprint-guard subplan twice):
+        # rows with a prior id split into the two outcomes below.
+        # - no prior id → genuinely new, admit;
+        # - prior id present → skip the doc (already admitted), and
+        #   CHECK it for the fingerprint-sidecar backfill below.
+        flagged = admitted.join(
+            prior_ids.withColumn("__prior", F.lit(True)),
+            id_col,
+            "left",
+        ).localCheckpoint()
+        # BACKFILL candidates: doc row landed but its fingerprint
+        # append did NOT. "fingerprint absent from the sidecar" alone
+        # does not prove that — the SAME id can legitimately return
+        # with CHANGED content (a re-crawl), whose fingerprint must
+        # never enter the sidecar (the content was never admitted;
+        # appending it would permanently block that content under any
+        # future id). The proof is the id's ABSENCE from the
+        # sidecar's own id column: a fully-landed doc always has its
+        # (original) fingerprint row there. So heal = __prior rows
+        # anti-joined against the sidecar ids — empty on every
+        # healthy batch, and exact for partial fingerprint appends.
+        # dropDuplicates: a prior id appearing twice (same-id
+        # different-content rows admitted in one past batch) fans the
+        # left join out; the copies are identical rows.
+        fp_ids = None
+        if bucketed and spark.catalog.tableExists(fp_table):
+            fp_ids = spark.table(fp_table).select(id_col)
+        elif not bucketed and _exists(spark, fp_path):
+            fp_ids = spark.read.parquet(fp_path).select(id_col)
         healable = (
-            admitted.join(prior_ids, id_col, "left_semi")
+            flagged.filter(F.col("__prior"))
             .select("fingerprint", id_col)
-            .localCheckpoint()
+            .dropDuplicates()
         )
-        admitted = admitted.join(prior_ids, id_col, "left_anti")
-    # one materialization for the consumers below (count + appends) —
-    # otherwise the dedup + both anti-joins re-run per consumer, and
-    # the appends could even admit different row sets if an input
-    # file changed between jobs
-    admitted = admitted.localCheckpoint()
-    n_admitted = admitted.count()
+        if fp_ids is not None:
+            healable = healable.join(fp_ids, id_col, "left_anti")
+        admitted = flagged.filter(F.col("__prior").isNull()).drop("__prior")
+        n_admitted = admitted.count()
+    else:
+        # one materialization for the consumers below (count +
+        # appends) — otherwise the dedup + guard joins re-run per
+        # consumer, and the appends could even admit different row
+        # sets if an input file changed between jobs
+        admitted = admitted.localCheckpoint()
+        n_admitted = admitted.count()
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
         if bucketed:

@@ -100,6 +100,19 @@ def train_quality_model(
 
     train = feats.filter(F.col("is_train"))
     test = feats.filter(~F.col("is_train"))
+    # guard BEFORE fitting: an empty split (tiny corpora — the md5
+    # byte split is deterministic per id, so a handful of docs can
+    # all land on one side) would otherwise surface as an opaque
+    # MLlib 'requirement failed' deep inside LogisticRegression/IDF,
+    # or feed the evaluator nothing
+    n_train, n_test = train.count(), test.count()
+    if n_train == 0 or n_test == 0:
+        raise ValueError(
+            f"quality-model split is degenerate (train={n_train}, "
+            f"test={n_test}) — the corpus is too small for the 80/20 "
+            "md5 split; gate it heuristically instead (quality_score) "
+            "or train on a larger slice"
+        )
 
     pipe = Pipeline(
         stages=[
@@ -121,6 +134,6 @@ def train_quality_model(
         pipeline_model=model,
         threshold=threshold,
         auc=float(auc),
-        n_train=train.count(),
-        n_test=test.count(),
+        n_train=n_train,
+        n_test=n_test,
     )

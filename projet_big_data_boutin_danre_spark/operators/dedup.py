@@ -382,6 +382,11 @@ def lsh_bucket_profile(
     if bands_df is not None:
         b = bands_df
     else:
+        if df is None:
+            raise ValueError(
+                "lsh_bucket_profile needs either a docs DataFrame or "
+                "a precomputed bands_df"
+            )
         _check_hash_family(hash_family)
         b = lsh_bands(
             minhash_signatures(
@@ -398,10 +403,16 @@ def lsh_bucket_profile(
         .groupBy("bucket_size")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
         .withColumn(
+            # C(size, 2) FIRST, then the n_buckets product: keeps the
+            # intermediate inside int64 until the per-size pair count
+            # itself is astronomically large (~9.2e18, bucket_size
+            # ~4.3e9). Past that the VALUE saturates int64 semantics
+            # (non-ANSI wrap) — but bucket_size itself still flags
+            # the mega-bucket, which is the detector's real signal.
             "candidate_pairs",
             F.expr(
-                "CAST(n_buckets * bucket_size * (bucket_size - 1) "
-                "AS BIGINT) div 2"
+                "CAST(bucket_size * (bucket_size - 1) AS BIGINT) "
+                "div 2 * n_buckets"
             ),
         )
     )

@@ -445,6 +445,41 @@ def test_ingest_mode_switch_refuses_loudly(spark, tmp_path):
         incremental_ingest(spark, docs, root)
 
 
+def test_ingest_heal_ignores_changed_content_under_reused_id(spark, tmp_path):
+    """The backfill's proof obligation: 'fingerprint absent + id
+    present' is NOT enough — a re-crawl can ship CHANGED content
+    under a stable id, and appending that content's fingerprint
+    (content never admitted!) would permanently block it under any
+    future id. The heal must key on the id's absence from the
+    sidecar's own id column."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake_recrawl")
+    b1 = spark.createDataFrame(
+        [(1, "alpha content")], "doc_id long, text string"
+    )
+    r1 = incremental_ingest(spark, b1, root)
+    assert r1["admitted"] == 1
+    # re-crawl: same id, NEW content — doc row is correctly skipped
+    # (id already admitted) and, critically, NOT treated as a heal
+    b2 = spark.createDataFrame(
+        [(1, "omega content")], "doc_id long, text string"
+    )
+    r2 = incremental_ingest(spark, b2, root)
+    assert r2["admitted"] == 0
+    assert r2["healed_fingerprints"] == 0
+    # the new content later arrives under a fresh id: must be ADMITTED
+    # (its fingerprint never legitimately entered the sidecar)
+    b3 = spark.createDataFrame(
+        [(50, "omega content")], "doc_id long, text string"
+    )
+    r3 = incremental_ingest(spark, b3, root)
+    assert r3["admitted"] == 1
+    assert r3["total_docs"] == 2
+
+
 def test_quality_model_gate_is_deterministic_and_monotone(spark, tmp_path, sf0001):
     """quality_model_min_p: the learned-filter leg of the gate stage.
     The classifier gate must (a) only ever REMOVE docs relative to the
