@@ -948,7 +948,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # materialize the BANDS once: the pair branch, the component
     # iteration, and the bucket profile all consume the
-    # shingle→signature→band subplan
+    # shingle→signature→band subplan. Measured (r8, interleaved
+    # min-of-4 at sf0.1): checkpointing bands 3.56 s vs recomputing
+    # the subplan per consumer 4.85 s — the 4-rows/doc band frame is
+    # cheap to pin, the shingle explode behind it is not.
     bands = dedup.lsh_bands(
         dedup.minhash_signatures(docs, "doc_id", "text", 8, 8), 8, 4
     ).localCheckpoint()

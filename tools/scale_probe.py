@@ -132,6 +132,12 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         "doc_keywords": lambda: text.doc_keywords(
             docs, "doc_id", "text", k=3
         ).count(),
+        # candidate-volume diagnostic (r8): same shingle→sig→band
+        # subplan as minhash_lsh, two map-side-combining aggs on top
+        # — exponent should track minhash_lsh's
+        "lsh_bucket_profile": lambda: dedup.lsh_bucket_profile(
+            docs, "doc_id", "text", hash_family="fast"
+        ).count(),
         # approx mode (the 100 TB path): GK-summary bounds + broadcast
         # filter-back -> map-dominated, ~linear
         "length_trim": lambda: text.length_trim(
