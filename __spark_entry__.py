@@ -1173,6 +1173,13 @@ _TEMP_TOTAL = 120
 _TEMP_SEED = 13
 _BUDGET_CHARS = 20_000
 _BUDGET_SEED = 11
+# r8 widenings: leakage-safe split over exact-fingerprint clusters and
+# the uniform per-source cap (insertion order of _SPLIT_FRACS is the
+# key-range order on both engines)
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 17
+_CAP_N = 15
+_CAP_SEED = 19
 
 
 def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1215,14 +1222,28 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
       violation count and a deterministic sample offender; includes
       a deliberately failing accepted-values check.
 
+    r8 widenings (same digest schema):
+
+    - ``split``: leakage-safe train/val/test assignment
+      (corpus_prep.leakage_safe_split) hashed on the EXACT-fingerprint
+      cluster representative (rep = min doc_id per normalized-content
+      group), so duplicates can never straddle splits — per-split
+      kept-count + id checksum;
+    - ``cap``: uniform per-source document cap
+      (corpus_prep.cap_per_group, 15/source) run with
+      ``prefilter=True`` — the count-based Bernoulli pre-shrink + exact
+      window scale path — against the oracle's PLAIN window SQL, so the
+      prefix-exactness argument is hash-verified per round.
+
     All randomness is md5-derived, so the DuckDB twin reproduces every
     decision bit-for-bit. NULL ids are excluded up front on BOTH sides:
     a NULL sample key would sort NULLS FIRST in Spark's window but
     NULLS LAST in DuckDB's — the one ordering default the engines
     disagree on.
 
-    The filtered docs base is ``localCheckpoint``-ed: the eight tags
-    otherwise re-read `documents` 11 times (PLAN_REPORT r6), and the
+    The filtered docs base is ``localCheckpoint``-ed: the tags (ten
+    as of r8) otherwise re-read `documents` 11+ times (PLAN_REPORT
+    r6), and the
     measured warm tradeoff at sf0.1 is 2.77 s → 2.54 s min-of-4
     (checkpoint write included) — the opposite call from the LM-gram
     case, where the materialized frame is explode-sized rather than
@@ -1315,6 +1336,45 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_violations").alias("n"),
         F.lit(None).cast("bigint").alias("sum_ids"),
     )
+    # r8 widening: leakage-safe split — cluster map = exact-fingerprint
+    # groups (rep = min doc_id per normalized-content group), so every
+    # exact duplicate lands in its representative's split; grp = split
+    # name, same kept-count + id-checksum digest as sample/mix
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        stable_fingerprint,
+    )
+
+    # (id, 32-hex) only — tiny; checkpointed so the 3-regex normalize
+    # + md5 runs ONCE, not once per consumer (rep aggregate + probe)
+    fps = docs.select(
+        "doc_id", stable_fingerprint("text").alias("__fp")
+    ).localCheckpoint()
+    reps = fps.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
+    members = fps.join(reps, "__fp").select(
+        F.col("doc_id").alias("member"), "rep"
+    )
+    split = corpus_prep.leakage_safe_split(
+        docs, "doc_id", _SPLIT_FRACS, seed=_SPLIT_SEED, members=members
+    ).select(
+        F.lit("split").alias("tag"),
+        F.col("split").alias("grp"),
+        F.col("doc_id").cast("bigint").alias("__id"),
+    ).groupBy("tag", "grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__id").alias("sum_ids")
+    ).select("tag", "grp", "n", "sum_ids")
+    # r8 widening: uniform per-source cap (prefilter=True exercises the
+    # scale path; output is bit-identical to the plain window — the
+    # oracle twin IS the plain window, so the prefix-exactness argument
+    # is hash-checked every round, not just asserted)
+    capped = corpus_prep.cap_per_group(
+        docs, "doc_id", "source", _CAP_N, seed=_CAP_SEED, prefilter=True
+    )
+    cap = corpus_prep.sample_summary(capped, "doc_id", "source").select(
+        F.lit("cap").alias("tag"),
+        F.col("source").alias("grp"),
+        F.col("n_kept").alias("n"),
+        "sum_ids",
+    )
     prof = cleaning.profile_table(
         load_table(spark, sf, "orders").select(*_PROFILE_COLS)
     ).select(
@@ -1336,6 +1396,8 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(digest(temp, "temp"))
         .unionByName(digest(budget, "budget"))
         .unionByName(diff)
+        .unionByName(split)
+        .unionByName(cap)
         .unionByName(prof)
         .unionByName(checks)
     )
@@ -1974,6 +2036,22 @@ def _sql_corpus_sample() -> str:
         f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(_MIX_COUNTS.items())
     )
     norm = _NORM_SQL.format(c="text")
+    # split twin: cumulative hex thresholds from the SAME insertion-
+    # ordered fractions the Spark side compiles; last split is the
+    # ELSE branch (owns the remaining key range)
+    rep_key = "substr(md5('{s}|' || CAST(g.rep AS VARCHAR)), 1, 8)".format(
+        s=_SPLIT_SEED
+    )
+    fracs = list(_SPLIT_FRACS.items())
+    cum = 0.0
+    whens = []
+    for name, frac in fracs[:-1]:
+        cum += frac
+        whens.append(
+            f"WHEN {rep_key} < '{corpus_prep.hex_threshold(cum)}' "
+            f"THEN '{name}'"
+        )
+    split_case = " ".join(whens) + f" ELSE '{fracs[-1][0]}'"
     # profile twin: per-column aggregates over the pinned orders
     # columns, unpivoted as one UNION ALL branch per column (DuckDB
     # renders CAST-to-VARCHAR of bigint/double/timestamp identically
@@ -2102,6 +2180,46 @@ def _sql_corpus_sample() -> str:
             ) n ON o.doc_id = n.doc_id
         )
         WHERE change IS NOT NULL
+        UNION ALL
+        -- leakage-safe split twin: assignment hashes the
+        -- exact-fingerprint cluster representative (min doc_id per
+        -- normalized-content group); key ranges from the same
+        -- cumulative hex thresholds the Spark side compiles
+        SELECT 'split', split, CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM (
+            SELECT d.doc_id,
+                   CASE {split_case} END AS split
+            FROM (
+                SELECT doc_id, md5({norm}) AS fp
+                FROM documents WHERE doc_id IS NOT NULL
+            ) d
+            JOIN (
+                SELECT fp, min(doc_id) AS rep
+                FROM (
+                    SELECT doc_id, md5({norm}) AS fp
+                    FROM documents WHERE doc_id IS NOT NULL
+                )
+                GROUP BY fp
+            ) g USING (fp)
+        )
+        GROUP BY split
+        UNION ALL
+        -- per-group cap twin: the PLAIN window form — Spark runs the
+        -- prefiltered scale path, so a hash match proves the
+        -- prefix-exactness argument on real data
+        SELECT 'cap', source, CAST(count(*) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT)
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {skey.format(seed=_CAP_SEED)}, doc_id
+                   ) AS rk
+            FROM documents WHERE doc_id IS NOT NULL
+        )
+        WHERE rk <= {_CAP_N}
+        GROUP BY source
         {profile_union}
         -- data-checks twin (r6): one UNION ALL branch per declared
         -- check; sample_key is the MIN over the STRING form of

@@ -42,6 +42,9 @@ __all__ = [
     "domain_mix_temperature",
     "token_budget_take",
     "mix_underflow",
+    "cap_per_group",
+    "cap_underflow",
+    "leakage_safe_split",
     "interleave",
     "sample_summary",
     "write_training_shards",
@@ -291,6 +294,182 @@ def mix_underflow(
         .withColumn("n_got", F.coalesce("n_got", F.lit(0)))
         .filter(F.col("n_got") < F.col("n_want"))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    max_per_group: int,
+    seed: int = 42,
+    prefilter: bool = False,
+    safety: float = 4.0,
+) -> DataFrame:
+    """Uniform per-group document cap: keep at most ``max_per_group``
+    rows of every group, the first ones in seeded-hash order (ties by
+    id). The web-corpus domain cap (C4/RefinedWeb practice: no single
+    domain may dominate the corpus) — distinct from :func:`domain_mix`
+    because the group set is UNBOUNDED and unknown up front (millions
+    of domains; a counts mapping can't enumerate them), so the quota is
+    one number applied to whatever groups exist.
+
+    Deterministic: kept rows are a pure function of (id, seed), so
+    re-runs and backfills agree. NULL groups form their own group
+    (matching SQL window PARTITION BY semantics) on both paths.
+
+    Base plan: one shuffle on the group key + per-group sort
+    (``row_number``). The 100 TB hazard is a HOT group (one domain
+    with 10⁹ rows sorts on one reducer — windows get no AQE skew
+    split). ``prefilter=True`` is the scale path: a first pass counts
+    each group (map-side combine, one row per group), each row then
+    keeps iff ``sample_key < min(1, safety·max/count)`` BEFORE the
+    window, shrinking the hot group's sort input from ``|group|`` to
+    ~``safety·max``. Correctness is unconditional, not probabilistic —
+    the pre-filter keeps a PREFIX of the same total order the window
+    sorts by (the :func:`domain_mix` prefilter argument), so the
+    output is bit-identical to the unfiltered path as long as ≥
+    ``min(max, |group|)`` rows survive per group; at ``safety=4`` the
+    shortfall probability is Chernoff-negligible (< e^-max/3) and
+    :func:`cap_underflow` detects it exactly if it ever happens. The
+    count join is a broadcast at runtime (AQE) whenever the group set
+    fits, else one hash shuffle on the same key the window needs
+    anyway."""
+    key = sample_key(id_col, seed)
+    if prefilter:
+        # per-group keep-threshold, computed JVM-side: the Column twin
+        # of hex_threshold (format_string %08x emits lowercase hex,
+        # comparable with the md5 slice; "g" sorts above every hex
+        # string = keep-all)
+        frac = F.least(
+            F.lit(1.0),
+            F.lit(float(safety) * int(max_per_group)) / F.col("__gn"),
+        )
+        thr = F.when(frac >= 1.0, F.lit("g")).otherwise(
+            F.format_string(
+                "%08x", F.floor(frac * F.lit(2.0**32)).cast("bigint")
+            )
+        )
+        counts = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__gn"))
+            .select(F.col(group_col).alias("__g"), thr.alias("__thr"))
+        )
+        df = (
+            df.join(counts, F.col(group_col).eqNullSafe(F.col("__g")))
+            .filter(key < F.col("__thr"))
+            .drop("__g", "__thr")
+        )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.lit(int(max_per_group)))
+        .drop("__rk")
+    )
+
+
+def cap_underflow(
+    df_in: DataFrame,
+    df_out: DataFrame,
+    group_col: str,
+    max_per_group: int,
+) -> DataFrame:
+    """Audit for the pre-filtered cap: groups where
+    :func:`cap_per_group` delivered fewer than
+    ``min(max_per_group, |group|)`` rows — possible only if the
+    Bernoulli pre-filter under-survived (slack too tight). Empty
+    result == the capped output is exactly what the unfiltered window
+    would have produced. Two tiny group-count aggregates + one
+    group-cardinality join (null-safe, so NULL groups audit too)."""
+    want = (
+        df_in.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n_in"))
+        .select(F.col(group_col).alias("__g"), "__n_in")
+    )
+    got = df_out.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_got"))
+    return (
+        want.join(got, F.col(group_col).eqNullSafe(F.col("__g")), "left")
+        .withColumn("n_got", F.coalesce("n_got", F.lit(0)))
+        .withColumn(
+            "n_want", F.least(F.lit(int(max_per_group)), F.col("__n_in"))
+        )
+        .filter(F.col("n_got") < F.col("n_want"))
+        .select(F.col("__g").alias(group_col), "n_want", "n_got")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    seed: int = 42,
+    members: DataFrame | None = None,
+    member_col: str = "member",
+    rep_col: str = "rep",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment that near-duplicates
+    cannot straddle: every document is assigned by hashing its
+    CLUSTER REPRESENTATIVE, not its own id, so all members of a
+    duplicate cluster land in the same split — the standard guard
+    against train→test leakage through near-duplicate copies
+    (evaluating on a near-copy of a training doc inflates benchmarks;
+    see Lee et al. 2022 §6, "Deduplicating Training Data Makes
+    Language Models Better").
+
+    ``splits`` maps name → fraction in DECLARATION ORDER (fractions
+    must sum to 1 within 1e-6); split ``i`` owns the key range
+    ``[cum_{i-1}, cum_i)`` of the same md5 order every sampler here
+    uses, so the assignment is a pure function of (representative,
+    seed): re-runs, retries, and incremental ingests agree, and a NEW
+    member joining an existing cluster inherits the cluster's split
+    instead of re-rolling it.
+
+    ``members`` is the cluster map — (``member_col``, ``rep_col``),
+    one row per clustered doc, e.g. ``dedup_clusters`` output or
+    exact-fingerprint groups; docs absent from it are singletons and
+    hash on their own id (left join + coalesce). Each member must
+    appear at most once (true of any function-of-member clustering; a
+    doc in two clusters would duplicate rows). Scale: the map carries
+    only ids (never text) and joins the corpus on its id — broadcast
+    at runtime when small, else one hash shuffle; with ``members=None``
+    the whole assignment is a map-only projection."""
+    fracs = list(splits.items())
+    if not fracs:
+        raise ValueError("splits must name at least one split")
+    if any(f < 0 for _, f in fracs):
+        raise ValueError(f"negative split fraction in {splits}")
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}): {splits}"
+        )
+    if members is not None:
+        m = members.select(
+            F.col(member_col).alias("__m"), F.col(rep_col).alias("__rep")
+        )
+        df = (
+            df.join(m, F.col(id_col) == F.col("__m"), "left")
+            .withColumn("__rep", F.coalesce("__rep", F.col(id_col)))
+            .drop("__m")
+        )
+        key = sample_key(F.col("__rep"), seed)
+    else:
+        key = sample_key(id_col, seed)
+    assign: Column | None = None
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += frac
+        cond = key < F.lit(hex_threshold(cum))
+        assign = (
+            F.when(cond, F.lit(name))
+            if assign is None
+            else assign.when(cond, F.lit(name))
+        )
+    last = F.lit(fracs[-1][0])
+    out = df.withColumn(
+        split_col, last if assign is None else assign.otherwise(last)
+    )
+    return out.drop("__rep") if members is not None else out
 
 
 def interleave(df: DataFrame, id_col: str, seed: int = 42) -> DataFrame:

@@ -442,3 +442,172 @@ def test_token_budget_take_greedy_prefix(spark):
         assert kept & {5, 6} == {5}
     else:
         assert kept & {5, 6} == {6, 5}  # 1 token, then 500 crosses
+
+
+def test_cap_per_group_exact_window_semantics(spark):
+    """Uniform cap: at most n rows per group, the FIRST n in
+    seeded-hash order (verified against an explicit sort), groups
+    smaller than the cap keep everything, and the decision set is a
+    pure function of (id, seed)."""
+    docs = _docs(spark, 200)  # 50 per lang
+    capped = cp.cap_per_group(docs, "doc_id", "lang", 10, seed=3)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in capped.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang == {"en": 10, "fr": 10, "de": 10, "es": 10}
+    # matches the explicit seeded-hash prefix per group
+    want = {
+        lang: [
+            r["doc_id"]
+            for r in docs.filter(F.col("lang") == lang)
+            .orderBy(cp.sample_key("doc_id", 3), "doc_id")
+            .limit(10)
+            .collect()
+        ]
+        for lang in ("en", "fr", "de", "es")
+    }
+    got = {
+        lang: sorted(
+            r["doc_id"]
+            for r in capped.filter(F.col("lang") == lang).collect()
+        )
+        for lang in ("en", "fr", "de", "es")
+    }
+    assert got == {k: sorted(v) for k, v in want.items()}
+    # under-cap group keeps all rows
+    small = cp.cap_per_group(_docs(spark, 20), "doc_id", "lang", 10, seed=3)
+    assert small.count() == 20
+    # re-run identical
+    again = cp.cap_per_group(docs, "doc_id", "lang", 10, seed=3)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in capped.collect()
+    )
+
+
+def test_cap_per_group_prefilter_is_bit_identical(spark):
+    """The prefiltered scale path (count-based Bernoulli pre-shrink +
+    window) returns exactly the plain window's rows at default slack,
+    and the underflow audit is empty; NULL groups cap correctly on
+    both paths (null-safe count join)."""
+    docs = _docs(spark, 400).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    plain = cp.cap_per_group(docs, "doc_id", "lang", 12, seed=9)
+    pre = cp.cap_per_group(
+        docs, "doc_id", "lang", 12, seed=9, prefilter=True
+    )
+    key = lambda df: sorted(
+        (r["lang"] or "", r["doc_id"]) for r in df.collect()
+    )
+    assert key(plain) == key(pre)
+    assert cp.cap_underflow(docs, pre, "lang", 12).count() == 0
+    # NULL group present and capped
+    n_null = sum(1 for lang, _ in key(pre) if lang == "")
+    assert 0 < n_null <= 12
+
+
+def test_cap_per_group_underflow_detected_never_wrong(spark):
+    """A deliberately starved pre-filter (safety ≪ 1) under-delivers
+    but the rows it does deliver are a subset of the exact cap, and
+    cap_underflow reports every shorted group."""
+    docs = _docs(spark, 400)
+    exact = cp.cap_per_group(docs, "doc_id", "lang", 40, seed=9)
+    tight = cp.cap_per_group(
+        docs, "doc_id", "lang", 40, seed=9, prefilter=True, safety=0.2
+    )
+    got = {r["doc_id"] for r in tight.collect()}
+    assert got < {r["doc_id"] for r in exact.collect()}
+    audit = cp.cap_underflow(docs, tight, "lang", 40).collect()
+    shorted = {
+        r["lang"]
+        for r in tight.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        if r["n"] < 40
+    }
+    assert {r["lang"] for r in audit} == shorted and len(shorted) > 0
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a cluster gets its representative's split;
+    docs outside the map hash on their own id; assignment is total
+    (every row gets exactly one split) and deterministic."""
+    docs = _docs(spark, 300)
+    # clusters: doc 3k and 3k+1 share representative 3k (doc 3k+2 is
+    # a singleton)
+    members = spark.range(100).select(
+        (F.col("id") * 3).alias("rep")
+    ).selectExpr("explode(array(rep, rep + 1)) AS member", "rep")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = cp.leakage_safe_split(
+        docs, "doc_id", fr, seed=5, members=members
+    )
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == 300 and all(
+        r["split"] in fr for r in rows
+    )
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    for k in range(100):
+        assert split_of[3 * k] == split_of[3 * k + 1], k
+    # fractions roughly honored over representatives
+    n_train = sum(1 for s in split_of.values() if s == "train")
+    assert 200 <= n_train <= 285
+    # deterministic re-run
+    again = cp.leakage_safe_split(
+        docs, "doc_id", fr, seed=5, members=members
+    )
+    assert {
+        r["doc_id"]: r["split"] for r in again.collect()
+    } == split_of
+
+
+def test_leakage_safe_split_no_members_and_validation(spark):
+    """members=None is a pure per-id hash split; bad fraction maps
+    are refused loudly."""
+    docs = _docs(spark, 200)
+    out = cp.leakage_safe_split(
+        docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=1
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 200 and set(counts) <= {"a", "b"}
+    assert 60 <= counts.get("a", 0) <= 140  # ~100 at p=.5
+    with pytest.raises(ValueError, match="sum to 1"):
+        cp.leakage_safe_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="negative"):
+        cp.leakage_safe_split(docs, "doc_id", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="at least one"):
+        cp.leakage_safe_split(docs, "doc_id", {})
+
+
+def test_leakage_safe_split_new_member_inherits_cluster_split(spark):
+    """Incremental property: a NEW doc joining an existing cluster
+    lands in the cluster's split (assignment depends only on the
+    representative), and existing assignments never move."""
+    fr = {"train": 0.75, "test": 0.25}
+    docs_old = _docs(spark, 100)
+    docs_new = _docs(spark, 101)  # doc 100 arrives
+    members_old = spark.createDataFrame(
+        [(7, 7), (8, 7)], "member long, rep long"
+    )
+    members_new = spark.createDataFrame(
+        [(7, 7), (8, 7), (100, 7)], "member long, rep long"
+    )
+    old = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs_old, "doc_id", fr, seed=2, members=members_old
+        ).collect()
+    }
+    new = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs_new, "doc_id", fr, seed=2, members=members_new
+        ).collect()
+    }
+    assert new[100] == new[7] == old[7]
+    assert all(new[i] == old[i] for i in range(100))
