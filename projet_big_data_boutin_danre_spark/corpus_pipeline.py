@@ -14,8 +14,11 @@ report.
                          near-dup at the production scale profile,
                          clustered by connected components — one
                          keeper per near-dup cluster)
-      → recipe          (deterministic stratified sample, then
-                         exact-count domain mix per language)
+      → recipe          (optional per-source cap, deterministic
+                         stratified sample, exact-count domain mix per
+                         language, optional train/val/test split
+                         column — leakage-safe because dedup left one
+                         doc per near-dup cluster)
       → chunks          (token windows)
       → shards          (deterministic interleave, ordered shard files)
 
@@ -98,6 +101,30 @@ class CorpusRecipe:
     sample_fractions: Mapping[str, float] | None = None  # None = keep all
     sample_default: float = 1.0
     mix_counts: Mapping[str, int] | None = None  # None = no mix stage
+    # uniform per-group cap (None = off): keep at most this many docs
+    # per cap_group_col value (the C4/RefinedWeb domain cap — the
+    # group set is unbounded, unlike mix_counts' enumerated recipe),
+    # first-in-seeded-hash-order, applied before sampling. Runs
+    # cap_per_group's prefiltered scale path (hot groups pre-shrunk
+    # before the window sort; bit-identical to the plain cap).
+    cap_max_per_group: int | None = None
+    cap_group_col: str = "source"
+    # train/val/test assignment (None = off): the recipe layer gains a
+    # `split` column, declaration-ordered fractions summing to 1.
+    # Because the dedup stage keeps exactly one doc per near-dup
+    # cluster — and connected_components makes the component ROOT the
+    # keeper — every surviving doc is its own cluster representative,
+    # so the per-id hash split here IS the leakage-safe split
+    # (corpus_prep.leakage_safe_split): no near-dup pair can straddle
+    # train/test because at most one member of any cluster still
+    # exists. Pipelines that RETAIN near-dups (e.g. dedup-by-weighting
+    # variants) must pass the cluster map to leakage_safe_split
+    # themselves via members=.
+    split_fractions: Mapping[str, float] | None = None
+    # with split_fractions set: chunk+shard only this split (the
+    # standard shape — train shards for the reader, val/test stay
+    # doc-level in the recipe layer). None = shard every split.
+    shard_split: str | None = None
     chunk_tokens: int = 64
     chunk_overlap: int = 8
     n_shards: int = 32
@@ -125,6 +152,17 @@ def run_corpus_pipeline(
     """Run all stages; returns per-stage surviving-document counts
     (chunks/shards report chunk counts). Stages resume from existing
     layers unless ``force``."""
+    # refuse bad recipe combinations BEFORE any stage runs — at scale
+    # the alternative is burning the full gate+dedup before the error
+    if recipe.shard_split is not None and (
+        recipe.split_fractions is None
+        or recipe.shard_split not in recipe.split_fractions
+    ):
+        declared = sorted(recipe.split_fractions or ())
+        raise ValueError(
+            f"shard_split {recipe.shard_split!r} is not one of the "
+            f"declared splits {declared}"
+        )
     counts: dict[str, int] = {}
 
     def layer(name: str) -> str:
@@ -261,6 +299,11 @@ def run_corpus_pipeline(
 
     def build_recipe() -> DataFrame:
         out = deduped
+        if recipe.cap_max_per_group is not None:
+            out = corpus_prep.cap_per_group(
+                out, id_col, recipe.cap_group_col,
+                recipe.cap_max_per_group, seed=recipe.seed, prefilter=True,
+            )
         if recipe.sample_fractions is not None:
             out = corpus_prep.stratified_sample(
                 out, id_col, lang_col, recipe.sample_fractions,
@@ -270,14 +313,24 @@ def run_corpus_pipeline(
             out = corpus_prep.domain_mix(
                 out, id_col, lang_col, recipe.mix_counts, seed=recipe.seed
             )
+        if recipe.split_fractions is not None:
+            # members=None: every post-dedup survivor is its own
+            # cluster representative (see the recipe field note)
+            out = corpus_prep.leakage_safe_split(
+                out, id_col, recipe.split_fractions, seed=recipe.seed
+            )
         return out
 
     mixed = stage("recipe", build_recipe)
 
+    to_chunk = mixed
+    if recipe.shard_split is not None:
+        to_chunk = mixed.filter(F.col("split") == recipe.shard_split)
+
     chunks = stage(
         "chunks",
         lambda: text.chunk_tokens(
-            mixed, id_col, text_col,
+            to_chunk, id_col, text_col,
             chunk_tokens=recipe.chunk_tokens, overlap=recipe.chunk_overlap,
         ).withColumn(
             "chunk_key",

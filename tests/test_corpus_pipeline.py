@@ -554,3 +554,65 @@ def test_cut_spans_stage_removes_shared_boilerplate(spark, tmp_path):
         assert "second payload" in deduped[2]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_recipe_cap_split_and_shard_split(spark, sf0001, tmp_path):
+    """r8 recipe additions end-to-end: the per-source cap bounds every
+    source in the recipe layer, split_fractions adds a total `split`
+    column, shard_split chunks ONLY the named split, and a resumed run
+    reproduces the same counts byte-stably."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    root = str(tmp_path / "corpus_lake_split")
+    recipe = CorpusRecipe(
+        cap_max_per_group=2,
+        cap_group_col="source",
+        split_fractions={"train": 0.7, "val": 0.15, "test": 0.15},
+        shard_split="train",
+        n_shards=2,
+    )
+    counts = run_corpus_pipeline(spark, docs, root, recipe)
+    rec = spark.read.parquet(f"{root}/recipe")
+    per_src = rec.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 2 for r in per_src)
+    splits = {r["split"] for r in rec.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    assert rec.filter(F.col("split").isNull()).count() == 0
+    # only train docs were chunked/sharded
+    n_train = rec.filter(F.col("split") == "train").count()
+    chunk_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/chunks")
+        .select("doc_id").distinct().collect()
+    }
+    train_ids = {
+        r["doc_id"]
+        for r in rec.filter(F.col("split") == "train").collect()
+    }
+    assert chunk_ids == train_ids and len(train_ids) == n_train
+    assert 0 < n_train < counts["recipe"]  # val/test exist too
+    # resume is byte-stable
+    assert run_corpus_pipeline(spark, docs, root, recipe) == counts
+    # a shard_split not among the declared splits is refused BEFORE
+    # any stage runs (no layers written — at scale the alternative is
+    # burning the full gate+dedup before the error)
+    import os
+
+    import pytest as _pytest
+
+    bad_root = str(tmp_path / "bad_lake")
+    bad = CorpusRecipe(
+        split_fractions={"train": 0.5, "test": 0.5}, shard_split="dev"
+    )
+    with _pytest.raises(ValueError, match="shard_split"):
+        run_corpus_pipeline(spark, docs, bad_root, bad)
+    with _pytest.raises(ValueError, match="shard_split"):
+        run_corpus_pipeline(
+            spark, docs, bad_root, CorpusRecipe(shard_split="train")
+        )
+    assert not os.path.exists(bad_root)
