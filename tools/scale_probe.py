@@ -143,6 +143,26 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         "length_trim": lambda: text.length_trim(
             docs, "text", "lang", approx=True
         ).count(),
+        # per-group cap, hot-group mitigation (r8): lang is the skewed
+        # group here (en ≈ half the corpus and grows with k — windows
+        # get NO AQE skew split, so en's sort rides one reducer on the
+        # plain path). prefilter=True pre-shrinks every group's sort
+        # input to ~4·cap rows; the residual linear cost is the count
+        # agg + Bernoulli filter scans, so the GAP between the two
+        # rows is the measured value of the mitigation
+        # forced via sum(length(text)): a bare count() lets Catalyst
+        # prune text out of the window shuffle, hiding the prefilter's
+        # main scale win (rows drop BEFORE the text-carrying exchange)
+        "cap_plain": lambda: corpus_prep.cap_per_group(
+            docs, "doc_id", "lang", 50
+        )
+        .select(F.sum(F.length("text")))
+        .collect(),
+        "cap_prefilter": lambda: corpus_prep.cap_per_group(
+            docs, "doc_id", "lang", 50, prefilter=True
+        )
+        .select(F.sum(F.length("text")))
+        .collect(),
     }
 
 
