@@ -355,6 +355,11 @@ def incremental_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     catalog_prefix: str | None = None,
+    near_dup: bool = False,
+    lsh_num_hashes: int = 8,
+    lsh_bands: int = 4,
+    lsh_shingle_k: int = 8,
+    lsh_hash_family: str = "fast",
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -400,13 +405,38 @@ def incremental_ingest(
     The docs layer itself stays plain parquet either way; the replay
     guard reads the narrow id sidecar, never the full docs table.
 
+    ``near_dup=True`` upgrades admission from exact-content to
+    NEAR-duplicate blocking (the gap a trivially-perturbed re-crawl
+    slips through): a ``band_buckets`` sidecar persists the MinHash-LSH
+    band keys of every admitted doc, each batch drops (a) its own
+    near-dup cluster non-keepers (``minhash_lsh_pairs`` → connected
+    components on the batch — batch-sized work) and (b) docs sharing
+    any band bucket with history (:func:`operators.dedup.lsh_seen_ids`
+    — the batch's band rows broadcast against a two-column scan of the
+    sidecar: history is never shuffled, sorted, or text-read per
+    batch). Band collisions without true similarity make this an
+    over-blocking gate by design (candidates are dropped, not
+    verified — verifying would read historical text); tune
+    bands/rows for the intended threshold. The LSH recipe is stamped
+    into the ``_lake_mode`` marker, so every batch provably uses the
+    same banding (mismatched keys would silently never collide) and a
+    guarded lake refuses unguarded calls (docs skipping the guard
+    would be invisible to it forever). Append order docs → ids →
+    fingerprints → bands: a crash before the bands append leaves the
+    batch invisible to the near-dup guard only until the replay heals
+    it (``healed_bands``, same id-absence proof as the fingerprint
+    heal).
+
     Returns counts: arrived, admitted (new + first-copy),
-    healed_fingerprints (replay backfills), total_docs.
+    healed_fingerprints (replay backfills), total_docs; with
+    ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
+    history band collisions) and healed_bands.
     """
     from .functions.hashing import stable_fingerprint
 
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
+    bands_path = f"{out_root}/band_buckets"
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None
@@ -422,6 +452,16 @@ def incremental_ingest(
     # so a streaming checkpoint retrying that batch self-heals
     # instead of failing forever.
     mode = f"catalog:{catalog_prefix}" if bucketed else "path"
+    if near_dup:
+        # the LSH recipe is part of the lake's identity: band keys
+        # from a different (hashes, bands, shingle, family) recipe
+        # would never collide with the persisted layer, silently
+        # disabling the guard — so it lives in the marker and every
+        # batch must match it
+        mode += (
+            f"+lsh:{lsh_num_hashes}x{lsh_bands}x{lsh_shingle_k}"
+            f":{lsh_hash_family}"
+        )
     marker_path = f"{out_root}/_lake_mode"
     recorded = None
     if _exists(spark, marker_path):
@@ -487,6 +527,33 @@ def incremental_ingest(
     )
 
     arrived = new_docs.count()
+    n_near_skipped = 0
+    batch_bands = None
+    if near_dup:
+        # band keys of the exact-deduped batch, computed ONCE
+        # (checkpointed: the within-batch pair stage, the history
+        # probe, and the sidecar append all read them) — batch-sized
+        # × bands rows, never corpus-sized
+        batch_bands = dedup.lsh_bands(
+            dedup.minhash_signatures(
+                batch, id_col, text_col, lsh_num_hashes,
+                lsh_shingle_k, lsh_hash_family,
+            ),
+            lsh_num_hashes, lsh_bands, lsh_hash_family,
+        ).localCheckpoint()
+        # within-batch near-dedup: two near-dup copies arriving in the
+        # same batch admit one keeper (the same contract the exact
+        # guard gives exact copies) — pairs → components → anti-join,
+        # all batch-sized
+        pairs = dedup.minhash_lsh_pairs(
+            batch, id_col, text_col,
+            scale_profile="production", hash_family=lsh_hash_family,
+            bands_df=batch_bands,
+        )
+        members = dedup.connected_components(pairs)
+        n_before = batch.count()
+        batch = dedup.drop_near_duplicates(batch, id_col, members)
+        n_near_skipped += n_before - batch.count()
     if bucketed and spark.catalog.tableExists(fp_table):
         seen = spark.table(fp_table).select("fingerprint")
         admitted = batch.join(seen, "fingerprint", "left_anti")
@@ -495,6 +562,22 @@ def incremental_ingest(
         admitted = batch.join(seen, "fingerprint", "left_anti")
     else:
         admitted = batch
+    if near_dup and _exists(spark, bands_path):
+        # history probe: batch band rows BROADCAST against a
+        # two-column scan of the persisted band layer — history is
+        # never shuffled or text-read per batch (lsh_seen_ids plan
+        # notes). Checkpoint first so the semi (count) + anti
+        # (filter) pair below doesn't re-run the fingerprint guard
+        # subplan twice.
+        seen_b = spark.read.parquet(bands_path)
+        near_hits = dedup.lsh_seen_ids(
+            None, seen_b, id_col, text_col, bands_df=batch_bands
+        )
+        admitted = admitted.localCheckpoint()
+        n_hist_hits = admitted.join(near_hits, id_col, "left_semi").count()
+        if n_hist_hits:
+            admitted = admitted.join(near_hits, id_col, "left_anti")
+        n_near_skipped += n_hist_hits
     # crash-replay guard: ids already admitted are never re-appended
     # even if their fingerprint append didn't land
     prior_ids = None
@@ -555,6 +638,40 @@ def incremental_ingest(
         # sets if an input file changed between jobs
         admitted = admitted.localCheckpoint()
         n_admitted = admitted.count()
+    # bands-sidecar heal (near_dup lakes): same proof obligation as
+    # the fingerprint heal, one crash window later — a doc row (and
+    # possibly its fingerprint) landed but the bands append did not,
+    # leaving the doc invisible to the near-dup guard. Candidates
+    # come from the PRE-guard batch ids (batch_bands), not from
+    # `flagged`: a replay after a fingerprint-append crash is caught
+    # by the fp guard and never reaches the id guard, but its bands
+    # may still be missing. Proof = id present in the admitted-id set
+    # AND absent from the bands layer's own id column; the healed
+    # rows are the replayed batch's bands (shares the fp heal's
+    # re-crawl-during-crash-window residual).
+    healable_bands = None
+    if near_dup and prior_ids is not None:
+        hb = batch_bands.join(
+            prior_ids.withColumnRenamed(id_col, "id").dropDuplicates(),
+            "id",
+            "left_semi",
+        )
+        if _exists(spark, bands_path):
+            hb = hb.join(
+                spark.read.parquet(bands_path)
+                .select("id")
+                .dropDuplicates(),
+                "id",
+                "left_anti",
+            )
+        healable_bands = hb.localCheckpoint()
+    n_healed_bands = (
+        healable_bands.select("id").distinct().count()
+        if healable_bands is not None
+        else 0
+    )
+    if n_healed_bands:
+        healable_bands.write.mode("append").parquet(bands_path)
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
         if bucketed:
@@ -595,7 +712,16 @@ def incremental_ingest(
             admitted.select("fingerprint", id_col).write.mode(
                 "append"
             ).parquet(fp_path)
-    return {
+        if near_dup:
+            # bands last (docs → ids → fingerprints → bands): a crash
+            # anywhere before this lands is healed on replay by the
+            # guards above + the bands backfill
+            batch_bands.join(
+                admitted.select(F.col(id_col).alias("id")),
+                "id",
+                "left_semi",
+            ).write.mode("append").parquet(bands_path)
+    out = {
         "arrived": arrived,
         "admitted": n_admitted,
         "healed_fingerprints": n_healed,
@@ -603,6 +729,10 @@ def incremental_ingest(
         if _exists(spark, docs_path)
         else 0,
     }
+    if near_dup:
+        out["near_dup_skipped"] = n_near_skipped
+        out["healed_bands"] = n_healed_bands
+    return out
 
 
 def streaming_ingest(
@@ -612,6 +742,7 @@ def streaming_ingest(
     text_col: str = "text",
     checkpoint: str | None = None,
     catalog_prefix: str | None = None,
+    near_dup: bool = False,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -639,6 +770,7 @@ def streaming_ingest(
             id_col=id_col,
             text_col=text_col,
             catalog_prefix=catalog_prefix,
+            near_dup=near_dup,
         )
 
     return (

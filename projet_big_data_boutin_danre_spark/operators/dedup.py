@@ -418,6 +418,75 @@ def lsh_bucket_profile(
     )
 
 
+def lsh_seen_ids(
+    batch: DataFrame | None,
+    seen_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+    hash_family: str = "md5",
+    bands_df: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus LSH membership probe: the distinct batch ids that
+    share at least one band bucket with a HISTORICAL band layer —
+    i.e. the batch docs that are near-duplicate candidates of
+    something already in the corpus. The incremental counterpart of
+    :func:`minhash_lsh_pairs`: within-corpus dedup compares a corpus
+    to itself; an ingest pipeline needs "is this NEW doc a near-dup
+    of ANY of the N docs admitted before" without rescanning (or
+    re-shuffling) history per batch.
+
+    ``seen_bands`` is the persisted band layer of the admitted corpus
+    — the ``(id, band, band_key)`` output of
+    :func:`lsh_bands` ∘ :func:`minhash_signatures`, appended as docs
+    are admitted (``bands`` rows per doc: KB-scale per doc, a few
+    percent sidecar like the fingerprint layer). Both sides MUST use
+    the same (num_hashes, bands, shingle_k, hash_family) — band keys
+    from different recipes never collide meaningfully.
+
+    Semantics match the band stage of :func:`minhash_lsh_pairs`
+    exactly (≥1 shared bucket ⇒ candidate): band-level probability of
+    collision at Jaccard s is 1-(1-s^r)^b, so thresholds tuned
+    within-corpus carry over. This returns CANDIDATES — the
+    within-bucket verification the pair stage would do (or
+    :func:`verify_pairs_levenshtein`) is the caller's choice; an
+    admission gate that drops candidates outright trades a small
+    false-positive rate (band collision without true similarity) for
+    never touching historical text.
+
+    Plan (the 100 TB shape): the batch's ``bands``·|batch| band rows
+    are explicitly ``broadcast`` — the corpus-sized ``seen_bands``
+    scan is probed map-side with NO shuffle and NO sort of history,
+    and the scan prunes to the two key columns (id/text never read).
+    One small aggregation (distinct batch ids) after. Degenerate
+    (mega-batch) inputs where the batch outgrows broadcast should
+    chunk the batch, not lift the broadcast — a shuffle join here
+    would re-shuffle the full history every batch."""
+    if bands_df is None:
+        if batch is None:
+            raise ValueError(
+                "lsh_seen_ids needs either a batch DataFrame or a "
+                "precomputed bands_df"
+            )
+        _check_hash_family(hash_family)
+        bands_df = lsh_bands(
+            minhash_signatures(
+                batch, id_col, text_col, num_hashes, shingle_k, hash_family
+            ),
+            num_hashes,
+            bands,
+            hash_family,
+        )
+    return (
+        seen_bands.select("band", "band_key")
+        .join(F.broadcast(bands_df), ["band", "band_key"])
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32,
     hash_family: str = "md5",

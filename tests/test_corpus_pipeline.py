@@ -616,3 +616,124 @@ def test_recipe_cap_split_and_shard_split(spark, sf0001, tmp_path):
             spark, docs, bad_root, CorpusRecipe(shard_split="train")
         )
     assert not os.path.exists(bad_root)
+
+
+def _near_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain in "
+    "spain falls mainly on the plain and a stitch in time saves nine "
+    "for every good boy does fine across the wide river delta"
+)
+
+
+def test_near_dup_ingest_blocks_perturbed_recrawls(spark, tmp_path):
+    """near_dup=True closes the exact-guard gap: a trivially-perturbed
+    copy of admitted content is blocked in a LATER batch (history band
+    probe) and within ONE batch (batch-internal clustering), while
+    genuinely new content still lands; counters account for both."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake_nd")
+    r1 = incremental_ingest(
+        spark, _near_docs(spark, [(1, _BASE)]), root, near_dup=True
+    )
+    assert r1["admitted"] == 1 and r1["near_dup_skipped"] == 0
+    # batch 2: a one-word perturbation (near-dup of history), plus an
+    # unrelated doc, plus TWO near-identical new docs (within-batch)
+    other = (
+        "completely different material about parquet row groups and "
+        "columnar page encodings with dictionary and run length "
+        "compression schemes layered over snappy block transforms"
+    )
+    r2 = incremental_ingest(
+        spark,
+        _near_docs(
+            spark,
+            [
+                (10, _BASE.replace("lazy", "sleepy")),
+                (11, other),
+                (12, other.replace("snappy", "zstd")),
+            ],
+        ),
+        root,
+        near_dup=True,
+    )
+    # 10 blocked against history; 11/12 cluster within the batch and
+    # admit one keeper
+    assert r2["admitted"] == 1
+    assert r2["near_dup_skipped"] == 2
+    assert r2["total_docs"] == 2
+    # replay of batch 2 admits nothing and heals nothing
+    r2b = incremental_ingest(
+        spark,
+        _near_docs(spark, [(10, _BASE.replace("lazy", "sleepy")),
+                           (11, other),
+                           (12, other.replace("snappy", "zstd"))]),
+        root,
+        near_dup=True,
+    )
+    assert r2b["admitted"] == 0 and r2b["healed_bands"] == 0
+
+
+def test_near_dup_ingest_recipe_is_lake_identity(spark, tmp_path):
+    """The LSH recipe is stamped into the mode marker: an unguarded
+    call on a guarded lake (or a different banding) is refused loudly
+    — silently mixing would leave blind spots in the band layer."""
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake_nd_mode")
+    incremental_ingest(
+        spark, _near_docs(spark, [(1, _BASE)]), root, near_dup=True
+    )
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(
+            spark, _near_docs(spark, [(2, _BASE)]), root, near_dup=False
+        )
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(
+            spark, _near_docs(spark, [(2, _BASE)]), root,
+            near_dup=True, lsh_bands=2,
+        )
+
+
+def test_near_dup_ingest_heals_missing_bands_on_replay(spark, tmp_path):
+    """Crash window: docs/fingerprints landed, bands append did not.
+    The replay must backfill the bands (healed_bands) so the near-dup
+    guard regains sight of the batch — and a perturbed copy arriving
+    after the heal is blocked."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake_nd_heal")
+    incremental_ingest(
+        spark, _near_docs(spark, [(1, _BASE)]), root, near_dup=True
+    )
+    # simulate the crash: bands append lost
+    shutil.rmtree(f"{root}/band_buckets")
+    # before the heal, the guard is blind — but the exact guards
+    # still hold, so the replay admits nothing AND rebuilds the bands
+    r = incremental_ingest(
+        spark, _near_docs(spark, [(1, _BASE)]), root, near_dup=True
+    )
+    assert r["admitted"] == 0
+    assert r["healed_bands"] == 1
+    # sight restored: the perturbed copy is blocked again
+    r2 = incremental_ingest(
+        spark,
+        _near_docs(spark, [(9, _BASE.replace("fox", "wolf"))]),
+        root,
+        near_dup=True,
+    )
+    assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
