@@ -737,3 +737,46 @@ def test_near_dup_ingest_heals_missing_bands_on_replay(spark, tmp_path):
         near_dup=True,
     )
     assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
+
+
+def test_streaming_ingest_near_dup_blocks_perturbed_files(spark, tmp_path):
+    """near_dup=True under the real streaming engine: a later file
+    carrying a perturbed copy of admitted content admits nothing — the
+    band-bucket guard holds across micro-batches through foreachBatch."""
+    import json
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    arrivals = tmp_path / "nd_arrivals"
+    arrivals.mkdir()
+    root = str(tmp_path / "nd_stream_lake")
+
+    def drop(name, rows):
+        (arrivals / name).write_text(
+            "\n".join(json.dumps(r) for r in rows)
+        )
+
+    drop("b1.json", [{"doc_id": 1, "text": _BASE}])
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(arrivals))
+    )
+    q = streaming_ingest(
+        stream, root, checkpoint=str(tmp_path / "nd_ckpt"), near_dup=True
+    )
+    try:
+        q.processAllAvailable()
+        drop("b2.json", [
+            {"doc_id": 20, "text": _BASE.replace("fox", "wolf")},
+        ])
+        q.processAllAvailable()
+        docs = spark.read.parquet(f"{root}/docs")
+        assert {r.doc_id for r in docs.collect()} == {1}
+        # the band layer carries only the admitted doc's buckets
+        bands = spark.read.parquet(f"{root}/band_buckets")
+        assert {r.id for r in bands.select("id").distinct().collect()} == {1}
+    finally:
+        q.stop()

@@ -431,3 +431,50 @@ def test_remaining_smjs_are_corpus_sized_by_design(spark, sf0001):
     smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
     assert len(smj) == 1, smj
     assert "FullOuter" in smj[0]
+
+
+def test_lsh_seen_probe_broadcasts_batch_never_shuffles_history(
+    spark, tmp_path
+):
+    """The cross-corpus near-dup probe's 100 TB contract: the
+    HISTORY band layer is probed by a BroadcastHashJoin whose build
+    side is the batch (history side never exchanges), and the layer
+    scan prunes to the two key columns — id/text of history are never
+    read."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc number {i} with some repeated body text")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    bands = dedup.lsh_bands(
+        dedup.minhash_signatures(hist, "doc_id", "text",
+                                 hash_family="fast"),
+        hash_family="fast",
+    )
+    layer = str(tmp_path / "band_buckets")
+    bands.write.parquet(layer)
+    batch = spark.createDataFrame(
+        [(100, "history doc number 7 with some repeated body text")],
+        "doc_id long, text string",
+    )
+    probe = dedup.lsh_seen_ids(
+        batch, spark.read.parquet(layer), "doc_id", "text",
+        hash_family="fast",
+    )
+    plan = _plan(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # column pruning on the history scan (the only parquet scan in
+    # this plan): band + band_key only — never the layer's id column
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    fields = {f.split(":")[0] for f in schemas[0].split(",") if f}
+    assert fields == {"band", "band_key"}, schemas[0]
+    # and it actually hits
+    assert [r["doc_id"] for r in probe.collect()] == [100]
