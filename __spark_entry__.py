@@ -937,7 +937,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
       (n_buckets · C(size, 2) within-bucket expansions), n =
       n_buckets. The r8 LSH adjudication showed candidate volume, not
       hash-family stage cost, dominates dedup end-to-end — this tag
-      hash-pins the exact volume the md5 banding produces.
+      hash-pins the exact volume the md5 banding produces;
+    - ``seen`` (r8): the cross-corpus near-dup probe
+      (operators/dedup.py:lsh_seen_ids — incremental_ingest's
+      admission guard): docs with doc_id % 5 == 0 play the arriving
+      batch, the rest the admitted history; one row per batch doc
+      sharing ≥ 1 band bucket with history (id_a = doc, id_b/n NULL).
 
     The oracle twin recomputes the components with a recursive
     transitive-closure CTE — an independent formulation (closure +
@@ -981,7 +986,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("candidate_pairs").alias("id_b"),
         F.col("n_buckets").alias("n"),
     )
-    return p.unionByName(m).unionByName(c).unionByName(bkt)
+    # r8 widening: the cross-corpus near-dup probe (the incremental
+    # ingest admission guard, dedup.lsh_seen_ids) — doc_id % 5 == 0
+    # plays the arriving batch, the rest the admitted history; both
+    # band layers slice the SAME checkpointed bands frame, and the
+    # probe's broadcast-batch plan is exactly the ingest's
+    seen = dedup.lsh_seen_ids(
+        None,
+        bands.filter(F.col("id") % 5 != 0),
+        "doc_id",
+        "text",
+        bands_df=bands.filter(F.col("id") % 5 == 0),
+    ).select(
+        F.lit("seen").alias("tag"),
+        F.col("doc_id").alias("id_a"),
+        nul.alias("id_b"),
+        nul.alias("n"),
+    )
+    return (
+        p.unionByName(m).unionByName(c).unionByName(bkt).unionByName(seen)
+    )
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -3071,6 +3095,14 @@ def oracle_sql() -> dict[str, str]:
             FROM comp GROUP BY component
             UNION ALL
             SELECT 'bucket', sz, candidate_pairs, n_buckets FROM bhist
+            UNION ALL
+            -- cross-corpus probe twin (r8): batch = id % 5 = 0,
+            -- history = the rest; hit = any shared (band, band_key)
+            SELECT DISTINCT 'seen', x.id, NULL, NULL
+            FROM bands x
+            JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                        AND y.id % 5 <> 0
+            WHERE x.id % 5 = 0
         """,
         "simhash": _sql_simhash(32),
         "ngram_jaccard": f"""
