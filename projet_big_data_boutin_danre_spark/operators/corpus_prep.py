@@ -354,9 +354,13 @@ def cap_per_group(
             .agg(F.count(F.lit(1)).alias("__gn"))
             .select(F.col(group_col).alias("__g"), thr.alias("__thr"))
         )
+        # NULL-id rows have a NULL sample key: `key < thr` is NULL
+        # (dropped) but the window ranks them NULLS FIRST (kept) — so
+        # the pre-filter must pass them through explicitly or the two
+        # paths diverge on exactly the rows a window sorts first
         df = (
             df.join(counts, F.col(group_col).eqNullSafe(F.col("__g")))
-            .filter(key < F.col("__thr"))
+            .filter((key < F.col("__thr")) | key.isNull())
             .drop("__g", "__thr")
         )
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))

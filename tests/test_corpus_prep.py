@@ -611,3 +611,28 @@ def test_leakage_safe_split_new_member_inherits_cluster_split(spark):
     }
     assert new[100] == new[7] == old[7]
     assert all(new[i] == old[i] for i in range(100))
+
+
+def test_cap_per_group_null_ids_identical_on_both_paths(spark):
+    """NULL ids sort NULLS FIRST in the ranking window, so they are
+    always inside the kept prefix — the pre-filter must pass their
+    NULL sample keys through (`NULL < thr` is NULL, i.e. dropped)
+    or the scale path silently loses exactly the rows the window
+    keeps first."""
+    docs = _docs(spark, 300).withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") % 29 == 0, F.lit(None)).otherwise(
+            F.col("doc_id")
+        ),
+    )
+    plain = cp.cap_per_group(docs, "doc_id", "lang", 8, seed=4)
+    pre = cp.cap_per_group(
+        docs, "doc_id", "lang", 8, seed=4, prefilter=True
+    )
+    key = lambda df: sorted(
+        (r["lang"], -1 if r["doc_id"] is None else r["doc_id"])
+        for r in df.collect()
+    )
+    assert key(plain) == key(pre)
+    # NULL ids are present in the output (they rank first)
+    assert any(i == -1 for _, i in key(pre))
