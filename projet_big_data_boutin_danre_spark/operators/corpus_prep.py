@@ -431,9 +431,11 @@ def leakage_safe_split(
     ``members`` is the cluster map — (``member_col``, ``rep_col``),
     one row per clustered doc, e.g. ``dedup_clusters`` output or
     exact-fingerprint groups; docs absent from it are singletons and
-    hash on their own id (left join + coalesce). Each member must
-    appear at most once (true of any function-of-member clustering; a
-    doc in two clusters would duplicate rows). Scale: the map carries
+    hash on their own id (left join + coalesce). A member listed under
+    several clusters is canonicalized to its MIN representative before
+    the join (deterministic, and the corpus can never fan out); maps
+    from any function-of-member clustering are already unique and pay
+    only a map-sized pre-aggregation. Scale: the map carries
     only ids (never text) and joins the corpus on its id — broadcast
     at runtime when small, else one hash shuffle; with ``members=None``
     the whole assignment is a map-only projection."""
@@ -448,9 +450,13 @@ def leakage_safe_split(
             f"split fractions must sum to 1 (got {total}): {splits}"
         )
     if members is not None:
-        m = members.select(
-            F.col(member_col).alias("__m"), F.col(rep_col).alias("__rep")
-        )
+        # canonicalize to one rep per member (min — deterministic): a
+        # member listed under two clusters would otherwise FAN OUT the
+        # left join and silently duplicate corpus rows; any
+        # function-of-member clustering is unaffected (already unique)
+        m = members.groupBy(
+            F.col(member_col).alias("__m")
+        ).agg(F.min(rep_col).alias("__rep"))
         df = (
             df.join(m, F.col(id_col) == F.col("__m"), "left")
             .withColumn("__rep", F.coalesce("__rep", F.col(id_col)))

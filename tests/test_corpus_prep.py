@@ -636,3 +636,29 @@ def test_cap_per_group_null_ids_identical_on_both_paths(spark):
     assert key(plain) == key(pre)
     # NULL ids are present in the output (they rank first)
     assert any(i == -1 for _, i in key(pre))
+
+
+def test_leakage_safe_split_duplicate_member_rows_never_fan_out(spark):
+    """A member listed under two clusters must not duplicate corpus
+    rows through the split join: the map is canonicalized to the MIN
+    representative per member before joining."""
+    docs = _docs(spark, 30)
+    members = spark.createDataFrame(
+        [(5, 2), (5, 9), (6, 9)], "member long, rep long"
+    )
+    out = cp.leakage_safe_split(
+        docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=3, members=members
+    )
+    rows = out.select("doc_id", "split").collect()
+    assert len(rows) == 30  # no fan-out
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    # 5 resolves to rep 2 (min), NOT rep 9
+    ref = cp.leakage_safe_split(
+        docs, "doc_id", {"a": 0.5, "b": 0.5}, seed=3,
+        members=spark.createDataFrame(
+            [(5, 2), (6, 9)], "member long, rep long"
+        ),
+    )
+    assert split_of == {
+        r["doc_id"]: r["split"] for r in ref.collect()
+    }
