@@ -343,6 +343,7 @@ def run_corpus_pipeline(
         corpus_prep.write_training_shards(
             chunks, "chunk_key", shards_path,
             seed=recipe.seed, n_shards=recipe.n_shards,
+            manifest=True,
         )
     counts["shards"] = spark.read.parquet(shards_path).count()
     return counts

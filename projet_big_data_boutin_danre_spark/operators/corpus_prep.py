@@ -48,6 +48,8 @@ __all__ = [
     "interleave",
     "sample_summary",
     "write_training_shards",
+    "shard_stats",
+    "verify_training_shards",
     "global_prefix_sum",
     "pack_sequences",
     "corpus_diff",
@@ -512,6 +514,7 @@ def write_training_shards(
     seed: int = 42,
     n_shards: int | None = None,
     fmt: str = "parquet",
+    manifest: bool = False,
 ) -> None:
     """Materialize the deterministic interleave as ordered training
     shards: shard ``i`` holds the ``i``-th contiguous slice of the
@@ -531,6 +534,13 @@ def write_training_shards(
     for a given input partitioning — for *bit-stable shard membership
     across different cluster layouts*, pin ``n_shards`` and rely on
     the persisted ``__shard``/key order instead of file split points.
+
+    ``manifest=True`` stamps a ``_manifest`` sidecar (underscore
+    prefix: invisible to layer scans) with each shard's
+    :func:`shard_stats` digest, computed from the rows as WRITTEN —
+    :func:`verify_training_shards` then validates any later copy of
+    the layer against it (the delivery-integrity check a corpus that
+    ships between stores needs).
     """
     key = sample_key(id_col, seed)
     n = n_shards or df.sparkSession.sparkContext.defaultParallelism
@@ -541,6 +551,84 @@ def write_training_shards(
         .withColumn("__shard", F.spark_partition_id())
     )
     out.write.mode("overwrite").format(fmt).save(path)
+    if manifest:
+        shard_stats(
+            df.sparkSession.read.format(fmt).load(path), id_col
+        ).write.mode("overwrite").parquet(f"{path}/_manifest")
+
+
+def shard_stats(shards: DataFrame, id_col: str) -> DataFrame:
+    """Per-shard integrity digest of a :func:`write_training_shards`
+    layer: ``(shard, n_rows, key_min, key_max, row_digest)`` where
+    ``row_digest`` is an order-free ``bit_xor(xxhash64(key, id))`` —
+    exact row-SET equality, not just counts. One map-side-combined
+    aggregation over the layer; output is #shards rows."""
+    return (
+        shards.groupBy(F.col("__shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__key").alias("key_min"),
+            F.max("__key").alias("key_max"),
+            F.bit_xor(
+                F.xxhash64(F.col("__key"), F.col(id_col))
+            ).alias("row_digest"),
+        )
+    )
+
+
+def verify_training_shards(
+    spark,
+    path: str,
+    id_col: str,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Validate a delivered shard layer against the manifest its
+    writer stamped (``write_training_shards(..., manifest=True)``):
+    returns one row per problem, empty == intact. Checks, in one scan
+    of the layer plus the #shards-sized manifest:
+
+    - ``missing_shard`` / ``extra_shard``: manifest↔layer membership;
+    - ``row_mismatch``: any shard whose count, key range, or row-SET
+      digest differs (a truncated copy, a lost/duplicated file, a
+      corrupted row — anything that changes the set);
+    - ``range_overlap``: consecutive shards whose [key_min, key_max]
+      ranges overlap — the range-partitioned global order is broken,
+      so concatenating shards in file order would NOT replay the
+      interleave (window over the #shards manifest, bounded state).
+
+    The 100 TB shape: recomputing the digest is one linear
+    map-side-combined scan (the same cost the writer paid), the
+    manifest side is KB-scale, and no text or payload column is read
+    beyond ``__shard``/``__key``/id."""
+    man = spark.read.parquet(f"{path}/_manifest")
+    got = shard_stats(spark.read.format(fmt).load(path), id_col)
+    j = man.alias("m").join(
+        got.alias("g"), F.col("m.shard") == F.col("g.shard"), "full_outer"
+    )
+    problems = j.select(
+        F.coalesce(F.col("m.shard"), F.col("g.shard")).alias("shard"),
+        F.when(F.col("g.shard").isNull(), F.lit("missing_shard"))
+        .when(F.col("m.shard").isNull(), F.lit("extra_shard"))
+        .when(
+            (F.col("m.n_rows") != F.col("g.n_rows"))
+            | ~F.col("m.key_min").eqNullSafe(F.col("g.key_min"))
+            | ~F.col("m.key_max").eqNullSafe(F.col("g.key_max"))
+            | ~F.col("m.row_digest").eqNullSafe(F.col("g.row_digest")),
+            F.lit("row_mismatch"),
+        )
+        .alias("problem"),
+    ).filter(F.col("problem").isNotNull())
+    w = Window.orderBy("shard")
+    overlaps = (
+        man.select("shard", "key_min", "key_max")
+        .withColumn("__prev_max", F.lag("key_max").over(w))
+        .filter(
+            F.col("__prev_max").isNotNull()
+            & (F.col("key_min") < F.col("__prev_max"))
+        )
+        .select("shard", F.lit("range_overlap").alias("problem"))
+    )
+    return problems.unionByName(overlaps)
 
 
 def global_prefix_sum(

@@ -662,3 +662,50 @@ def test_leakage_safe_split_duplicate_member_rows_never_fan_out(spark):
     assert split_of == {
         r["doc_id"]: r["split"] for r in ref.collect()
     }
+
+
+def test_shard_manifest_verifies_delivery_integrity(spark, tmp_path):
+    """write_training_shards(manifest=True) stamps per-shard digests;
+    verify_training_shards is empty on the intact layer, then flags a
+    lost shard file (row_mismatch/missing) and a duplicated one —
+    the copy-between-stores failure modes."""
+    import glob
+    import os
+    import shutil
+
+    docs = _docs(spark, 400)
+    path = str(tmp_path / "shards")
+    cp.write_training_shards(
+        docs, "doc_id", path, seed=7, n_shards=4, manifest=True
+    )
+    assert (
+        cp.verify_training_shards(spark, path, "doc_id").count() == 0
+    )
+    # manifest covers every shard with sane ranges
+    man = spark.read.parquet(f"{path}/_manifest")
+    assert man.count() == 4
+    assert sum(r["n_rows"] for r in man.collect()) == 400
+    # corruption 1: drop one data file → its shard's digest mismatches
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 2
+    lost = files[0]
+    backup = str(tmp_path / "lost.parquet")
+    shutil.copy(lost, backup)
+    os.remove(lost)
+    probs = {
+        (r["shard"], r["problem"])
+        for r in cp.verify_training_shards(spark, path, "doc_id").collect()
+    }
+    assert probs and all(
+        p in ("row_mismatch", "missing_shard") for _, p in probs
+    )
+    # corruption 2: restore, then duplicate a file under a new name →
+    # duplicated rows change the count but not min/max; the digest
+    # (xor: duplicated rows cancel) plus count still flags it
+    shutil.copy(backup, lost)
+    shutil.copy(files[1], f"{path}/part-zz-copy.parquet")
+    probs2 = {
+        r["problem"]
+        for r in cp.verify_training_shards(spark, path, "doc_id").collect()
+    }
+    assert "row_mismatch" in probs2
