@@ -736,6 +736,94 @@ def incremental_ingest(
     return out
 
 
+def compact_layer(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Small-files maintenance for an append-mode lake layer: rewrite
+    the layer into ~``target_file_mb`` files and swap it in with a
+    resumable rename protocol. Per-micro-batch appends
+    (:func:`incremental_ingest` docs/fingerprints/band_buckets) leave
+    one file set per batch; at streaming rates that is millions of
+    tiny files whose listing + open overhead eventually dominates
+    every guard scan — periodic compaction is the standard antidote.
+    NOT for the ordered ``shards`` layer (its writer owns file
+    layout; rewriting would break within-shard order).
+
+    Protocol (each step idempotently recoverable, checked on entry so
+    a crashed compaction self-heals on the next call):
+
+    1. write ``<path>__compact`` (Spark stamps ``_SUCCESS``);
+    2. verify row count vs the live layer (refuse the swap on
+       mismatch — a torn write never replaces good data);
+    3. rename live → ``<path>__old``;
+    4. rename ``__compact`` → live;
+    5. delete ``__old``.
+
+    Crash between 3–4 leaves no live dir: the entry repair finishes
+    the swap iff ``__compact`` carries ``_SUCCESS``. Crash after 4
+    just re-deletes ``__old``. Readers see a missing dir for the
+    duration of two renames — a maintenance-window operation on
+    stores with O(1) rename (HDFS; object stores emulate rename by
+    copy, so prefer their native compaction windows). Uses the Hadoop
+    FileSystem API, so the same code runs on file://, hdfs://, s3a://.
+
+    Returns {files_before, files_after, rows}.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live, compacted, old = hpath(path), hpath(path + "__compact"), hpath(
+        path + "__old"
+    )
+    # entry repair of a crashed previous run
+    if not fs.exists(live) and fs.exists(compacted):
+        if fs.exists(hpath(path + "__compact/_SUCCESS")):
+            fs.rename(compacted, live)
+        else:
+            raise ValueError(
+                f"compaction of {path} crashed mid-write with no live "
+                "layer left — restore from __old or upstream"
+            )
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(compacted):
+        fs.delete(compacted, True)  # stale partial from a crashed run
+
+    def _files(p) -> int:
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith("_"):
+                n += 1
+        return n
+
+    files_before = _files(live)
+    size = fs.getContentSummary(live).getLength()
+    n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    df.repartition(n_out).write.mode("overwrite").parquet(
+        path + "__compact"
+    )
+    got = spark.read.parquet(path + "__compact").count()
+    if got != rows:
+        fs.delete(compacted, True)
+        raise ValueError(
+            f"compaction of {path} produced {got} rows, expected "
+            f"{rows} — swap refused, live layer untouched"
+        )
+    fs.rename(live, old)
+    fs.rename(compacted, live)
+    fs.delete(old, True)
+    return {
+        "files_before": files_before,
+        "files_after": _files(live),
+        "rows": rows,
+    }
+
+
 def streaming_ingest(
     stream_df: DataFrame,
     out_root: str,

@@ -780,3 +780,71 @@ def test_streaming_ingest_near_dup_blocks_perturbed_files(spark, tmp_path):
         assert {r.id for r in bands.select("id").distinct().collect()} == {1}
     finally:
         q.stop()
+
+
+def test_compact_layer_preserves_content_and_heals_crashes(spark, tmp_path):
+    """Lake maintenance: compaction reduces the per-batch file litter
+    without changing a single row, the guards still hold afterwards,
+    and the two crash states of the swap protocol self-heal on the
+    next call."""
+    import os
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        compact_layer,
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "compact_lake")
+    for b in range(5):  # five appends → five file sets
+        incremental_ingest(
+            spark,
+            _near_docs(spark, [(b * 10 + i, f"doc body {b} {i} unique")
+                               for i in range(3)]),
+            root,
+        )
+    docs_path = f"{root}/docs"
+    before = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(docs_path).collect()
+    }
+    stats = compact_layer(spark, docs_path)
+    assert stats["rows"] == 15 == len(before)
+    assert stats["files_after"] < stats["files_before"]
+    after = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(docs_path).collect()
+    }
+    assert after == before
+    # the fingerprint guard still works on the compacted lake
+    r = incremental_ingest(
+        spark,
+        _near_docs(spark, [(99, "doc body 0 0 unique")]),
+        root,
+    )
+    assert r["admitted"] == 0
+    # crash state A: live renamed away, __compact complete (_SUCCESS)
+    fp_path = f"{root}/fingerprints"
+    fp_before = {
+        tuple(r) for r in spark.read.parquet(fp_path).collect()
+    }
+    shutil.copytree(fp_path, f"{fp_path}__compact")
+    shutil.move(fp_path, f"{fp_path}__old")
+    stats2 = compact_layer(spark, fp_path)
+    assert {
+        tuple(r) for r in spark.read.parquet(fp_path).collect()
+    } == fp_before
+    assert stats2["rows"] == len(fp_before)
+    # crash state B: __compact incomplete (no _SUCCESS), live gone —
+    # refuse loudly instead of swapping in a torn write
+    import pytest as _pytest
+
+    shutil.copytree(docs_path, f"{docs_path}__compact")
+    os.remove(f"{docs_path}__compact/_SUCCESS")
+    shutil.move(docs_path, f"{docs_path}__old")
+    with _pytest.raises(ValueError, match="crashed mid-write"):
+        compact_layer(spark, docs_path)
+    # manual restore path the error message points at
+    shutil.move(f"{docs_path}__old", docs_path)
+    shutil.rmtree(f"{docs_path}__compact")
+    assert compact_layer(spark, docs_path)["rows"] == 15
