@@ -848,3 +848,37 @@ def test_compact_layer_preserves_content_and_heals_crashes(spark, tmp_path):
     shutil.move(f"{docs_path}__old", docs_path)
     shutil.rmtree(f"{docs_path}__compact")
     assert compact_layer(spark, docs_path)["rows"] == 15
+
+
+def test_near_dup_ingest_composes_with_catalog_mode(spark, tmp_path):
+    """near_dup=True and catalog_prefix= compose: exact guards run
+    against the bucketed catalog sidecars, the band layer stays a
+    path sidecar (its probe never shuffles, bucketing buys nothing),
+    and the mode marker records BOTH choices."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake_nd_cat")
+    px = "ndcat_t1"
+    try:
+        r1 = incremental_ingest(
+            spark, _near_docs(spark, [(1, _BASE)]), root,
+            catalog_prefix=px, near_dup=True,
+        )
+        assert r1["admitted"] == 1
+        r2 = incremental_ingest(
+            spark,
+            _near_docs(spark, [(2, _BASE.replace("dog", "cat")),
+                               (3, "something else entirely new here "
+                                   "about columnar storage layouts")]),
+            root,
+            catalog_prefix=px,
+            near_dup=True,
+        )
+        assert r2["admitted"] == 1 and r2["near_dup_skipped"] == 1
+        mode = spark.read.parquet(f"{root}/_lake_mode").head()["mode"]
+        assert mode.startswith("catalog:") and "+lsh:" in mode
+    finally:
+        for t in (f"{px}_fingerprints", f"{px}_ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
