@@ -790,6 +790,15 @@ def compact_layer(
         fs.delete(old, True)
     if fs.exists(compacted):
         fs.delete(compacted, True)  # stale partial from a crashed run
+    if fs.exists(hpath(path + "/_manifest")):
+        # an ordered shard layer: repartition would scramble the
+        # within-shard order its manifest certifies — refuse instead
+        # of silently corrupting the delivery contract
+        raise ValueError(
+            f"{path} carries a shard _manifest — it is an ORDERED "
+            "shard layer; compaction would break within-shard order. "
+            "Re-run write_training_shards to re-layout it instead."
+        )
 
     def _files(p) -> int:
         it, n = fs.listFiles(p, True), 0

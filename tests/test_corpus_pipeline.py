@@ -882,3 +882,24 @@ def test_near_dup_ingest_composes_with_catalog_mode(spark, tmp_path):
     finally:
         for t in (f"{px}_fingerprints", f"{px}_ids"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_layer_refuses_ordered_shard_layers(spark, tmp_path):
+    """Compacting a write_training_shards layer would scramble the
+    within-shard order its manifest certifies — refused loudly."""
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        compact_layer,
+    )
+    from projet_big_data_boutin_danre_spark.operators import corpus_prep
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    path = str(tmp_path / "ordered_shards")
+    corpus_prep.write_training_shards(
+        docs, "doc_id", path, n_shards=2, manifest=True
+    )
+    with _pytest.raises(ValueError, match="ORDERED shard layer"):
+        compact_layer(spark, path)
