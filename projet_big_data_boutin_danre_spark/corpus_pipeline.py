@@ -531,6 +531,11 @@ def incremental_ingest(
     n_near_skipped = 0
     batch_bands = None
     if near_dup:
+        # the exact-deduped batch feeds the band computation, the
+        # within-batch anti-join, two counts, and the guards below —
+        # checkpoint the batch-sized frame once instead of re-running
+        # the dedup window per consumer
+        batch = batch.localCheckpoint()
         # band keys of the exact-deduped batch, computed ONCE
         # (checkpointed: the within-batch pair stage, the history
         # probe, and the sidecar append all read them) — batch-sized
