@@ -189,6 +189,43 @@ def skew_plan_probe(spark) -> float:
             spark.conf.set(k, v)
 
 
+def near_dup_ingest_probe(spark, sf_dir: str) -> float:
+    """Two-batch incremental ingest with the near-dup admission guard
+    (r8): batch A (even doc_ids) creates the lake; batch B (odd) pays
+    the full guard stack — within-batch LSH clustering + the
+    broadcast band probe against A's persisted band layer + the exact
+    fingerprint/id guards — plus all sidecar appends. Cold, writes
+    included; returns seconds, -1.0 on failure (probes never kill the
+    graded numbers)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+    from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+    root = tempfile.mkdtemp(prefix="bench_nd_ingest_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        t0 = time.time()
+        incremental_ingest(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), root,
+            near_dup=True,
+        )
+        incremental_ingest(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), root,
+            near_dup=True,
+        )
+        return round(time.time() - t0, 3)
+    except Exception:
+        return -1.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def corpus_pipeline_probe(spark, sf_dir: str, cut_spans: bool = False) -> float:
     """One cold end-to-end corpus-pipeline run (all six layers,
     parquet writes included) into a throwaway lake; returns seconds.
@@ -381,6 +418,10 @@ def main() -> None:
     timings["corpus_pipeline_e2e_cut"] = corpus_pipeline_probe(
         spark, sf_dir, cut_spans=True
     )
+    # two-batch near-dup-guarded ingest (r8): within-batch LSH
+    # clustering + broadcast band probe vs the persisted layer +
+    # exact guards + sidecar appends — excluded from the headline
+    timings["near_dup_ingest"] = near_dup_ingest_probe(spark, sf_dir)
     # BPE tokenizer: train (one wordcount shuffle + bounded-histogram
     # merge loop) + full-corpus Arrow encode — bench-only, excluded
     # from the headline total (pytest-verified family; not
