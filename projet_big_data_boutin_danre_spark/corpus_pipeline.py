@@ -782,10 +782,20 @@ def compact_layer(
     live, compacted, old = hpath(path), hpath(path + "__compact"), hpath(
         path + "__old"
     )
+    def _rename(src, dst, what: str) -> None:
+        # Hadoop FileSystem.rename reports failure as a False return,
+        # not an exception — unchecked, a failed swap step would
+        # cascade into the next one silently
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"compaction of {path}: rename {what} "
+                f"({src} -> {dst}) failed — layer left as-is"
+            )
+
     # entry repair of a crashed previous run
     if not fs.exists(live) and fs.exists(compacted):
         if fs.exists(hpath(path + "__compact/_SUCCESS")):
-            fs.rename(compacted, live)
+            _rename(compacted, live, "repair (compacted -> live)")
         else:
             raise ValueError(
                 f"compaction of {path} crashed mid-write with no live "
@@ -828,8 +838,14 @@ def compact_layer(
             f"compaction of {path} produced {got} rows, expected "
             f"{rows} — swap refused, live layer untouched"
         )
-    fs.rename(live, old)
-    fs.rename(compacted, live)
+    _rename(live, old, "step 3 (live -> old)")
+    try:
+        _rename(compacted, live, "step 4 (compacted -> live)")
+    except IOError:
+        # roll the live layer back before surfacing: better a failed
+        # compaction than a missing layer
+        fs.rename(old, live)
+        raise
     fs.delete(old, True)
     return {
         "files_before": files_before,
