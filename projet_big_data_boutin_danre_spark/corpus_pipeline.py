@@ -531,10 +531,16 @@ def incremental_ingest(
     n_near_skipped = 0
     batch_bands = None
     if near_dup:
+        if "__nd" in batch.columns:
+            raise ValueError(
+                "incremental_ingest(near_dup=True) reserves the "
+                "column name '__nd' for its history guard — rename "
+                "it in the input"
+            )
         # the exact-deduped batch feeds the band computation, the
-        # within-batch anti-join, two counts, and the guards below —
-        # checkpoint the batch-sized frame once instead of re-running
-        # the dedup window per consumer
+        # within-batch anti-join, the members count, and the guards
+        # below — checkpoint the batch-sized frame once instead of
+        # re-running the dedup window per consumer
         batch = batch.localCheckpoint()
         # band keys of the exact-deduped batch, computed ONCE
         # (checkpointed: the within-batch pair stage, the history
@@ -557,9 +563,13 @@ def incremental_ingest(
             bands_df=batch_bands,
         )
         members = dedup.connected_components(pairs)
-        n_before = batch.count()
         batch = dedup.drop_near_duplicates(batch, id_col, members)
-        n_near_skipped += n_before - batch.count()
+        # skip accounting from the members frame (pairs-sized) — the
+        # non-keepers ARE the dropped rows, so this replaces two
+        # batch-subplan counts with one job on a smaller frame
+        n_near_skipped += members.filter(
+            F.col("node") != F.col("component")
+        ).count()
     if bucketed and spark.catalog.tableExists(fp_table):
         seen = spark.table(fp_table).select("fingerprint")
         admitted = batch.join(seen, "fingerprint", "left_anti")
@@ -579,11 +589,14 @@ def incremental_ingest(
         near_hits = dedup.lsh_seen_ids(
             None, seen_b, id_col, text_col, bands_df=batch_bands
         )
-        admitted = admitted.localCheckpoint()
-        n_hist_hits = admitted.join(near_hits, id_col, "left_semi").count()
-        if n_hist_hits:
-            admitted = admitted.join(near_hits, id_col, "left_anti")
-        n_near_skipped += n_hist_hits
+        # ONE flag-join (the id-guard trick): count + filter both read
+        # the checkpointed result instead of paying a semi and an anti
+        # join over the guard subplan separately
+        nd_flagged = admitted.join(
+            near_hits.withColumn("__nd", F.lit(True)), id_col, "left"
+        ).localCheckpoint()
+        n_near_skipped += nd_flagged.filter(F.col("__nd")).count()
+        admitted = nd_flagged.filter(F.col("__nd").isNull()).drop("__nd")
     # crash-replay guard: ids already admitted are never re-appended
     # even if their fingerprint append didn't land
     prior_ids = None
