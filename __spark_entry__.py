@@ -320,7 +320,14 @@ def q_geo_radius(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_search_spec(spark: SparkSession, sf: str) -> DataFrame:
     """Q1+Q3+Q4+Q10 (§2.8): SearchSpec → filter/sort/page compiler over
-    the documents table."""
+    the documents table, tagged union (r8 widening):
+
+    - ``sub``: the original pinned spec (substring keyword match +
+      enum + range + sort + page 2);
+    - ``tok``: the SURVEY Q1 stretch — ``text_match="all_tokens"``
+      keyword semantics ("spark join": both tokens must appear as
+      WHOLE tokens, any order, case/punct-insensitive via the
+      canonical normalize on both sides)."""
     docs = load_table(spark, sf, "documents")
     spec = SearchSpec(
         text="spark",
@@ -333,7 +340,24 @@ def q_search_spec(spark: SparkSession, sf: str) -> DataFrame:
         text_cols=("text",),
         id_col="doc_id",
     )
-    return compile_search(docs, spec).select("doc_id", "lang", "n_chars")
+    sub = compile_search(docs, spec).select(
+        F.lit("sub").alias("tag"), "doc_id", "lang", "n_chars"
+    )
+    tok_spec = SearchSpec(
+        text="Spark, JOIN!",  # normalizes to tokens [spark, join]
+        text_match="all_tokens",
+        ranges={"n_chars": (100.0, None)},
+        sort_by="n_chars",
+        sort_asc=False,
+        limit=25,
+        page=1,
+        text_cols=("text",),
+        id_col="doc_id",
+    )
+    tok = compile_search(docs, tok_spec).select(
+        F.lit("tok").alias("tag"), "doc_id", "lang", "n_chars"
+    )
+    return sub.unionByName(tok)
 
 
 def q_top_k_per_group(spark: SparkSession, sf: str) -> DataFrame:
@@ -2593,13 +2617,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM pts
             ) WHERE dist_km <= 500.0
         """,
-        "search_spec": """
-            SELECT doc_id, lang, n_chars
-            FROM documents
-            WHERE text LIKE '%spark%' AND lang IN ('en', 'fr')
-              AND n_chars >= 100.0
-            ORDER BY n_chars DESC, doc_id ASC
-            LIMIT 20 OFFSET 20
+        "search_spec": f"""
+            SELECT 'sub' AS tag, doc_id, lang, n_chars
+            FROM (
+                SELECT doc_id, lang, n_chars
+                FROM documents
+                WHERE text LIKE '%spark%' AND lang IN ('en', 'fr')
+                  AND n_chars >= 100.0
+                ORDER BY n_chars DESC, doc_id ASC
+                LIMIT 20 OFFSET 20
+            )
+            UNION ALL
+            -- all_tokens twin: whole-token membership over the same
+            -- canonical normalize, both query tokens required
+            SELECT 'tok', doc_id, lang, n_chars
+            FROM (
+                SELECT doc_id, lang, n_chars
+                FROM documents
+                WHERE list_contains(
+                          string_split({_NORM_SQL.format(c='text')}, ' '),
+                          'spark')
+                  AND list_contains(
+                          string_split({_NORM_SQL.format(c='text')}, ' '),
+                          'join')
+                  AND n_chars >= 100.0
+                ORDER BY n_chars DESC, doc_id ASC
+                LIMIT 25 OFFSET 0
+            )
         """,
         "top_k_per_group": """
             SELECT o_orderpriority, o_orderkey, o_totalprice, rnk

@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from ..functions.geo import within_radius_km
 from ..operators.pagination import sort_page
 
+def _normalize_py(s: str) -> str:
+    """Python twin of functions.hashing.normalize_text for QUERY-side
+    tokenization (the query is a driver literal, so normalizing it in
+    Python keeps the plan free of a per-row normalize of a constant)."""
+    import re
+
+    return re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", s.lower())).strip()
+
+
 # sort_by → (column attr, default direction) — mirrors the Sort enum
 # (dags/lbc/lbc/model/enums.py:12-17): relevance/date/price.
 _SORTS = {
@@ -41,6 +50,14 @@ class SearchSpec:
 
     text: str | None = None                      # Q1 keywords.text
     search_in_title_only: bool = False           # Q1 type='subject'
+    # Q1 match semantics: "substring" (the reference's contains) or
+    # "all_tokens" (SURVEY Q1 stretch — every query token must appear
+    # as a WHOLE token of the haystack, any order, case/punct
+    # insensitive: the search-engine keyword semantic). Tokenization
+    # is the engine's canonical normalize (lowercase, non-alnum →
+    # space) on BOTH the query (Python-side, compiled to literals)
+    # and the haystack (Column-side) — identical in the SQL oracle.
+    text_match: str = "substring"
     category: str | None = None                  # Q2 filters.category.id
     enums: dict[str, list[str]] = field(default_factory=dict)   # Q3
     ranges: dict[str, tuple[float | None, float | None]] = field(
@@ -79,7 +96,20 @@ def compile_predicate(spec: SearchSpec) -> Column | None:
             spec.text_cols[:1] if spec.search_in_title_only else spec.text_cols
         )
         hay = F.concat_ws(" ", *[F.coalesce(F.col(c), F.lit("")) for c in cols])
-        clauses.append(hay.contains(spec.text))
+        if spec.text_match == "all_tokens":
+            from ..functions.hashing import normalize_text
+
+            toks = F.split(normalize_text(hay), " ")
+            q_toks = [t for t in _normalize_py(spec.text).split(" ") if t]
+            for t in q_toks:
+                clauses.append(F.array_contains(toks, t))
+        elif spec.text_match == "substring":
+            clauses.append(hay.contains(spec.text))
+        else:
+            raise ValueError(
+                f"unknown text_match {spec.text_match!r} — "
+                "'substring' or 'all_tokens'"
+            )
     if spec.category is not None:
         clauses.append(F.col(spec.category_col) == F.lit(spec.category))
     for col_name, values in spec.enums.items():

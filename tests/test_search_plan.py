@@ -117,3 +117,36 @@ def test_within_radius_bounding_box_consistency(spark):
         within_radius_km(F.col("lat"), F.col("lng"), 48.8599, 2.3380, 10.0)
     ).collect()
     assert [r["id"] for r in out] == [1]
+
+
+def test_all_tokens_match_semantics(spark):
+    """Q1 stretch (SURVEY §2.8): all_tokens requires every query
+    token as a WHOLE haystack token, any order, case/punct
+    insensitive — and never substring-matches inside a longer word."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(id=1, title="grande maison de campagne"),
+        Row(id=2, title="Campagne! autour d'une MAISON"),   # both, scrambled
+        Row(id=3, title="maisonnette en campagne"),          # substring only
+        Row(id=4, title="maison en ville"),                  # one token
+        Row(id=5, title=None),
+    ]
+    df = spark.createDataFrame(rows)
+    spec = SearchSpec(
+        text="Maison, campagne!",
+        text_match="all_tokens",
+        sort_by=None,
+        limit=10,
+    )
+    got = sorted(r["id"] for r in compile_search(df, spec).collect())
+    assert got == [1, 2]
+    # substring mode keeps its reference semantics (exact contains)
+    sub = SearchSpec(text="maison", limit=10)
+    assert sorted(
+        r["id"] for r in compile_search(df, sub).collect()
+    ) == [1, 3, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="text_match"):
+        compile_search(df, SearchSpec(text="x", text_match="fuzzy"))
