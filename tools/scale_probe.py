@@ -163,6 +163,22 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         )
         .select(F.sum(F.length("text")))
         .collect(),
+        # cross-corpus near-dup probe (r8): HISTORY scales with k, the
+        # arriving batch stays fixed (first 200 base ids) — the claim
+        # is one linear scan of the growing band layer with the batch
+        # broadcast, so the exponent should sit near the scan's
+        "lsh_seen": lambda: dedup.lsh_seen_ids(
+            docs.filter(F.col("doc_id") < 200),
+            dedup.lsh_bands(
+                dedup.minhash_signatures(
+                    docs, "doc_id", "text", hash_family="fast"
+                ),
+                hash_family="fast",
+            ),
+            "doc_id",
+            "text",
+            hash_family="fast",
+        ).count(),
     }
 
 
