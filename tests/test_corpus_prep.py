@@ -709,3 +709,34 @@ def test_shard_manifest_verifies_delivery_integrity(spark, tmp_path):
         for r in cp.verify_training_shards(spark, path, "doc_id").collect()
     }
     assert "row_mismatch" in probs2
+
+
+def test_verify_shards_flags_broken_range_order(spark, tmp_path):
+    """range_overlap: consecutive shards whose key ranges overlap mean
+    concatenating shards in file order no longer replays the global
+    interleave — the validator must flag it even when every row-set
+    digest still matches."""
+    docs = _docs(spark, 200)
+    path = str(tmp_path / "shards_ro")
+    cp.write_training_shards(
+        docs, "doc_id", path, seed=7, n_shards=3, manifest=True
+    )
+    man = spark.read.parquet(f"{path}/_manifest").collect()
+    # forge the manifest: copy shard 1's key range onto shard 2 so
+    # ranges overlap while counts/digests keep matching their shards
+    rows = []
+    by_shard = {r["shard"]: r.asDict() for r in man}
+    lo = min(by_shard)
+    hi = sorted(by_shard)[1]
+    forged = dict(by_shard[hi])
+    forged["key_min"] = by_shard[lo]["key_min"]
+    for s, r in by_shard.items():
+        rows.append(forged if s == hi else r)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{path}/_manifest"
+    )
+    probs = {
+        r["problem"]
+        for r in cp.verify_training_shards(spark, path, "doc_id").collect()
+    }
+    assert "range_overlap" in probs
