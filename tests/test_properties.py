@@ -559,3 +559,49 @@ def test_bpe_round_trips_any_corpus(spark, texts, n_merges):
             r" +", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())
         ).strip()
         assert bpe.decode(enc[i]) == norm
+
+
+_cap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # id (dups possible)
+        st.sampled_from(["a", "b", "c", None]),   # group incl. NULL
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=_cap_rows, cap=st.integers(min_value=1, max_value=6),
+       seed=st.integers(min_value=0, max_value=9))
+def test_cap_per_group_matches_reference_and_prefilter(spark, rows, cap, seed):
+    """cap_per_group == the first `cap` rows of each group in
+    (md5 key, id) order, computed by a plain-Python reference; the
+    prefiltered scale path returns the identical set (generated
+    inputs include duplicate ids and NULL groups)."""
+    import hashlib
+
+    from projet_big_data_boutin_danre_spark.operators import corpus_prep
+
+    rows = list({(i, g) for i, g in rows})  # unique (id, group) pairs
+    df = spark.createDataFrame(rows, "doc_id long, grp string").repartition(5)
+    plain = corpus_prep.cap_per_group(df, "doc_id", "grp", cap, seed=seed)
+    pre = corpus_prep.cap_per_group(
+        df, "doc_id", "grp", cap, seed=seed, prefilter=True
+    )
+    key = lambda out: sorted(
+        (g or "", i) for i, g in
+        ((r["doc_id"], r["grp"]) for r in out.collect())
+    )
+    # python reference: md5 slice order per group, ties by id
+    def skey(i):
+        return hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8]
+
+    expect = []
+    for g in {g for _, g in rows}:
+        members = sorted(
+            (i for i, gg in rows if gg == g), key=lambda i: (skey(i), i)
+        )
+        expect += [(g or "", i) for i in members[:cap]]
+    assert key(plain) == sorted(expect)
+    assert key(pre) == sorted(expect)
