@@ -605,3 +605,37 @@ def test_cap_per_group_matches_reference_and_prefilter(spark, rows, cap, seed):
         expect += [(g or "", i) for i in members[:cap]]
     assert key(plain) == sorted(expect)
     assert key(pre) == sorted(expect)
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=300),
+                 min_size=1, max_size=30, unique=True),
+    seed=st.integers(min_value=0, max_value=9),
+    cut=st.integers(min_value=1, max_value=99),
+)
+def test_leakage_safe_split_matches_reference(spark, ids, seed, cut):
+    """Split assignment == a plain-Python threshold scan of the same
+    cumulative md5 key ranges, for arbitrary two-way fractions."""
+    import hashlib
+
+    from projet_big_data_boutin_danre_spark.operators import corpus_prep
+
+    fr = {"train": cut / 100.0, "rest": 1.0 - cut / 100.0}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in corpus_prep.leakage_safe_split(
+            df, "doc_id", fr, seed=seed
+        ).collect()
+    }
+    thr = corpus_prep.hex_threshold(cut / 100.0)
+    expect = {
+        i: (
+            "train"
+            if hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8] < thr
+            else "rest"
+        )
+        for i in ids
+    }
+    assert got == expect
