@@ -797,12 +797,31 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     # core). Empty/NULL-text docs have no keyword row: left join +
     # '' default.
     kw = text.doc_keywords(docs, "doc_id", "text", k=3)
+    # r8 widening: C4-style line cleaning (text.clean_lines). The
+    # synthetic docs are single-line word bags, so a deterministic
+    # multi-line view is derived first — a newline after every 5th
+    # word (non-overlapping regex groups, identical RE2/Java
+    # semantics) — then lines with < 4 words or containing "slow" are
+    # dropped. clean_fp pins the REJOINED text, not just counts.
+    nl = F.regexp_replace(
+        F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n"
+    )
+    cl = text.clean_lines(
+        docs.select("doc_id", nl.alias("__nl")), "doc_id", "__nl",
+        min_words=4, blocklist=("slow",),
+    ).select(
+        "doc_id",
+        F.coalesce("n_lines_total", F.lit(0)).alias("n_lines_total"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_fp"),
+    )
     return (
         base.join(cc, "doc_id", "left")
         .join(tc, "doc_id", "left")
         .join(pack, "doc_id", "left")
         .join(reasm, "doc_id", "left")
         .join(kw, "doc_id", "left")
+        .join(cl, "doc_id", "left")
         .withColumn(
             "reasm_ok", F.col("reasm_fp").eqNullSafe(F.col("__orig_fp"))
         )

@@ -397,6 +397,56 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 LONG_NUM_RE = r"[0-9]{9,}"
 
 
+def clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = (),
+    require_terminal_punct: bool = False,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    public recipe): drop lines with fewer than ``min_words`` words,
+    lines containing any ``blocklist`` word (case-insensitive
+    substring — C4 used "javascript", policy boilerplate, lorem
+    ipsum), and — when ``require_terminal_punct`` — lines that do not
+    end in terminal punctuation. Kept lines are rejoined with ``\\n``
+    so downstream operators see a normal document.
+
+    Output: (id, ``out_col``, n_lines_total, n_lines_kept) — the
+    counts make the filter auditable per doc (and give the corpus
+    drop-rate in one aggregation).
+
+    Scale: pure Column algebra — one ``split`` on newlines, one
+    higher-order ``filter`` over the per-doc line array (bounded by
+    doc size, exactly like the span-cut fold), one ``array_join``; no
+    shuffle, no UDF, whole-stage codegen. Each predicate has an exact
+    ANSI-SQL twin (``list_filter`` + the same regexes), so the pass is
+    oracle-checkable bit-for-bit."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def _keep(line: Column) -> Column:
+        word_cnt = F.when(
+            F.length(F.trim(line)) == 0, F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(line), " +")))
+        cond = word_cnt >= F.lit(int(min_words))
+        for w in blocklist:
+            cond = cond & ~F.lower(line).contains(w.lower())
+        if require_terminal_punct:
+            cond = cond & F.trim(line).rlike('[.!?"]$')
+        return cond
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(out_col),
+        F.size(lines).alias("n_lines_total"),
+        F.size(kept).alias("n_lines_kept"),
+    )
+
+
 def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus PII scrubbing pass (engine extension for the LLM-data
     roadmap): redact emails, IPv4 addresses, and long digit runs

@@ -584,3 +584,51 @@ def test_length_trim_exact_and_null_handling(spark):
     assert abs(la[0] - 6) <= 2 and abs(la[-1] - 95) <= 2
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_clean_lines_c4_rules(spark):
+    """C4-style line filter: min-word floor, blocklist substring,
+    optional terminal-punctuation requirement; counts audit the drop
+    and NULL text stays NULL."""
+    from projet_big_data_boutin_danre_spark.operators import text as t
+
+    rows = [
+        (1, "This is a fine long line.\nshort one\n"
+            "enable javascript to view this page.\n"
+            "Another keeper sentence here!"),
+        (2, "only\n\ntiny"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in t.clean_lines(
+            df, "doc_id", "text", min_words=4, blocklist=("javascript",)
+        ).collect()
+    }
+    assert out[1]["clean_text"] == (
+        "This is a fine long line.\nAnother keeper sentence here!"
+    )
+    assert (out[1]["n_lines_total"], out[1]["n_lines_kept"]) == (4, 2)
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[3]["clean_text"] is None
+    # terminal punctuation mode drops the unpunctuated keeper
+    strict = {
+        r["doc_id"]: r["clean_text"]
+        for r in t.clean_lines(
+            df, "doc_id", "text", min_words=4,
+            blocklist=("javascript",), require_terminal_punct=True,
+        ).collect()
+    }
+    assert strict[1] == (
+        "This is a fine long line.\nAnother keeper sentence here!"
+    )
+    # a keeper without terminal punct is dropped under strict mode
+    df2 = spark.createDataFrame(
+        [(9, "four words no punct here\nA proper sentence ends well.")],
+        "doc_id long, text string",
+    )
+    s2 = t.clean_lines(
+        df2, "doc_id", "text", min_words=4, require_terminal_punct=True
+    ).collect()[0]
+    assert s2["clean_text"] == "A proper sentence ends well."
