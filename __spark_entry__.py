@@ -2965,6 +2965,7 @@ def oracle_sql() -> dict[str, str]:
                         s -> least(40, greatest(nt - s + 1, 0))))
                         AS BIGINT) AS tok_chunk_tokens,
                    p.pack_start, p.pack_end, p.bin_first, p.bin_last,
+                   cl.n_lines_total, cl.n_lines_kept, cl.clean_fp,
                    r.reasm_fp,
                    -- null-safe compare: a NULL-text doc has fp
                    -- md5('') but md5(text) NULL -> reasm_ok false on
@@ -3045,6 +3046,37 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY rn) AS top_terms
                 FROM rk WHERE rn <= 3 GROUP BY doc_id
             ) kw USING (doc_id)
+            -- clean_lines twin (r8 widening, twin landed r9): same
+            -- newline derivation (a break after every 5th word —
+            -- non-overlapping groups, RE2 'g' = Java replace-all),
+            -- list_filter with the >=4-words + no-'slow' predicates
+            -- (words = runs of the explicit ASCII-whitespace
+            -- complement class, identical to the Spark pass), md5 of
+            -- the chr(10)-rejoined keepers. coalesce semantics match
+            -- the Spark side: NULL text -> 0 counts + md5('').
+            LEFT JOIN (
+                WITH lv AS (
+                    SELECT doc_id,
+                           string_split(regexp_replace(text,
+                               '((?:\\S+ ){{4}}\\S+) ',
+                               '\\1' || chr(10), 'g'), chr(10)) AS lines
+                    FROM documents
+                ), kv AS (
+                    SELECT doc_id, lines,
+                           list_filter(lines, x ->
+                               len(regexp_extract_all(x,
+                                   '[^ \\t\\f\\r\\x0B\\n]+')) >= 4
+                               AND NOT contains(lower(x), 'slow'))
+                               AS kept
+                    FROM lv
+                )
+                SELECT doc_id,
+                       coalesce(len(lines), 0) AS n_lines_total,
+                       coalesce(len(kept), 0) AS n_lines_kept,
+                       md5(coalesce(array_to_string(kept, chr(10)), ''))
+                           AS clean_fp
+                FROM kv
+            ) cl USING (doc_id)
         """,
         "corpus_quantiles": """
             WITH q AS (

@@ -396,6 +396,13 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 LONG_NUM_RE = r"[0-9]{9,}"
 
+# Word/trim regexes for clean_lines: an explicit ASCII-whitespace
+# class (NOT \s — Java's \s includes \x0B, RE2's does not) so the
+# DuckDB oracle twin is byte-identical. \n never appears inside a
+# line (lines come from a split on \n).
+CLEAN_WORD_RE = r"[^ \t\f\r\x0B\n]+"
+CLEAN_TRIM_RE = r"^[ \t\f\r\x0B]+|[ \t\f\r\x0B]+$"
+
 
 def clean_lines(
     df: DataFrame,
@@ -418,6 +425,13 @@ def clean_lines(
     counts make the filter auditable per doc (and give the corpus
     drop-rate in one aggregation).
 
+    Words are maximal runs of non-whitespace — the C4 recipe counts
+    via Python ``str.split()``, i.e. any whitespace separates words,
+    not just spaces. The class is spelled out (``[ \\t\\f\\r\\x0B]``)
+    instead of ``\\s`` because Java's ``\\s`` includes ``\\x0B`` while
+    RE2's does not; an explicit class keeps the Spark pass and its
+    DuckDB oracle twin byte-identical.
+
     Scale: pure Column algebra — one ``split`` on newlines, one
     higher-order ``filter`` over the per-doc line array (bounded by
     doc size, exactly like the span-cut fold), one ``array_join``; no
@@ -428,14 +442,16 @@ def clean_lines(
     lines = F.split(c, "\n")
 
     def _keep(line: Column) -> Column:
-        word_cnt = F.when(
-            F.length(F.trim(line)) == 0, F.lit(0)
-        ).otherwise(F.size(F.split(F.trim(line), " +")))
+        word_cnt = F.size(
+            F.regexp_extract_all(line, F.lit(CLEAN_WORD_RE), F.lit(0))
+        )
         cond = word_cnt >= F.lit(int(min_words))
         for w in blocklist:
             cond = cond & ~F.lower(line).contains(w.lower())
         if require_terminal_punct:
-            cond = cond & F.trim(line).rlike('[.!?"]$')
+            cond = cond & F.regexp_replace(
+                line, CLEAN_TRIM_RE, ""
+            ).rlike('[.!?"]$')
         return cond
 
     kept = F.filter(lines, _keep)
