@@ -403,6 +403,73 @@ def cap_underflow(
     )
 
 
+def _canonical_cluster_map(
+    members: DataFrame,
+    member_col: str,
+    rep_col: str,
+    resolve_chains: bool,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """(member → one representative) canonicalization for
+    :func:`leakage_safe_split`.
+
+    Two hazards in a user-supplied cluster map, both leakage bugs if
+    ignored: (1) a member listed under several clusters would FAN OUT
+    the corpus join — fixed by min-aggregation; (2) a CHAINED map
+    (cluster A's representative is itself a member of cluster B) makes
+    A's members hash on repA while repA hashes on repB, so one
+    transitive cluster can straddle splits. With
+    ``resolve_chains=True`` chains are chased to their fixpoint by
+    pointer doubling — each round self-joins the id-only map and takes
+    ``least(rep, rep-of-rep)``, halving the remaining chain depth, so
+    convergence is log₂(longest chain) rounds; min-monotonicity rules
+    out cycles. An already-canonical map (every ``dedup_clusters`` /
+    exact-fingerprint output) converges in the FIRST probe round, so
+    the common case pays exactly one map-sized self-join. With
+    ``resolve_chains=False`` the same probe round VALIDATES the
+    fixpoint precondition and refuses a chained map with a clear error
+    (marker-and-refuse, like the span-alignment guard) — there is no
+    silent-leakage configuration."""
+    m = members.groupBy(F.col(member_col).alias("__m")).agg(
+        F.min(rep_col).alias("__rep")
+    )
+    for _ in range(max_rounds):
+        r2 = m.select(
+            F.col("__m").alias("__r"), F.col("__rep").alias("__rep2")
+        )
+        joined = m.join(
+            r2, F.col("__rep") == F.col("__r"), "left"
+        ).select(
+            "__m",
+            "__rep",
+            (F.col("__rep2") < F.col("__rep")).alias("__chained"),
+            F.least("__rep", F.coalesce("__rep2", "__rep")).alias(
+                "__rep_next"
+            ),
+        )
+        joined = joined.localCheckpoint(eager=False)
+        n_chained = joined.filter("__chained").count()
+        if n_chained == 0:
+            return joined.select("__m", "__rep")
+        if not resolve_chains:
+            raise ValueError(
+                f"cluster map is chained: {n_chained} representative(s) "
+                "are themselves members of another cluster with a "
+                "smaller representative, so transitive near-duplicates "
+                "would straddle splits. Pass resolve_chains=True to "
+                "chase chains to their fixpoint, or canonicalize the "
+                "map first (e.g. dedup_clusters output is already "
+                "canonical)."
+            )
+        m = joined.select("__m", F.col("__rep_next").alias("__rep"))
+    raise ValueError(
+        f"cluster map did not reach a fixpoint in {max_rounds} pointer-"
+        f"doubling rounds (chain depth > 2^{max_rounds}) — the map is "
+        "pathological; canonicalize it with connected components "
+        "(dedup_clusters) instead."
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,
@@ -412,6 +479,7 @@ def leakage_safe_split(
     member_col: str = "member",
     rep_col: str = "rep",
     split_col: str = "split",
+    resolve_chains: bool = True,
 ) -> DataFrame:
     """Deterministic train/val/test assignment that near-duplicates
     cannot straddle: every document is assigned by hashing its
@@ -435,9 +503,15 @@ def leakage_safe_split(
     exact-fingerprint groups; docs absent from it are singletons and
     hash on their own id (left join + coalesce). A member listed under
     several clusters is canonicalized to its MIN representative before
-    the join (deterministic, and the corpus can never fan out); maps
-    from any function-of-member clustering are already unique and pay
-    only a map-sized pre-aggregation. Scale: the map carries
+    the join (deterministic, and the corpus can never fan out), and a
+    CHAINED map — a representative that is itself a member of another
+    cluster — is chased to its transitive fixpoint by pointer doubling
+    (``resolve_chains=True``, the default) or refused with a clear
+    error (``resolve_chains=False``); either way one transitive
+    cluster can never straddle splits (see
+    :func:`_canonical_cluster_map`). Maps from any function-of-member
+    clustering are already canonical and pay only a map-sized
+    pre-aggregation plus one self-join probe. Scale: the map carries
     only ids (never text) and joins the corpus on its id — broadcast
     at runtime when small, else one hash shuffle; with ``members=None``
     the whole assignment is a map-only projection."""
@@ -452,13 +526,9 @@ def leakage_safe_split(
             f"split fractions must sum to 1 (got {total}): {splits}"
         )
     if members is not None:
-        # canonicalize to one rep per member (min — deterministic): a
-        # member listed under two clusters would otherwise FAN OUT the
-        # left join and silently duplicate corpus rows; any
-        # function-of-member clustering is unaffected (already unique)
-        m = members.groupBy(
-            F.col(member_col).alias("__m")
-        ).agg(F.min(rep_col).alias("__rep"))
+        m = _canonical_cluster_map(
+            members, member_col, rep_col, resolve_chains
+        )
         df = (
             df.join(m, F.col(id_col) == F.col("__m"), "left")
             .withColumn("__rep", F.coalesce("__rep", F.col(id_col)))

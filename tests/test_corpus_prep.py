@@ -584,6 +584,50 @@ def test_leakage_safe_split_no_members_and_validation(spark):
         cp.leakage_safe_split(docs, "doc_id", {})
 
 
+def test_leakage_safe_split_chained_map_cannot_straddle(spark):
+    """A CHAINED cluster map (cluster A's representative is itself a
+    member of cluster B) is chased to its transitive fixpoint, so the
+    whole chain lands in one split; resolve_chains=False refuses the
+    same map loudly instead of silently letting members straddle."""
+    docs = _docs(spark, 200)
+    # depth-3 chain: 40→30, 30→20, 20→10 (exercises >1 doubling
+    # round), plus a normal cluster 50→45 and the self-row 45→45
+    chained = spark.createDataFrame(
+        [(40, 30), (30, 20), (20, 10), (50, 45), (45, 45)],
+        "member long, rep long",
+    )
+    fr = {"train": 0.5, "test": 0.5}
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=chained
+        ).collect()
+    }
+    assert len(split_of) == 200  # no fan-out
+    # the whole transitive chain hashes on root 10
+    assert split_of[40] == split_of[30] == split_of[20] == split_of[10]
+    assert split_of[50] == split_of[45]
+    # refuse mode: chained map -> loud error; canonical map -> fine
+    with pytest.raises(ValueError, match="chained"):
+        cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=chained,
+            resolve_chains=False,
+        ).collect()
+    canonical = spark.createDataFrame(
+        [(40, 10), (30, 10), (20, 10), (50, 45)],
+        "member long, rep long",
+    )
+    ok = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=canonical,
+            resolve_chains=False,
+        ).collect()
+    }
+    # fixpoint chase and pre-canonicalized map agree exactly
+    assert ok == split_of
+
+
 def test_leakage_safe_split_new_member_inherits_cluster_split(spark):
     """Incremental property: a NEW doc joining an existing cluster
     lands in the cluster's split (assignment depends only on the
