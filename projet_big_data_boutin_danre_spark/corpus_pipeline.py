@@ -52,6 +52,19 @@ class CorpusRecipe:
     min_quality: float = 0.05
     min_tokens: int = 5
     max_pii_hits: int = 1_000_000  # default: scrub, don't drop
+    # C4-style line cleaning (None = off): FIRST stage, before
+    # profiling — the C4 order, so quality/repetition/ppl gates and
+    # dedup all see the line-cleaned text. Drops lines with fewer
+    # than clean_min_words words, lines containing a clean_blocklist
+    # word (case-insensitive substring), and — with
+    # clean_terminal_punct — lines without terminal punctuation; docs
+    # with NO surviving line are dropped. Per-doc audit columns
+    # (n_lines_total / n_lines_kept) ride the cleaned layer, and the
+    # corpus line drop-rate is surfaced in the returned stage counts
+    # (clean_lines_total / clean_lines_kept).
+    clean_min_words: int | None = None
+    clean_blocklist: tuple[str, ...] = ()
+    clean_terminal_punct: bool = False
     # Gopher-style repetition gates (None = off): docs whose duplicate-
     # bigram fraction or hottest-bigram token coverage exceeds the cap
     # are boilerplate/spam-shaped and dropped at the gate
@@ -175,6 +188,39 @@ def run_corpus_pipeline(
         out = spark.read.parquet(path)
         counts[name] = out.count()
         return out
+
+    if recipe.clean_min_words is not None:
+
+        def build_cleaned() -> DataFrame:
+            extra = [
+                c for c in docs.columns if c not in (id_col, text_col)
+            ]
+            return text.clean_lines(
+                docs,
+                id_col,
+                text_col,
+                min_words=recipe.clean_min_words,
+                blocklist=recipe.clean_blocklist,
+                require_terminal_punct=recipe.clean_terminal_punct,
+                out_col=text_col,
+                extra_cols=extra,
+            )
+
+        # the layer keeps EVERY doc's cleaning result (it IS the
+        # audit — a doc whose lines all died still shows its counts);
+        # downstream stages see only docs with a surviving line
+        cleaned = stage("cleaned", build_cleaned)
+        docs = cleaned.filter(F.col("n_lines_kept") > 0)
+        # corpus line drop-rate, from the already-materialized layer
+        # (columnar aggs over two int columns — no text read)
+        tot = cleaned.agg(
+            F.sum("n_lines_total").alias("t"),
+            F.sum("n_lines_kept").alias("k"),
+            F.count(F.when(F.col("n_lines_kept") > 0, 1)).alias("d"),
+        ).first()
+        counts["clean_lines_total"] = int(tot["t"] or 0)
+        counts["clean_lines_kept"] = int(tot["k"] or 0)
+        counts["clean_docs_kept"] = int(tot["d"] or 0)
 
     prof = stage(
         "profiled",

@@ -11,6 +11,8 @@ pipelines with the scan and keeps whole-stage codegen intact.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -412,6 +414,7 @@ def clean_lines(
     blocklist: tuple[str, ...] = (),
     require_terminal_punct: bool = False,
     out_col: str = "clean_text",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
     public recipe): drop lines with fewer than ``min_words`` words,
@@ -423,7 +426,10 @@ def clean_lines(
 
     Output: (id, ``out_col``, n_lines_total, n_lines_kept) — the
     counts make the filter auditable per doc (and give the corpus
-    drop-rate in one aggregation).
+    drop-rate in one aggregation). ``extra_cols`` names passthrough
+    columns to carry (lang/source/... when the pass rewrites a corpus
+    in place, e.g. the pipeline's ``cleaned`` layer) — projection
+    only, never a join.
 
     Words are maximal runs of non-whitespace — the C4 recipe counts
     via Python ``str.split()``, i.e. any whitespace separates words,
@@ -460,6 +466,7 @@ def clean_lines(
         F.array_join(kept, "\n").alias(out_col),
         F.size(lines).alias("n_lines_total"),
         F.size(kept).alias("n_lines_kept"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

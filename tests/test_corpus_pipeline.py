@@ -556,6 +556,67 @@ def test_cut_spans_stage_removes_shared_boilerplate(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_clean_lines_stage_gates_text_before_profiling(spark, tmp_path):
+    """clean_min_words wires clean_lines in as the FIRST layer: short
+    and blocklisted lines are gone from the text every later gate
+    sees, a doc with no surviving line is dropped, passthrough
+    columns (lang) ride along, and the corpus line drop-rate shows up
+    in the returned stage counts."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    rows = [
+        (1, "this first line is a proper keeper sentence\nok\n"
+            "enable javascript to continue reading this page\n"
+            "another keeper line with plenty of words here", "en"),
+        (2, "tiny\nalso tiny", "en"),  # no surviving line -> dropped
+        (3, "one single good line with enough words inside", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        counts = run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(
+                min_tokens=2,
+                clean_min_words=4,
+                clean_blocklist=("javascript",),
+            ),
+            force=True,
+        )
+        cleaned = {
+            r.doc_id: r.asDict()
+            for r in spark.read.parquet(f"{root}/cleaned").collect()
+        }
+        # the layer is the AUDIT: doc 2's all-dropped result is there
+        assert set(cleaned) == {1, 2, 3}
+        assert cleaned[1]["text"] == (
+            "this first line is a proper keeper sentence\n"
+            "another keeper line with plenty of words here"
+        )
+        assert cleaned[1]["lang"] == "en"  # passthrough column rides
+        assert (cleaned[1]["n_lines_total"], cleaned[1]["n_lines_kept"]) \
+            == (4, 2)
+        assert cleaned[2]["n_lines_kept"] == 0
+        # drop-rate surfaced: 7 lines in (4+2+1), 3 kept (2+0+1)
+        assert counts["cleaned"] == 3
+        assert counts["clean_docs_kept"] == 2
+        assert counts["clean_lines_total"] == 7
+        assert counts["clean_lines_kept"] == 3
+        # the dropped boilerplate never reaches the profiled layer
+        prof_ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/profiled").collect()
+        }
+        assert prof_ids == {1, 3}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_recipe_cap_split_and_shard_split(spark, sf0001, tmp_path):
     """r8 recipe additions end-to-end: the per-source cap bounds every
     source in the recipe layer, split_fractions adds a total `split`
