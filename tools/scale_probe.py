@@ -163,6 +163,17 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         )
         .select(F.sum(F.length("text")))
         .collect(),
+        # composed cap→split recipe path (r8 verdict #7): the recipe
+        # wiring runs cap_per_group(prefilter=True) then
+        # leakage_safe_split back-to-back; probed here with a
+        # full-corpus exact-fingerprint cluster map (the graded slot's
+        # shape) so every composed stage scales with k — the cap's
+        # count-join + Bernoulli scans + window, the map
+        # canonicalization groupBy + fixpoint probe round (r9), and
+        # the corpus⋈map split join. Forced via sum(length(text)) +
+        # a split-referencing count so neither the window output nor
+        # the assignment column is pruned.
+        "cap_split": lambda: _cap_split(docs),
         # cross-corpus near-dup probe (r8): HISTORY scales with k, the
         # arriving batch stays fixed (first 200 base ids) — the claim
         # is one linear scan of the growing band layer with the batch
@@ -180,6 +191,28 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
             hash_family="fast",
         ).count(),
     }
+
+
+def _cap_split(docs: DataFrame) -> None:
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        stable_fingerprint,
+    )
+
+    capped = corpus_prep.cap_per_group(
+        docs, "doc_id", "source", 50, prefilter=True
+    )
+    fps = docs.select("doc_id", stable_fingerprint("text").alias("__fp"))
+    reps = fps.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
+    members = fps.join(reps, "__fp").select(
+        F.col("doc_id").alias("member"), "rep"
+    )
+    corpus_prep.leakage_safe_split(
+        capped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        members=members,
+    ).select(
+        F.sum(F.length("text")).alias("b"),
+        F.count(F.when(F.col("split") == "train", 1)).alias("n"),
+    ).collect()
 
 
 def _lm_score(docs: DataFrame, broadcast: bool = True) -> int:
