@@ -701,6 +701,76 @@ def verify_training_shards(
     return problems.unionByName(overlaps)
 
 
+def read_training_shards(
+    spark,
+    path: str,
+    id_col: str,
+    fmt: str = "parquet",
+    verify: bool = True,
+    ordered: bool = True,
+    shard: int | None = None,
+) -> DataFrame:
+    """The inverse of :func:`write_training_shards` — open a shard
+    layer for training replay, refusing a layer that fails its own
+    manifest (the delivery loop's read side: the writer stamps, the
+    mover's copy is validated, the READER re-validates on open so a
+    truncated or re-ordered copy can never silently feed a training
+    run).
+
+    - ``verify=True`` (default): requires the ``_manifest`` sidecar
+      and runs :func:`verify_training_shards`; any problem row —
+      missing/extra shard, row-set digest mismatch, overlapping key
+      ranges — raises with the full problem list
+      (marker-and-refuse, like the span-alignment guard). The check
+      is one linear map-side-combined scan of
+      ``__shard``/``__key``/id (no payload column read) plus the
+      KB-scale manifest; the problem list is at most 2·#shards rows.
+    - ``ordered=True`` (default): returns the frame ordered by
+      ``(__key, id)`` — the exact global interleave the writer
+      materialized, so ``.toLocalIterator()`` streams rows in replay
+      order with bounded driver memory. The orderBy plans one range
+      exchange over already-range-partitioned data (Spark has no
+      on-disk ordering metadata to trust); readers that consume
+      shard-at-a-time should pass ``shard=`` instead, which reads one
+      shard's slice (partition-pruned by the ``__shard`` filter after
+      one layer listing) internally sorted — no exchange, and
+      concatenating shards 0..n-1 replays the same global order, a
+      contract the validator's ``range_overlap`` check enforces.
+    - ``shard=i``: only shard ``i``'s rows (still verified against
+      the WHOLE manifest first — a missing sibling shard means the
+      global order this shard participates in is broken)."""
+    shards = spark.read.format(fmt).load(path)
+    if verify:
+        if not _manifest_exists(spark, f"{path}/_manifest"):
+            raise ValueError(
+                f"shard layer {path} has no _manifest sidecar — write "
+                "it with write_training_shards(manifest=True), or pass "
+                "verify=False to read an unattested layer explicitly."
+            )
+        problems = verify_training_shards(spark, path, id_col, fmt)
+        bad = [
+            (r["shard"], r["problem"])
+            for r in problems.orderBy("shard").collect()
+        ]
+        if bad:
+            raise ValueError(
+                f"shard layer {path} fails manifest verification — "
+                f"refusing to replay a corrupted delivery: {bad}"
+            )
+    if shard is not None:
+        shards = shards.filter(F.col("__shard") == int(shard))
+    if ordered:
+        return shards.orderBy(F.col("__key"), F.col(id_col))
+    return shards
+
+
+def _manifest_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def global_prefix_sum(
     df: DataFrame,
     order_col: str,

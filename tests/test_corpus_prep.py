@@ -755,6 +755,56 @@ def test_shard_manifest_verifies_delivery_integrity(spark, tmp_path):
     assert "row_mismatch" in probs2
 
 
+def test_read_training_shards_replays_verified_order(spark, tmp_path):
+    """The reader side of the delivery loop: open verifies the
+    manifest (clean layer reads; corrupted layer is REFUSED with the
+    problem list), ordered=True replays the exact interleave,
+    shard=i reads one contiguous slice, and an unattested layer needs
+    an explicit verify=False."""
+    import glob
+    import os
+
+    docs = _docs(spark, 400)
+    path = str(tmp_path / "shards")
+    cp.write_training_shards(
+        docs, "doc_id", path, seed=7, n_shards=4, manifest=True
+    )
+    got = [
+        r["doc_id"]
+        for r in cp.read_training_shards(spark, path, "doc_id").collect()
+    ]
+    want = [
+        r["doc_id"] for r in cp.interleave(docs, "doc_id", seed=7).collect()
+    ]
+    assert got == want
+    # shard slices: concatenating shards 0..3 == the global order
+    slices = []
+    for i in range(4):
+        slices += [
+            r["doc_id"]
+            for r in cp.read_training_shards(
+                spark, path, "doc_id", shard=i
+            ).collect()
+        ]
+    assert slices == want
+    # corrupted delivery: drop a data file -> open refuses loudly
+    lost = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    os.remove(lost)
+    with pytest.raises(ValueError, match="fails manifest verification"):
+        cp.read_training_shards(spark, path, "doc_id")
+    # unattested layer: no manifest -> verify must be explicit
+    path2 = str(tmp_path / "noman")
+    cp.write_training_shards(docs, "doc_id", path2, seed=7, n_shards=4)
+    with pytest.raises(ValueError, match="no _manifest"):
+        cp.read_training_shards(spark, path2, "doc_id")
+    assert (
+        cp.read_training_shards(
+            spark, path2, "doc_id", verify=False
+        ).count()
+        == 400
+    )
+
+
 def test_verify_shards_flags_broken_range_order(spark, tmp_path):
     """range_overlap: consecutive shards whose key ranges overlap mean
     concatenating shards in file order no longer replays the global
