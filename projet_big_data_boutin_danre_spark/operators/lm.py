@@ -363,7 +363,7 @@ def importance_weights(
     target_vocab: int | None = None,
     source_vocab: int | None = None,
     broadcast_models: bool = True,
-    materialize_grams: bool = True,
+    materialize_grams: bool = False,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): per document,
@@ -373,7 +373,7 @@ def importance_weights(
     Returns ``(id, logp_target, logp_source, log_w)``.
 
     Both scorings share ONE gram derivation. With
-    ``materialize_grams`` (default) the shared frame is
+    ``materialize_grams=True`` the shared frame is
     ``localCheckpoint``-ed so the corpus genuinely pays a single
     tokenize+explode — without it the two scoring branches each
     recompute the gram subplan (Spark reuses no un-materialized
@@ -382,12 +382,13 @@ def importance_weights(
     the corpus) on executor block storage AND truncates lineage — a
     lost executor then FAILS the job instead of recomputing the lost
     blocks, while the two-scan plan is fully recoverable. The default
-    suits single-node / small-cluster runs where the frame fits and
-    executors don't churn; at the 100 TB design point set
-    ``materialize_grams=False`` (two recoverable scans beat pinning
-    corpus-×-n grams — the same call the corpus_pipeline LM gate
+    is ``False`` because this operator's design point is the 100 TB
+    corpus: two recoverable scans beat pinning corpus-×-n grams on
+    executors that churn (the same call the corpus_pipeline LM gate
     makes, which checkpoints only the MODEL-sized counts, never the
-    gram frame).
+    gram frame). Set ``True`` for single-node / small-cluster runs
+    where the frame fits, executors don't churn, and the second scan
+    is the dominant cost.
 
     ``target_vocab``/``source_vocab``: pass the training vocab sizes
     when known — when either is unset, ONE driver job derives both
