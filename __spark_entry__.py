@@ -596,7 +596,12 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     - ``topwin`` (r6): the 15 most-repeated 20-char windows
       corpus-wide (dedup.top_duplicate_windows — the boilerplate
       detector; groupBy count + TakeOrderedAndProject) — key = the
-      window text, v1 = occurrence count, v2 NULL."""
+      window text, v1 = occurrence count, v2 NULL;
+    - ``lines`` (r9): RefinedWeb/CCNet corpus-wide line dedup
+      (dedup.drop_common_lines — exact lines >= 15 chars in >= 2
+      distinct docs deleted from ALL docs, order-preserving rebuild,
+      line text never shuffles) — key = md5 of the rebuilt text,
+      v1 = doc_id, v2 = n_lines_dropped."""
     docs = load_table(spark, sf, "documents")
     groups = dedup.exact_dedup_stats(docs, "doc_id", "text").select(
         F.lit("group").alias("tag"),
@@ -637,8 +642,25 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_occurrences").alias("v1"),
         F.lit(None).cast("bigint").alias("v2"),
     )
+    # r9 widening: corpus-wide duplicate-LINE removal (RefinedWeb /
+    # CCNet line dedup — dedup.drop_common_lines). Same deterministic
+    # multi-line view as token_stats (a newline after every 5th
+    # word); exact lines >= 15 chars appearing in >= 2 DISTINCT docs
+    # are deleted from ALL docs (no keeper). key pins the REBUILT
+    # text per doc, v2 the per-doc drop count.
+    nl = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    lines_tag = dedup.drop_common_lines(
+        docs.select("doc_id", nl.alias("__nl")), "doc_id", "__nl",
+        min_df=2, min_len=15,
+    ).select(
+        F.lit("lines").alias("tag"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("key"),
+        F.col("doc_id").alias("v1"),
+        F.col("n_lines_dropped").cast("bigint").alias("v2"),
+    )
     return (
         groups.unionByName(spans).unionByName(cover).unionByName(topwin)
+        .unionByName(lines_tag)
     )
 
 
@@ -2867,6 +2889,47 @@ def oracle_sql() -> dict[str, str]:
                 HAVING count(*) >= 2
                 ORDER BY n DESC, w LIMIT 15
             )
+            UNION ALL
+            -- line-dedup twin (r9): same 5-word newline view as the
+            -- token_stats twin; lines >= 15 chars in >= 2 distinct
+            -- docs are deleted everywhere; kept lines re-agg in
+            -- position order; md5 pins the rebuilt text
+            SELECT 'lines', lr.key, lr.v1, lr.v2 FROM (
+                WITH lnl AS (
+                    SELECT doc_id, string_split(regexp_replace(text,
+                        '((?:\\S+ ){{4}}\\S+) ', '\\1' || chr(10), 'g'),
+                        chr(10)) AS lines
+                    FROM documents
+                ), lpos AS (
+                    SELECT doc_id,
+                           unnest(generate_series(1, len(lines))) AS pos,
+                           lines
+                    FROM lnl
+                ), lo AS (
+                    SELECT doc_id, pos, lines[pos] AS line FROM lpos
+                ), lcm AS (
+                    SELECT md5(line) AS k FROM lo
+                    WHERE length(line) >= 15
+                    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+                ), lfl AS (
+                    SELECT doc_id, pos, line,
+                           (length(line) >= 15
+                            AND md5(line) IN (SELECT k FROM lcm))
+                               AS dropped
+                    FROM lo
+                ), lrb AS (
+                    SELECT doc_id,
+                           coalesce(string_agg(
+                               CASE WHEN NOT dropped THEN line END,
+                               chr(10) ORDER BY pos), '') AS kept,
+                           count(*) FILTER (WHERE dropped) AS n_drop
+                    FROM lfl GROUP BY doc_id
+                )
+                SELECT md5(coalesce(lrb.kept, '')) AS key,
+                       d.doc_id AS v1,
+                       CAST(coalesce(lrb.n_drop, 0) AS BIGINT) AS v2
+                FROM documents d LEFT JOIN lrb USING (doc_id)
+            ) lr
         """,
         "exact_cardinality": f"""
             WITH g AS (

@@ -1315,3 +1315,129 @@ def duplicate_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_char_frac"),
     )
+
+
+def common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    min_len: int = 15,
+) -> DataFrame:
+    """Corpus-wide duplicated-LINE census: the md5 key and document
+    frequency of every exact line (``\\n``-delimited, at least
+    ``min_len`` chars) that appears in at least ``min_df`` DISTINCT
+    documents — the detection half of the RefinedWeb/CCNet line-level
+    dedup recipe (Penedo et al. 2023 §"line-wise corrections"; CCNet
+    deduplicates exact paragraphs the same way). Complements the
+    char-window span detector (:func:`duplicate_spans`): spans find
+    duplication anywhere, this finds STRUCTURAL boilerplate that
+    repeats as whole lines (nav chrome, cookie banners, license
+    headers) and is cheap enough to run corpus-wide every ingest.
+
+    Scale: the line TEXT never rides an exchange — lines are hashed to
+    a 32-hex key in the same projection that explodes them, so the one
+    shuffle here carries (key, doc_id) pairs only. Document frequency
+    (not occurrence count) via two-phase count-distinct; short lines
+    are pre-filtered before the shuffle. Output is boilerplate-sized,
+    never corpus-sized.
+
+    Returns (``line_key``, ``line_df``).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).select(
+        "__id",
+        F.md5("__line").alias("line_key"),
+        F.length("__line").alias("__len"),
+    )
+    return (
+        lines.filter(F.col("__len") >= int(min_len))
+        .groupBy("line_key")
+        .agg(F.countDistinct("__id").alias("line_df"))
+        .filter(F.col("line_df") >= int(min_df))
+    )
+
+
+def drop_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    min_len: int = 15,
+    out_col: str = "kept_text",
+    common: DataFrame | None = None,
+) -> DataFrame:
+    """Remove corpus-common lines from every document — the ACTION
+    half of the RefinedWeb/CCNet line-level dedup: any exact line of
+    at least ``min_len`` chars that appears in at least ``min_df``
+    distinct documents is deleted from ALL of them (boilerplate has no
+    canonical owner, unlike near-dup DOCS where one keeper survives).
+    Shorter lines are never candidates, so prose under the threshold
+    and blank separators survive. Kept lines are rejoined with ``\\n``
+    in their original order; NULL text stays NULL.
+
+    Returns (id, ``out_col``, n_lines_dropped).
+
+    Pass a precomputed ``common`` frame (:func:`common_lines` output —
+    e.g. built once per ingest batch against the whole lake) to skip
+    the census; the removal pass is then a single narrow semi-join.
+
+    Scale: four narrow stages, line text NEVER shuffles —
+    (1) explode→project to (id, pos, md5, len) and census the keys
+    (:func:`common_lines`, one (key,id) shuffle); (2) LEFT SEMI join
+    the narrow keyed occurrences against the boilerplate-sized key
+    set — only (id, pos) survive; (3) per-doc sorted drop-position
+    arrays (ints, bounded by lines-per-doc); (4) re-split the original
+    text and delete by POSITION with a higher-order filter — the text
+    column is touched only in map stages. The alternative (shuffling
+    (id, pos, line) to regroup and rebuild) would put the whole corpus
+    text through an exchange for no benefit. References the reference
+    repo's cleaning stages only for API parity; the algorithm is the
+    public RefinedWeb recipe."""
+    if common is None:
+        common = common_lines(df, id_col, text_col, min_df, min_len)
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).select(
+        "__id",
+        "__pos",
+        F.md5("__line").alias("line_key"),
+        F.length("__line").alias("__len"),
+    )
+    # min_len filter is belt-and-braces when common= was precomputed
+    # with a LOOSER threshold than this call's; same-threshold censuses
+    # make it a no-op (a short line cannot share an md5 with a long one)
+    dropped = (
+        keyed.filter(F.col("__len") >= int(min_len))
+        .join(common.select("line_key"), "line_key", "left_semi")
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__dp"))
+    )
+    # materialize the line array BEFORE the HOF filter (the r6 lambda
+    # trap: a lambda capturing a raw expression re-evaluates it per
+    # element)
+    j = df.join(
+        dropped, F.col(id_col).eqNullSafe(F.col("__id")), "left"
+    ).select(
+        F.col(id_col),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+        F.coalesce(
+            F.col("__dp"), F.lit([]).cast("array<int>")
+        ).alias("__dp"),
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(
+                "__lines",
+                lambda x, i: ~F.array_contains(F.col("__dp"), i),
+            ),
+            "\n",
+        ).alias(out_col),
+        F.size("__dp").alias("n_lines_dropped"),
+    )

@@ -577,3 +577,53 @@ def test_verify_pairs_levenshtein_kills_false_positives(spark):
     ).collect()[0]
     assert r.lev_len == 50 and r.lev_dist == 0  # identical prefixes
     assert r.lev_truncated is True  # the observability counter fires
+
+
+def test_drop_common_lines_refinedweb_semantics(spark):
+    """Corpus-wide line dedup: an exact line in >= min_df distinct
+    docs is removed from ALL of them (no keeper — boilerplate has no
+    owner); sub-threshold lines and within-doc repeats survive; order
+    is preserved; NULL text stays NULL; the census helper returns the
+    boilerplate-sized (key, df) set."""
+    banner = "COOKIE CONSENT BANNER BOILERPLATE"
+    rows = [
+        (1, f"{banner}\nunique alpha prose line here\nok"),
+        (2, f"{banner}\nanother unique line of text"),
+        # within-doc repeat of a LONG line, unique to this doc -> kept
+        (3, "this long line repeats inside one doc\n"
+            "this long line repeats inside one doc"),
+        (4, None),
+        (5, ""),
+        # short duplicate line (< min_len) across docs -> never a
+        # candidate
+        (6, "short dup\nreal content sentence that stays"),
+        (7, "short dup\nother real content that stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.drop_common_lines(
+            df, "doc_id", "text", min_df=2, min_len=15
+        ).collect()
+    }
+    assert out[1]["kept_text"] == "unique alpha prose line here\nok"
+    assert out[1]["n_lines_dropped"] == 1
+    assert out[2]["kept_text"] == "another unique line of text"
+    # df counts DISTINCT docs: the in-doc repeat has df=1 -> kept
+    assert out[3]["n_lines_dropped"] == 0
+    assert out[3]["kept_text"].count("repeats inside") == 2
+    assert out[4]["kept_text"] is None and out[4]["n_lines_dropped"] == 0
+    assert out[5]["kept_text"] == ""
+    assert "short dup" in out[6]["kept_text"]
+    assert "short dup" in out[7]["kept_text"]
+    # census: exactly one common line, df=2
+    cl = dedup.common_lines(df, "doc_id", "text", min_df=2, min_len=15)
+    assert [(r["line_df"],) for r in cl.collect()] == [(2,)]
+    # precomputed census short-circuits identically
+    pre = {
+        r["doc_id"]: r["kept_text"]
+        for r in dedup.drop_common_lines(
+            df, "doc_id", "text", min_df=2, min_len=15, common=cl
+        ).collect()
+    }
+    assert pre == {k: v["kept_text"] for k, v in out.items()}
