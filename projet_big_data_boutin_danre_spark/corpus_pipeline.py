@@ -65,6 +65,17 @@ class CorpusRecipe:
     clean_min_words: int | None = None
     clean_blocklist: tuple[str, ...] = ()
     clean_terminal_punct: bool = False
+    # RefinedWeb/CCNet corpus-wide line dedup (None = off): after the
+    # static clean stage (if any), exact lines of >=
+    # line_dedup_min_len chars appearing in >= line_dedup_min_df
+    # DISTINCT docs are deleted from ALL docs — the corpus-ADAPTIVE
+    # boilerplate cut (nav chrome, cookie banners) that a static
+    # blocklist can't enumerate. Per-doc n_lines_dropped rides the
+    # layer; the corpus total ships in the stage counts
+    # (line_dedup_dropped_lines). Docs that lose every line are kept
+    # here and die at the min_tokens gate.
+    line_dedup_min_df: int | None = None
+    line_dedup_min_len: int = 15
     # Gopher-style repetition gates (None = off): docs whose duplicate-
     # bigram fraction or hottest-bigram token coverage exceeds the cap
     # are boilerplate/spam-shaped and dropped at the gate
@@ -221,6 +232,29 @@ def run_corpus_pipeline(
         counts["clean_lines_total"] = int(tot["t"] or 0)
         counts["clean_lines_kept"] = int(tot["k"] or 0)
         counts["clean_docs_kept"] = int(tot["d"] or 0)
+
+    if recipe.line_dedup_min_df is not None:
+
+        def build_line_deduped() -> DataFrame:
+            extra = tuple(
+                c
+                for c in docs.columns
+                if c not in (id_col, text_col, "n_lines_dropped")
+            )
+            return dedup.drop_common_lines(
+                docs,
+                id_col,
+                text_col,
+                min_df=recipe.line_dedup_min_df,
+                min_len=recipe.line_dedup_min_len,
+                out_col=text_col,
+                extra_cols=extra,
+            )
+
+        docs = stage("line_deduped", build_line_deduped)
+        counts["line_dedup_dropped_lines"] = int(
+            docs.agg(F.sum("n_lines_dropped")).first()[0] or 0
+        )
 
     prof = stage(
         "profiled",

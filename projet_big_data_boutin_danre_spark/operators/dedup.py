@@ -1368,6 +1368,7 @@ def drop_common_lines(
     min_len: int = 15,
     out_col: str = "kept_text",
     common: DataFrame | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove corpus-common lines from every document — the ACTION
     half of the RefinedWeb/CCNet line-level dedup: any exact line of
@@ -1378,7 +1379,9 @@ def drop_common_lines(
     and blank separators survive. Kept lines are rejoined with ``\\n``
     in their original order; NULL text stays NULL.
 
-    Returns (id, ``out_col``, n_lines_dropped).
+    Returns (id, ``out_col``, n_lines_dropped); ``extra_cols`` names
+    passthrough columns to carry (projection only, like
+    ``text.clean_lines``).
 
     Pass a precomputed ``common`` frame (:func:`common_lines` output —
     e.g. built once per ingest batch against the whole lake) to skip
@@ -1429,6 +1432,7 @@ def drop_common_lines(
         F.coalesce(
             F.col("__dp"), F.lit([]).cast("array<int>")
         ).alias("__dp"),
+        *[F.col(c) for c in extra_cols],
     )
     return j.select(
         F.col(id_col),
@@ -1440,4 +1444,5 @@ def drop_common_lines(
             "\n",
         ).alias(out_col),
         F.size("__dp").alias("n_lines_dropped"),
+        *[F.col(c) for c in extra_cols],
     )

@@ -617,6 +617,60 @@ def test_clean_lines_stage_gates_text_before_profiling(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_line_dedup_stage_cuts_adaptive_boilerplate(spark, tmp_path):
+    """line_dedup_min_df wires drop_common_lines in after the clean
+    stage: the corpus-common banner line is deleted from every doc
+    (no keeper), unique prose survives, both stages' audit columns
+    ride the layer, and the corpus drop total ships in the counts."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES TODAY"
+    rows = [
+        (1, f"{banner}\nsome unique alpha prose with enough words",
+         "en"),
+        (2, f"{banner}\ncompletely different beta content here now",
+         "en"),
+        (3, "no boilerplate in this one just regular text", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        counts = run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(
+                min_tokens=2,
+                clean_min_words=3,
+                line_dedup_min_df=2,
+            ),
+            force=True,
+        )
+        ld = {
+            r.doc_id: r.asDict()
+            for r in spark.read.parquet(f"{root}/line_deduped").collect()
+        }
+        assert set(ld) == {1, 2, 3}
+        assert ld[1]["text"] == "some unique alpha prose with enough words"
+        assert banner not in ld[2]["text"]
+        assert ld[3]["text"].startswith("no boilerplate")
+        assert (ld[1]["n_lines_dropped"], ld[3]["n_lines_dropped"]) == (1, 0)
+        # clean-stage audit columns ride through as extra cols
+        assert ld[1]["n_lines_kept"] == 2 and ld[1]["lang"] == "en"
+        assert counts["line_dedup_dropped_lines"] == 2
+        # the banner never reaches profiling/gating
+        gated_text = {
+            r.text
+            for r in spark.read.parquet(f"{root}/gated").collect()
+        }
+        assert all(banner not in t for t in gated_text)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_recipe_cap_split_and_shard_split(spark, sf0001, tmp_path):
     """r8 recipe additions end-to-end: the per-source cap bounds every
     source in the recipe layer, split_fractions adds a total `split`

@@ -163,6 +163,16 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         )
         .select(F.sum(F.length("text")))
         .collect(),
+        # corpus-wide line dedup (r9): census shuffles (md5, id) pairs
+        # only, drops come back as per-doc position arrays, rebuild is
+        # a map-side HOF — the probe's k exact copies make EVERY line
+        # corpus-common (worst case: all positions drop). Forced via
+        # sum(length(kept_text)) so the rebuild isn't pruned.
+        "line_dedup": lambda: dedup.drop_common_lines(
+            docs, "doc_id", "text", min_df=2, min_len=15
+        )
+        .select(F.sum(F.length("kept_text")), F.sum("n_lines_dropped"))
+        .collect(),
         # composed cap→split recipe path (r8 verdict #7): the recipe
         # wiring runs cap_per_group(prefilter=True) then
         # leakage_safe_split back-to-back; probed here with a
