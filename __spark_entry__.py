@@ -692,7 +692,13 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     ``qm_label`` (the weak teacher label, quality >= 0.5) and
     ``qm_train`` (the md5 80/20 split flag, ml/regression.py:
     hash_split_flag — first md5 byte < 205). Hash-checking them pins
-    the exact example set any retrain sees."""
+    the exact example set any retrain sees.
+
+    r9 widening: the Gopher quality-rule bundle (Rae et al. 2021
+    Table A1 — text.gopher_rules): g_* integer signals + the
+    composite gopher_pass verdict, every ratio bound expressed as
+    integer cross-multiplication so the verdict is exact
+    cross-engine."""
     docs = load_table(spark, sf, "documents")
     prof = text.text_profile(docs, "doc_id", "text", include_pii=True)
     rep = text.repetition_profile(docs, "doc_id", "text").drop("n_tokens")
@@ -719,9 +725,15 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     zero = F.lit(0).cast("bigint")
+    # r9 widening: the Gopher quality-rule bundle (Rae et al. 2021
+    # Table A1 — text.gopher_rules). Integer signals + the composite
+    # pass verdict; every ratio bound is integer cross-multiplication
+    # so the verdict hashes identically cross-engine.
+    gop = text.gopher_rules(docs, "doc_id", "text")
     return (
         prof.join(rep, "doc_id")
         .join(scored, "doc_id", "left")
+        .join(gop, "doc_id")
         .withColumns(
             {
                 "lm_grams": F.coalesce("lm_grams", zero),
@@ -2046,6 +2058,51 @@ def _sql_text_profile() -> str:
             LEFT JOIN lmmodel m ON m.ctx = g.ctx AND m.w = g.w
             LEFT JOIN lmctx ct ON ct.ctx = g.ctx
             GROUP BY 1
+        ),
+        -- Gopher rule twin (r9): same explicit ASCII-whitespace word
+        -- class as text.gopher_rules, same integer signals, same
+        -- cross-multiplied ratio bounds
+        gw AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '[^ \\t\\f\\r\\x0B\\n]+') AS w,
+                   string_split(text, chr(10)) AS ln
+            FROM documents
+        ), gop AS (
+            SELECT doc_id,
+                   coalesce(len(w), 0) AS g_words,
+                   CAST(coalesce(list_sum(list_transform(w,
+                        x -> length(x))), 0) AS BIGINT) AS g_word_chars,
+                   coalesce(length(text)
+                            - length(replace(text, '#', '')), 0)
+                   + coalesce(len(regexp_extract_all(text, '\\.\\.\\.')),
+                              0) AS g_symbols,
+                   coalesce(len(ln), 0) AS g_lines,
+                   coalesce(len(list_filter(ln, x ->
+                       regexp_matches(x, '^[ \\t]*[-*•]'))), 0)
+                       AS g_bullet_lines,
+                   coalesce(len(list_filter(ln, x ->
+                       regexp_matches(x, '(\\.\\.\\.|…)[ \\t]*$'))), 0)
+                       AS g_ellipsis_lines,
+                   coalesce(len(list_filter(w, x ->
+                       regexp_matches(x, '[A-Za-z]'))), 0)
+                       AS g_alpha_words,
+                   (CASE WHEN regexp_matches(lower(text), '\\bthe\\b')
+                         THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\bbe\\b')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\bto\\b')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\bof\\b')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\band\\b')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\bthat\\b')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\bhave\\b')
+                           THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\\bwith\\b')
+                           THEN 1 ELSE 0 END) AS g_stop_hits
+            FROM gw
         )
         SELECT h.doc_id,
                len(nk.t) AS n_tokens,
@@ -2088,9 +2145,21 @@ def _sql_text_profile() -> str:
                     * 16
                     + (instr('0123456789abcdef',
                              substr(md5(CAST(h.doc_id AS VARCHAR)), 2, 1)) - 1)
-                    < 205 AS INT) AS qm_train
+                    < 205 AS INT) AS qm_train,
+               gp.g_words, gp.g_word_chars, gp.g_symbols, gp.g_lines,
+               gp.g_bullet_lines, gp.g_ellipsis_lines,
+               gp.g_alpha_words, gp.g_stop_hits,
+               (gp.g_words >= 50 AND gp.g_words <= 100000
+                AND gp.g_word_chars >= 3 * gp.g_words
+                AND gp.g_word_chars <= 10 * gp.g_words
+                AND 10 * gp.g_symbols <= gp.g_words
+                AND 10 * gp.g_bullet_lines <= 9 * gp.g_lines
+                AND 10 * gp.g_ellipsis_lines <= 3 * gp.g_lines
+                AND 10 * gp.g_alpha_words >= 8 * gp.g_words
+                AND gp.g_stop_hits >= 2) AS gopher_pass
         FROM hits h
         JOIN ntok nk ON nk.doc_id = h.doc_id
+        JOIN gop gp ON gp.doc_id = h.doc_id
         LEFT JOIN rep_agg ra ON ra.doc_id = h.doc_id
         LEFT JOIN rep_top rt ON rt.doc_id = h.doc_id
         LEFT JOIN lmdoc ld ON ld.doc_id = h.doc_id

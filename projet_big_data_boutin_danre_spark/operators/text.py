@@ -906,3 +906,123 @@ def decontaminate_stream(
         F.lit(False),
     )
     return with_toks.filter(~hit).drop("__decon_toks")
+
+
+# The Gopher quality-rule stopword set (Rae et al. 2021, Table A1):
+# a doc must contain at least two of these as whole words.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter bundle (Rae et al. 2021, Table A1 —
+    the public heuristic recipe MassiveWeb shipped, reused by most
+    open corpora since): per document, the INTEGER signals behind
+    every rule plus the composite ``gopher_pass`` verdict.
+
+    Signals (all exact integers, so the pass is oracle-checkable
+    bit-for-bit): ``g_words`` (maximal non-whitespace runs, the same
+    explicit ASCII class as :func:`clean_lines`), ``g_word_chars``
+    (their summed length — mean word length = chars/words, but the
+    BOUND is expressed as integer cross-multiplication so no float
+    crosses engines), ``g_symbols`` ('#' chars + non-overlapping
+    '...' occurrences), ``g_lines`` / ``g_bullet_lines`` (line starts
+    with -, * or •) / ``g_ellipsis_lines`` (line ends with ... or …),
+    ``g_alpha_words`` (words containing a-zA-Z), ``g_stop_hits``
+    (how many of the 8 Gopher stop words appear as whole \\b-bounded
+    words).
+
+    ``gopher_pass`` = the paper's bounds: word count in
+    [``min_words``, ``max_words``]; mean word length in [3, 10]
+    (3·words ≤ chars ≤ 10·words); symbol-to-word ratio ≤ 0.1
+    (10·symbols ≤ words); ≤ 90% bullet lines (10·bullets ≤ 9·lines);
+    ≤ 30% ellipsis lines (10·ellipsis ≤ 3·lines); ≥ 80% alphabetic
+    words (10·alpha ≥ 8·words); ≥ ``min_stop_hits`` stop words. The
+    ratio constants are fixed by the recipe and encoded as exact
+    integer comparisons; only the count bounds are parameters. NULL
+    text yields all-zero signals and ``gopher_pass = false``.
+
+    Scale: two narrow projections, zero shuffles, zero UDFs — the
+    word/line arrays are materialized once (the r6 lambda trap) and
+    every rule is whole-stage-codegen Column algebra, so the bundle
+    rides any corpus scan for free."""
+    c = F.col(text_col)
+    p1 = df.select(
+        F.col(id_col),
+        c.alias("__t"),
+        F.regexp_extract_all(c, F.lit(CLEAN_WORD_RE), F.lit(0)).alias(
+            "__w"
+        ),
+        F.split(c, "\n").alias("__l"),
+    )
+    zero = F.lit(0)
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.lower(F.col("__t")).rlike(rf"\b{w}\b").cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    p2 = p1.select(
+        F.col(id_col),
+        F.coalesce(F.size("__w"), zero).alias("g_words"),
+        F.coalesce(
+            F.aggregate(
+                "__w", F.lit(0), lambda acc, x: acc + F.length(x)
+            ),
+            zero,
+        ).alias("g_word_chars"),
+        (
+            F.coalesce(
+                F.length("__t")
+                - F.length(F.replace("__t", F.lit("#"), F.lit(""))),
+                zero,
+            )
+            + F.coalesce(
+                F.size(
+                    F.regexp_extract_all(
+                        "__t", F.lit(r"\.\.\."), F.lit(0)
+                    )
+                ),
+                zero,
+            )
+        ).alias("g_symbols"),
+        F.coalesce(F.size("__l"), zero).alias("g_lines"),
+        F.coalesce(
+            F.size(
+                F.filter("__l", lambda x: x.rlike(r"^[ \t]*[-*•]"))
+            ),
+            zero,
+        ).alias("g_bullet_lines"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    "__l", lambda x: x.rlike(r"(\.\.\.|…)[ \t]*$")
+                )
+            ),
+            zero,
+        ).alias("g_ellipsis_lines"),
+        F.coalesce(
+            F.size(F.filter("__w", lambda x: x.rlike("[A-Za-z]"))),
+            zero,
+        ).alias("g_alpha_words"),
+        F.coalesce(stop_hits, zero).alias("g_stop_hits"),
+    )
+    passed = (
+        (F.col("g_words") >= F.lit(int(min_words)))
+        & (F.col("g_words") <= F.lit(int(max_words)))
+        & (F.col("g_word_chars") >= F.lit(3) * F.col("g_words"))
+        & (F.col("g_word_chars") <= F.lit(10) * F.col("g_words"))
+        & (F.lit(10) * F.col("g_symbols") <= F.col("g_words"))
+        & (F.lit(10) * F.col("g_bullet_lines")
+           <= F.lit(9) * F.col("g_lines"))
+        & (F.lit(10) * F.col("g_ellipsis_lines")
+           <= F.lit(3) * F.col("g_lines"))
+        & (F.lit(10) * F.col("g_alpha_words")
+           >= F.lit(8) * F.col("g_words"))
+        & (F.col("g_stop_hits") >= F.lit(int(min_stop_hits)))
+    )
+    return p2.withColumn("gopher_pass", F.coalesce(passed, F.lit(False)))

@@ -632,3 +632,52 @@ def test_clean_lines_c4_rules(spark):
         df2, "doc_id", "text", min_words=4, require_terminal_punct=True
     ).collect()[0]
     assert s2["clean_text"] == "A proper sentence ends well."
+
+
+def test_gopher_rules_table_a1_bounds(spark):
+    """Each Gopher rule fires on a doc crafted to violate exactly it;
+    a healthy prose doc passes; NULL text is all-zero and fails."""
+    from projet_big_data_boutin_danre_spark.operators import text as t
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with great "
+        "energy and style of movement be have done well here today "
+    ) * 3  # 66 words, all alphabetic, 7 stop words
+    rows = [
+        (1, good),
+        (2, "too few words to pass the minimum bound"),  # < 50 words
+        (3, None),
+        # symbol spam: '#' ratio > 0.1
+        (4, ("# " * 30) + good),
+        # bullet wall: 10 bullet lines + 1 prose line > 90%... (10/11
+        # is under 90%? 10*10=100 > 9*11=99 -> fails)
+        (5, "\n".join(["- item"] * 10) + "\n" + good),
+        # ellipsis endings on half the lines (> 30%)
+        (6, (good + "...\n") * 2 + good),
+        # long 'words': mean word length > 10
+        (7, ("pneumonoultramicroscopics " * 60) + "the of and be"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in t.gopher_rules(df, "doc_id", "text").collect()
+    }
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["g_words"] == 66 and out[1]["g_stop_hits"] == 7
+    assert out[2]["gopher_pass"] is False  # word floor
+    assert out[3]["gopher_pass"] is False and out[3]["g_words"] == 0
+    assert out[4]["gopher_pass"] is False  # symbol ratio
+    assert out[4]["g_symbols"] == 30
+    assert out[5]["gopher_pass"] is False  # bullet share
+    assert out[5]["g_bullet_lines"] == 10
+    assert out[6]["gopher_pass"] is False  # ellipsis share
+    assert out[6]["g_ellipsis_lines"] == 2 and out[6]["g_lines"] == 3
+    assert out[7]["gopher_pass"] is False  # mean word length
+    # relaxed bounds flip the word-floor failure only
+    relaxed = {
+        r["doc_id"]: r["gopher_pass"]
+        for r in t.gopher_rules(
+            df, "doc_id", "text", min_words=5, min_stop_hits=1
+        ).collect()
+    }
+    assert relaxed[2] is True and relaxed[4] is False
