@@ -81,6 +81,14 @@ class CorpusRecipe:
     # are boilerplate/spam-shaped and dropped at the gate
     max_dup_bigram_frac: float | None = None
     max_top_bigram_frac: float | None = None
+    # Gopher rule bundle (False = off): gated docs must also pass the
+    # full Rae et al. Table A1 verdict (text.gopher_rules) — word
+    # count in [gopher_min_words, 100k], mean word length 3-10,
+    # symbol/bullet/ellipsis shares, >= 80% alphabetic words, >= 2
+    # stop words. Pure map-side Column algebra: the gate adds zero
+    # shuffles.
+    gopher: bool = False
+    gopher_min_words: int = 50
     # CCNet-style perplexity gate (None = off): score each gated doc
     # with a bigram LM self-trained on the gated corpus and drop the
     # least-fluent tail above this perplexity. Self-training makes the
@@ -286,6 +294,16 @@ def run_corpus_pipeline(
             gated_docs = gated_docs.join(
                 rep.filter(cond).select(F.col(id_col)), id_col, "left_semi"
             )
+        if recipe.gopher:
+            keep_g = (
+                text.gopher_rules(
+                    gated_docs, id_col, text_col,
+                    min_words=recipe.gopher_min_words,
+                )
+                .filter(F.col("gopher_pass"))
+                .select(F.col(id_col))
+            )
+            gated_docs = gated_docs.join(keep_g, id_col, "left_semi")
         if recipe.max_ppl is not None:
             grams = lm.doc_ngrams(gated_docs, [id_col], text_col, n=2)
             # materialize the model-sized counts once: the vocab-size

@@ -671,6 +671,51 @@ def test_line_dedup_stage_cuts_adaptive_boilerplate(spark, tmp_path):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_gopher_gate_drops_rule_violators(spark, tmp_path):
+    """gopher=True: the gated layer requires the full Table A1
+    verdict — a symbol-spam doc and a word-floor doc die at the gate,
+    healthy prose survives."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with great "
+        "energy and style of movement be have done well here today "
+    ) * 3
+    rows = [
+        (1, good, "en"),
+        (2, ("# " * 40) + good, "en"),   # symbol ratio > 0.1
+        (3, "way too short to pass the gopher floor", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(min_tokens=2, gopher=True),
+            force=True,
+        )
+        gated_ids = {
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/gated").collect()
+        }
+        assert gated_ids == {1}
+        # off by default: all three survive the heuristic gates
+        shutil.rmtree(root, ignore_errors=True)
+        run_corpus_pipeline(
+            spark, docs, root, CorpusRecipe(min_tokens=2), force=True
+        )
+        assert (
+            spark.read.parquet(f"{root}/gated").count() == 3
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_recipe_cap_split_and_shard_split(spark, sf0001, tmp_path):
     """r8 recipe additions end-to-end: the per-source cap bounds every
     source in the recipe layer, split_fractions adds a total `split`
