@@ -2101,7 +2101,14 @@ def _sql_text_profile() -> str:
                     + CASE WHEN regexp_matches(lower(text), '\\bhave\\b')
                            THEN 1 ELSE 0 END
                     + CASE WHEN regexp_matches(lower(text), '\\bwith\\b')
-                           THEN 1 ELSE 0 END) AS g_stop_hits
+                           THEN 1 ELSE 0 END) AS g_stop_hits,
+                   coalesce(len(ln) - len(list_distinct(ln)), 0)
+                       AS g_dup_lines,
+                   CAST(coalesce(
+                        list_sum(list_transform(ln, x -> length(x)))
+                        - list_sum(list_transform(list_distinct(ln),
+                                                  x -> length(x))), 0)
+                        AS BIGINT) AS g_dup_line_chars
             FROM gw
         )
         SELECT h.doc_id,
@@ -2149,6 +2156,7 @@ def _sql_text_profile() -> str:
                gp.g_words, gp.g_word_chars, gp.g_symbols, gp.g_lines,
                gp.g_bullet_lines, gp.g_ellipsis_lines,
                gp.g_alpha_words, gp.g_stop_hits,
+               gp.g_dup_lines, gp.g_dup_line_chars,
                (gp.g_words >= 50 AND gp.g_words <= 100000
                 AND gp.g_word_chars >= 3 * gp.g_words
                 AND gp.g_word_chars <= 10 * gp.g_words

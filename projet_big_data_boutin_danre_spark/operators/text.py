@@ -936,7 +936,13 @@ def gopher_rules(
     with -, * or •) / ``g_ellipsis_lines`` (line ends with ... or …),
     ``g_alpha_words`` (words containing a-zA-Z), ``g_stop_hits``
     (how many of the 8 Gopher stop words appear as whole \\b-bounded
-    words).
+    words), and the paper's REPETITION-filter line signals —
+    ``g_dup_lines`` / ``g_dup_line_chars`` (duplicate line
+    occurrences beyond the first and the characters they carry;
+    order-free total-minus-distinct arithmetic). The repetition pair
+    informs Gopher's separate repetition gate (with
+    :func:`repetition_profile`'s bigram signals) and does NOT enter
+    ``gopher_pass``.
 
     ``gopher_pass`` = the paper's bounds: word count in
     [``min_words``, ``max_words``]; mean word length in [3, 10]
@@ -1010,6 +1016,25 @@ def gopher_rules(
             zero,
         ).alias("g_alpha_words"),
         F.coalesce(stop_hits, zero).alias("g_stop_hits"),
+        # Gopher's REPETITION filter signals (applied by the paper as
+        # a separate gate, so they ride as signals without entering
+        # gopher_pass): duplicate line occurrences beyond the first,
+        # and the characters those occurrences carry — both order-free
+        # set arithmetic (total minus distinct), exact cross-engine.
+        F.coalesce(
+            F.size("__l") - F.size(F.array_distinct("__l")), zero
+        ).alias("g_dup_lines"),
+        F.coalesce(
+            F.aggregate(
+                "__l", F.lit(0), lambda acc, x: acc + F.length(x)
+            )
+            - F.aggregate(
+                F.array_distinct("__l"),
+                F.lit(0),
+                lambda acc, x: acc + F.length(x),
+            ),
+            zero,
+        ).alias("g_dup_line_chars"),
     )
     passed = (
         (F.col("g_words") >= F.lit(int(min_words)))

@@ -673,6 +673,11 @@ def test_gopher_rules_table_a1_bounds(spark):
     assert out[6]["gopher_pass"] is False  # ellipsis share
     assert out[6]["g_ellipsis_lines"] == 2 and out[6]["g_lines"] == 3
     assert out[7]["gopher_pass"] is False  # mean word length
+    # repetition signals (separate Gopher filter set — not in pass):
+    # doc 5's repeated bullet lines are duplicates beyond the first
+    assert out[5]["g_dup_lines"] == 9
+    assert out[5]["g_dup_line_chars"] == 9 * len("- item")
+    assert out[1]["g_dup_lines"] == 0 and out[1]["g_dup_line_chars"] == 0
     # relaxed bounds flip the word-floor failure only
     relaxed = {
         r["doc_id"]: r["gopher_pass"]
