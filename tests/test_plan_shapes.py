@@ -478,3 +478,43 @@ def test_lsh_seen_probe_broadcasts_batch_never_shuffles_history(
     assert fields == {"band", "band_key"}, schemas[0]
     # and it actually hits
     assert [r["doc_id"] for r in probe.collect()] == [100]
+
+
+def test_drop_common_lines_text_never_shuffles(spark, sf0001):
+    """Line dedup's scale claim asserted on the plan: every hash
+    exchange carries only narrow columns (md5 keys, ids, positions)
+    — the text/line strings reach exchanges NEVER; and the rebuild
+    is UDF-free."""
+    import re
+
+    from projet_big_data_boutin_danre_spark.operators import dedup
+    from projet_big_data_boutin_danre_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf0001, "documents").select("doc_id", "text")
+    out = dedup.drop_common_lines(docs, "doc_id", "text")
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys and "__line" not in keys, keys
+    # the partial/final census aggregation is hash-based (map-side
+    # combine), not a sort aggregate
+    assert "HashAggregate" in plan
+
+
+def test_gopher_rules_is_shuffle_free_map(spark, sf0001):
+    """The Gopher bundle must ride the scan: zero exchanges, zero
+    UDFs, whole-stage codegen intact."""
+    from projet_big_data_boutin_danre_spark.operators import text as t
+    from projet_big_data_boutin_danre_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf0001, "documents").select("doc_id", "text")
+    plan = _plan(t.gopher_rules(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen span
+    assert "*(" in plan
