@@ -965,6 +965,87 @@ def compact_layer(
     }
 
 
+def update_line_census(
+    spark: SparkSession,
+    census_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 15,
+) -> dict[str, int]:
+    """Maintain a cross-batch LINE CENSUS sidecar — the incremental
+    half of the RefinedWeb line dedup (:func:`operators.dedup.
+    drop_common_lines`): per batch, append each qualifying line's md5
+    key with its batch-local DISTINCT-doc count, so
+    :func:`read_line_census` can answer "which exact lines has this
+    LAKE seen in >= min_df docs" without ever re-reading historical
+    text — the same lake-is-the-state design as the fingerprint and
+    band sidecars.
+
+    Crash/replay safety: every append is stamped with an order-free
+    content digest of the batch's ids (``bit_xor(xxhash64(id))`` —
+    the shard-manifest digest); a replayed batch whose digest is
+    already in the sidecar is SKIPPED (``new_batch = 0``), so
+    at-least-once delivery cannot double-count a line's document
+    frequency. Precondition (documented, matching the ingest
+    contract): each document rides exactly one batch — feed ADMITTED
+    batches, not raw arrivals.
+
+    Scale: the append is batch-lines-sized (32-hex key + two ints);
+    the replay probe reads ONE pruned column of the sidecar; history
+    is never scanned beyond that. Census reads aggregate the sidecar
+    (boilerplate-key-sized), never the corpus.
+
+    Returns ``{"batch_lines": keys appended, "new_batch": 0|1,
+    "batch_digest": the stamp}``."""
+    digest_row = batch.agg(
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
+        ).alias("d")
+    ).first()
+    digest = int(digest_row["d"])
+    if _exists(spark, census_path):
+        seen = (
+            spark.read.parquet(census_path)
+            .filter(F.col("batch_digest") == digest)
+            .limit(1)
+            .count()
+        )
+        if seen:
+            return {
+                "batch_lines": 0, "new_batch": 0, "batch_digest": digest,
+            }
+    counts = (
+        dedup.common_lines(
+            batch, id_col, text_col, min_df=1, min_len=min_len
+        )
+        .withColumnRenamed("line_df", "n_docs")
+        .withColumn("batch_digest", F.lit(digest))
+    )
+    counts.write.mode("append").parquet(census_path)
+    n = spark.read.parquet(census_path).filter(
+        F.col("batch_digest") == digest
+    ).count()
+    return {"batch_lines": n, "new_batch": 1, "batch_digest": digest}
+
+
+def read_line_census(
+    spark: SparkSession, census_path: str, min_df: int = 2
+) -> DataFrame:
+    """The census sidecar aggregated to (``line_key``, ``line_df``),
+    filtered to lines seen in at least ``min_df`` distinct documents
+    LAKE-WIDE — plug it straight into
+    ``drop_common_lines(common=...)`` to cut boilerplate that only
+    becomes visible across ingest batches. One groupBy over the
+    sidecar (never the corpus); the result is boilerplate-sized."""
+    return (
+        spark.read.parquet(census_path)
+        .groupBy("line_key")
+        .agg(F.sum("n_docs").alias("line_df"))
+        .filter(F.col("line_df") >= int(min_df))
+    )
+
+
 def streaming_ingest(
     stream_df: DataFrame,
     out_root: str,

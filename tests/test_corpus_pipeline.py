@@ -1063,3 +1063,50 @@ def test_compact_layer_refuses_ordered_shard_layers(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="ORDERED shard layer"):
         compact_layer(spark, path)
+
+
+def test_line_census_accumulates_across_batches_and_survives_replay(
+    spark, tmp_path
+):
+    """The census sidecar: a banner appearing ONCE PER BATCH is
+    invisible to any single batch's own census but crosses min_df
+    lake-wide; a replayed batch is digest-skipped so document
+    frequency never double-counts; the aggregated census feeds
+    drop_common_lines(common=...) directly."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        read_line_census,
+        update_line_census,
+    )
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    path = str(tmp_path / "line_census")
+    banner = "FOLLOW US ON SOCIAL MEDIA FOR MORE"
+    b1 = spark.createDataFrame(
+        [(1, f"{banner}\nunique one-off alpha prose content")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"{banner}\ndifferent beta content entirely here")],
+        "doc_id long, text string",
+    )
+    c1 = update_line_census(spark, path, b1)
+    assert c1["new_batch"] == 1 and c1["batch_lines"] == 2
+    # within batch 1 alone the banner has df=1 -> below min_df
+    assert read_line_census(spark, path, min_df=2).count() == 0
+    c2 = update_line_census(spark, path, b2)
+    assert c2["new_batch"] == 1
+    census = read_line_census(spark, path, min_df=2)
+    assert census.count() == 1  # the banner crossed batches
+    # replay of batch 2: digest-skipped, census unchanged
+    c2r = update_line_census(spark, path, b2)
+    assert c2r["new_batch"] == 0 and c2r["batch_digest"] == c2["batch_digest"]
+    assert read_line_census(spark, path, min_df=2).count() == 1
+    # the census plugs into the removal pass: batch 2 loses its
+    # banner even though batch-locally it was unique
+    out = {
+        r["doc_id"]: r["kept_text"]
+        for r in dedup.drop_common_lines(
+            b2, "doc_id", "text", min_df=2, common=census
+        ).collect()
+    }
+    assert out[2] == "different beta content entirely here"
