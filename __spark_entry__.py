@@ -601,7 +601,12 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
       (dedup.drop_common_lines — exact lines >= 15 chars in >= 2
       distinct docs deleted from ALL docs, order-preserving rebuild,
       line text never shuffles) — key = md5 of the rebuilt text,
-      v1 = doc_id, v2 = n_lines_dropped."""
+      v1 = doc_id, v2 = n_lines_dropped;
+    - ``c4`` (r9): the C4 dedup step (dedup.c4_sentence_dedup —
+      duplicated three-sentence spans cut everywhere except the
+      globally-first occurrence; sentence view = '. ' after every
+      6th word) — key = md5 of the cut text, v1 = doc_id,
+      v2 = n_cut_chars."""
     docs = load_table(spark, sf, "documents")
     groups = dedup.exact_dedup_stats(docs, "doc_id", "text").select(
         F.lit("group").alias("tag"),
@@ -658,9 +663,25 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("v1"),
         F.col("n_lines_dropped").cast("bigint").alias("v2"),
     )
+    # r9 widening: the C4 dedup step itself (Raffel et al. 2020 §2.2
+    # — dedup.c4_sentence_dedup): duplicated three-sentence spans cut
+    # everywhere except the globally-first occurrence. The word-bag
+    # docs get a deterministic sentence view first — '. ' after every
+    # 6th word — then the full pipeline (exhaustive segmentation →
+    # offset windows → global keeper rank → island merge → char-exact
+    # cut). key pins the CUT text, v2 the chars removed.
+    sv = F.regexp_replace(F.col("text"), r"((?:\S+ ){5}\S+) ", "$1. ")
+    c4 = dedup.c4_sentence_dedup(
+        docs.select("doc_id", sv.alias("__sv")), "doc_id", "__sv"
+    ).select(
+        F.lit("c4").alias("tag"),
+        F.md5(F.coalesce("cut_text", F.lit(""))).alias("key"),
+        F.col("doc_id").alias("v1"),
+        F.col("n_cut_chars").cast("bigint").alias("v2"),
+    )
     return (
         groups.unionByName(spans).unionByName(cover).unionByName(topwin)
-        .unionByName(lines_tag)
+        .unionByName(lines_tag).unionByName(c4)
     )
 
 
@@ -3007,6 +3028,87 @@ def oracle_sql() -> dict[str, str]:
                        CAST(coalesce(lrb.n_drop, 0) AS BIGINT) AS v2
                 FROM documents d LEFT JOIN lrb USING (doc_id)
             ) lr
+            UNION ALL
+            -- C4 three-sentence-span dedup twin (r9): same sentence
+            -- view ('. ' after every 6th word), exhaustive greedy
+            -- segmentation (matches concatenate back to the input, so
+            -- offsets = running length sum), global first-occurrence
+            -- keeper on the span md5, island merge of overlaps, and
+            -- the kept text rebuilt from the COMPLEMENT gaps
+            SELECT 'c4', cr.key, cr.v1, cr.v2 FROM (
+                WITH c4d AS (
+                    SELECT doc_id, regexp_replace(text,
+                        '((?:\\S+ ){{5}}\\S+) ', '\\1. ', 'g') AS t
+                    FROM documents
+                ), c4s AS (
+                    SELECT doc_id, regexp_extract_all(t,
+                        '[^.!?]*[.!?]+|[^.!?]+$') AS sents
+                    FROM c4d
+                ), c4e AS (
+                    SELECT doc_id,
+                           unnest(generate_series(1, len(sents))) AS i,
+                           sents
+                    FROM c4s
+                ), c4o AS (
+                    SELECT doc_id, i, sents[i] AS sent,
+                           sum(length(sents[i])) OVER
+                               (PARTITION BY doc_id ORDER BY i) AS e
+                    FROM c4e
+                ), c4w AS (
+                    SELECT doc_id,
+                           e - length(sent) + 1 AS ws,
+                           lead(e, 2) OVER w AS we,
+                           md5(sent || lead(sent, 1) OVER w
+                               || lead(sent, 2) OVER w) AS k
+                    FROM c4o WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+                ), c4r AS (
+                    SELECT doc_id, ws, we,
+                           row_number() OVER (PARTITION BY k
+                               ORDER BY doc_id, ws) AS rn
+                    FROM c4w WHERE we IS NOT NULL
+                ), c4i AS (
+                    SELECT doc_id, ws, we,
+                           CASE WHEN ws > coalesce(max(we) OVER
+                                (PARTITION BY doc_id ORDER BY ws, we
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS nb
+                    FROM c4r WHERE rn > 1
+                ), c4g AS (
+                    SELECT doc_id, ws, we,
+                           sum(nb) OVER (PARTITION BY doc_id
+                               ORDER BY ws, we
+                               ROWS UNBOUNDED PRECEDING) AS g
+                    FROM c4i
+                ), c4m AS (
+                    SELECT doc_id, min(ws) AS ms, max(we) AS me
+                    FROM c4g GROUP BY doc_id, g
+                ), c4gap AS (
+                    SELECT doc_id,
+                           coalesce(lag(me) OVER (PARTITION BY doc_id
+                               ORDER BY ms), 0) + 1 AS gs,
+                           ms - 1 AS ge
+                    FROM c4m
+                    UNION ALL
+                    SELECT m.doc_id, max(m.me) + 1 AS gs,
+                           length(d.t) AS ge
+                    FROM c4m m JOIN c4d d USING (doc_id)
+                    GROUP BY m.doc_id, length(d.t)
+                ), c4k AS (
+                    SELECT g.doc_id,
+                           string_agg(substr(d.t, CAST(g.gs AS INT),
+                               CAST(g.ge - g.gs + 1 AS INT)), ''
+                               ORDER BY g.gs) AS kept
+                    FROM c4gap g JOIN c4d d USING (doc_id)
+                    GROUP BY g.doc_id
+                )
+                SELECT md5(coalesce(c4k.kept, d.t, '')) AS key,
+                       d.doc_id AS v1,
+                       CAST(coalesce(length(d.t), 0)
+                            - coalesce(length(coalesce(c4k.kept, d.t)),
+                                       0) AS BIGINT) AS v2
+                FROM c4d d LEFT JOIN c4k USING (doc_id)
+            ) cr
         """,
         "exact_cardinality": f"""
             WITH g AS (

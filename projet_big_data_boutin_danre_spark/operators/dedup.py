@@ -1446,3 +1446,113 @@ def drop_common_lines(
         F.size("__dp").alias("n_lines_dropped"),
         *[F.col(c) for c in extra_cols],
     )
+
+
+# Sentence segmentation for the C4 span dedup: greedy runs of
+# non-terminators plus their terminator run, with a trailing
+# unterminated segment — the pattern CONSUMES EVERY character (the
+# matches concatenate back to the exact input), which is what makes
+# char offsets derivable as a running sum of match lengths. Both
+# engines (Java regex / RE2) scan greedy, leftmost, non-overlapping,
+# so segmentation is identical cross-engine.
+SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+$"
+
+
+def c4_sentence_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    out_col: str = "cut_text",
+) -> DataFrame:
+    """The C4 dataset's dedup step (Raffel et al. 2020 §2.2: "we
+    discard all but one of any three-sentence span occurring more
+    than once in the data set"): every ``window``-sentence span whose
+    exact text repeats anywhere in the corpus is CUT from all
+    occurrences except the globally-first one (min ``(doc_id,
+    char_start)``). Complements the char-window span cut
+    (:func:`cut_duplicate_spans`, Lee et al.) — C4 dedups at sentence
+    granularity with a global keeper; Lee et al. at fixed char
+    granularity with no keeper.
+
+    Returns (id, ``out_col``, n_cut_chars) — one row per input doc;
+    docs with fewer than ``window`` sentences (or NULL text) pass
+    through unchanged.
+
+    Union-of-ranges semantics: overlapping duplicated windows within
+    a doc merge before cutting, so a KEPT occurrence can still lose
+    characters to a different duplicated window overlapping it — the
+    same behavior as running C4's per-span removal over a shared
+    sentence.
+
+    Plan: sentences explode to (id, idx, char offsets) — offsets are
+    a per-doc running sum (window partitioned BY DOC, never global);
+    ``window``-spans come from two ``lead``s; the global
+    first-occurrence rank is ONE shuffle on the span's md5 key (the
+    span text itself never leaves the map side after hashing —
+    the key is hashed in the same projection); overlap merge is the
+    gaps-and-islands rollup; the cut reuses
+    :func:`cut_duplicate_spans`' higher-order fold. Nothing
+    corpus-sized sorts globally and no stage carries text beyond the
+    initial sentence explode (bounded by doc size)."""
+    from pyspark.sql import Window
+
+    sents = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(SENTENCE_RE), F.lit(0)
+            )
+        ).alias("__i", "__s"),
+    )
+    wdoc = Window.partitionBy("__id").orderBy("__i")
+    offs = sents.withColumn(
+        "__e", F.sum(F.length("__s")).over(wdoc)
+    ).withColumn("__b", F.col("__e") - F.length("__s") + F.lit(1))
+    parts = [F.col("__s")] + [
+        F.lead("__s", k).over(wdoc) for k in range(1, int(window))
+    ]
+    wins = (
+        offs.withColumn("__we", F.lead("__e", int(window) - 1).over(wdoc))
+        .withColumn("__k", F.md5(F.concat(*parts)))
+        .filter(F.col("__we").isNotNull())
+        .select("__id", F.col("__b").alias("__ws"), "__we", "__k")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("__k").orderBy("__id", "__ws")
+    )
+    dups = wins.withColumn("__rn", rn).filter(F.col("__rn") > 1)
+    # merge OVERLAPPING ranges per doc (adjacent ranges can stay
+    # separate — the cut fold only requires non-overlap): new island
+    # when this span starts past every previous span's end
+    wspan = Window.partitionBy("__id").orderBy("__ws", "__we")
+    prev_max = F.max("__we").over(
+        wspan.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = (
+        dups.withColumn(
+            "__new", (F.col("__ws") > F.coalesce(prev_max, F.lit(-1)))
+            .cast("int"),
+        )
+        .withColumn(
+            "__g",
+            F.sum("__new").over(
+                wspan.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("__id", "__g")
+        .agg(
+            F.min("__ws").alias("span_start"),
+            F.max("__we").alias("span_end"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_end")
+    )
+    return cut_duplicate_spans(
+        df,
+        id_col,
+        text_col,
+        spans=grouped,
+        out_col=out_col,
+        preserve_original=True,
+        spans_aligned=True,
+    )

@@ -627,3 +627,60 @@ def test_drop_common_lines_refinedweb_semantics(spark):
         ).collect()
     }
     assert pre == {k: v["kept_text"] for k, v in out.items()}
+
+
+def test_c4_sentence_dedup_keeps_globally_first_occurrence(spark):
+    """C4 §2.2: a three-sentence span occurring twice survives only
+    in the globally-first doc; sub-window docs and NULL text pass
+    through; overlapping duplicated windows merge into one cut; the
+    cut is char-exact (offsets index the raw text)."""
+    shared = (
+        "First shared sentence here. Second shared one too! "
+        "Third shared closes it? "
+    )
+    rows = [
+        (2, shared + "Unique tail for doc two."),
+        (1, shared + "Different unique tail for one."),
+        (3, "Only two sentences. Not enough here."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.c4_sentence_dedup(df, "doc_id", "text").collect()
+    }
+    # keeper = min (doc_id, start): doc 1 keeps, doc 2 is cut
+    assert out[1]["cut_text"].startswith("First shared")
+    assert out[1]["n_cut_chars"] == 0
+    assert "shared" not in out[2]["cut_text"]
+    assert out[2]["cut_text"].endswith("Unique tail for doc two.")
+    assert out[2]["n_cut_chars"] == len(shared) - 1  # trailing space
+    # starts the NEXT sentence, so it survives the cut
+    assert out[3]["n_cut_chars"] == 0
+    assert out[4]["cut_text"] is None and out[4]["n_cut_chars"] == 0
+    # four shared sentences -> two overlapping dup windows merge into
+    # ONE contiguous cut (union-of-ranges), so everything shared goes
+    shared4 = shared + "Fourth shared extends the run. "
+    df2 = spark.createDataFrame(
+        [(1, shared4 + "Alpha tail."), (2, shared4 + "Beta tail.")],
+        "doc_id long, text string",
+    )
+    o2 = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.c4_sentence_dedup(df2, "doc_id", "text").collect()
+    }
+    assert o2[1]["n_cut_chars"] == 0
+    assert o2[2]["cut_text"].strip() == "Beta tail."
+    # segmentation is exhaustive: sentences concatenate to the input
+    from pyspark.sql import functions as F
+
+    back = df.filter("text IS NOT NULL").select(
+        "text",
+        F.concat_ws(
+            "",
+            F.regexp_extract_all(
+                "text", F.lit(dedup.SENTENCE_RE), F.lit(0)
+            ),
+        ).alias("re"),
+    )
+    assert back.filter("text <> re").count() == 0
