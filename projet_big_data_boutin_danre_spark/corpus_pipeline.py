@@ -118,6 +118,14 @@ class CorpusRecipe:
     # deduped layer then carries the cut text in text_col.
     cut_spans: bool = False
     cut_span_min_len: int = 20
+    # C4's own dedup action (None = off): after near-dup removal (and
+    # after cut_spans if both are on), duplicated
+    # c4_sentence_window-sentence spans are cut from every surviving
+    # doc except the globally-first occurrence
+    # (dedup.c4_sentence_dedup — Raffel et al. 2020 §2.2). Sentence
+    # granularity with a keeper, vs cut_spans' char windows with
+    # none: turn on whichever matches the recipe being reproduced.
+    c4_sentence_window: int | None = None
     # hash family for the span-detection count window: "md5" (raw
     # substring key) or "fast" (two flat xxhash64 longs). Measured at
     # sf0.1 1x-32x (SCALE.md span adjudication): raw wins below ~4x
@@ -391,6 +399,12 @@ def run_corpus_pipeline(
                 preserve_original=True,
             ).select(id_col, F.col("cut_text").alias(text_col))
             out = out.drop(text_col).join(cut, id_col)
+        if recipe.c4_sentence_window is not None:
+            c4 = dedup.c4_sentence_dedup(
+                out, id_col, text_col,
+                window=recipe.c4_sentence_window,
+            ).select(id_col, F.col("cut_text").alias(text_col))
+            out = out.drop(text_col).join(c4, id_col)
         return out
 
     deduped = stage("deduped", build_deduped)

@@ -1110,3 +1110,45 @@ def test_line_census_accumulates_across_batches_and_survives_replay(
         ).collect()
     }
     assert out[2] == "different beta content entirely here"
+
+
+def test_c4_dedup_stage_keeps_one_span_occurrence(spark, tmp_path):
+    """c4_sentence_window=3: the deduped layer carries text with
+    duplicated three-sentence spans cut everywhere but the
+    globally-first doc — near-dup doc removal can't catch a shared
+    quote inside otherwise-distinct docs; this stage does."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    quote = (
+        "To be or not to be. That is the question here! "
+        "Whether tis nobler in the mind? "
+    )
+    rows = [
+        (1, quote + "Doc one then diverges into spark tuning talk "
+            "about partitions and shuffles and broadcast joins.", "en"),
+        (2, quote + "Doc two instead discusses storage formats "
+            "like parquet orc and avro with compression notes.", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(min_tokens=2, c4_sentence_window=3),
+            force=True,
+        )
+        deduped = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(f"{root}/deduped").collect()
+        }
+        assert set(deduped) == {1, 2}
+        assert deduped[1].startswith("To be or not to be.")
+        assert "not to be" not in deduped[2]
+        assert "parquet orc and avro" in deduped[2]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -173,6 +173,24 @@ def probes(docs: DataFrame, emb: DataFrame) -> dict[str, callable]:
         )
         .select(F.sum(F.length("kept_text")), F.sum("n_lines_dropped"))
         .collect(),
+        # C4 three-sentence-span dedup (r9): k exact copies are the
+        # worst case (every window corpus-duplicated, every non-first
+        # occurrence cut). The global keeper rank shuffles (md5 key,
+        # id, offsets) — never span text; forced via
+        # sum(length(cut_text)) so the fold executes. Sentence view:
+        # a '.' after every 6th word, derived in the probe.
+        "c4_dedup": lambda: dedup.c4_sentence_dedup(
+            docs.select(
+                "doc_id",
+                F.regexp_replace(
+                    F.col("text"), r"((?:\S+ ){5}\S+) ", "$1. "
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+        )
+        .select(F.sum(F.length("cut_text")), F.sum("n_cut_chars"))
+        .collect(),
         # composed cap→split recipe path (r8 verdict #7): the recipe
         # wiring runs cap_per_group(prefilter=True) then
         # leakage_safe_split back-to-back; probed here with a
