@@ -518,3 +518,29 @@ def test_gopher_rules_is_shuffle_free_map(spark, sf0001):
     assert "BatchEvalPython" not in plan
     # "*(n)" prefixes mark operators fused into a WholeStageCodegen span
     assert "*(" in plan
+
+
+def test_c4_dedup_rank_shuffle_is_narrow(spark, sf0001):
+    """The C4 global-keeper rank must shuffle (md5 key, id, offsets)
+    only — sentence text stays map-side; the sentence-offset windows
+    partition BY DOC (no single-partition global window); no UDFs."""
+    import re
+
+    from projet_big_data_boutin_danre_spark.operators import dedup
+    from projet_big_data_boutin_danre_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf0001, "documents").select("doc_id", "text")
+    out = dedup.c4_sentence_dedup(docs, "doc_id", "text")
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys and "__s" not in keys.split(
+            ","
+        )[0], keys
+    # every window spec is doc-partitioned: no "Window [" without a
+    # partition clause sneaks a global sort in
+    for m in re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+        assert "__id" in m.group(1) or "__k" in m.group(1), m.group(0)
