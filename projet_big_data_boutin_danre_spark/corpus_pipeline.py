@@ -997,11 +997,14 @@ def update_line_census(
     band sidecars.
 
     Crash/replay safety: every append is stamped with an order-free
-    content digest of the batch's ids (``bit_xor(xxhash64(id))`` —
-    the shard-manifest digest); a replayed batch whose digest is
-    already in the sidecar is SKIPPED (``new_batch = 0``), so
-    at-least-once delivery cannot double-count a line's document
-    frequency. Precondition (documented, matching the ingest
+    ID-SET digest of the batch (``bit_xor(xxhash64(id))`` — the
+    shard-manifest digest); a replayed batch whose digest is already
+    in the sidecar is SKIPPED (``new_batch = 0``), so at-least-once
+    delivery cannot double-count a line's document frequency. The
+    digest keys on ids, not text: a "replay" carrying the same ids
+    with CHANGED text is a conflicting input the ingest layer's
+    content guard owns — this sidecar deliberately treats it as the
+    same batch. Precondition (documented, matching the ingest
     contract): each document rides exactly one batch — feed ADMITTED
     batches, not raw arrivals.
 

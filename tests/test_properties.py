@@ -639,3 +639,149 @@ def test_leakage_safe_split_matches_reference(spark, ids, seed, cut):
         for i in ids
     }
     assert got == expect
+
+
+# texts over a tiny alphabet with newlines so duplicate lines and
+# multi-line structure are common; None mixed in for the NULL path
+_line_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(
+                ["dup line alpha long", "dup line beta longer",
+                 "x", "", "unique %d"]
+            ),
+            min_size=0,
+            max_size=6,
+        ).map(
+            lambda ls: "\n".join(
+                l % i if "%d" in l else l for i, l in enumerate(ls)
+            )
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _ref_drop_common_lines(rows, min_df, min_len):
+    """Plain-Python reference: census of DISTINCT-doc counts over
+    qualifying lines, then order-preserving removal."""
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in rows:
+        if t is None:
+            continue
+        for ln in t.split("\n"):
+            if len(ln) >= min_len:
+                seen[ln].add(i)
+    common = {ln for ln, ids in seen.items() if len(ids) >= min_df}
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = (None, 0)
+            continue
+        kept = [
+            ln
+            for ln in t.split("\n")
+            if not (len(ln) >= min_len and ln in common)
+        ]
+        dropped = len(t.split("\n")) - len(kept)
+        out[i] = ("\n".join(kept), dropped)
+    return out
+
+
+@settings(**SETTINGS)
+@given(texts=_line_texts, min_df=st.integers(2, 3))
+def test_drop_common_lines_matches_reference(spark, texts, min_df):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_lines_dropped"])
+        for r in dedup.drop_common_lines(
+            df, "doc_id", "text", min_df=min_df, min_len=4
+        ).collect()
+    }
+    assert got == _ref_drop_common_lines(rows, min_df, 4)
+
+
+def _ref_c4(rows, w=3):
+    """Plain-Python C4 reference: exhaustive sentence segmentation,
+    w-sentence windows with char offsets, global first-occurrence
+    keeper on the exact span text, union-of-ranges cut."""
+    import re
+    from collections import defaultdict
+
+    pat = re.compile(r"[^.!?]*[.!?]+|[^.!?]+$")
+    occs = defaultdict(list)  # span text -> [(doc, start0, end0excl)]
+    per_doc = {}
+    for i, t in rows:
+        if t is None:
+            per_doc[i] = None
+            continue
+        sents = pat.findall(t)
+        assert "".join(sents) == t  # exhaustiveness invariant
+        offs, pos = [], 0
+        for s in sents:
+            offs.append((pos, pos + len(s)))
+            pos += len(s)
+        per_doc[i] = t
+        for j in range(len(sents) - w + 1):
+            span = "".join(sents[j : j + w])
+            occs[span].append((i, offs[j][0], offs[j + w - 1][1]))
+    cut_ranges = defaultdict(list)
+    for span, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        lst.sort()
+        for i, s, e in lst[1:]:
+            cut_ranges[i].append((s, e))
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = (None, 0)
+            continue
+        drop = [False] * len(t)
+        for s, e in cut_ranges.get(i, ()):
+            for p in range(s, e):
+                drop[p] = True
+        kept = "".join(ch for p, ch in enumerate(t) if not drop[p])
+        out[i] = (kept, len(t) - len(kept))
+    return out
+
+
+# sentence soup: a few shared sentences so 3-windows repeat across
+# docs, plus per-doc unique ones and unterminated tails
+_sent_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from(
+                ["Shared alpha one.", "Shared beta two!",
+                 "Shared gamma three?", "tail without end",
+                 "Unique %d."]
+            ),
+            min_size=0,
+            max_size=7,
+        ).map(
+            lambda ls: " ".join(
+                l % i if "%d" in l else l for i, l in enumerate(ls)
+            )
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=_sent_texts)
+def test_c4_sentence_dedup_matches_reference(spark, texts):
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cut_text"], r["n_cut_chars"])
+        for r in dedup.c4_sentence_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == _ref_c4(rows)
