@@ -226,13 +226,18 @@ def near_dup_ingest_probe(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def corpus_pipeline_probe(spark, sf_dir: str, cut_spans: bool = False) -> float:
+def corpus_pipeline_probe(
+    spark, sf_dir: str, cut_spans: bool = False, full: bool = False
+) -> float:
     """One cold end-to-end corpus-pipeline run (all six layers,
     parquet writes included) into a throwaway lake; returns seconds.
     ``cut_spans=True`` times the PRODUCTION span-cut configuration as
     shipped (span detection over the aligned view, fast hash family,
     raw-text HOF-fold cut) on top of the same recipe — the delta vs
-    the plain run is what the cut stage costs end-to-end.
+    the plain run is what the cut stage costs end-to-end. ``full=True``
+    (r9) additionally enables static line cleaning, corpus-adaptive
+    line dedup, the Gopher gate (stop-word floor 0 — synthetic corpus)
+    and the C4 sentence-span cut.
     Returns -1.0 on failure — the graded per-query numbers must not
     die on a probe."""
     import shutil
@@ -254,6 +259,18 @@ def corpus_pipeline_probe(spark, sf_dir: str, cut_spans: bool = False) -> float:
                 sample_fractions={"en": 1.0, "fr": 1.0},
                 sample_default=0.5,
                 cut_spans=cut_spans,
+                **(
+                    {
+                        "clean_min_words": 4,
+                        "line_dedup_min_df": 2,
+                        "gopher": True,
+                        "gopher_min_words": 20,
+                        "gopher_min_stop_hits": 0,
+                        "c4_sentence_window": 3,
+                    }
+                    if full
+                    else {}
+                ),
             ),
             force=True,
         )
@@ -417,6 +434,15 @@ def main() -> None:
     # corpus_pipeline_e2e is the end-to-end cost of the cut stage
     timings["corpus_pipeline_e2e_cut"] = corpus_pipeline_probe(
         spark, sf_dir, cut_spans=True
+    )
+    # FULL recipe (r9): every text-hygiene stage on — static line
+    # cleaning, corpus-adaptive line dedup, the Gopher gate
+    # (stop-word floor 0: the synthetic corpus is not English prose),
+    # span cut AND the C4 sentence-span cut. Excluded from the
+    # headline; the delta vs corpus_pipeline_e2e_cut is the composed
+    # cost of the r9 stages.
+    timings["corpus_pipeline_full"] = corpus_pipeline_probe(
+        spark, sf_dir, cut_spans=True, full=True
     )
     # two-batch near-dup-guarded ingest (r8): within-batch LSH
     # clustering + broadcast band probe vs the persisted layer +

@@ -89,6 +89,9 @@ class CorpusRecipe:
     # shuffles.
     gopher: bool = False
     gopher_min_words: int = 50
+    # the stop-word floor is English-specific (the 8 Table A1 words);
+    # set 0 for non-English or synthetic corpora
+    gopher_min_stop_hits: int = 2
     # CCNet-style perplexity gate (None = off): score each gated doc
     # with a bigram LM self-trained on the gated corpus and drop the
     # least-fluent tail above this perplexity. Self-training makes the
@@ -307,6 +310,7 @@ def run_corpus_pipeline(
                 text.gopher_rules(
                     gated_docs, id_col, text_col,
                     min_words=recipe.gopher_min_words,
+                    min_stop_hits=recipe.gopher_min_stop_hits,
                 )
                 .filter(F.col("gopher_pass"))
                 .select(F.col(id_col))
