@@ -477,6 +477,8 @@ def incremental_ingest(
     lsh_bands: int = 4,
     lsh_shingle_k: int = 8,
     lsh_hash_family: str = "fast",
+    line_census: bool = False,
+    line_census_min_len: int = 15,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -544,10 +546,22 @@ def incremental_ingest(
     it (``healed_bands``, same id-absence proof as the fingerprint
     heal).
 
+    ``line_census=True`` maintains the lake's boilerplate census
+    alongside the guard sidecars: each ADMITTED batch's qualifying
+    lines land in ``<root>/line_census`` via
+    :func:`update_line_census` (digest-idempotent per batch), BEFORE
+    the docs append — a crash after the census lands replays into an
+    identical admitted set whose identical id-set digest makes the
+    retry a no-op, so at-least-once delivery neither double-counts
+    nor loses a batch. Read the accumulated census with
+    :func:`read_line_census` and cut with
+    ``drop_common_lines(common=...)``.
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
     ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
-    history band collisions) and healed_bands.
+    history band collisions) and healed_bands; with ``line_census``
+    also census_lines (keys appended this call).
     """
     from .functions.hashing import stable_fingerprint
 
@@ -818,7 +832,21 @@ def incremental_ingest(
             )
         else:
             healable.write.mode("append").parquet(fp_path)
+    n_census_lines = 0
     if n_admitted:
+        if line_census:
+            # census BEFORE the docs append: a crash after this lands
+            # replays into an identical admitted set (the guards saw
+            # nothing land), whose identical id-set digest makes the
+            # census update a no-op — no double count and no lost
+            # batch, closing the window a census-after-docs order
+            # would leave open (docs landed → replay admits nothing →
+            # that batch's lines never counted).
+            cen = update_line_census(
+                spark, f"{out_root}/line_census", admitted,
+                id_col, text_col, min_len=line_census_min_len,
+            )
+            n_census_lines = cen["batch_lines"]
         admitted.drop("fingerprint").write.mode("append").parquet(docs_path)
         if bucketed:
             # append order docs → ids → fingerprints: a crash between
@@ -867,6 +895,8 @@ def incremental_ingest(
     if near_dup:
         out["near_dup_skipped"] = n_near_skipped
         out["healed_bands"] = n_healed_bands
+    if line_census:
+        out["census_lines"] = n_census_lines
     return out
 
 

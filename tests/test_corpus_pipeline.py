@@ -1152,3 +1152,46 @@ def test_c4_dedup_stage_keeps_one_span_occurrence(spark, tmp_path):
         assert "parquet orc and avro" in deduped[2]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ingest_maintains_line_census_idempotently(spark, tmp_path):
+    """line_census=True: each admitted batch feeds the lake's census
+    sidecar; replays (blocked by the guards) add nothing; a
+    cross-batch banner becomes cuttable via read_line_census even
+    though each batch alone never saw it twice."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+        read_line_census,
+    )
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    root = str(tmp_path / "census_lake")
+    banner = "COPYRIGHT FOOTER APPEARS EVERYWHERE"
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, f"{banner}\nfirst document body text")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, f"{banner}\nsecond document other body")], schema
+    )
+    r1 = incremental_ingest(spark, b1, root, line_census=True)
+    assert r1["admitted"] == 1 and r1["census_lines"] == 2
+    r2 = incremental_ingest(spark, b2, root, line_census=True)
+    assert r2["census_lines"] == 2
+    # replay: guards admit nothing, census untouched
+    r2b = incremental_ingest(spark, b2, root, line_census=True)
+    assert r2b["admitted"] == 0 and r2b["census_lines"] == 0
+    census = read_line_census(spark, f"{root}/line_census", min_df=2)
+    assert census.count() == 1
+    # the accumulated census cuts the banner from the lake's docs
+    docs = spark.read.parquet(f"{root}/docs")
+    out = {
+        r["doc_id"]: r["kept_text"]
+        for r in dedup.drop_common_lines(
+            docs, "doc_id", "text", min_df=2, common=census
+        ).collect()
+    }
+    assert out == {
+        1: "first document body text",
+        2: "second document other body",
+    }
