@@ -11,8 +11,10 @@ conf bleed), with one summary block at the end:
 3. tests — ``pytest tests/ -q``.
 
 Usage: python tools/grade.py [--quick]
-  --quick: warm=1 bench and the two fast correctness queries only —
-  a smoke of the harness itself, not a graded run.
+  --quick: warm=1 bench, the two fast correctness queries, and the
+  two cheap regression-gate test files (oracle plan/column-parity +
+  docs index — the r8 failure class) — a smoke of the harness, not a
+  graded run.
 
 Exit code 0 iff all three surfaces pass.
 """
@@ -66,7 +68,16 @@ def main() -> int:
             continue
     ok_b = rc_b == 0 and bench_total is not None
 
-    rc_t, out_t = run("tests", [py, "-m", "pytest", "tests/", "-q"])
+    # quick mode trades the full suite for the two cheap regression
+    # gates that catch the r8 failure class (an oracle twin that no
+    # longer plans, or a Spark/oracle column-name drift) plus the
+    # docs-index guard — ~1 min instead of ~9
+    test_cmd = [py, "-m", "pytest", "-q"] + (
+        ["tests/test_oracle_sql_parses.py", "tests/test_docs_index.py"]
+        if quick
+        else ["tests/"]
+    )
+    rc_t, out_t = run("tests", test_cmd)
     ok_t = rc_t == 0
 
     print("\n=== GRADE SUMMARY")
