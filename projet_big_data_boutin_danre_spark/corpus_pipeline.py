@@ -1105,6 +1105,7 @@ def streaming_ingest(
     checkpoint: str | None = None,
     catalog_prefix: str | None = None,
     near_dup: bool = False,
+    line_census: bool = False,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -1122,7 +1123,10 @@ def streaming_ingest(
     listening; wrap with ``.trigger(availableNow=True)`` semantics by
     stopping after ``processAllAvailable()`` in tests. Pass
     ``catalog_prefix`` to run the guards against the bucketed catalog
-    sidecars (the 100 TB path — see :func:`incremental_ingest`)."""
+    sidecars (the 100 TB path — see :func:`incremental_ingest`);
+    ``line_census`` forwards to the per-batch boilerplate census
+    (digest-idempotent, so Structured Streaming's replay semantics
+    compose with it unchanged)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         incremental_ingest(
@@ -1133,6 +1137,7 @@ def streaming_ingest(
             text_col=text_col,
             catalog_prefix=catalog_prefix,
             near_dup=near_dup,
+            line_census=line_census,
         )
 
     return (
