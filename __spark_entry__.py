@@ -1397,6 +1397,9 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     head = head.select(
         F.lit("head").alias("tag"),
         F.col("doc_id").cast("string").alias("grp"),
+        # partition-less window = single-task sort, deliberately: the
+        # frame is the LIMIT'd head (_HEAD_N rows), not the corpus —
+        # the WindowExec warning it prints is about a bounded frame
         F.row_number()
         .over(
             Window.orderBy(

@@ -688,6 +688,8 @@ def verify_training_shards(
         )
         .alias("problem"),
     ).filter(F.col("problem").isNotNull())
+    # partition-less window = single-task sort, deliberately: the
+    # frame is the MANIFEST (#shards rows, KB-scale), never the layer
     w = Window.orderBy("shard")
     overlaps = (
         man.select("shard", "key_min", "key_max")
