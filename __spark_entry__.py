@@ -2089,7 +2089,8 @@ def _sql_text_profile() -> str:
         gw AS (
             SELECT doc_id, text,
                    regexp_extract_all(text, '[^ \\t\\f\\r\\x0B\\n]+') AS w,
-                   string_split(text, chr(10)) AS ln
+                   string_split(text, chr(10)) AS ln,
+                   string_split(text, chr(10) || chr(10)) AS pg
             FROM documents
         ), gop AS (
             SELECT doc_id,
@@ -2132,7 +2133,14 @@ def _sql_text_profile() -> str:
                         list_sum(list_transform(ln, x -> length(x)))
                         - list_sum(list_transform(list_distinct(ln),
                                                   x -> length(x))), 0)
-                        AS BIGINT) AS g_dup_line_chars
+                        AS BIGINT) AS g_dup_line_chars,
+                   coalesce(len(pg) - len(list_distinct(pg)), 0)
+                       AS g_dup_paras,
+                   CAST(coalesce(
+                        list_sum(list_transform(pg, x -> length(x)))
+                        - list_sum(list_transform(list_distinct(pg),
+                                                  x -> length(x))), 0)
+                        AS BIGINT) AS g_dup_para_chars
             FROM gw
         )
         SELECT h.doc_id,
@@ -2181,6 +2189,7 @@ def _sql_text_profile() -> str:
                gp.g_bullet_lines, gp.g_ellipsis_lines,
                gp.g_alpha_words, gp.g_stop_hits,
                gp.g_dup_lines, gp.g_dup_line_chars,
+               gp.g_dup_paras, gp.g_dup_para_chars,
                (gp.g_words >= 50 AND gp.g_words <= 100000
                 AND gp.g_word_chars >= 3 * gp.g_words
                 AND gp.g_word_chars <= 10 * gp.g_words

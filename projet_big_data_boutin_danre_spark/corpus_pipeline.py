@@ -1089,6 +1089,11 @@ def read_line_census(
     ``drop_common_lines(common=...)`` to cut boilerplate that only
     becomes visible across ingest batches. One groupBy over the
     sidecar (never the corpus); the result is boilerplate-sized."""
+    if not _exists(spark, census_path):
+        raise ValueError(
+            f"no line census at {census_path} — build it with "
+            "update_line_census / incremental_ingest(line_census=True)"
+        )
     return (
         spark.read.parquet(census_path)
         .groupBy("line_key")

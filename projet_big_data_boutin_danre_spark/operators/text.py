@@ -936,12 +936,13 @@ def gopher_rules(
     with -, * or •) / ``g_ellipsis_lines`` (line ends with ... or …),
     ``g_alpha_words`` (words containing a-zA-Z), ``g_stop_hits``
     (how many of the 8 Gopher stop words appear as whole \\b-bounded
-    words), and the paper's REPETITION-filter line signals —
-    ``g_dup_lines`` / ``g_dup_line_chars`` (duplicate line
-    occurrences beyond the first and the characters they carry;
-    order-free total-minus-distinct arithmetic). The repetition pair
-    informs Gopher's separate repetition gate (with
-    :func:`repetition_profile`'s bigram signals) and does NOT enter
+    words), and the paper's REPETITION-filter structure signals —
+    ``g_dup_lines`` / ``g_dup_line_chars`` and ``g_dup_paras`` /
+    ``g_dup_para_chars`` (duplicate line/paragraph occurrences beyond
+    the first and the characters they carry; paragraphs split on
+    blank lines; order-free total-minus-distinct arithmetic). The
+    repetition signals inform Gopher's separate repetition gate (with
+    :func:`repetition_profile`'s bigram signals) and do NOT enter
     ``gopher_pass``.
 
     ``gopher_pass`` = the paper's bounds: word count in
@@ -966,6 +967,7 @@ def gopher_rules(
             "__w"
         ),
         F.split(c, "\n").alias("__l"),
+        F.split(c, "\n\n").alias("__p"),
     )
     zero = F.lit(0)
     stop_hits = None
@@ -1035,6 +1037,20 @@ def gopher_rules(
             ),
             zero,
         ).alias("g_dup_line_chars"),
+        F.coalesce(
+            F.size("__p") - F.size(F.array_distinct("__p")), zero
+        ).alias("g_dup_paras"),
+        F.coalesce(
+            F.aggregate(
+                "__p", F.lit(0), lambda acc, x: acc + F.length(x)
+            )
+            - F.aggregate(
+                F.array_distinct("__p"),
+                F.lit(0),
+                lambda acc, x: acc + F.length(x),
+            ),
+            zero,
+        ).alias("g_dup_para_chars"),
     )
     passed = (
         (F.col("g_words") >= F.lit(int(min_words)))

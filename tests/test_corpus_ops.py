@@ -678,6 +678,16 @@ def test_gopher_rules_table_a1_bounds(spark):
     assert out[5]["g_dup_lines"] == 9
     assert out[5]["g_dup_line_chars"] == 9 * len("- item")
     assert out[1]["g_dup_lines"] == 0 and out[1]["g_dup_line_chars"] == 0
+    # paragraph dup (blank-line blocks): a repeated paragraph counts
+    # once beyond the first, with its characters
+    df_p = spark.createDataFrame(
+        [(1, "same para body\n\nsame para body\n\nfresh one")],
+        "doc_id long, text string",
+    )
+    p = t.gopher_rules(df_p, "doc_id", "text").collect()[0]
+    assert p["g_dup_paras"] == 1
+    assert p["g_dup_para_chars"] == len("same para body")
+    assert out[1]["g_dup_paras"] == 0
     # relaxed bounds flip the word-floor failure only
     relaxed = {
         r["doc_id"]: r["gopher_pass"]
