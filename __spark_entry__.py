@@ -751,10 +751,28 @@ def q_text_profile(spark: SparkSession, sf: str) -> DataFrame:
     # pass verdict; every ratio bound is integer cross-multiplication
     # so the verdict hashes identically cross-engine.
     gop = text.gopher_rules(docs, "doc_id", "text")
+    # r9 widening: the rest of the Gopher TOP-n-gram family
+    # (text.ngram_repetition, n=3 and n=4) — integer numerators/
+    # denominators only, same canonical wordcount shape as the bigram
+    # profile (the fractions the paper thresholds are derived ratios)
+    tg3 = text.ngram_repetition(docs, "doc_id", "text", 3).select(
+        "doc_id",
+        F.col("n_ngrams").alias("n_trigrams"),
+        F.col("n_distinct_ngrams").alias("n_distinct_trigrams"),
+        F.col("top_ngram_n").alias("top_trigram_n"),
+    )
+    tg4 = text.ngram_repetition(docs, "doc_id", "text", 4).select(
+        "doc_id",
+        F.col("n_ngrams").alias("n_quadgrams"),
+        F.col("n_distinct_ngrams").alias("n_distinct_quadgrams"),
+        F.col("top_ngram_n").alias("top_quadgram_n"),
+    )
     return (
         prof.join(rep, "doc_id")
         .join(scored, "doc_id", "left")
         .join(gop, "doc_id")
+        .join(tg3, "doc_id")
+        .join(tg4, "doc_id")
         .withColumns(
             {
                 "lm_grams": F.coalesce("lm_grams", zero),
@@ -2057,6 +2075,39 @@ def _sql_text_profile() -> str:
             SELECT doc_id, gram AS top_bigram, CAST(c AS BIGINT) AS top_bigram_n
             FROM ranked WHERE rn = 1
         ),
+        -- top-n-gram family twins (r9): same wordcount shape at n=3,4
+        trig AS (
+            SELECT doc_id,
+                   concat_ws(' ', t[CAST(i AS INT)],
+                             t[CAST(i AS INT) + 1],
+                             t[CAST(i AS INT) + 2]) AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 2)) AS i
+                  FROM ntok WHERE len(t) >= 3)
+        ), tc3 AS (
+            SELECT doc_id, gram, count(*) AS c FROM trig GROUP BY 1, 2
+        ), t3 AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+                   CAST(max(c) AS BIGINT) AS top_trigram_n
+            FROM tc3 GROUP BY doc_id
+        ), quad AS (
+            SELECT doc_id,
+                   concat_ws(' ', t[CAST(i AS INT)],
+                             t[CAST(i AS INT) + 1],
+                             t[CAST(i AS INT) + 2],
+                             t[CAST(i AS INT) + 3]) AS gram
+            FROM (SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 3)) AS i
+                  FROM ntok WHERE len(t) >= 4)
+        ), tc4 AS (
+            SELECT doc_id, gram, count(*) AS c FROM quad GROUP BY 1, 2
+        ), t4 AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_quadgrams,
+                   CAST(count(*) AS BIGINT) AS n_distinct_quadgrams,
+                   CAST(max(c) AS BIGINT) AS top_quadgram_n
+            FROM tc4 GROUP BY doc_id
+        ),
         -- LM twin (r6): self-trained bigram model (min_count=2),
         -- integer surfaces only — the add-k perplexity itself is
         -- float and stays out of the oracle
@@ -2190,6 +2241,14 @@ def _sql_text_profile() -> str:
                gp.g_alpha_words, gp.g_stop_hits,
                gp.g_dup_lines, gp.g_dup_line_chars,
                gp.g_dup_paras, gp.g_dup_para_chars,
+               coalesce(t3.n_trigrams, 0) AS n_trigrams,
+               coalesce(t3.n_distinct_trigrams, 0)
+                   AS n_distinct_trigrams,
+               coalesce(t3.top_trigram_n, 0) AS top_trigram_n,
+               coalesce(t4.n_quadgrams, 0) AS n_quadgrams,
+               coalesce(t4.n_distinct_quadgrams, 0)
+                   AS n_distinct_quadgrams,
+               coalesce(t4.top_quadgram_n, 0) AS top_quadgram_n,
                (gp.g_words >= 50 AND gp.g_words <= 100000
                 AND gp.g_word_chars >= 3 * gp.g_words
                 AND gp.g_word_chars <= 10 * gp.g_words
@@ -2204,6 +2263,8 @@ def _sql_text_profile() -> str:
         LEFT JOIN rep_agg ra ON ra.doc_id = h.doc_id
         LEFT JOIN rep_top rt ON rt.doc_id = h.doc_id
         LEFT JOIN lmdoc ld ON ld.doc_id = h.doc_id
+        LEFT JOIN t3 ON t3.doc_id = h.doc_id
+        LEFT JOIN t4 ON t4.doc_id = h.doc_id
     """
 
 

@@ -1067,3 +1067,59 @@ def gopher_rules(
         & (F.col("g_stop_hits") >= F.lit(int(min_stop_hits)))
     )
     return p2.withColumn("gopher_pass", F.coalesce(passed, F.lit(False)))
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Gopher top-/duplicate-n-gram surfaces for arbitrary ``n`` (Rae
+    et al. 2021 §A1.1 filter on n = 2..4 top-gram coverage and
+    n = 2..10 duplicate-gram mass; :func:`repetition_profile` ships
+    the full n=2 profile, this generalizes the INTEGER core):
+    per doc, ``n_ngrams`` (total), ``n_distinct_ngrams``, and
+    ``top_ngram_n`` (hottest gram's count) — the exact numerators/
+    denominators behind the paper's fractions, kept integer so the
+    oracle twin is hash-exact. Docs with fewer than ``n`` tokens get
+    zeros.
+
+    Shape: the canonical wordcount — one explode to (doc, gram), one
+    map-side-combining count, one per-doc rollup, one join back.
+    Never O(tokens²) per row; the shuffle carries (doc, gram) counts
+    only."""
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(toks, lambda t: t != "").alias("__toks"),
+    ).select(
+        "id",
+        F.coalesce(F.size("__toks"), F.lit(0)).alias("__nt"),
+        "__toks",
+    )
+    grams = base.filter(F.col("__nt") >= int(n)).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__nt") - F.lit(int(n) - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.try_element_at("__toks", i + F.lit(k))
+                        for k in range(int(n))
+                    ],
+                ),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.max("c").alias("top_ngram_n"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_ngrams", zero).alias("n_ngrams"),
+        F.coalesce("n_distinct_ngrams", zero).alias("n_distinct_ngrams"),
+        F.coalesce("top_ngram_n", zero).alias("top_ngram_n"),
+    )

@@ -696,3 +696,31 @@ def test_gopher_rules_table_a1_bounds(spark):
         ).collect()
     }
     assert relaxed[2] is True and relaxed[4] is False
+
+
+def test_ngram_repetition_counts(spark):
+    """Generalized Gopher n-gram surfaces: totals/distinct/top at
+    arbitrary n; sub-n docs and NULL text get zeros; n=2 agrees with
+    repetition_profile's bigram numbers."""
+    from projet_big_data_boutin_danre_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "x y"), (3, None)],
+        "doc_id long, text string",
+    )
+    g3 = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct_ngrams"], r["top_ngram_n"])
+        for r in t.ngram_repetition(df, "doc_id", "text", 3).collect()
+    }
+    # trigrams of [a b c a b c a b]: 6 total, {abc, bca, cab} distinct
+    assert g3[1] == (6, 3, 2)
+    assert g3[2] == (0, 0, 0) and g3[3] == (0, 0, 0)
+    g2 = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct_ngrams"], r["top_ngram_n"])
+        for r in t.ngram_repetition(df, "doc_id", "text", 2).collect()
+    }
+    rp = {
+        r["doc_id"]: (r["n_bigrams"], r["n_distinct_bigrams"], r["top_bigram_n"])
+        for r in t.repetition_profile(df, "doc_id", "text").collect()
+    }
+    assert g2 == {k: (v[0], v[1], v[2]) for k, v in rp.items()}
