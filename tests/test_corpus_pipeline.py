@@ -1195,3 +1195,42 @@ def test_ingest_maintains_line_census_idempotently(spark, tmp_path):
         1: "first document body text",
         2: "second document other body",
     }
+
+
+def test_compacting_the_line_census_preserves_reads(spark, tmp_path):
+    """The census sidecar grows one file set per batch — compact_layer
+    is its small-files antidote, and a compacted census must answer
+    read_line_census identically (the layer is unordered, so
+    compaction is legal, unlike the shards layer)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        compact_layer,
+        read_line_census,
+        update_line_census,
+    )
+
+    path = str(tmp_path / "census")
+    banner = "REPEATED BOILERPLATE LINE ACROSS BATCHES"
+    for i in range(4):
+        b = spark.createDataFrame(
+            [(i, f"{banner}\nunique body number {i} here")],
+            "doc_id long, text string",
+        )
+        update_line_census(spark, path, b)
+    before = {
+        (r["line_key"], r["line_df"])
+        for r in read_line_census(spark, path, min_df=2).collect()
+    }
+    assert before and max(df for _, df in before) == 4
+    stats = compact_layer(spark, path, target_file_mb=128)
+    assert stats["files_after"] <= stats["files_before"]
+    after = {
+        (r["line_key"], r["line_df"])
+        for r in read_line_census(spark, path, min_df=2).collect()
+    }
+    assert after == before
+    # replay guard still works against the compacted layer
+    b0 = spark.createDataFrame(
+        [(0, f"{banner}\nunique body number 0 here")],
+        "doc_id long, text string",
+    )
+    assert update_line_census(spark, path, b0)["new_batch"] == 0
