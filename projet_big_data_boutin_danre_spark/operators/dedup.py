@@ -594,9 +594,22 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_block: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity for pairs within a blocking key that
     share at least one gram (id_a < id_b, jaccard rounded to 6dp).
+
+    ``max_block`` is the hot-block guard (the Jaccard-side analog of
+    ``minhash_lsh_pairs``' ``max_bucket``): a block larger than the
+    cap keeps only its ``max_block`` SMALLEST ids — deterministic,
+    and applied BEFORE the block groupBy (a rank over the same block
+    key, so Spark reuses the exchange), which bounds both the Arrow
+    batch one executor must hold AND the Σ df(gram)² pair mass.
+    Unlike the LSH cap there is no keeper star: this operator emits
+    SIMILARITIES for verification, not connectivity candidates, and a
+    fabricated pair would carry a fabricated score — dropped docs are
+    simply not verified this pass (an adversarial mega-block is
+    boilerplate; route it through LSH-band blocking instead).
 
     Plan: per-doc distinct-gram ARRAYS built with pure column algebra
     (no explode, no shuffle), then ``applyInPandas`` per block: Arrow
@@ -644,6 +657,15 @@ def ngram_jaccard_pairs(
             )
         ).alias("grams"),
     )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        wblk = Window.partitionBy("block").orderBy("id")
+        sets = (
+            sets.withColumn("__rk", F.row_number().over(wblk))
+            .filter(F.col("__rk") <= int(max_block))
+            .drop("__rk")
+        )
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _pair_counts(pdf: pd.DataFrame) -> pd.DataFrame:

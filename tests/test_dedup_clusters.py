@@ -684,3 +684,30 @@ def test_c4_sentence_dedup_keeps_globally_first_occurrence(spark):
         ).alias("re"),
     )
     assert back.filter("text <> re").count() == 0
+
+
+def test_ngram_jaccard_max_block_guard(spark):
+    """The hot-block guard: an oversized block keeps only its
+    max_block smallest ids (no fabricated keeper pairs — this
+    operator emits SIMILARITIES); other blocks are untouched, and the
+    capped result equals running uncapped on the truncated input."""
+    rows = [(i, "common shared gram text body", "hot") for i in range(1, 7)]
+    rows += [(10, "other niche content alpha", "cold"),
+             (11, "other niche content alpha", "cold")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", "src", n=3, max_block=3
+        ).collect()
+    }
+    # hot block: all-pairs among {1,2,3} only; cold block unaffected
+    assert capped == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    truncated = df.filter("doc_id <= 3 OR src = 'cold'")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            truncated, "doc_id", "text", "src", n=3
+        ).collect()
+    }
+    assert capped == uncapped
