@@ -299,6 +299,14 @@ def observability_probe(spark, sf_dir: str) -> dict[str, float]:
       bounded-cost contract); the number to watch across rounds is
       the RATIO moving, not the absolute count (which tracks the
       candidate volume).
+    - ``common_lines_k`` (r9): corpus-common-line census size over
+      the graded 5-word newline view (min_df=2, min_len=15) — the
+      boilerplate-set size that drives the line-dedup semi-join, and
+      the lever behind whether AQE broadcasts it.
+    - ``c4_cut_docs`` (r9): documents that lost at least one
+      duplicated three-sentence span over the graded 6-word sentence
+      view — the action volume of the C4 cut (tracks corpus
+      duplication like the LSH pair count does).
     Returns -1.0 values on failure."""
     from pyspark.sql import functions as F
 
@@ -309,6 +317,8 @@ def observability_probe(spark, sf_dir: str) -> dict[str, float]:
         "cc_rounds": -1.0,
         "lev_truncated_pairs": -1.0,
         "lev_pairs_total": -1.0,
+        "common_lines_k": -1.0,
+        "c4_cut_docs": -1.0,
     }
     try:
         docs = load_table(spark, sf_dir, "documents")
@@ -325,6 +335,22 @@ def observability_probe(spark, sf_dir: str) -> dict[str, float]:
         ).head()
         out["lev_truncated_pairs"] = float(row["t"] or 0)
         out["lev_pairs_total"] = float(row["n"] or 0)
+        nl = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+        out["common_lines_k"] = float(
+            dd.common_lines(
+                docs.select("doc_id", nl.alias("__nl")), "doc_id", "__nl",
+                min_df=2, min_len=15,
+            ).count()
+        )
+        sv = F.regexp_replace(F.col("text"), r"((?:\S+ ){5}\S+) ", "$1. ")
+        out["c4_cut_docs"] = float(
+            dd.c4_sentence_dedup(
+                docs.select("doc_id", sv.alias("__sv")), "doc_id", "__sv"
+            )
+            .agg(F.count(F.when(F.col("n_cut_chars") > 0, 1)))
+            .head()[0]
+            or 0
+        )
     except Exception:
         pass
     return out
