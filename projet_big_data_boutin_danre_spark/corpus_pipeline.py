@@ -81,6 +81,15 @@ class CorpusRecipe:
     # are boilerplate/spam-shaped and dropped at the gate
     max_dup_bigram_frac: float | None = None
     max_top_bigram_frac: float | None = None
+    # generalized Gopher n-gram repetition caps (None = off): maps
+    # n -> threshold, e.g. the paper's {3: 0.18, 4: 0.16} for
+    # top-n-gram token coverage and {3: 0.15, 4: 0.14} style caps for
+    # duplicate-gram mass. Each n costs one (doc, gram) wordcount
+    # rollup over the gated docs (text.ngram_repetition); thresholds
+    # compare integer-exact ratios: top coverage = n·top_count /
+    # n_tokens, dup mass = 1 − distinct/total.
+    max_top_ngram_frac: Mapping[int, float] | None = None
+    max_dup_ngram_frac: Mapping[int, float] | None = None
     # Gopher rule bundle (False = off): gated docs must also pass the
     # full Rae et al. Table A1 verdict (text.gopher_rules) — word
     # count in [gopher_min_words, 100k], mean word length 3-10,
@@ -305,6 +314,38 @@ def run_corpus_pipeline(
             gated_docs = gated_docs.join(
                 rep.filter(cond).select(F.col(id_col)), id_col, "left_semi"
             )
+        if recipe.max_top_ngram_frac or recipe.max_dup_ngram_frac:
+            ns = sorted(
+                set(recipe.max_top_ngram_frac or ())
+                | set(recipe.max_dup_ngram_frac or ())
+            )
+            n_tok = text.token_count(text_col).alias("__ntok")
+            for gram_n in ns:
+                sig = text.ngram_repetition(
+                    gated_docs, id_col, text_col, gram_n
+                )
+                cond = F.lit(True)
+                top_cap = (recipe.max_top_ngram_frac or {}).get(gram_n)
+                dup_cap = (recipe.max_dup_ngram_frac or {}).get(gram_n)
+                joined = gated_docs.select(F.col(id_col), n_tok).join(
+                    sig, id_col
+                )
+                if top_cap is not None:
+                    # token coverage of the hottest n-gram; 0-token
+                    # docs pass (nothing to cover)
+                    cond = cond & (
+                        F.lit(gram_n) * F.col("top_ngram_n")
+                        <= F.lit(float(top_cap)) * F.col("__ntok")
+                    )
+                if dup_cap is not None:
+                    # duplicate-gram mass 1 - distinct/total; gram-less
+                    # docs pass (0 mass)
+                    cond = cond & (
+                        F.col("n_ngrams") - F.col("n_distinct_ngrams")
+                        <= F.lit(float(dup_cap)) * F.col("n_ngrams")
+                    )
+                keep_n = joined.filter(cond).select(F.col(id_col))
+                gated_docs = gated_docs.join(keep_n, id_col, "left_semi")
         if recipe.gopher:
             keep_g = (
                 text.gopher_rules(

@@ -1234,3 +1234,42 @@ def test_compacting_the_line_census_preserves_reads(spark, tmp_path):
         "doc_id long, text string",
     )
     assert update_line_census(spark, path, b0)["new_batch"] == 0
+
+
+def test_ngram_repetition_gate_drops_gram_spam(spark, tmp_path):
+    """max_top_ngram_frac / max_dup_ngram_frac generalize the bigram
+    caps to the paper's n=3/4 thresholds: a trigram-looping doc dies
+    at the gate, varied prose survives, and gram-less short docs pass
+    (0 coverage, 0 dup mass)."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    # long enough that one quadgram's inherent coverage (4/n_tokens)
+    # sits under the 0.16 cap — the paper's thresholds assume real
+    # doc lengths
+    varied = " ".join(f"word{i}" for i in range(60))
+    spam = "buy now cheap " * 20  # one trigram covers everything
+    rows = [(1, varied, "en"), (2, spam, "en"), (3, "tiny doc", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    root = str(tmp_path / "lake")
+    try:
+        run_corpus_pipeline(
+            spark, docs, root,
+            CorpusRecipe(
+                min_tokens=2,
+                max_top_ngram_frac={3: 0.18, 4: 0.16},
+                max_dup_ngram_frac={3: 0.5},
+            ),
+            force=True,
+        )
+        gated = {
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/gated").collect()
+        }
+        assert gated == {1, 3}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
