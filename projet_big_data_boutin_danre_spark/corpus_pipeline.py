@@ -200,10 +200,20 @@ def run_corpus_pipeline(
     text_col: str = "text",
     lang_col: str = "lang",
     force: bool = False,
+    decontaminate_probes: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> dict[str, int]:
     """Run all stages; returns per-stage surviving-document counts
     (chunks/shards report chunk counts). Stages resume from existing
-    layers unless ``force``."""
+    layers unless ``force``.
+
+    ``decontaminate_probes``: optional held-out benchmark frame
+    (``(id_col, text_col)`` columns) — when given, the gate stage
+    also drops every doc sharing any word ``decontam_ngram``-gram
+    with a probe (text.decontaminate, the GPT-3 appendix-C filter;
+    probe grams broadcast, the corpus never re-shuffles). A DataFrame
+    argument rather than a recipe field: the recipe is a frozen
+    value, the probe set is data."""
     # refuse bad recipe combinations BEFORE any stage runs — at scale
     # the alternative is burning the full gate+dedup before the error
     if recipe.shard_split is not None and (
@@ -396,6 +406,12 @@ def run_corpus_pipeline(
                 .select(F.col(id_col))
             )
             gated_docs = gated_docs.join(keep_q, id_col, "left_semi")
+        if decontaminate_probes is not None:
+            gated_docs = text.decontaminate(
+                gated_docs, id_col, text_col,
+                decontaminate_probes, id_col, text_col,
+                n=decontam_ngram,
+            )
         return gated_docs
 
     gated = stage("gated", build_gated)

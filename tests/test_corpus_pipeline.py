@@ -1273,3 +1273,41 @@ def test_ngram_repetition_gate_drops_gram_spam(spark, tmp_path):
         assert gated == {1, 3}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_decontamination_stage_drops_benchmark_leaks(spark, tmp_path):
+    """decontaminate_probes: a training doc quoting a benchmark
+    prompt's 8-gram dies at the gate; clean docs survive — the
+    GPT-3-style eval-leak guard wired into the standard build."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        CorpusRecipe,
+        run_corpus_pipeline,
+    )
+
+    prompt = (
+        "what is the capital city of france answer with one word only"
+    )
+    rows = [
+        (1, f"some article that quotes: {prompt} verbatim inside", "en"),
+        (2, "a perfectly ordinary training document about spark "
+            "partitions and shuffles and broadcast joins", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    probes = spark.createDataFrame(
+        [(100, prompt)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "lake")
+    try:
+        run_corpus_pipeline(
+            spark, docs, root, CorpusRecipe(min_tokens=2),
+            force=True, decontaminate_probes=probes,
+        )
+        gated = {
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/gated").collect()
+        }
+        assert gated == {2}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
