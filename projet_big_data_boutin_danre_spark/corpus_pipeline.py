@@ -5,22 +5,34 @@ idempotent per stage, with per-stage document counts as the run
 report.
 
     raw documents
+      → cleaned         (optional C4-style line cleaning — min-word
+                         floor, blocklist; per-doc audit counts)
+      → line_deduped    (optional RefinedWeb corpus-adaptive line
+                         dedup — exact lines common across docs cut
+                         everywhere)
       → profile+scrub   (text_profile include_pii — quality, lang,
                          fingerprints, PII counts)
       → gate            (quality + token floor; PII-heavy docs dropped;
-                         optional Gopher repetition caps and CCNet-style
-                         self-trained-LM perplexity cap)
+                         optional Gopher bigram/n-gram repetition caps,
+                         the full Table A1 rule bundle, CCNet-style
+                         self-trained-LM perplexity cap, learned TF-IDF
+                         quality classifier, and benchmark
+                         decontamination against a held-out probe set)
       → dedup           (exact normalized-hash, then MinHash-LSH
                          near-dup at the production scale profile,
                          clustered by connected components — one
-                         keeper per near-dup cluster)
+                         keeper per near-dup cluster; optional Lee et
+                         al. duplicated-span cut and C4 three-sentence
+                         -span cut with a global keeper)
       → recipe          (optional per-source cap, deterministic
                          stratified sample, exact-count domain mix per
                          language, optional train/val/test split
                          column — leakage-safe because dedup left one
                          doc per near-dup cluster)
       → chunks          (token windows)
-      → shards          (deterministic interleave, ordered shard files)
+      → shards          (deterministic interleave, ordered shard files
+                         + optional manifest; read back verified with
+                         corpus_prep.read_training_shards)
 
 Every layer boundary is Parquet under ``<root>/<layer>``; a stage is
 skipped when its layer already exists (re-run = resume), ``force``
