@@ -785,3 +785,78 @@ def test_c4_sentence_dedup_matches_reference(spark, texts):
         for r in dedup.c4_sentence_dedup(df, "doc_id", "text").collect()
     }
     assert got == _ref_c4(rows)
+
+
+def _ref_gopher(rows, min_words=50, max_words=100_000, min_stop=2):
+    """Plain-Python Gopher reference (regex constructs restricted to
+    ones with identical Python-re/Java semantics: explicit classes,
+    ASCII \\b)."""
+    import re
+
+    out = {}
+    for i, t in rows:
+        if t is None:
+            out[i] = (0, 0, 0, 0, False)
+            continue
+        words = re.findall(r"[^ \t\f\r\x0B\n]+", t)
+        lines = t.split("\n")
+        w = len(words)
+        chars = sum(len(x) for x in words)
+        sym = t.count("#") + len(re.findall(r"\.\.\.", t))
+        bullets = sum(
+            1 for ln in lines if re.match(r"^[ \t]*[-*•]", ln)
+        )
+        ellipsis = sum(
+            1 for ln in lines if re.search(r"(\.\.\.|…)[ \t]*$", ln)
+        )
+        alpha = sum(1 for x in words if re.search("[A-Za-z]", x))
+        stops = sum(
+            1
+            for s in ("the", "be", "to", "of", "and", "that", "have",
+                      "with")
+            if re.search(rf"\b{s}\b", t.lower())
+        )
+        passed = (
+            min_words <= w <= max_words
+            and 3 * w <= chars <= 10 * w
+            and 10 * sym <= w
+            and 10 * bullets <= 9 * len(lines)
+            and 10 * ellipsis <= 3 * len(lines)
+            and 10 * alpha >= 8 * w
+            and stops >= min_stop
+        )
+        out[i] = (w, chars, sym, stops, passed)
+    return out
+
+
+_gopher_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet="ab #.\t\n-*…!the of",
+            min_size=0,
+            max_size=120,
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=_gopher_texts, min_words=st.integers(1, 8))
+def test_gopher_rules_matches_reference(spark, texts, min_words):
+    from projet_big_data_boutin_danre_spark.operators import text as t
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["g_words"], r["g_word_chars"], r["g_symbols"],
+            r["g_stop_hits"], r["gopher_pass"],
+        )
+        for r in t.gopher_rules(
+            df, "doc_id", "text", min_words=min_words, min_stop_hits=1
+        ).collect()
+    }
+    assert got == _ref_gopher(rows, min_words=min_words, min_stop=1)
