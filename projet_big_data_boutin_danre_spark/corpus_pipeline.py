@@ -548,6 +548,8 @@ def incremental_ingest(
     lsh_hash_family: str = "fast",
     line_census: bool = False,
     line_census_min_len: int = 15,
+    decontaminate_probes: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -725,6 +727,27 @@ def incremental_ingest(
         "fingerprint",
         F.coalesce(stable_fingerprint(text_col), F.lit("<null-text>")),
     )
+    n_contaminated = 0
+    if decontaminate_probes is not None:
+        # eval-leak gate at ADMISSION (text.ngram_contamination —
+        # probe grams broadcast, the batch never re-shuffles):
+        # contaminated docs are rejected before any sidecar sees
+        # them, so they leave no fingerprint — if the probe set later
+        # shrinks, the same content can be admitted then (the content
+        # guard, not this gate, owns identity)
+        contam_ids = (
+            text.ngram_contamination(
+                batch, id_col, text_col,
+                decontaminate_probes, id_col, text_col,
+                n=decontam_ngram,
+            )
+            .select(F.col(id_col))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_contaminated = contam_ids.count()
+        if n_contaminated:
+            batch = batch.join(contam_ids, id_col, "left_anti")
 
     arrived = new_docs.count()
     n_near_skipped = 0
@@ -966,6 +989,8 @@ def incremental_ingest(
         out["healed_bands"] = n_healed_bands
     if line_census:
         out["census_lines"] = n_census_lines
+    if decontaminate_probes is not None:
+        out["contaminated_skipped"] = n_contaminated
     return out
 
 

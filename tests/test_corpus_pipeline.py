@@ -1311,3 +1311,34 @@ def test_decontamination_stage_drops_benchmark_leaks(spark, tmp_path):
         assert gated == {2}
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ingest_decontamination_rejects_at_admission(spark, tmp_path):
+    """decontaminate_probes on ingest: a doc quoting a benchmark
+    8-gram never enters the lake OR its sidecars (no fingerprint), so
+    if the probe set later shrinks the same content can still be
+    admitted — the content guard owns identity, the gate owns leaks."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake")
+    prompt = "name the seven wonders of the ancient world in order"
+    b = spark.createDataFrame(
+        [(1, f"article quoting {prompt} for context"),
+         (2, "a clean training document about joins")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(9, prompt)], "doc_id long, text string")
+    r = incremental_ingest(
+        spark, b, root, decontaminate_probes=probes
+    )
+    assert r["admitted"] == 1 and r["contaminated_skipped"] == 1
+    assert {
+        x.doc_id for x in spark.read.parquet(f"{root}/docs").collect()
+    } == {2}
+    # no fingerprint landed for the rejected doc: with the probe gone,
+    # the same content is admissible
+    r2 = incremental_ingest(spark, b, root)
+    assert r2["admitted"] == 1
+    assert spark.read.parquet(f"{root}/docs").count() == 2
