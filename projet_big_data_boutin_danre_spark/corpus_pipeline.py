@@ -1205,6 +1205,7 @@ def streaming_ingest(
     catalog_prefix: str | None = None,
     near_dup: bool = False,
     line_census: bool = False,
+    decontaminate_probes: DataFrame | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -1225,7 +1226,9 @@ def streaming_ingest(
     sidecars (the 100 TB path — see :func:`incremental_ingest`);
     ``line_census`` forwards to the per-batch boilerplate census
     (digest-idempotent, so Structured Streaming's replay semantics
-    compose with it unchanged)."""
+    compose with it unchanged); ``decontaminate_probes`` forwards the
+    eval-leak admission gate (stateless per batch — the probe frame
+    is re-planned each micro-batch)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         incremental_ingest(
@@ -1237,6 +1240,7 @@ def streaming_ingest(
             catalog_prefix=catalog_prefix,
             near_dup=near_dup,
             line_census=line_census,
+            decontaminate_probes=decontaminate_probes,
         )
 
     return (
