@@ -135,3 +135,104 @@ def test_normalize_regex_agrees(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+# r9 battery: line/sentence/word structure — tabs, VT/FF, bullets,
+# unicode ellipsis, mixed terminators, unterminated tails
+STRUCTURED = [
+    "",
+    " ",
+    "plain words only",
+    "tab\tseparated\twords here",
+    "line one\nline two\nline three",
+    "trailing spaces   \n   leading spaces",
+    "- bullet\n* star\n  - indented bullet\nprose line",
+    "ends with dots...\nends with unicode…\nclean end.",
+    "Multi. Sentence! Text? And a tail without end",
+    "double..dots and ...leading",
+    "vertical\x0btab and form\x0cfeed",
+    "empty\n\nline between\n\n\ntriples",
+    "the quick of and that be to with have",
+    "Thé unicode wörds café",
+    "a.b.c.d",
+    "!!!",
+    "word " * 30,
+    "x\n" * 10,
+]
+
+
+def test_clean_word_and_sentence_regexes_agree(spark):
+    """The r9 structure regexes feed hash-compared slots: the word
+    class (clean_lines/gopher), the exhaustive sentence pattern (C4),
+    and the bullet/ellipsis line classes must count identically in
+    Java regex and RE2."""
+    from projet_big_data_boutin_danre_spark.operators.text import (
+        CLEAN_WORD_RE,
+    )
+    from projet_big_data_boutin_danre_spark.operators.dedup import (
+        SENTENCE_RE,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(STRUCTURED)), "text": STRUCTURED}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got_spark = {
+        r["doc_id"]: (r["nw"], r["ns"], r["sj"], r["nb"], r["ne"])
+        for r in sdf.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(CLEAN_WORD_RE), F.lit(0))
+            ).alias("nw"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(SENTENCE_RE), F.lit(0))
+            ).alias("ns"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.regexp_extract_all(
+                        "text", F.lit(SENTENCE_RE), F.lit(0)
+                    ),
+                )
+            ).alias("sj"),
+            F.size(
+                F.filter(
+                    F.split("text", "\n"),
+                    lambda x: x.rlike(r"^[ \t]*[-*•]"),
+                )
+            ).alias("nb"),
+            F.size(
+                F.filter(
+                    F.split("text", "\n"),
+                    lambda x: x.rlike(r"(\.\.\.|…)[ \t]*$"),
+                )
+            ).alias("ne"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    got_duck = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(
+            r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[^ \t\f\r\x0B\n]+')) AS INT),
+                   CAST(len(regexp_extract_all(text,
+                        '[^.!?]*[.!?]+|[^.!?]+$')) AS INT),
+                   -- coalesce: an empty match list string_aggs to
+                   -- NULL in DuckDB but concat_ws's '' in Spark —
+                   -- the graded twins coalesce for the same reason
+                   md5(coalesce(array_to_string(regexp_extract_all(
+                        text, '[^.!?]*[.!?]+|[^.!?]+$'), ''), '')),
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                        x -> regexp_matches(x, '^[ \t]*[-*•]')))
+                        AS INT),
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                        x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$')))
+                        AS INT)
+            FROM docs ORDER BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got_spark == got_duck
