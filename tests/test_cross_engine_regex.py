@@ -178,7 +178,7 @@ def test_clean_word_and_sentence_regexes_agree(spark):
     )
     sdf = spark.createDataFrame(pdf)
     got_spark = {
-        r["doc_id"]: (r["nw"], r["ns"], r["sj"], r["nb"], r["ne"])
+        r["doc_id"]: (r["nw"], r["ns"], r["sj"], r["nb"], r["ne"], r["pp"])
         for r in sdf.select(
             "doc_id",
             F.size(
@@ -207,6 +207,12 @@ def test_clean_word_and_sentence_regexes_agree(spark):
                     lambda x: x.rlike(r"(\.\.\.|…)[ \t]*$"),
                 )
             ).alias("ne"),
+            # paragraph split (graded via g_dup_paras): Spark's regex
+            # split on "\n\n" must partition exactly like DuckDB's
+            # two-char literal separator, including \n\n\n runs
+            F.md5(
+                F.concat_ws("\x1f", F.split("text", "\n\n"))
+            ).alias("pp"),
         ).collect()
     }
     con = duckdb.connect()
@@ -230,7 +236,9 @@ def test_clean_word_and_sentence_regexes_agree(spark):
                         AS INT),
                    CAST(len(list_filter(string_split(text, chr(10)),
                         x -> regexp_matches(x, '(\.\.\.|…)[ \t]*$')))
-                        AS INT)
+                        AS INT),
+                   md5(coalesce(array_to_string(string_split(text,
+                        chr(10) || chr(10)), chr(31)), ''))
             FROM docs ORDER BY doc_id
             """
         ).fetchall()
