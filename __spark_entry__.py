@@ -2151,7 +2151,10 @@ def _sql_text_profile() -> str:
                    coalesce(length(text)
                             - length(replace(text, '#', '')), 0)
                    + coalesce(len(regexp_extract_all(text, '\\.\\.\\.')),
-                              0) AS g_symbols,
+                              0)
+                   + coalesce(length(text)
+                            - length(replace(text, '…', '')), 0)
+                       AS g_symbols,
                    coalesce(len(ln), 0) AS g_lines,
                    coalesce(len(list_filter(ln, x ->
                        regexp_matches(x, '^[ \\t]*[-*•]'))), 0)

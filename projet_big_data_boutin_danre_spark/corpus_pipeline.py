@@ -1132,9 +1132,12 @@ def update_line_census(
     digest keys on ids, not text: a "replay" carrying the same ids
     with CHANGED text is a conflicting input the ingest layer's
     content guard owns — this sidecar deliberately treats it as the
-    same batch. Precondition (documented, matching the ingest
-    contract): each document rides exactly one batch — feed ADMITTED
-    batches, not raw arrivals.
+    same batch. Precondition (ENFORCED, matching the ingest
+    contract): batch ids are unique — a duplicate id would cancel
+    itself out of the XOR pairwise, letting two materially different
+    batches share a digest, so the uniqueness check rides the same
+    digest aggregation and a violating batch is refused loudly. Feed
+    ADMITTED batches, not raw arrivals.
 
     Scale: the append is batch-lines-sized (32-hex key + two ints);
     the replay probe reads ONE pruned column of the sidecar; history
@@ -1146,8 +1149,19 @@ def update_line_census(
     digest_row = batch.agg(
         F.coalesce(
             F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
-        ).alias("d")
+        ).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
     ).first()
+    if digest_row["n"] != digest_row["nd"]:
+        raise ValueError(
+            f"line-census batch has duplicate {id_col} values "
+            f"({digest_row['n']} rows, {digest_row['nd']} distinct) — "
+            "duplicate ids cancel pairwise out of the XOR replay "
+            "digest, so the skip decision would be unsound. Exact-"
+            "dedup the batch first (the ingest contract feeds admitted "
+            "batches)."
+        )
     digest = int(digest_row["d"])
     if _exists(spark, census_path):
         seen = (

@@ -408,7 +408,6 @@ def _canonical_cluster_map(
     member_col: str,
     rep_col: str,
     resolve_chains: bool,
-    max_rounds: int = 16,
 ) -> DataFrame:
     """(member → one representative) canonicalization for
     :func:`leakage_safe_split`.
@@ -418,55 +417,72 @@ def _canonical_cluster_map(
     the corpus join — fixed by min-aggregation; (2) a CHAINED map
     (cluster A's representative is itself a member of cluster B) makes
     A's members hash on repA while repA hashes on repB, so one
-    transitive cluster can straddle splits. With
-    ``resolve_chains=True`` chains are chased to their fixpoint by
-    pointer doubling — each round self-joins the id-only map and takes
-    ``least(rep, rep-of-rep)``, halving the remaining chain depth, so
-    convergence is log₂(longest chain) rounds; min-monotonicity rules
-    out cycles. An already-canonical map (every ``dedup_clusters`` /
-    exact-fingerprint output) converges in the FIRST probe round, so
-    the common case pays exactly one map-sized self-join. With
-    ``resolve_chains=False`` the same probe round VALIDATES the
-    fixpoint precondition and refuses a chained map with a clear error
-    (marker-and-refuse, like the span-alignment guard) — there is no
-    silent-leakage configuration."""
+    transitive cluster can straddle splits. The chain probe is
+    direction-free: ANY representative that is itself a member mapping
+    somewhere else (``rep_of_rep != rep`` — ascending chains like
+    (10→20),(20→30), plausible when keepers are quality-chosen rather
+    than min-id, count exactly like descending ones). With
+    ``resolve_chains=True`` a chained map is canonicalized through
+    :func:`operators.dedup.connected_components` over the RAW (member,
+    rep) edge list — the transitive closure is exactly the connected
+    component, every member lands on the component MINIMUM, and
+    cycles, mixed-direction chains, and multi-listed members are
+    handled by construction (a member listed under several clusters
+    connects them). An
+    already-canonical map (every ``dedup_clusters`` /
+    exact-fingerprint output) passes the FIRST probe round, so the
+    common case pays exactly one map-sized self-join and never runs
+    components. With ``resolve_chains=False`` the same probe round
+    VALIDATES the fixpoint precondition and refuses a chained map with
+    a clear error (marker-and-refuse, like the span-alignment guard) —
+    there is no silent-leakage configuration."""
+    from . import dedup as _dedup
+
     m = members.groupBy(F.col(member_col).alias("__m")).agg(
         F.min(rep_col).alias("__rep")
     )
-    for _ in range(max_rounds):
-        r2 = m.select(
-            F.col("__m").alias("__r"), F.col("__rep").alias("__rep2")
+    r2 = m.select(
+        F.col("__m").alias("__r"), F.col("__rep").alias("__rep2")
+    )
+    joined = m.join(
+        r2, F.col("__rep") == F.col("__r"), "left"
+    ).select(
+        "__m",
+        "__rep",
+        (
+            F.col("__rep2").isNotNull()
+            & (F.col("__rep2") != F.col("__rep"))
+        ).alias("__chained"),
+    )
+    joined = joined.localCheckpoint(eager=False)
+    n_chained = joined.filter("__chained").count()
+    if n_chained == 0:
+        return joined.select("__m", "__rep")
+    if not resolve_chains:
+        raise ValueError(
+            f"cluster map is chained: {n_chained} representative(s) "
+            "are themselves members of another cluster, so transitive "
+            "near-duplicates would straddle splits. Pass "
+            "resolve_chains=True to canonicalize through connected "
+            "components, or canonicalize the map first (e.g. "
+            "dedup_clusters output is already canonical)."
         )
-        joined = m.join(
-            r2, F.col("__rep") == F.col("__r"), "left"
-        ).select(
-            "__m",
-            "__rep",
-            (F.col("__rep2") < F.col("__rep")).alias("__chained"),
-            F.least("__rep", F.coalesce("__rep2", "__rep")).alias(
-                "__rep_next"
-            ),
-        )
-        joined = joined.localCheckpoint(eager=False)
-        n_chained = joined.filter("__chained").count()
-        if n_chained == 0:
-            return joined.select("__m", "__rep")
-        if not resolve_chains:
-            raise ValueError(
-                f"cluster map is chained: {n_chained} representative(s) "
-                "are themselves members of another cluster with a "
-                "smaller representative, so transitive near-duplicates "
-                "would straddle splits. Pass resolve_chains=True to "
-                "chase chains to their fixpoint, or canonicalize the "
-                "map first (e.g. dedup_clusters output is already "
-                "canonical)."
-            )
-        m = joined.select("__m", F.col("__rep_next").alias("__rep"))
-    raise ValueError(
-        f"cluster map did not reach a fixpoint in {max_rounds} pointer-"
-        f"doubling rounds (chain depth > 2^{max_rounds}) — the map is "
-        "pathological; canonicalize it with connected components "
-        "(dedup_clusters) instead."
+    # Transitive closure over the RAW id-only edge list (not the
+    # min-aggregated map: a member listed under several clusters is an
+    # edge to EACH of them, and in a chained map those clusters are
+    # transitively one — min-agg first would drop the extra edges and
+    # split them). Members absent from the result (pure self-maps)
+    # fall back to their own id via the caller's coalesce — same
+    # assignment either way.
+    comp = _dedup.connected_components(
+        members.select(
+            F.col(member_col).alias("__m"), F.col(rep_col).alias("__rep")
+        ),
+        a_col="__m",
+        b_col="__rep",
+    )
+    return comp.select(
+        F.col("node").alias("__m"), F.col("component").alias("__rep")
     )
 
 
@@ -505,9 +521,10 @@ def leakage_safe_split(
     several clusters is canonicalized to its MIN representative before
     the join (deterministic, and the corpus can never fan out), and a
     CHAINED map — a representative that is itself a member of another
-    cluster — is chased to its transitive fixpoint by pointer doubling
-    (``resolve_chains=True``, the default) or refused with a clear
-    error (``resolve_chains=False``); either way one transitive
+    cluster, in EITHER id direction — is canonicalized to its
+    transitive closure by connected components over the id-only edge
+    list (``resolve_chains=True``, the default) or refused with a
+    clear error (``resolve_chains=False``); either way one transitive
     cluster can never straddle splits (see
     :func:`_canonical_cluster_map`). Maps from any function-of-member
     clustering are already canonical and pay only a map-sized
@@ -740,7 +757,13 @@ def read_training_shards(
       contract the validator's ``range_overlap`` check enforces.
     - ``shard=i``: only shard ``i``'s rows (still verified against
       the WHOLE manifest first — a missing sibling shard means the
-      global order this shard participates in is broken)."""
+      global order this shard participates in is broken). With
+      ``ordered=True`` the slice is sorted WITHOUT a range exchange:
+      one shard is one writer task's output (trainer-consumable by
+      construction), so ``coalesce(1)`` + an in-partition sort orders
+      it in a single task — Spark may split the file into several scan
+      partitions and packs splits by size, so the raw scan order is
+      not trustworthy, but no shuffle is needed to restore it."""
     shards = spark.read.format(fmt).load(path)
     if verify:
         if not _manifest_exists(spark, f"{path}/_manifest"):
@@ -761,6 +784,11 @@ def read_training_shards(
             )
     if shard is not None:
         shards = shards.filter(F.col("__shard") == int(shard))
+        if ordered:
+            return shards.coalesce(1).sortWithinPartitions(
+                F.col("__key"), F.col(id_col)
+            )
+        return shards
     if ordered:
         return shards.orderBy(F.col("__key"), F.col(id_col))
     return shards

@@ -932,7 +932,8 @@ def gopher_rules(
     (their summed length — mean word length = chars/words, but the
     BOUND is expressed as integer cross-multiplication so no float
     crosses engines), ``g_symbols`` ('#' chars + non-overlapping
-    '...' occurrences), ``g_lines`` / ``g_bullet_lines`` (line starts
+    '...' occurrences + '…' chars — both ellipsis forms, matching the
+    ellipsis-line rule), ``g_lines`` / ``g_bullet_lines`` (line starts
     with -, * or •) / ``g_ellipsis_lines`` (line ends with ... or …),
     ``g_alpha_words`` (words containing a-zA-Z), ``g_stop_hits``
     (how many of the 8 Gopher stop words appear as whole \\b-bounded
@@ -995,6 +996,14 @@ def gopher_rules(
                         "__t", F.lit(r"\.\.\."), F.lit(0)
                     )
                 ),
+                zero,
+            )
+            # the unicode ellipsis counts like '...': the paper's
+            # symbol-to-word ratio counts ellipses, and the
+            # ellipsis-line rule below already accepts both forms
+            + F.coalesce(
+                F.length("__t")
+                - F.length(F.replace("__t", F.lit("…"), F.lit(""))),
                 zero,
             )
         ).alias("g_symbols"),

@@ -1342,3 +1342,32 @@ def test_ingest_decontamination_rejects_at_admission(spark, tmp_path):
     r2 = incremental_ingest(spark, b, root)
     assert r2["admitted"] == 1
     assert spark.read.parquet(f"{root}/docs").count() == 2
+
+
+def test_update_line_census_refuses_duplicate_ids(spark, tmp_path):
+    """r10 ADVICE fix: duplicate ids cancel pairwise out of the XOR
+    replay digest (two materially different batches could share a
+    stamp), so the census enforces the documented uniqueness
+    precondition loudly instead of trusting an unsound skip."""
+    import pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        update_line_census,
+    )
+
+    path = str(tmp_path / "census_dup")
+    bad = spark.createDataFrame(
+        [
+            (1, "first version of the duplicated-id document"),
+            (1, "second conflicting version with the same id"),
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        update_line_census(spark, path, bad)
+    # a clean batch is unaffected
+    ok = spark.createDataFrame(
+        [(1, "one clean line of content"), (2, "another clean line")],
+        "doc_id long, text string",
+    )
+    assert update_line_census(spark, path, ok)["new_batch"] == 1

@@ -834,3 +834,77 @@ def test_verify_shards_flags_broken_range_order(spark, tmp_path):
         for r in cp.verify_training_shards(spark, path, "doc_id").collect()
     }
     assert "range_overlap" in probs
+
+
+def test_leakage_safe_split_ascending_chain_cannot_straddle(spark):
+    """r10 ADVICE fix: a chain whose rep-of-rep is LARGER — plausible
+    when keepers are quality-chosen rather than min-id — must be
+    detected and canonicalized exactly like a descending one (the old
+    probe only flagged __rep2 < __rep, so (10→20),(20→30) silently
+    returned still-chained). Mixed directions and a 2-cycle ride the
+    same connected-components fallback."""
+    docs = _docs(spark, 200)
+    fr = {"train": 0.5, "test": 0.5}
+    ascending = spark.createDataFrame(
+        [(10, 20), (20, 30)], "member long, rep long"
+    )
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=ascending
+        ).collect()
+    }
+    assert len(split_of) == 200
+    assert split_of[10] == split_of[20] == split_of[30]
+    # refuse mode must also catch the ascending direction
+    with pytest.raises(ValueError, match="chained"):
+        cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=ascending,
+            resolve_chains=False,
+        ).collect()
+    # the canonical form of the same cluster agrees exactly
+    canonical = spark.createDataFrame(
+        [(20, 10), (30, 10)], "member long, rep long"
+    )
+    ok = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=canonical,
+            resolve_chains=False,
+        ).collect()
+    }
+    assert ok == split_of
+    # mixed directions + a 2-cycle: one transitive cluster, one split
+    tangled = spark.createDataFrame(
+        [(7, 8), (8, 7), (9, 8), (9, 11)], "member long, rep long"
+    )
+    tangled_split = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=tangled
+        ).collect()
+    }
+    assert (
+        tangled_split[7] == tangled_split[8]
+        == tangled_split[9] == tangled_split[11]
+    )
+
+
+def test_read_training_shards_shard_slice_plans_no_exchange(
+    spark, tmp_path
+):
+    """shard=i + ordered=True must keep the docstring's no-exchange
+    contract: coalesce(1) + in-partition sort, never a range
+    shuffle (r10 ADVICE fix — the old code planned a global orderBy
+    on the slice)."""
+    docs = _docs(spark, 200)
+    path = str(tmp_path / "shards_ne")
+    cp.write_training_shards(
+        docs, "doc_id", path, seed=7, n_shards=4, manifest=True
+    )
+    sl = cp.read_training_shards(spark, path, "doc_id", shard=1)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # and the slice is still internally sorted on (__key, id)
+    rows = [(r["__key"], r["doc_id"]) for r in sl.collect()]
+    assert rows == sorted(rows)

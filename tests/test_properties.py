@@ -802,7 +802,9 @@ def _ref_gopher(rows, min_words=50, max_words=100_000, min_stop=2):
         lines = t.split("\n")
         w = len(words)
         chars = sum(len(x) for x in words)
-        sym = t.count("#") + len(re.findall(r"\.\.\.", t))
+        sym = (
+            t.count("#") + len(re.findall(r"\.\.\.", t)) + t.count("…")
+        )
         bullets = sum(
             1 for ln in lines if re.match(r"^[ \t]*[-*•]", ln)
         )
