@@ -428,6 +428,7 @@ def lsh_seen_ids(
     shingle_k: int = 8,
     hash_family: str = "md5",
     bands_df: DataFrame | None = None,
+    max_broadcast_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Cross-corpus LSH membership probe: the distinct batch ids that
     share at least one band bucket with a HISTORICAL band layer —
@@ -460,10 +461,19 @@ def lsh_seen_ids(
     are explicitly ``broadcast`` — the corpus-sized ``seen_bands``
     scan is probed map-side with NO shuffle and NO sort of history,
     and the scan prunes to the two key columns (id/text never read).
-    One small aggregation (distinct batch ids) after. Degenerate
-    (mega-batch) inputs where the batch outgrows broadcast should
-    chunk the batch, not lift the broadcast — a shuffle join here
-    would re-shuffle the full history every batch."""
+    One small aggregation (distinct batch ids) after.
+
+    Degenerate (mega-batch) inputs where the batch outgrows broadcast
+    are CHUNKED, never shuffle-joined (a shuffle join here would
+    re-shuffle the full history every batch): when the bands frame
+    exceeds ``max_broadcast_rows`` it is split by an id-hash modulus
+    into broadcast-sized chunks and the probe results unioned —
+    semantics identical (set-union of candidates), at the cost of one
+    extra map-side history scan per chunk. The guard materializes the
+    bands frame once (``localCheckpoint``) so the row count and every
+    chunk read one computation of the signatures. Pass
+    ``max_broadcast_rows=None`` to skip the guard (and the
+    checkpoint+count) when the caller knows the batch is bounded."""
     if bands_df is None:
         if batch is None:
             raise ValueError(
@@ -479,12 +489,30 @@ def lsh_seen_ids(
             bands,
             hash_family,
         )
-    return (
-        seen_bands.select("band", "band_key")
-        .join(F.broadcast(bands_df), ["band", "band_key"])
-        .select(F.col("id").alias(id_col))
-        .distinct()
-    )
+
+    def _probe(chunk: DataFrame) -> DataFrame:
+        return (
+            seen_bands.select("band", "band_key")
+            .join(F.broadcast(chunk), ["band", "band_key"])
+            .select(F.col("id").alias(id_col))
+        )
+
+    if max_broadcast_rows is not None:
+        bands_df = bands_df.localCheckpoint()
+        n = bands_df.count()
+        if n > int(max_broadcast_rows):
+            n_chunks = -(-n // int(max_broadcast_rows))
+            out = None
+            for i in range(n_chunks):
+                part = _probe(
+                    bands_df.filter(
+                        F.pmod(F.xxhash64(F.col("id")), F.lit(n_chunks))
+                        == F.lit(i)
+                    )
+                )
+                out = part if out is None else out.unionByName(part)
+            return out.distinct()
+    return _probe(bands_df).distinct()
 
 
 def simhash(

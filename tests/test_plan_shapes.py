@@ -480,6 +480,56 @@ def test_lsh_seen_probe_broadcasts_batch_never_shuffles_history(
     assert [r["doc_id"] for r in probe.collect()] == [100]
 
 
+def test_lsh_seen_mega_batch_chunks_instead_of_lifting_broadcast(
+    spark, tmp_path
+):
+    """r10: a batch whose bands frame outgrows ``max_broadcast_rows``
+    is split into broadcast-sized chunks and the probe results
+    unioned — identical candidate set (set-union semantics), and the
+    history side STILL never shuffle-joins (the documented mega-batch
+    fallback at operators/dedup.py:lsh_seen_ids, previously
+    prose-only)."""
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc number {i} with some repeated body text")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    layer = str(tmp_path / "band_buckets_mb")
+    dedup.lsh_bands(
+        dedup.minhash_signatures(hist, "doc_id", "text",
+                                 hash_family="fast"),
+        hash_family="fast",
+    ).write.parquet(layer)
+    # 20-doc "mega" batch, half of them near-dups of history
+    batch = spark.createDataFrame(
+        [(100 + i,
+          f"history doc number {i} with some repeated body text"
+          if i % 2 == 0
+          else f"completely fresh unseen payload variant {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    seen_b = spark.read.parquet(layer)
+    want = {
+        r["doc_id"]
+        for r in dedup.lsh_seen_ids(
+            batch, seen_b, "doc_id", "text", hash_family="fast",
+            max_broadcast_rows=None,
+        ).collect()
+    }
+    assert want  # the probe has real hits to compare
+    chunked = dedup.lsh_seen_ids(
+        batch, seen_b, "doc_id", "text", hash_family="fast",
+        max_broadcast_rows=7,  # 20 docs * 4 bands = 80 rows -> 12 chunks
+    )
+    plan = _plan(chunked)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert {r["doc_id"] for r in chunked.collect()} == want
+
+
 def test_drop_common_lines_text_never_shuffles(spark, sf0001):
     """Line dedup's scale claim asserted on the plan: every hash
     exchange carries only narrow columns (md5 keys, ids, positions)
