@@ -1277,7 +1277,16 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
     (both metadata-only, JVM-side), tagged into one slot (v1..v4 hold
     resize: width/height/target_w/target_h; frame: frame_ms) — merged
     to free a slot for `corpus_sample` within the driver's 50-row
-    correctness window."""
+    correctness window.
+
+    r10 widening — content-level media dedup (the north star's
+    multimodal pillar): ``dhash`` rows carry each image's 64-bit
+    difference hash as its 4×16-bit LSH bands
+    (operators/multimodal.perceptual_hash — Arrow-batched kernel over
+    the payload bytes, stub codec, exact integer hash math), and
+    ``hampair`` rows are the banded Hamming near-dup pairs
+    (phash_near_dup_pairs: exact-match band join, bit_count(xor)
+    verify, never all-pairs)."""
     docs = load_table(spark, sf, "documents")
     media = multimodal.synth_media_from_documents(docs)
     b = F.lit(None).cast("bigint")
@@ -1297,7 +1306,29 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("v3"),
         b.alias("v4"),
     )
-    return rz.unionByName(fr)
+    with_variants = media.unionByName(
+        multimodal.synth_reencoded_variants(docs)
+    )
+    hashes = multimodal.perceptual_hash(with_variants).localCheckpoint(
+        eager=False
+    )
+    dh = hashes.select(
+        F.lit("dhash").alias("tag"),
+        "media_id",
+        *[
+            F.col(f"band{j}").cast("bigint").alias(f"v{j + 1}")
+            for j in range(4)
+        ],
+    )
+    hp = multimodal.phash_near_dup_pairs(hashes, max_hamming=3).select(
+        F.lit("hampair").alias("tag"),
+        F.col("id_a").alias("media_id"),
+        F.col("id_b").cast("bigint").alias("v1"),
+        F.col("hamming").cast("bigint").alias("v2"),
+        b.alias("v3"),
+        b.alias("v4"),
+    )
+    return rz.unionByName(fr).unionByName(dh).unionByName(hp)
 
 
 # Sample/mix parameters for the corpus_sample slot — shared by the
@@ -2281,6 +2312,64 @@ _PROFILE_COLS = (
     "o_orderdate",
     "o_orderpriority",
 )
+
+
+def _sql_media_dhash_cte() -> str:
+    """Generated DuckDB twin of multimodal.perceptual_hash over the
+    synth media table: nearest-neighbor byte-resampled pseudo-pixels
+    (the stub codec — pixel ``i`` = payload byte ``(i*n)//72``), 9×8
+    dHash gradient bits, packed into 4×16-bit bands — every step
+    exact integer math, mirrored expression-for-expression. Byte ==
+    code point holds because the corpus is ASCII (asserted by the
+    Spark side hashing the encoded payload bytes: a non-ASCII corpus
+    would hash-mismatch here, loudly)."""
+    # pixel i: 1-indexed char position 1 + (i*n)//72 of the text
+    px_cols = ", ".join(
+        f"ord(substr(t, 1 + ({i} * length(t)) // 72, 1)) AS p{i}"
+        for i in range(72)
+    )
+    # bit k = r*8+c set iff px[r*9+c] > px[r*9+c+1]
+    band_exprs = []
+    for j in range(4):
+        terms = []
+        for k in range(16 * j, 16 * j + 16):
+            r, c = k // 8, k % 8
+            i0, i1 = r * 9 + c, r * 9 + c + 1
+            terms.append(
+                f"(CASE WHEN p{i0} > p{i1} THEN {1 << (k % 16)} "
+                "ELSE 0 END)"
+            )
+        band_exprs.append(
+            "CASE WHEN t IS NULL THEN NULL ELSE CAST("
+            + " + ".join(terms)
+            + f" AS BIGINT) END AS band{j}"
+        )
+    bands = ",\n                   ".join(band_exprs)
+    return f"""
+            mh AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN length(text) = 0 THEN NULL
+                            ELSE text END AS t
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                -- re-encoded variants (multimodal.
+                -- synth_reencoded_variants): one byte flipped to '~'
+                -- at the midpoint of every 12th image
+                SELECT doc_id + 1000000000 AS media_id,
+                       CASE WHEN length(text) = 0 THEN NULL ELSE
+                           substr(text, 1, (length(text) + 1) // 2 - 1)
+                           || '~'
+                           || substr(text, (length(text) + 1) // 2 + 1)
+                       END AS t
+                FROM documents
+                WHERE doc_id % 12 = 0 AND doc_id % 3 = 0
+            ), mpx AS (
+                SELECT media_id, t, {px_cols} FROM mh
+            ), mbands AS (
+                SELECT media_id,
+                   {bands}
+                FROM mpx
+            )"""
 
 
 def _sql_corpus_sample() -> str:
@@ -3783,7 +3872,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(n_chars % 1920 + 16 AS INT) AS width,
                        CAST(n_chars % 1080 + 16 AS INT) AS height
                 FROM documents WHERE doc_id % 3 = 0
-            )
+            ),"""
+        + _sql_media_dhash_cte()
+        + """
             SELECT 'resize' AS tag, media_id,
                    CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,
                    CAST(ceil(width * least(1.0, 512.0 / greatest(width, height)))
@@ -3800,6 +3891,24 @@ def oracle_sql() -> dict[str, str]:
                                               1000)) AS f
                 FROM documents WHERE doc_id % 3 = 2
             )
+            UNION ALL
+            SELECT 'dhash', media_id, band0, band1, band2, band3
+            FROM mbands
+            UNION ALL
+            SELECT 'hampair', ida, idb, ham, NULL, NULL FROM (
+                SELECT a.media_id AS ida,
+                       CAST(b.media_id AS BIGINT) AS idb,
+                       CAST(bit_count(xor(a.band0, b.band0))
+                            + bit_count(xor(a.band1, b.band1))
+                            + bit_count(xor(a.band2, b.band2))
+                            + bit_count(xor(a.band3, b.band3))
+                            AS BIGINT) AS ham
+                FROM mbands a JOIN mbands b
+                  ON a.media_id < b.media_id
+                 AND a.band0 IS NOT NULL AND b.band0 IS NOT NULL
+                 AND (a.band0 = b.band0 OR a.band1 = b.band1
+                      OR a.band2 = b.band2 OR a.band3 = b.band3)
+            ) WHERE ham <= 3
         """,
         "corpus_sample": _sql_corpus_sample(),
         "sparse_document": """

@@ -22,10 +22,22 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..schemas import MEDIA_FEATURES_SCHEMA
 
 FEATURE_DIM = 8
+
+# dHash grid: 9×8 grayscale (one extra column so each of the 8×8 hash
+# bits is a horizontal gradient), the standard difference-hash layout
+GRAY_W = 9
+GRAY_H = 8
+DHASH_BANDS = 4  # 64 bits banded into 4×16 for exact-match LSH
 
 
 def _decode_stub(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -71,6 +83,172 @@ def extract_features(media: DataFrame, target_partitions: int | None = None) -> 
     return media.mapInPandas(_extract, schema=MEDIA_FEATURES_SCHEMA)
 
 
+def _decode_gray_stub(payload: bytes) -> list[int] | None:
+    """Deterministic fake 'decode + downscale to GRAY_H×GRAY_W
+    grayscale': nearest-neighbor resample of the raw byte stream into
+    the 72-pixel grid (pixel ``i`` = byte ``(i*n)//72``). Chosen over
+    an md5-seeded fake deliberately: resampling PRESERVES LOCALITY —
+    near-identical payloads land within a few Hamming bits, exactly
+    the property a perceptual hash exists to exploit — so the
+    downstream dedup semantics are exercised for real even with a
+    fake codec. Replace with a real decoder (PIL
+    ``Image.open(...).convert("L").resize((9, 8))``) in production —
+    the signature (bytes → row-major uint8 grid, None for empty) is
+    the contract, and everything downstream (dHash bit math, banding,
+    Hamming pairs) is codec-agnostic."""
+    n = len(payload)
+    if n == 0:
+        return None
+    return [payload[(i * n) // (GRAY_H * GRAY_W)] for i in range(GRAY_H * GRAY_W)]
+
+
+def _dhash_bands_py(px: list[int]) -> list[int]:
+    """64-bit difference hash over a row-major GRAY_H×GRAY_W grid,
+    packed as DHASH_BANDS little-endian 16-bit band values: bit
+    ``k = r*8 + c`` is set iff ``px[r][c] > px[r][c+1]`` (horizontal
+    gradient). Pure integer math — bit-identical to the generated
+    ANSI-SQL twin."""
+    bands = [0] * DHASH_BANDS
+    for r in range(GRAY_H):
+        for c in range(GRAY_W - 1):
+            if px[r * GRAY_W + c] > px[r * GRAY_W + c + 1]:
+                k = r * 8 + c
+                bands[k // 16] |= 1 << (k % 16)
+    return bands
+
+
+def perceptual_hash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    kinds: tuple[str, ...] = ("image",),
+) -> DataFrame:
+    """Content-level image dedup key: dHash (difference hash) of each
+    media row's decoded grayscale thumbnail — near-identical images
+    (re-encodes, small crops, brightness shifts) land within a few
+    Hamming bits of each other, while exact duplicate bytes hash
+    identically. Returns ``(id, band0..band3, dhash_hex)`` where the
+    four 16-bit bands slice the 64-bit hash for exact-match LSH
+    banding (:func:`phash_near_dup_pairs`) and ``dhash_hex`` is the
+    whole hash for display/fingerprinting.
+
+    The decode is the stubbed codec step (``_decode_gray_stub`` — the
+    image libraries are not in this container); the hash math, band
+    layout, and Arrow plumbing are real and codec-agnostic. dHash over
+    integer gradients is chosen over DCT pHash deliberately: no
+    float/DCT basis to disagree across engines, so the whole operator
+    is oracle-checkable bit-for-bit.
+
+    Scale: Arrow-batched ``mapInPandas`` (the codec is Python-side by
+    nature), map-only — no shuffle; output is 4 ints + 16 hex chars
+    per row regardless of payload size, so the hash layer persists as
+    a tiny sidecar like the text fingerprint layer. NULL payloads
+    yield NULL bands (excluded from pairing)."""
+    if kinds:
+        media = media.filter(F.col("kind").isin(*list(kinds)))
+    id_field = media.schema[id_col]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + [StructField(f"band{j}", IntegerType()) for j in range(DHASH_BANDS)]
+        + [StructField("dhash_hex", StringType())]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {id_field.name: pdf[id_col]}
+            bands_out: list[list] = [[] for _ in range(DHASH_BANDS)]
+            hexes: list[str | None] = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    for j in range(DHASH_BANDS):
+                        bands_out[j].append(None)
+                    hexes.append(None)
+                    continue
+                b = _dhash_bands_py(_decode_gray_stub(bytes(p)))
+                for j in range(DHASH_BANDS):
+                    bands_out[j].append(b[j])
+                hexes.append("%04x%04x%04x%04x" % (b[3], b[2], b[1], b[0]))
+            for j in range(DHASH_BANDS):
+                cols[f"band{j}"] = pd.array(bands_out[j], dtype="Int32")
+            cols["dhash_hex"] = hexes
+            yield pd.DataFrame(cols)
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, schema=schema)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs from a :func:`perceptual_hash`
+    layer: the banded-LSH discipline applied to Hamming space. Each
+    64-bit dHash is already sliced into 4×16-bit bands; two images
+    sharing ANY band exactly become a candidate pair, then the full
+    Hamming distance (``bit_count`` of the XOR, summed over bands)
+    filters to ``<= max_hamming``. Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Recall contract (pigeonhole): a pair at Hamming distance ``d < 4``
+    differs in at most 3 bands, so at least one band matches exactly —
+    for ``max_hamming <= 3`` the banding is EXACT, never a heuristic.
+    Larger thresholds degrade gracefully (a pair differing in all four
+    bands is missed) — the same trade as MinHash banding, documented
+    rather than hidden.
+
+    Scale (the 100 TB shape): candidates come from equality joins on
+    (band_idx, band_value) — never all-pairs; the hash layer is 4 ints
+    per image so the exploded join input is 4 rows × ~20 B per image.
+    A degenerate bucket (millions of identical thumbnails) is the
+    same hot-bucket hazard as MinHash LSH: cap it with ``max_bucket``
+    (buckets above the cap are dropped from PAIR generation — exact
+    duplicates are cheaper found via ``dhash_hex`` group-by, the
+    same split as exact_dedup vs minhash_lsh_pairs)."""
+    band_exprs = ", ".join(
+        f"{j}, band{j}" for j in range(DHASH_BANDS)
+    )
+    long = hashes.filter(F.col("band0").isNotNull()).selectExpr(
+        id_col,
+        *[f"band{j}" for j in range(DHASH_BANDS)],
+        f"stack({DHASH_BANDS}, {band_exprs}) as (band, band_key)",
+    )
+    if max_bucket is not None:
+        sizes = long.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        long = (
+            long.join(sizes, ["band", "band_key"])
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
+    a = long.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"band{j}").alias(f"a{j}") for j in range(DHASH_BANDS)],
+        "band",
+        "band_key",
+    )
+    b = long.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"band{j}").alias(f"b{j}") for j in range(DHASH_BANDS)],
+        "band",
+        "band_key",
+    )
+    ham = None
+    for j in range(DHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= int(max_hamming))
+        .distinct()
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode each video row into frame
     timestamps (metadata-driven — no decode needed to *plan* the
@@ -103,6 +281,39 @@ def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
         "height",
         F.ceil(F.col("width") * scale).cast("int").alias("target_w"),
         F.ceil(F.col("height") * scale).cast("int").alias("target_h"),
+    )
+
+
+def synth_reencoded_variants(
+    docs: DataFrame,
+    offset: int = 1_000_000_000,
+    every: int = 12,
+) -> DataFrame:
+    """Test substrate for the perceptual-dedup path: a 're-encoded
+    copy' of every ``every``-th image — same payload except one byte
+    flipped to ``~`` at the midpoint, which is what a lossy re-encode
+    looks like after decode (tiny local perturbation, global content
+    unchanged). The (original, variant) pairs are the ground-truth
+    near-duplicates :func:`phash_near_dup_pairs` must find: a
+    same-length single-byte edit moves at most a couple of sampled
+    pixels, so the pair lands within the exact-recall Hamming band
+    (the md5-style fake would scatter them — see
+    :func:`_decode_gray_stub` on why the stub preserves locality)."""
+    edited = F.concat(
+        F.expr("substring(text, 1, cast(floor((length(text)+1)/2) as int) - 1)"),
+        F.lit("~"),
+        F.expr("substring(text, cast(floor((length(text)+1)/2) as int) + 1)"),
+    )
+    return docs.filter(
+        (F.col("doc_id") % every == 0) & (F.col("doc_id") % 3 == 0)
+    ).select(
+        (F.col("doc_id") + F.lit(offset)).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(edited, "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("n_chars") % 1920 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 1080 + 16).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
 
 

@@ -240,6 +240,112 @@ def test_multimodal_features_deterministic(spark):
     assert all(0.0 <= x <= 1.0 for x in f[1])
 
 
+def test_perceptual_hash_properties(spark):
+    """dHash semantics on the stub codec: identical payloads hash
+    identically; a same-length single-byte edit stays within a couple
+    of Hamming bits (locality — the property the resample stub exists
+    to preserve); bands are 16-bit slices consistent with dhash_hex;
+    NULL payloads yield NULL bands."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edited = base[:80] + "~" + base[81:]
+    media = spark.createDataFrame(
+        [(1, "image", base), (2, "image", base), (3, "image", edited),
+         (4, "image", None), (5, "audio", base)],
+        "media_id long, kind string, text string",
+    ).select(
+        "media_id", "kind",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.perceptual_hash(media).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}  # audio filtered by kinds
+    b1 = [rows[1][f"band{j}"] for j in range(4)]
+    assert all(0 <= b <= 0xFFFF for b in b1)
+    assert [rows[2][f"band{j}"] for j in range(4)] == b1
+    assert rows[2]["dhash_hex"] == rows[1]["dhash_hex"]
+    assert rows[1]["dhash_hex"] == "%04x%04x%04x%04x" % (
+        b1[3], b1[2], b1[1], b1[0]
+    )
+    ham = sum(
+        bin(rows[1][f"band{j}"] ^ rows[3][f"band{j}"]).count("1")
+        for j in range(4)
+    )
+    assert ham <= 2
+    assert rows[4]["band0"] is None and rows[4]["dhash_hex"] is None
+
+
+def test_phash_near_dup_pairs_banding_contract(spark):
+    """The pigeonhole recall contract, asserted at its boundary: a
+    pair at Hamming d <= 3 always shares a band (found); a pair with
+    one differing bit in EVERY band (d = 4) shares none (missed —
+    the documented trade); max_bucket drops hot buckets from pair
+    generation."""
+    rows = [
+        # 10-11: differ by 3 bits, all inside band0 -> found
+        (10, 0b0111, 7, 7, 7, "x"),
+        (11, 0b0000, 7, 7, 7, "x"),
+        # 20-21: 1 bit per band (d=4, no shared band) -> missed
+        (20, 1, 1, 1, 1, "x"),
+        (21, 0, 0, 0, 0, "x"),
+    ]
+    hashes = spark.createDataFrame(
+        rows,
+        "media_id long, band0 int, band1 int, band2 int, band3 int, "
+        "dhash_hex string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dup_pairs(
+            hashes, max_hamming=4
+        ).collect()
+    }
+    assert got == {(10, 11): 3}
+    # hot-bucket cap: hashes sharing one band value across many rows
+    hot = spark.createDataFrame(
+        [(i, 5, 100 + i, 200 + i, 300 + i, "x") for i in range(10)],
+        "media_id long, band0 int, band1 int, band2 int, band3 int, "
+        "dhash_hex string",
+    )
+    assert (
+        multimodal.phash_near_dup_pairs(
+            hot, max_hamming=64, max_bucket=5
+        ).count()
+        == 0
+    )
+    assert (
+        multimodal.phash_near_dup_pairs(hot, max_hamming=64).count()
+        == 45
+    )
+
+
+def test_reencoded_variants_found_by_perceptual_dedup(spark):
+    """End-to-end media dedup: synth media + re-encoded variants →
+    perceptual_hash → banded Hamming pairs finds exactly the
+    (original, variant) ground-truth pairs."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"word salad number {i} " * 12, "en", "s", 240)
+            for i in (0, 12, 5, 7)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_media_from_documents(docs).unionByName(
+        multimodal.synth_reencoded_variants(docs)
+    )
+    hashes = multimodal.perceptual_hash(media)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_near_dup_pairs(
+            hashes, max_hamming=3
+        ).collect()
+    }
+    # docs 0 and 12 are image-class (doc_id%3==0) and %12==0 -> each
+    # has a variant at +1e9; docs 5/7 are not image/variant class
+    assert pairs == {(0, 1_000_000_000), (12, 1_000_000_012)}
+
+
 def test_frame_sample_counts(spark):
     df = spark.createDataFrame(
         [(2, "t", "en", "s", 250)],  # doc_id%3==2 -> video, 2500ms
