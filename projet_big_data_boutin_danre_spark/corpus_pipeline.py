@@ -203,6 +203,70 @@ def _exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def apply_ngram_caps(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_top_ngram_frac: Mapping[int, float] | None,
+    max_dup_ngram_frac: Mapping[int, float] | None,
+) -> DataFrame:
+    """Gopher n-gram repetition caps as a reusable gate (r10 —
+    shared by the batch pipeline's gate stage and the ingest
+    admission path): for each configured ``n``, drop docs whose
+    hottest-n-gram token coverage exceeds ``max_top_ngram_frac[n]``
+    or whose duplicate-gram mass exceeds ``max_dup_ngram_frac[n]``.
+    Thresholds compare integer-exact cross-multiplied ratios; each
+    ``n`` costs one (doc, gram) map-side-combined rollup
+    (text.ngram_repetition) + one semi-join on the id."""
+    ns = sorted(set(max_top_ngram_frac or ()) | set(max_dup_ngram_frac or ()))
+    n_tok = text.token_count(text_col).alias("__ntok")
+    for gram_n in ns:
+        sig = text.ngram_repetition(docs, id_col, text_col, gram_n)
+        cond = F.lit(True)
+        top_cap = (max_top_ngram_frac or {}).get(gram_n)
+        dup_cap = (max_dup_ngram_frac or {}).get(gram_n)
+        joined = docs.select(F.col(id_col), n_tok).join(sig, id_col)
+        if top_cap is not None:
+            # token coverage of the hottest n-gram; 0-token docs pass
+            # (nothing to cover)
+            cond = cond & (
+                F.lit(gram_n) * F.col("top_ngram_n")
+                <= F.lit(float(top_cap)) * F.col("__ntok")
+            )
+        if dup_cap is not None:
+            # duplicate-gram mass 1 - distinct/total; gram-less docs
+            # pass (0 mass)
+            cond = cond & (
+                F.col("n_ngrams") - F.col("n_distinct_ngrams")
+                <= F.lit(float(dup_cap)) * F.col("n_ngrams")
+            )
+        keep_n = joined.filter(cond).select(F.col(id_col))
+        docs = docs.join(keep_n, id_col, "left_semi")
+    return docs
+
+
+def apply_gopher_gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The full Gopher Table A1 verdict as a reusable gate (r10 —
+    shared by the batch pipeline and ingest admission): keep only
+    docs with ``gopher_pass`` true (text.gopher_rules). Map-side
+    Column algebra + one semi-join; zero shuffles beyond it."""
+    keep_g = (
+        text.gopher_rules(
+            docs, id_col, text_col,
+            min_words=min_words, min_stop_hits=min_stop_hits,
+        )
+        .filter(F.col("gopher_pass"))
+        .select(F.col(id_col))
+    )
+    return docs.join(keep_g, id_col, "left_semi")
+
+
 def run_corpus_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -337,48 +401,16 @@ def run_corpus_pipeline(
                 rep.filter(cond).select(F.col(id_col)), id_col, "left_semi"
             )
         if recipe.max_top_ngram_frac or recipe.max_dup_ngram_frac:
-            ns = sorted(
-                set(recipe.max_top_ngram_frac or ())
-                | set(recipe.max_dup_ngram_frac or ())
+            gated_docs = apply_ngram_caps(
+                gated_docs, id_col, text_col,
+                recipe.max_top_ngram_frac, recipe.max_dup_ngram_frac,
             )
-            n_tok = text.token_count(text_col).alias("__ntok")
-            for gram_n in ns:
-                sig = text.ngram_repetition(
-                    gated_docs, id_col, text_col, gram_n
-                )
-                cond = F.lit(True)
-                top_cap = (recipe.max_top_ngram_frac or {}).get(gram_n)
-                dup_cap = (recipe.max_dup_ngram_frac or {}).get(gram_n)
-                joined = gated_docs.select(F.col(id_col), n_tok).join(
-                    sig, id_col
-                )
-                if top_cap is not None:
-                    # token coverage of the hottest n-gram; 0-token
-                    # docs pass (nothing to cover)
-                    cond = cond & (
-                        F.lit(gram_n) * F.col("top_ngram_n")
-                        <= F.lit(float(top_cap)) * F.col("__ntok")
-                    )
-                if dup_cap is not None:
-                    # duplicate-gram mass 1 - distinct/total; gram-less
-                    # docs pass (0 mass)
-                    cond = cond & (
-                        F.col("n_ngrams") - F.col("n_distinct_ngrams")
-                        <= F.lit(float(dup_cap)) * F.col("n_ngrams")
-                    )
-                keep_n = joined.filter(cond).select(F.col(id_col))
-                gated_docs = gated_docs.join(keep_n, id_col, "left_semi")
         if recipe.gopher:
-            keep_g = (
-                text.gopher_rules(
-                    gated_docs, id_col, text_col,
-                    min_words=recipe.gopher_min_words,
-                    min_stop_hits=recipe.gopher_min_stop_hits,
-                )
-                .filter(F.col("gopher_pass"))
-                .select(F.col(id_col))
+            gated_docs = apply_gopher_gate(
+                gated_docs, id_col, text_col,
+                min_words=recipe.gopher_min_words,
+                min_stop_hits=recipe.gopher_min_stop_hits,
             )
-            gated_docs = gated_docs.join(keep_g, id_col, "left_semi")
         if recipe.max_ppl is not None:
             grams = lm.doc_ngrams(gated_docs, [id_col], text_col, n=2)
             # materialize the model-sized counts once: the vocab-size
@@ -550,6 +582,11 @@ def incremental_ingest(
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
     decontam_ngram: int = 8,
+    gopher_gate: bool = False,
+    gopher_min_words: int = 50,
+    gopher_min_stop_hits: int = 2,
+    max_top_ngram_frac: Mapping[int, float] | None = None,
+    max_dup_ngram_frac: Mapping[int, float] | None = None,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -628,11 +665,22 @@ def incremental_ingest(
     :func:`read_line_census` and cut with
     ``drop_common_lines(common=...)``.
 
+    ``gopher_gate`` / ``max_top_ngram_frac`` / ``max_dup_ngram_frac``
+    (r10) apply the batch pipeline's Gopher Table A1 verdict and
+    n-gram repetition caps at ADMISSION (the decontamination
+    precedent): spam-shaped docs are rejected before any sidecar sees
+    them and leave no fingerprint, so loosening the gates later lets
+    the same content in — identity stays owned by the content guard.
+    Same helpers as the gate stage (:func:`apply_gopher_gate`,
+    :func:`apply_ngram_caps`), so batch and streaming ingests gate
+    identically to the offline pipeline.
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
     ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
     history band collisions) and healed_bands; with ``line_census``
-    also census_lines (keys appended this call).
+    also census_lines (keys appended this call); with any quality
+    gate on, also quality_rejected.
     """
     from .functions.hashing import stable_fingerprint
 
@@ -748,6 +796,29 @@ def incremental_ingest(
         n_contaminated = contam_ids.count()
         if n_contaminated:
             batch = batch.join(contam_ids, id_col, "left_anti")
+
+    n_quality_rejected = 0
+    if gopher_gate or max_top_ngram_frac or max_dup_ngram_frac:
+        # quality gates at ADMISSION (r10 — the decontamination
+        # precedent): spam/boilerplate-shaped docs are rejected
+        # before any sidecar sees them, so they leave no fingerprint
+        # — if the gates later loosen, the same content can be
+        # admitted then (the content guard owns identity). One
+        # batch-sized count brackets the gate for the rejected total.
+        before = batch.count()
+        if max_top_ngram_frac or max_dup_ngram_frac:
+            batch = apply_ngram_caps(
+                batch, id_col, text_col,
+                max_top_ngram_frac, max_dup_ngram_frac,
+            )
+        if gopher_gate:
+            batch = apply_gopher_gate(
+                batch, id_col, text_col,
+                min_words=gopher_min_words,
+                min_stop_hits=gopher_min_stop_hits,
+            )
+        batch = batch.localCheckpoint()
+        n_quality_rejected = before - batch.count()
 
     arrived = new_docs.count()
     n_near_skipped = 0
@@ -991,6 +1062,8 @@ def incremental_ingest(
         out["census_lines"] = n_census_lines
     if decontaminate_probes is not None:
         out["contaminated_skipped"] = n_contaminated
+    if gopher_gate or max_top_ngram_frac or max_dup_ngram_frac:
+        out["quality_rejected"] = n_quality_rejected
     return out
 
 
@@ -1220,6 +1293,11 @@ def streaming_ingest(
     near_dup: bool = False,
     line_census: bool = False,
     decontaminate_probes: DataFrame | None = None,
+    gopher_gate: bool = False,
+    gopher_min_words: int = 50,
+    gopher_min_stop_hits: int = 2,
+    max_top_ngram_frac: Mapping[int, float] | None = None,
+    max_dup_ngram_frac: Mapping[int, float] | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -1242,7 +1320,10 @@ def streaming_ingest(
     (digest-idempotent, so Structured Streaming's replay semantics
     compose with it unchanged); ``decontaminate_probes`` forwards the
     eval-leak admission gate (stateless per batch — the probe frame
-    is re-planned each micro-batch)."""
+    is re-planned each micro-batch); the Gopher / n-gram-cap knobs
+    (r10) forward the quality admission gates the same way, so the
+    streaming face carries the full gate set the batch pipeline
+    has."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         incremental_ingest(
@@ -1255,6 +1336,11 @@ def streaming_ingest(
             near_dup=near_dup,
             line_census=line_census,
             decontaminate_probes=decontaminate_probes,
+            gopher_gate=gopher_gate,
+            gopher_min_words=gopher_min_words,
+            gopher_min_stop_hits=gopher_min_stop_hits,
+            max_top_ngram_frac=max_top_ngram_frac,
+            max_dup_ngram_frac=max_dup_ngram_frac,
         )
 
     return (

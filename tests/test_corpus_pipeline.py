@@ -1344,6 +1344,105 @@ def test_ingest_decontamination_rejects_at_admission(spark, tmp_path):
     assert spark.read.parquet(f"{root}/docs").count() == 2
 
 
+def test_ingest_gopher_gate_rejects_at_admission(spark, tmp_path):
+    """r10: the Gopher Table A1 verdict at ingest admission — a
+    stop-word-free spam doc is rejected before any sidecar sees it
+    (no fingerprint), prose is admitted, and loosening the gate later
+    admits the previously-rejected content (identity stays with the
+    content guard). Streaming face: the same knobs thread through
+    streaming_ingest's foreachBatch to the identical gate."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+    from tests.test_gopher_prose_gate import GOPHER_STOPS, _VOCAB
+
+    import random as _random
+
+    rng = _random.Random(3)
+    prose_words = []
+    for i in range(60):
+        w = rng.choice(_VOCAB)
+        prose_words.append(rng.choice(GOPHER_STOPS) if i % 6 == 0 else w)
+    prose = " ".join(prose_words)
+    spam = " ".join(rng.choice(_VOCAB) for _ in range(60))  # 0 stops
+    root = str(tmp_path / "lake_gopher")
+    b = spark.createDataFrame(
+        [(1, prose), (2, spam)], "doc_id long, text string"
+    )
+    r = incremental_ingest(spark, b, root, gopher_gate=True)
+    assert r["admitted"] == 1 and r["quality_rejected"] == 1
+    assert {
+        x.doc_id for x in spark.read.parquet(f"{root}/docs").collect()
+    } == {1}
+    # no fingerprint landed for the rejected doc: gate off -> in
+    r2 = incremental_ingest(spark, b, root)
+    assert r2["admitted"] == 1
+    assert spark.read.parquet(f"{root}/docs").count() == 2
+
+
+def test_ingest_ngram_caps_reject_at_admission(spark, tmp_path):
+    """r10: the n-gram repetition caps at ingest admission — a doc
+    whose hottest trigram covers most of its tokens is rejected; a
+    varied doc passes; the count surfaces as quality_rejected."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    import random as _random
+
+    from tests.test_gopher_prose_gate import _VOCAB
+
+    root = str(tmp_path / "lake_caps")
+    spammy = "buy cheap stuff " * 30  # one trigram covers ~everything
+    rng = _random.Random(11)
+    varied = " ".join(rng.choice(_VOCAB) for _ in range(90))
+    b = spark.createDataFrame(
+        [(1, spammy), (2, varied)], "doc_id long, text string"
+    )
+    r = incremental_ingest(
+        spark, b, root, max_top_ngram_frac={3: 0.18}
+    )
+    assert r["admitted"] == 1 and r["quality_rejected"] == 1
+    assert {
+        x.doc_id for x in spark.read.parquet(f"{root}/docs").collect()
+    } == {2}
+
+
+def test_streaming_ingest_forwards_quality_gates(spark, tmp_path):
+    """The streaming face carries the r10 quality gates: a micro-batch
+    arriving through streaming_ingest is gated identically to the
+    batch call (stop-word-free doc never lands)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+    from tests.test_gopher_prose_gate import GOPHER_STOPS, _VOCAB
+
+    import random as _random
+
+    rng = _random.Random(5)
+    prose = " ".join(
+        rng.choice(GOPHER_STOPS) if i % 6 == 0 else rng.choice(_VOCAB)
+        for i in range(60)
+    )
+    spam = " ".join(rng.choice(_VOCAB) for _ in range(60))
+    src = str(tmp_path / "arrivals")
+    root = str(tmp_path / "stream_lake_gopher")
+    spark.createDataFrame(
+        [(1, prose), (2, spam)], "doc_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(src)
+    q = streaming_ingest(stream, root, gopher_gate=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {
+        x.doc_id for x in spark.read.parquet(f"{root}/docs").collect()
+    } == {1}
+
+
 def test_update_line_census_refuses_duplicate_ids(spark, tmp_path):
     """r10 ADVICE fix: duplicate ids cancel pairwise out of the XOR
     replay digest (two materially different batches could share a
