@@ -728,6 +728,7 @@ def read_training_shards(
     verify: bool = True,
     ordered: bool = True,
     shard: int | None = None,
+    after: tuple[str, int] | None = None,
 ) -> DataFrame:
     """The inverse of :func:`write_training_shards` — open a shard
     layer for training replay, refusing a layer that fails its own
@@ -763,7 +764,18 @@ def read_training_shards(
       construction), so ``coalesce(1)`` + an in-partition sort orders
       it in a single task — Spark may split the file into several scan
       partitions and packs splits by size, so the raw scan order is
-      not trustworthy, but no shuffle is needed to restore it."""
+      not trustworthy, but no shuffle is needed to restore it.
+    - ``after=(key, id)`` (r10 — the resume contract that completes
+      exactly-once delivery): return only rows STRICTLY after that
+      position in the global ``(__key, id)`` replay order — keyset
+      resume, the same discipline as keyset pagination (an offset
+      would re-scan and re-count everything before it; the keyset
+      filter pushes to the parquet scan, so whole shards before the
+      resume point are pruned by ``__key`` row-group stats). A
+      trainer checkpoints the last (``__key``, id) it consumed and
+      reopens with ``after=`` to continue the exact interleave with
+      no row replayed and none skipped. Composes with ``shard=`` (a
+      shard-at-a-time reader resuming mid-shard)."""
     shards = spark.read.format(fmt).load(path)
     if verify:
         if not _manifest_exists(spark, f"{path}/_manifest"):
@@ -782,6 +794,15 @@ def read_training_shards(
                 f"shard layer {path} fails manifest verification — "
                 f"refusing to replay a corrupted delivery: {bad}"
             )
+    if after is not None:
+        a_key, a_id = after
+        shards = shards.filter(
+            (F.col("__key") > F.lit(str(a_key)))
+            | (
+                (F.col("__key") == F.lit(str(a_key)))
+                & (F.col(id_col) > F.lit(a_id))
+            )
+        )
     if shard is not None:
         shards = shards.filter(F.col("__shard") == int(shard))
         if ordered:
