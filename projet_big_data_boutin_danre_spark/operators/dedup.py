@@ -28,6 +28,7 @@ Scale design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -768,6 +769,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    contract_pairs: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the step
     that turns near-dup CANDIDATE PAIRS (minhash_lsh_pairs /
@@ -801,7 +803,19 @@ def connected_components(
     returning a partially-merged labeling. Pass ``stats`` (a dict) to
     read back the executed round count (``stats["rounds"]``) — the
     convergence-regression telemetry a recurring production run
-    should track."""
+    should track.
+
+    ``contract_pairs`` (default on, r10): most near-dup clusters in a
+    real corpus are SIZE 2, and those edges — both endpoints degree 1
+    — are already their own components, so they are peeled into direct
+    ``(node → min)`` assignments BEFORE the loop (one degree
+    aggregation + two key joins, paid once) and only the residual
+    graph iterates. The iterated edge set shrinks by the trivial-pair
+    share every round it would otherwise be dragged through; output is
+    identical by construction (an isolated edge's component is its
+    smaller endpoint), and ``stats["rounds"]`` still reports the loop
+    executed on the residual (0 when the graph is nothing but
+    pairs)."""
     e0 = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
@@ -810,14 +824,66 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
     )
-    # orient high→low once; small-star's input invariant (v < u)
+    # orient high→low once; small-star's input invariant (v < u).
+    # Edge-sized checkpoints are DISK_ONLY (r10): each round re-reads
+    # its predecessor exactly once, so a disk read costs little, while
+    # memory-resident checkpoint blocks occupy the protected storage
+    # half of the unified pool and strangle the rounds' aggregations —
+    # measured as execution-memory OOM at the 32× probe volume.
     edges = (
         e0.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
+
+    trivial = None
+    if contract_pairs:
+        # peel isolated edges (both endpoints degree 1): each is a
+        # finished size-2 component — emit its star rows directly and
+        # iterate only the residual graph. Plans chosen to SPILL, not
+        # build: one map-side-combined degree aggregation (a node's
+        # degree-1 witness is ``min(neighbor)`` — when d == 1 the min
+        # IS the only neighbor), a NODE-sized self-join of the
+        # degree-1 set (mutual-single-neighbor pairs are exactly the
+        # isolated edges), and one spillable anti-join of the edge
+        # set. Hash-build attaches of a full degree table onto the
+        # edge set OOM at 32× (driver broadcast or 32-way hash build
+        # of an unknowable-size table); this shape never holds more
+        # than the node table in memory.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        d1 = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"), F.min("v").alias("__nbr"))
+            .filter(F.col("__d") == 1)
+            .select(F.col("u").alias("n"), F.col("__nbr").alias("nbr"))
+        )
+        iso = (
+            d1.select(F.col("n").alias("u"), F.col("nbr").alias("v"))
+            .join(
+                d1.select(F.col("n").alias("v"), F.col("nbr").alias("u")),
+                ["u", "v"],
+            )
+            .filter(F.col("u") > F.col("v"))
+            .localCheckpoint()
+        )
+        trivial = iso.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        ).unionByName(
+            iso.select(
+                F.col("v").alias("node"), F.col("v").alias("component")
+            )
+        )
+        # residual stays LAZY over the two checkpoints (edges + iso):
+        # a second edge-sized checkpoint here tips the 32× probe into
+        # execution-memory exhaustion — round 1 re-derives the cheap
+        # anti-join instead, and its own output checkpoint takes over
+        edges = edges.join(iso, ["u", "v"], "left_anti")
+        if stats is not None:
+            stats["rounds"] = 0
 
     def _digest(e: DataFrame) -> tuple:
         # bit_xor: order-insensitive and overflow-free under ANSI mode
@@ -830,6 +896,15 @@ def connected_components(
         return (row["n"], row["h"])
 
     sig = _digest(edges)
+    if sig[0] == 0:
+        # residual graph empty (all components were trivial pairs, or
+        # the input had no edges): nothing to iterate
+        if trivial is not None:
+            # rows are unique by construction (all endpoints degree 1)
+            return trivial
+        return edges.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
     for _round in range(max_iter):
         if stats is not None:
             stats["rounds"] = _round + 1
@@ -860,7 +935,7 @@ def connected_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
         new_sig = _digest(edges)
         if new_sig == sig:
@@ -872,13 +947,18 @@ def connected_components(
         )
     # converged: edges form stars (node → component root). Roots point
     # nowhere, so add their self-assignments from the parent side.
-    return (
+    out = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .unionByName(
             edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
         )
         .distinct()
     )
+    if trivial is not None:
+        # disjoint by construction: a peeled edge's endpoints appear
+        # in no residual edge (both were degree 1)
+        out = out.unionByName(trivial)
+    return out
 
 
 def dedup_clusters(
