@@ -1286,7 +1286,10 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
     the payload bytes, stub codec, exact integer hash math), and
     ``hampair`` rows are the banded Hamming near-dup pairs
     (phash_near_dup_pairs: exact-match band join, bit_count(xor)
-    verify, never all-pairs)."""
+    verify, never all-pairs); ``phash`` rows (r10) carry the
+    integer-DCT pHash bands (perceptual_hash method="phash" —
+    fixed-point DCT-II basis so the kernel is cross-engine exact,
+    unlike classic float pHash)."""
     docs = load_table(spark, sf, "documents")
     media = multimodal.synth_media_from_documents(docs)
     b = F.lit(None).cast("bigint")
@@ -1328,7 +1331,21 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("v3"),
         b.alias("v4"),
     )
-    return rz.unionByName(fr).unionByName(dh).unionByName(hp)
+    # r10: the integer-DCT pHash kernel (perceptual_hash method=
+    # "phash") — fixed-point DCT-II over the 32×32 grid, 8×8
+    # low-frequency block, median threshold; hash-checked bit-for-bit
+    # against a relational DCT twin (_sql_media_phash_cte)
+    ph = multimodal.perceptual_hash(with_variants, method="phash").select(
+        F.lit("phash").alias("tag"),
+        "media_id",
+        *[
+            F.col(f"band{j}").cast("bigint").alias(f"v{j + 1}")
+            for j in range(4)
+        ],
+    )
+    return (
+        rz.unionByName(fr).unionByName(dh).unionByName(hp).unionByName(ph)
+    )
 
 
 # Sample/mix parameters for the corpus_sample slot — shared by the
@@ -2369,6 +2386,65 @@ def _sql_media_dhash_cte() -> str:
                 SELECT media_id,
                    {bands}
                 FROM mpx
+            )"""
+
+
+def _sql_media_phash_cte() -> str:
+    """Generated DuckDB twin of multimodal.perceptual_hash(method=
+    "phash") — the r10 integer-DCT kernel, continued from the dHash
+    CTE chain (reuses ``mh``). The quantized cosine basis
+    (multimodal.PHASH_COS) is embedded as a 256-row VALUES table so
+    the engines share the exact int64 arithmetic; the separable DCT
+    becomes two join+group-by passes (pixels ⋈ basis → row transform
+    ⋈ basis → 64 coefficients), the median is the 32nd-smallest AC
+    coefficient via row_number, and bit k = u*8+v is set iff
+    coef > median (DC excluded, its bit forced 0) — mirrored
+    expression-for-expression with _phash_bands_py."""
+    mm = multimodal
+    cos_rows = ", ".join(
+        f"({u}, {x}, {mm.PHASH_COS[u][x]})"
+        for u in range(mm.PHASH_K)
+        for x in range(mm.PHASH_N)
+    )
+    n_px = mm.PHASH_N * mm.PHASH_N
+    band_cols = ",\n                       ".join(
+        "CAST(sum(CASE WHEN k // 16 = {j} THEN bit * (1 << (k % 16)) "
+        "ELSE 0 END) AS BIGINT) AS pband{j}".format(j=j)
+        for j in range(mm.DHASH_BANDS)
+    )
+    return f""", pcos AS (
+                SELECT * FROM (VALUES {cos_rows}) t(u, x, c)
+            ), ppx AS (
+                SELECT media_id, g.i AS i,
+                       ord(substr(t, 1 + (g.i * length(t)) // {n_px}, 1))
+                           AS px
+                FROM mh, range({n_px}) g(i)
+                WHERE t IS NOT NULL
+            ), prow AS (
+                SELECT media_id, c.u AS u, i // {mm.PHASH_N} AS y,
+                       sum(c.c * px) AS tv
+                FROM ppx JOIN pcos c ON c.x = i % {mm.PHASH_N}
+                GROUP BY 1, 2, 3
+            ), pcoef AS (
+                SELECT media_id, p.u AS u, c.u AS v, sum(c.c * tv) AS coef
+                FROM prow p JOIN pcos c ON c.x = p.y
+                GROUP BY 1, 2, 3
+            ), pmed AS (
+                SELECT media_id, coef AS med FROM (
+                    SELECT media_id, coef,
+                           row_number() OVER (
+                               PARTITION BY media_id ORDER BY coef) AS rn
+                    FROM pcoef WHERE NOT (u = 0 AND v = 0)
+                ) WHERE rn = 32
+            ), pbit AS (
+                SELECT p.media_id, u * 8 + v AS k,
+                       CASE WHEN u = 0 AND v = 0 THEN 0
+                            WHEN coef > med THEN 1 ELSE 0 END AS bit
+                FROM pcoef p JOIN pmed m ON p.media_id = m.media_id
+            ), pbands AS (
+                SELECT media_id,
+                       {band_cols}
+                FROM pbit GROUP BY media_id
             )"""
 
 
@@ -3874,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 3 = 0
             ),"""
         + _sql_media_dhash_cte()
+        + _sql_media_phash_cte()
         + """
             SELECT 'resize' AS tag, media_id,
                    CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,
@@ -3909,6 +3986,13 @@ def oracle_sql() -> dict[str, str]:
                  AND (a.band0 = b.band0 OR a.band1 = b.band1
                       OR a.band2 = b.band2 OR a.band3 = b.band3)
             ) WHERE ham <= 3
+            UNION ALL
+            SELECT 'phash', media_id, pband0, pband1, pband2, pband3
+            FROM pbands
+            UNION ALL
+            -- NULL-payload images: the Spark kernel emits NULL bands
+            SELECT 'phash', media_id, NULL, NULL, NULL, NULL
+            FROM mh WHERE t IS NULL
         """,
         "corpus_sample": _sql_corpus_sample(),
         "sparse_document": """

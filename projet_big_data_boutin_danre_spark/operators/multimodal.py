@@ -17,8 +17,10 @@ Repartition by size before heavy decode so batches are balanced;
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +40,35 @@ FEATURE_DIM = 8
 GRAY_W = 9
 GRAY_H = 8
 DHASH_BANDS = 4  # 64 bits banded into 4×16 for exact-match LSH
+
+# pHash grid: 32×32 grayscale → 8×8 low-frequency block of an
+# INTEGER DCT-II (fixed-point cosine basis, scale 2^10) → 64 bits by
+# median threshold. The integer basis is the point: both the Arrow
+# kernel and the generated SQL twin compute the exact same int64
+# arithmetic, so the classic float-DCT cross-engine objection to
+# pHash (see perceptual_hash) does not apply.
+PHASH_N = 32  # downsample grid side
+PHASH_K = 8  # kept low-frequency block side (8×8 = 64 bits)
+PHASH_COS_SCALE = 1024  # 2^10 fixed-point quantization of the basis
+
+
+def _phash_cos_table() -> list[list[int]]:
+    """Quantized DCT-II basis C[u][x] = round(cos(π·(2x+1)·u / (2N)) ·
+    2^10) for u < PHASH_K, x < PHASH_N — the single source of truth
+    shared by the Arrow kernel and the generated DuckDB twin (the SQL
+    embeds these integers as literals, so the engines cannot drift).
+    Worst-case |coef| ≤ N²·255·scale² ≈ 2.7e11 — int64-safe."""
+    return [
+        [
+            int(round(math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_N)) * PHASH_COS_SCALE))
+            for x in range(PHASH_N)
+        ]
+        for u in range(PHASH_K)
+    ]
+
+
+PHASH_COS = _phash_cos_table()
+_PHASH_COS_NP = np.asarray(PHASH_COS, dtype=np.int64)
 
 
 def _decode_stub(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -117,40 +148,99 @@ def _dhash_bands_py(px: list[int]) -> list[int]:
     return bands
 
 
+def _decode_gray32_stub(payload: bytes) -> list[int] | None:
+    """pHash flavor of :func:`_decode_gray_stub`: nearest-neighbor
+    byte resample into the PHASH_N×PHASH_N (32×32) grid, row-major
+    (pixel ``i = y*32 + x`` = byte ``(i*n)//1024``). Same
+    locality-preserving contract; replace with
+    ``Image.open(...).convert("L").resize((32, 32))`` in production."""
+    n = len(payload)
+    if n == 0:
+        return None
+    n_px = PHASH_N * PHASH_N
+    return [payload[(i * n) // n_px] for i in range(n_px)]
+
+
+def _phash_bands_py(px: list[int]) -> list[int]:
+    """64-bit integer-DCT perceptual hash over a row-major 32×32
+    grid, packed like :func:`_dhash_bands_py` (4 little-endian 16-bit
+    bands). Separable fixed-point DCT-II: ``t[u][y] = Σ_x C[u][x]·
+    px[y][x]``, ``coef[u][v] = Σ_y C[v][y]·t[u][y]`` — pure int64.
+    Bit ``k = u*8 + v`` is set iff ``coef[u][v] > median`` where the
+    median is the 32nd-smallest of the 63 AC coefficients (DC — k=0 —
+    is excluded from the median and its bit forced 0, the standard
+    pHash convention). Bit-identical to the generated ANSI-SQL twin."""
+    C = _PHASH_COS_NP  # (8, 32) int64
+    px2d = np.asarray(px, dtype=np.int64).reshape(PHASH_N, PHASH_N)
+    # t[u][y] = Σ_x C[u][x]·px[y][x]  →  C @ px2d.T, shape (8, 32)
+    t = C @ px2d.T
+    # coef[u][v] = Σ_y C[v][y]·t[u][y]  →  (C @ t.T)[v][u]; transpose
+    # so coef[u][v] indexes as written (|coef| ≤ 2.7e11 — int64-exact)
+    coef = (C @ t.T).T
+    flat = coef.reshape(64)
+    med = int(np.sort(flat[1:])[31])  # 32nd-smallest of the 63 AC
+    bands = [0] * DHASH_BANDS
+    for k in range(1, 64):
+        if int(flat[k]) > med:
+            bands[k // 16] |= 1 << (k % 16)
+    return bands
+
+
 def perceptual_hash(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
     kinds: tuple[str, ...] = ("image",),
+    method: str = "dhash",
 ) -> DataFrame:
     """Content-level image dedup key: dHash (difference hash) of each
     media row's decoded grayscale thumbnail — near-identical images
     (re-encodes, small crops, brightness shifts) land within a few
     Hamming bits of each other, while exact duplicate bytes hash
-    identically. Returns ``(id, band0..band3, dhash_hex)`` where the
-    four 16-bit bands slice the 64-bit hash for exact-match LSH
-    banding (:func:`phash_near_dup_pairs`) and ``dhash_hex`` is the
-    whole hash for display/fingerprinting.
+    identically. Returns ``(id, band0..band3, <method>_hex)`` where
+    the four 16-bit bands slice the 64-bit hash for exact-match LSH
+    banding (:func:`phash_near_dup_pairs` — layout-identical for both
+    methods) and the hex column is the whole hash for
+    display/fingerprinting.
 
     The decode is the stubbed codec step (``_decode_gray_stub`` — the
     image libraries are not in this container); the hash math, band
-    layout, and Arrow plumbing are real and codec-agnostic. dHash over
-    integer gradients is chosen over DCT pHash deliberately: no
-    float/DCT basis to disagree across engines, so the whole operator
-    is oracle-checkable bit-for-bit.
+    layout, and Arrow plumbing are real and codec-agnostic.
+
+    ``method`` selects the kernel (both oracle-checkable bit-for-bit):
+
+    - ``"dhash"`` (default): 9×8 horizontal-gradient difference hash
+      — integer compares only, the cheap high-recall kernel;
+    - ``"phash"`` (r10): 32×32 grid → fixed-point integer DCT-II
+      (PHASH_COS, scale 2^10) → 8×8 low-frequency block →
+      median-threshold 64 bits (``phash_hex`` column). Classic pHash
+      uses a float DCT, which would NOT hash-match across engines on
+      borderline coefficients; quantizing the basis to integers makes
+      the whole pipeline exact — the same cross-engine discipline as
+      the md5 text fingerprints. More robust than dHash to global
+      brightness/contrast shifts (those move every gradient but only
+      the DC coefficient, which is excluded).
 
     Scale: Arrow-batched ``mapInPandas`` (the codec is Python-side by
     nature), map-only — no shuffle; output is 4 ints + 16 hex chars
     per row regardless of payload size, so the hash layer persists as
     a tiny sidecar like the text fingerprint layer. NULL payloads
     yield NULL bands (excluded from pairing)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"unknown perceptual-hash method: {method!r}")
+    decode, hasher = (
+        (_decode_gray_stub, _dhash_bands_py)
+        if method == "dhash"
+        else (_decode_gray32_stub, _phash_bands_py)
+    )
+    hex_name = f"{method}_hex"
     if kinds:
         media = media.filter(F.col("kind").isin(*list(kinds)))
     id_field = media.schema[id_col]
     schema = StructType(
         [StructField(id_field.name, id_field.dataType)]
         + [StructField(f"band{j}", IntegerType()) for j in range(DHASH_BANDS)]
-        + [StructField("dhash_hex", StringType())]
+        + [StructField(hex_name, StringType())]
     )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,18 +249,19 @@ def perceptual_hash(
             bands_out: list[list] = [[] for _ in range(DHASH_BANDS)]
             hexes: list[str | None] = []
             for p in pdf[payload_col]:
-                if p is None:
+                px = decode(bytes(p)) if p is not None else None
+                if px is None:  # NULL or zero-byte payload
                     for j in range(DHASH_BANDS):
                         bands_out[j].append(None)
                     hexes.append(None)
                     continue
-                b = _dhash_bands_py(_decode_gray_stub(bytes(p)))
+                b = hasher(px)
                 for j in range(DHASH_BANDS):
                     bands_out[j].append(b[j])
                 hexes.append("%04x%04x%04x%04x" % (b[3], b[2], b[1], b[0]))
             for j in range(DHASH_BANDS):
                 cols[f"band{j}"] = pd.array(bands_out[j], dtype="Int32")
-            cols["dhash_hex"] = hexes
+            cols[hex_name] = hexes
             yield pd.DataFrame(cols)
 
     return media.select(id_col, payload_col).mapInPandas(_hash, schema=schema)

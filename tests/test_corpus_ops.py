@@ -276,6 +276,62 @@ def test_perceptual_hash_properties(spark):
     assert rows[4]["band0"] is None and rows[4]["dhash_hex"] is None
 
 
+def test_perceptual_phash_integer_dct(spark):
+    """The r10 integer-DCT pHash kernel (method="phash"): identical
+    payloads hash identically and match the pure-Python reference
+    DCT computed outside Spark; a same-length single-byte edit stays
+    within a few Hamming bits (DCT spreads a local edit across
+    coefficients, so the band is wider than dHash's but still tiny);
+    the DC bit (k=0) is forced 0; NULL payloads yield NULL bands."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edited = base[:80] + "~" + base[81:]
+    media = spark.createDataFrame(
+        [(1, "image", base), (2, "image", base), (3, "image", edited),
+         (4, "image", None)],
+        "media_id long, kind string, text string",
+    ).select(
+        "media_id", "kind",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.perceptual_hash(media, method="phash").collect()
+    }
+    b1 = [rows[1][f"band{j}"] for j in range(4)]
+    # driver-side reference: same kernel, no Spark in the loop
+    ref = multimodal._phash_bands_py(
+        multimodal._decode_gray32_stub(base.encode())
+    )
+    assert b1 == ref
+    assert all(0 <= b <= 0xFFFF for b in b1)
+    assert b1[0] & 1 == 0  # DC bit excluded
+    assert [rows[2][f"band{j}"] for j in range(4)] == b1
+    assert rows[2]["phash_hex"] == rows[1]["phash_hex"]
+    ham = sum(
+        bin(rows[1][f"band{j}"] ^ rows[3][f"band{j}"]).count("1")
+        for j in range(4)
+    )
+    # DCT spreads a local edit across coefficients: wider band than
+    # dHash's <=2 but far below the ~32 expected of unrelated images
+    assert ham <= 10
+    assert rows[4]["band0"] is None and rows[4]["phash_hex"] is None
+
+
+def test_phash_brightness_shift_invariance():
+    """What the DCT kernel buys over dHash: a global brightness shift
+    (every pixel +c, clamped nowhere in this range) moves ONLY the DC
+    coefficient — every AC coefficient and hence every hash bit is
+    unchanged. Driver-side (the kernel is pure math)."""
+    import random
+
+    rng = random.Random(7)
+    px = [rng.randrange(40, 200) for _ in range(32 * 32)]
+    shifted = [p + 50 for p in px]
+    assert multimodal._phash_bands_py(px) == multimodal._phash_bands_py(
+        shifted
+    )
+
+
 def test_phash_near_dup_pairs_banding_contract(spark):
     """The pigeonhole recall contract, asserted at its boundary: a
     pair at Hamming d <= 3 always shares a band (found); a pair with
