@@ -20,7 +20,7 @@ same generator as tools/scale_probe.py) to see crossovers instead of
 a single-point verdict.
 
 Usage: python tools/ab_probe.py <pair> [sf_dir] [max_k]
-  pair ∈ {lsh, lsh_sig, span, span_cut}
+  pair ∈ {lsh, lsh_sig, span, span_cut, dedup_views}
 Output: one markdown table (k × candidate minima) + one JSON line.
 """
 
@@ -99,6 +99,93 @@ PAIRS = {
         )
         .collect(),
     },
+}
+
+
+def _exact_dedup_union(docs, share: bool):
+    """The exact_dedup slot's six-tag union (mirrors
+    __spark_entry__.q_exact_dedup), parameterized on the r10 question:
+    ``share=True`` checkpoints ONE normalized corpus (text + the
+    newline and sentence views) and lets every tag read it;
+    ``share=False`` is the shipped shape (each tag derives its view
+    from the docs scan; only the span subplan is checkpointed)."""
+    nl = F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n")
+    sv = F.regexp_replace(F.col("text"), r"((?:\S+ ){5}\S+) ", "$1. ")
+    if share:
+        base = docs.select(
+            "doc_id", "text", nl.alias("__nl"), sv.alias("__sv")
+        ).localCheckpoint()
+    else:
+        base = docs.select(
+            "doc_id", "text", nl.alias("__nl"), sv.alias("__sv")
+        )
+    groups = dedup.exact_dedup_stats(base, "doc_id", "text").select(
+        F.lit("group").alias("tag"),
+        F.col("content_hash").alias("key"),
+        F.col("keeper_id").alias("v1"),
+        F.col("n_copies").alias("v2"),
+    )
+    spans_df = dedup.duplicate_spans(
+        base, "doc_id", "text", min_len=20
+    ).localCheckpoint(eager=False)
+    spans = spans_df.select(
+        F.lit("span").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("span_start").alias("v1"),
+        F.col("span_end").alias("v2"),
+    )
+    cover = (
+        dedup.duplicate_span_stats(
+            base, "doc_id", "text", min_len=20, spans=spans_df
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .select(
+            F.lit("cover").alias("tag"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_dup_spans").alias("v1"),
+            F.col("dup_chars").alias("v2"),
+        )
+    )
+    topwin = dedup.top_duplicate_windows(
+        base, "text", min_len=20, k=15
+    ).select(
+        F.lit("topwin").alias("tag"),
+        F.col("w").alias("key"),
+        F.col("n_occurrences").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
+    lines_tag = dedup.drop_common_lines(
+        base.select("doc_id", "__nl"), "doc_id", "__nl",
+        min_df=2, min_len=15,
+    ).select(
+        F.lit("lines").alias("tag"),
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("key"),
+        F.col("doc_id").alias("v1"),
+        F.col("n_lines_dropped").cast("bigint").alias("v2"),
+    )
+    c4 = dedup.c4_sentence_dedup(
+        base.select("doc_id", "__sv"), "doc_id", "__sv"
+    ).select(
+        F.lit("c4").alias("tag"),
+        F.md5(F.coalesce("cut_text", F.lit(""))).alias("key"),
+        F.col("doc_id").alias("v1"),
+        F.col("n_cut_chars").cast("bigint").alias("v2"),
+    )
+    return (
+        groups.unionByName(spans).unionByName(cover).unionByName(topwin)
+        .unionByName(lines_tag).unionByName(c4)
+    )
+
+
+# r10 verdict item #4: does checkpointing the normalized corpus once
+# (shared by all six exact_dedup tags) beat the shipped
+# derive-per-tag shape? Forced like the graded bench (count()) so the
+# verdict speaks to the graded number.
+PAIRS["dedup_views"] = {
+    "as_is": lambda docs: lambda: _exact_dedup_union(docs, False).count(),
+    "shared_ckpt": lambda docs: lambda: _exact_dedup_union(
+        docs, True
+    ).count(),
 }
 
 ORDER = "ABBABAAB"  # mirrored positions: drift cancels
