@@ -99,6 +99,30 @@ def test_ivf_nprobe1_high_recall_on_separated_clusters(
     assert recall >= 0.9, recall
 
 
+def test_ann_lsh_multi_recall_at_default_tables(spark, clustered):
+    """r10 recall floor at the documented default (n_tables=4): on
+    clustered data — where the exact top-10 ARE genuinely close, the
+    regime a perceptual/semantic index serves — multi-table hyperplane
+    LSH must recover >= 0.9 of the exact pairs. (On structureless
+    random tails recall is bounded by data geometry, not the operator:
+    see tools/recall_probe.py + SCALE.md r10.)"""
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(
+            clustered, queries, k=10, mode="closure"
+        ).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk_lsh_multi(
+            clustered, queries, k=10, n_planes=6, dim=8, n_tables=4
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
 def test_ivf_centroid_model_is_small(centroids):
     # the driver-side model is the coarse quantizer ONLY — n_cells×dim
     assert centroids.shape == (3, 8)
