@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from projet_big_data_boutin_danre_spark.functions.geo import haversine_km
 from projet_big_data_boutin_danre_spark.operators import (
+    bloom,
     cleaning,
     corpus_prep,
     dedup,
@@ -929,7 +930,15 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     for ``corpus_cardinality`` (hash-checkable; Spark plans distinct
     aggs as expand + two-phase partial/final, so it's skew-tolerant,
     but it still shuffles every distinct value — use the sketch at
-    100 TB)."""
+    100 TB).
+
+    r10 widening: per-lang Bloom-filter stats (operators/bloom.py —
+    the approximate-membership sidecar for ingest admission):
+    ``bloom_bits_set`` / ``bloom_words`` pin the full bit pipeline
+    (seeded md5 hex-slice positions → 64-bit word masks → bit_or per
+    word → bit_count rollup) against a DuckDB twin that spells
+    hex→int as an instr() polynomial — engine-exact integer bit math,
+    same discipline as the dHash/pHash kernels."""
     docs = load_table(spark, sf, "documents")
     from projet_big_data_boutin_danre_spark.functions.hashing import (
         stable_fingerprint,
@@ -971,10 +980,26 @@ def q_exact_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         text.vocab_topk(docs, "text", "lang", k=3),
         "lang",
         "left",
+    ).join(
+        # r10 widening: per-lang Bloom fill stats over the same
+        # fingerprints (one word-sized shuffle; LEFT join + defaults
+        # for a lang whose texts are all NULL — no fp, no bits)
+        bloom.bloom_build(with_fp, "fp", group_cols=("lang",))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.bit_count("word")).alias("bloom_bits_set"),
+            F.count(F.lit(1)).alias("bloom_words"),
+        ),
+        "lang",
+        "left",
     ).withColumns(
         {
             "n_vocab": F.coalesce("n_vocab", F.lit(0).cast("bigint")),
             "top_tokens": F.coalesce("top_tokens", F.lit("")),
+            "bloom_bits_set": F.coalesce(
+                "bloom_bits_set", F.lit(0).cast("bigint")
+            ),
+            "bloom_words": F.coalesce("bloom_words", F.lit(0).cast("bigint")),
         }
     )
 
@@ -2448,6 +2473,53 @@ def _sql_media_phash_cte() -> str:
             )"""
 
 
+def _sql_bloom_cte() -> str:
+    """Generated DuckDB twin of operators/bloom.bloom_build fill
+    stats, per lang, over the document fingerprints: position j of a
+    key is the integer value of the last HEX_CHARS hex chars of
+    md5(seed_j || key) (seed prefix '' for j=0 — the minhash
+    convention); DuckDB lacks conv(), so hex→int is an
+    instr('0123456789abcdef', ch) polynomial. Emits the bstats CTE
+    fragment (lang, bloom_bits_set, bloom_words)."""
+    hc = bloom.HEX_CHARS_DEFAULT
+    start = 33 - hc
+
+    def hex_int(h: str) -> str:
+        return " + ".join(
+            f"(instr('0123456789abcdef', substr({h}, {start + i}, 1)) - 1)"
+            f" * {16 ** (hc - 1 - i)}"
+            for i in range(hc)
+        )
+
+    fp = f"md5({_NORM_SQL.format(c='text')})"
+    branches = " UNION ALL ".join(
+        "SELECT lang, "
+        + hex_int(f"md5({fp})" if j == 0 else f"md5('{j}|' || {fp})")
+        + " AS pos FROM documents WHERE text IS NOT NULL"
+        for j in range(bloom.K_DEFAULT)
+    )
+    return f"""
+            bpos AS ({branches}),
+            bw AS (
+                -- DuckDB range-checks 1<<63 (Spark's shiftleft wraps
+                -- to the sign bit): spell the top bit as the literal
+                SELECT lang, pos // 64 AS word_idx,
+                       bit_or(CASE WHEN pos % 64 = 63
+                                   THEN CAST(-9223372036854775808 AS BIGINT)
+                                   ELSE CAST(1 AS BIGINT)
+                                        << CAST(pos % 64 AS INT) END)
+                           AS word
+                FROM bpos GROUP BY 1, 2
+            ),
+            bstats AS (
+                SELECT lang,
+                       CAST(sum(bit_count(word)) AS BIGINT)
+                           AS bloom_bits_set,
+                       CAST(count(*) AS BIGINT) AS bloom_words
+                FROM bw GROUP BY lang
+            )"""
+
+
 def _sql_corpus_sample() -> str:
     """DuckDB twin of q_corpus_sample, generated from the SAME
     fraction/count/seed constants so Spark and oracle can't drift.
@@ -3397,7 +3469,7 @@ def oracle_sql() -> dict[str, str]:
                                 THEN tok || ':' || CAST(c AS VARCHAR) END,
                            ',' ORDER BY rn), '') AS top_tokens
                 FROM vr GROUP BY lang
-            )
+            ),{_sql_bloom_cte()}
             -- coalesce(.., ''): DuckDB array_to_string of an EMPTY
             -- list is NULL, Spark concat_ws is '' — align to ''
             SELECT g.lang, exact_distinct, n_docs, sources_csv, n_sources,
@@ -3416,8 +3488,11 @@ def oracle_sql() -> dict[str, str]:
                    -- LEFT join + defaults: an all-empty-text lang
                    -- group has no vocab row; keep its cardinality row
                    coalesce(v.n_vocab, 0) AS n_vocab,
-                   coalesce(v.top_tokens, '') AS top_tokens
+                   coalesce(v.top_tokens, '') AS top_tokens,
+                   coalesce(b.bloom_bits_set, 0) AS bloom_bits_set,
+                   coalesce(b.bloom_words, 0) AS bloom_words
             FROM g LEFT JOIN vocab v ON v.lang = g.lang
+                   LEFT JOIN bstats b ON b.lang = g.lang
         """,
         "text_profile": _sql_text_profile(),
         "token_stats": f"""
