@@ -54,6 +54,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators import bloom as bloom_ops
 from .operators import corpus_prep, dedup, lm, text
 
 
@@ -587,6 +588,7 @@ def incremental_ingest(
     gopher_min_stop_hits: int = 2,
     max_top_ngram_frac: Mapping[int, float] | None = None,
     max_dup_ngram_frac: Mapping[int, float] | None = None,
+    bloom_guard: bool = False,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -675,18 +677,38 @@ def incremental_ingest(
     :func:`apply_ngram_caps`), so batch and streaming ingests gate
     identically to the offline pipeline.
 
+    ``bloom_guard`` (r10) maintains a Bloom sidecar
+    (``<out_root>/bloom`` — operators/bloom.py, sparse 64-bit words,
+    ≤2^24 bits) in FRONT of the fingerprint anti-join: the batch is
+    probed map-side (k broadcast joins, zero batch exchanges) and
+    only the "maybe seen" residue pays the exact join — the
+    "definitely new" majority of a novel stream skips the
+    corpus-sized guard entirely (no false negatives by
+    construction). Write ordering is the census rule applied again:
+    the filter is overwritten (merge = per-word bit_or,
+    replay-idempotent) BEFORE the docs/fingerprint appends — bits for
+    keys that never land are harmless false positives, while the
+    reverse order could leave admitted fingerprints missing from the
+    filter, a false negative that would let a later duplicate skip
+    the exact join. The filter is a CACHE of the fingerprint layer:
+    absent or unreadable (crash mid-overwrite), it is rebuilt from
+    the layer on next use.
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
     ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
     history band collisions) and healed_bands; with ``line_census``
     also census_lines (keys appended this call); with any quality
-    gate on, also quality_rejected.
+    gate on, also quality_rejected; with ``bloom_guard``, also
+    bloom_fastpath (keys proven new without touching the exact
+    sidecar).
     """
     from .functions.hashing import stable_fingerprint
 
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
     bands_path = f"{out_root}/band_buckets"
+    bloom_path = f"{out_root}/bloom"
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None
@@ -865,9 +887,30 @@ def incremental_ingest(
         ).count()
     if bucketed and spark.catalog.tableExists(fp_table):
         seen = spark.table(fp_table).select("fingerprint")
-        admitted = batch.join(seen, "fingerprint", "left_anti")
     elif not bucketed and _exists(spark, fp_path):
         seen = spark.read.parquet(fp_path).select("fingerprint")
+    else:
+        seen = None
+    n_bloom_fastpath = 0
+    if seen is not None and bloom_guard:
+        # Bloom pre-filter: map-side probe (k broadcast joins, zero
+        # batch exchanges); only the "maybe seen" residue pays the
+        # exact anti-join. A missing/unreadable filter (crash during
+        # its overwrite) rebuilds from the authoritative fingerprint
+        # layer — the filter is a cache, never the source of truth.
+        blm = _read_bloom_layer(spark, bloom_path)
+        if blm is None:
+            blm = bloom_ops.bloom_build(seen, "fingerprint").localCheckpoint()
+        probed = bloom_ops.bloom_probe(
+            batch, blm, "fingerprint"
+        ).localCheckpoint()
+        definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        n_bloom_fastpath = definite.count()
+        admitted = definite.unionByName(
+            maybe.join(seen, "fingerprint", "left_anti")
+        )
+    elif seen is not None:
         admitted = batch.join(seen, "fingerprint", "left_anti")
     else:
         admitted = batch
@@ -997,6 +1040,22 @@ def incremental_ingest(
             healable.write.mode("append").parquet(fp_path)
     n_census_lines = 0
     if n_admitted:
+        if bloom_guard:
+            # bloom BEFORE the docs/fingerprint appends (the census
+            # ordering rule): bits for keys that end up never landing
+            # are harmless false positives, while bloom-after-docs
+            # could leave admitted fingerprints missing from the
+            # filter — a false negative that would let a later
+            # duplicate skip the exact join. Merge is per-word
+            # bit_or: replaying the same batch is a no-op.
+            new_bits = bloom_ops.bloom_build(admitted, "fingerprint")
+            old_blm = _read_bloom_layer(spark, bloom_path)
+            merged = (
+                bloom_ops.bloom_merge(old_blm, new_bits)
+                if old_blm is not None
+                else new_bits
+            ).localCheckpoint()  # materialize BEFORE overwriting its own input path
+            merged.write.mode("overwrite").parquet(bloom_path)
         if line_census:
             # census BEFORE the docs append: a crash after this lands
             # replays into an identical admitted set (the guards saw
@@ -1064,7 +1123,24 @@ def incremental_ingest(
         out["contaminated_skipped"] = n_contaminated
     if gopher_gate or max_top_ngram_frac or max_dup_ngram_frac:
         out["quality_rejected"] = n_quality_rejected
+    if bloom_guard:
+        out["bloom_fastpath"] = n_bloom_fastpath
     return out
+
+
+def _read_bloom_layer(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the Bloom sidecar, or None if absent OR unreadable — a
+    crash during its overwrite may leave a partial directory, and the
+    filter is a rebuildable cache of the fingerprint layer, so any
+    read failure degrades to a rebuild instead of an error."""
+    try:
+        df = spark.read.parquet(path)
+        # cheap structural sanity: both columns present
+        if {"word_idx", "word"} - set(df.columns):
+            return None
+        return df
+    except Exception:
+        return None
 
 
 def compact_layer(
@@ -1298,6 +1374,7 @@ def streaming_ingest(
     gopher_min_stop_hits: int = 2,
     max_top_ngram_frac: Mapping[int, float] | None = None,
     max_dup_ngram_frac: Mapping[int, float] | None = None,
+    bloom_guard: bool = False,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -1323,7 +1400,9 @@ def streaming_ingest(
     is re-planned each micro-batch); the Gopher / n-gram-cap knobs
     (r10) forward the quality admission gates the same way, so the
     streaming face carries the full gate set the batch pipeline
-    has."""
+    has; ``bloom_guard`` forwards the Bloom pre-filter (the
+    bit_or-idempotent sidecar composes with replay exactly like the
+    census — see :func:`incremental_ingest`)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         incremental_ingest(
@@ -1341,6 +1420,7 @@ def streaming_ingest(
             gopher_min_stop_hits=gopher_min_stop_hits,
             max_top_ngram_frac=max_top_ngram_frac,
             max_dup_ngram_frac=max_dup_ngram_frac,
+            bloom_guard=bloom_guard,
         )
 
     return (

@@ -200,6 +200,114 @@ def test_incremental_ingest_is_idempotent_and_content_keyed(spark, tmp_path):
     assert set(texts) == {1, 2, 10}
 
 
+def test_bloom_guard_same_admissions_plus_fastpath(spark, tmp_path):
+    """bloom_guard=True must admit EXACTLY the same set as the plain
+    exact guard (the filter has no false negatives; false positives
+    only route through the exact join), while proving most of a novel
+    batch new WITHOUT the fingerprint join (bloom_fastpath)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    b1 = spark.createDataFrame(
+        [(i, f"doc number {i} alpha", "en") for i in range(20)], schema
+    )
+    b2 = spark.createDataFrame(
+        # 10 novel + 2 cross-batch content dups + 1 replayed id
+        [(100 + i, f"fresh content {i} beta", "en") for i in range(10)]
+        + [(200, "doc number 3 alpha", "en"), (201, "DOC Number 4 ALPHA", "en")]
+        + [(5, "doc number 5 alpha", "en")],
+        schema,
+    )
+    roots = {}
+    for name, guard in (("plain", False), ("bloom", True)):
+        root = str(tmp_path / f"lake_{name}")
+        r1 = incremental_ingest(spark, b1, root, bloom_guard=guard)
+        r2 = incremental_ingest(spark, b2, root, bloom_guard=guard)
+        roots[name] = (root, r1, r2)
+    # identical admission decisions
+    assert roots["plain"][1]["admitted"] == roots["bloom"][1]["admitted"]
+    assert roots["plain"][2]["admitted"] == roots["bloom"][2]["admitted"]
+    ids = lambda root: sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    )
+    assert ids(roots["plain"][0]) == ids(roots["bloom"][0])
+    # the 10 novel docs took the fast path (dups must NOT — they are
+    # bloom hits routed to the exact join; fpp could steal a novel
+    # one in principle, so assert the guaranteed floor: all true
+    # members probed maybe_seen)
+    assert roots["bloom"][2]["bloom_fastpath"] >= 1
+    assert roots["bloom"][2]["bloom_fastpath"] <= 10
+    # replay with the guard on: nothing admitted, nothing fast-pathed
+    # as new-and-admitted twice
+    r2b = incremental_ingest(
+        spark, b2, roots["bloom"][0], bloom_guard=True
+    )
+    assert r2b["admitted"] == 0
+
+
+def test_bloom_guard_crash_windows_are_safe(spark, tmp_path):
+    """The two crash windows around the bloom write degrade safely:
+    (a) bloom written but docs/fingerprints never landed — replay
+    routes those keys through the exact join (they probe maybe_seen)
+    and admits them correctly; (b) bloom layer unreadable — admission
+    rebuilds from the fingerprint layer and proceeds."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_bloom_layer,
+        incremental_ingest,
+    )
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        stable_fingerprint,
+    )
+    from projet_big_data_boutin_danre_spark.operators import bloom as bl
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_crash")
+    b1 = spark.createDataFrame(
+        [(1, "first content here", "en"), (2, "second content here", "en")],
+        schema,
+    )
+    incremental_ingest(spark, b1, root, bloom_guard=True)
+
+    # (a) simulate the bloom-written/docs-crashed window for batch 2:
+    # merge b2's bits into the sidecar WITHOUT appending docs/fps
+    b2 = spark.createDataFrame(
+        [(10, "third content here", "en")], schema
+    )
+    b2fp = b2.select(stable_fingerprint("text").alias("fingerprint"))
+    merged = bl.bloom_merge(
+        spark.read.parquet(f"{root}/bloom"), bl.bloom_build(b2fp, "fingerprint")
+    ).localCheckpoint()
+    merged.write.mode("overwrite").parquet(f"{root}/bloom")
+    r = incremental_ingest(spark, b2, root, bloom_guard=True)
+    # the key probes maybe_seen (its bits are set) → exact join →
+    # genuinely new → ADMITTED: no lost batch
+    assert r["admitted"] == 1
+    assert r["bloom_fastpath"] == 0
+
+    # (b) corrupt the bloom layer: a read must degrade to None and
+    # ingest must rebuild + proceed
+    import pathlib
+    import shutil
+
+    bloom_dir = pathlib.Path(root) / "bloom"
+    shutil.rmtree(bloom_dir)
+    bloom_dir.mkdir()
+    (bloom_dir / "garbage.parquet").write_text("not parquet")
+    assert _read_bloom_layer(spark, str(bloom_dir)) is None
+    b3 = spark.createDataFrame(
+        [(20, "fourth content here", "en"),
+         (21, "first CONTENT here!", "en")],  # normalized dup of doc 1
+        schema,
+    )
+    r3 = incremental_ingest(spark, b3, root, bloom_guard=True)
+    assert r3["admitted"] == 1  # dup rejected via rebuilt filter + exact join
+    # the overwrite healed the layer
+    assert _read_bloom_layer(spark, str(bloom_dir)) is not None
+
+
 def test_repetition_gate_drops_boilerplate(spark, tmp_path):
     import shutil
 
