@@ -1368,8 +1368,31 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(4)
         ],
     )
+    # r10: VIDEO content dedup — per-frame dHashes in one map-only
+    # Arrow pass (payload read once, no explode), then frame-set
+    # Jaccard pairs; both hash-checked against a generated relational
+    # twin (_sql_media_vhash_cte). Checkpointed once: the vhash rows
+    # and the pair stage share the kernel output.
+    vfh = multimodal.video_frame_hashes(media).localCheckpoint(eager=False)
+    vh = vfh.select(
+        F.lit("vhash").alias("tag"),
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("v1"),
+        F.col("hash64").alias("v2"),
+        b.alias("v3"),
+        b.alias("v4"),
+    )
+    vp = multimodal.video_near_dup_pairs(vfh, min_jaccard=0.5).select(
+        F.lit("vpair").alias("tag"),
+        F.col("id_a").alias("media_id"),
+        F.col("id_b").cast("bigint").alias("v1"),
+        F.col("shared").cast("bigint").alias("v2"),
+        F.col("n_a").cast("bigint").alias("v3"),
+        F.col("n_b").cast("bigint").alias("v4"),
+    )
     return (
         rz.unionByName(fr).unionByName(dh).unionByName(hp).unionByName(ph)
+        .unionByName(vh).unionByName(vp)
     )
 
 
@@ -2517,6 +2540,86 @@ def _sql_bloom_cte() -> str:
                            AS bloom_bits_set,
                        CAST(count(*) AS BIGINT) AS bloom_words
                 FROM bw GROUP BY lang
+            )"""
+
+
+def _sql_media_vhash_cte() -> str:
+    """Generated DuckDB twin of multimodal.video_frame_hashes +
+    video_near_dup_pairs over the synth videos (doc_id % 3 = 2):
+    frame ``f`` of ``nf`` covers byte slice ``[f·n//nf, (f+1)·n//nf)``
+    (nf from the frame_sample cadence — one per 1000 ms of
+    duration_ms = n_chars·10), each slice gray-resampled and dHashed
+    with the same generated integer expressions as the image twin,
+    bands packed into one signed bigint (sign handled via the
+    band3-65536 wrap — DuckDB range-checks what Spark wraps). Pairs =
+    equality join on the frame-hash value, integer shared/size
+    columns, Jaccard ≥ 0.5 as the same double comparison the Spark
+    filter plans."""
+    px_cols = ", ".join(
+        f"ord(substr(t, 1 + lo + ({i} * ln) // 72, 1)) AS p{i}"
+        for i in range(72)
+    )
+    band_exprs = []
+    for j in range(4):
+        terms = []
+        for k in range(16 * j, 16 * j + 16):
+            r, c = k // 8, k % 8
+            i0, i1 = r * 9 + c, r * 9 + c + 1
+            terms.append(
+                f"(CASE WHEN p{i0} > p{i1} THEN {1 << (k % 16)} "
+                "ELSE 0 END)"
+            )
+        band_exprs.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS vband{j}"
+        )
+    bands = ",\n                   ".join(band_exprs)
+    return f""", vfr AS (
+                SELECT doc_id AS media_id, text AS t,
+                       length(text) AS n,
+                       CAST((greatest(n_chars * 10, 1) - 1) // 1000 + 1
+                            AS BIGINT) AS nf,
+                       unnest(generate_series(0,
+                           (greatest(n_chars * 10, 1) - 1) // 1000)) AS f
+                FROM documents
+                WHERE doc_id % 3 = 2 AND text IS NOT NULL
+            ), vsl AS (
+                SELECT media_id, t, CAST(f AS INT) AS f,
+                       (f * n) // nf AS lo,
+                       ((f + 1) * n) // nf - (f * n) // nf AS ln
+                FROM vfr
+            ), vpx AS (
+                SELECT media_id, f, {px_cols}
+                FROM vsl WHERE ln > 0
+            ), vbands AS (
+                SELECT media_id, f,
+                   {bands}
+                FROM vpx
+            ), vhash AS (
+                SELECT media_id, f,
+                       (vband3 - CASE WHEN vband3 >= 32768
+                                      THEN 65536 ELSE 0 END)
+                           * 281474976710656
+                       + vband2 * 4294967296
+                       + vband1 * 65536 + vband0 AS h64
+                FROM vbands
+            ), vset AS (
+                SELECT DISTINCT media_id, h64 FROM vhash
+            ), vsz AS (
+                SELECT media_id, count(*) AS nfr FROM vset GROUP BY 1
+            ), vsh AS (
+                SELECT a.media_id AS ida, b.media_id AS idb,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM vset a JOIN vset b
+                  ON a.h64 = b.h64 AND a.media_id < b.media_id
+                GROUP BY 1, 2
+            ), vpair AS (
+                SELECT ida, idb, shared,
+                       CAST(sa.nfr AS BIGINT) AS na,
+                       CAST(sb.nfr AS BIGINT) AS nb
+                FROM vsh
+                JOIN vsz sa ON sa.media_id = ida
+                JOIN vsz sb ON sb.media_id = idb
+                WHERE shared >= 0.5 * (sa.nfr + sb.nfr - shared)
             )"""
 
 
@@ -4026,6 +4129,7 @@ def oracle_sql() -> dict[str, str]:
             ),"""
         + _sql_media_dhash_cte()
         + _sql_media_phash_cte()
+        + _sql_media_vhash_cte()
         + """
             SELECT 'resize' AS tag, media_id,
                    CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,
@@ -4068,6 +4172,11 @@ def oracle_sql() -> dict[str, str]:
             -- NULL-payload images: the Spark kernel emits NULL bands
             SELECT 'phash', media_id, NULL, NULL, NULL, NULL
             FROM mh WHERE t IS NULL
+            UNION ALL
+            SELECT 'vhash', media_id, CAST(f AS BIGINT), h64, NULL, NULL
+            FROM vhash
+            UNION ALL
+            SELECT 'vpair', ida, idb, shared, na, nb FROM vpair
         """,
         "corpus_sample": _sql_corpus_sample(),
         "sparse_document": """

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -337,6 +338,142 @@ def phash_near_dup_pairs(
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= int(max_hamming))
         .distinct()
+    )
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-frame perceptual hashes for VIDEO content dedup — the
+    third multimodal kernel (images: dHash/pHash; this extends the
+    family along the time axis). One Arrow-batched ``mapInPandas``
+    pass per video: the frame plan (same cadence as
+    :func:`frame_sample` — one frame per ``every_ms`` of
+    ``duration_ms``) is evaluated INSIDE the kernel, so the payload
+    is read once per video and never duplicated through an explode —
+    at scale the explode-then-decode shape would ship the full binary
+    per frame. Emits ``(id, frame_idx, band0..band3, hash64)`` where
+    the bands are the frame's dHash (layout-shared with
+    :func:`perceptual_hash`) and ``hash64`` packs them little-endian
+    into one signed bigint — the set-element key
+    :func:`video_near_dup_pairs` matches on.
+
+    The stub codec slices the byte stream uniformly (frame ``f`` of
+    ``nf`` covers bytes ``[f·n//nf, (f+1)·n//nf)``) and gray-resamples
+    the slice — locality-preserving like the image stubs, so a
+    re-encode (small local byte edits) perturbs only the frames whose
+    slices changed, which is exactly the property frame-set Jaccard
+    needs. Frames whose slice is empty (payload shorter than the
+    frame count) are skipped, mirrored by the SQL twin. Replace the
+    slicing with a real ffmpeg frame decode in production — the
+    (bytes, frame plan) → per-frame grid contract is the swap
+    point."""
+    media = media.filter(F.col("kind") == "video")
+    id_field = media.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("frame_idx", IntegerType()),
+        ]
+        + [StructField(f"band{j}", IntegerType()) for j in range(DHASH_BANDS)]
+        + [StructField("hash64", LongType())]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, p, dur in zip(
+                pdf[id_col], pdf[payload_col], pdf["duration_ms"]
+            ):
+                if p is None:
+                    continue
+                payload = bytes(p)
+                n = len(payload)
+                dur = int(dur) if dur is not None else 0
+                nf = max((max(dur, 1) - 1) // every_ms + 1, 1)
+                for f in range(nf):
+                    lo = (f * n) // nf
+                    hi = ((f + 1) * n) // nf
+                    if hi <= lo:
+                        continue
+                    b = _dhash_bands_py(_decode_gray_stub(payload[lo:hi]))
+                    h = b[0] | (b[1] << 16) | (b[2] << 32) | (b[3] << 48)
+                    # wrap to signed 64-bit (Spark long; SQL twin does
+                    # the same via the sign-bit special case)
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                    rows.append((mid, f, *b, h))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_field.name, "frame_idx"]
+                + [f"band{j}" for j in range(DHASH_BANDS)]
+                + ["hash64"],
+            )
+
+    return media.select(id_col, payload_col, "duration_ms").mapInPandas(
+        _hash, schema=schema
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate video pairs from a :func:`video_frame_hashes`
+    layer: two videos are candidates when they share a frame hash
+    (equality join on ``hash64`` — never all-pairs), and a pair
+    qualifies when the Jaccard similarity of their DISTINCT frame-hash
+    sets reaches ``min_jaccard``. Returns
+    ``(id_a, id_b, shared, n_a, n_b)`` with ``id_a < id_b`` — the
+    Jaccard is ``shared / (n_a + n_b - shared)``, kept as exact
+    integers so the slot twin never touches floats.
+
+    Scale: the join input is the distinct (video, hash) set — ~8 B
+    key + id per sampled frame, a tiny sidecar of the video corpus.
+    A degenerate hash bucket (black frames, test patterns shared by
+    millions of videos) is the usual hot-bucket hazard: cap with
+    ``max_bucket`` (hashes above the cap are dropped from PAIR
+    generation — the MinHash-LSH guard, same trade documented
+    there)."""
+    fh = frame_hashes.select(
+        F.col(id_col).alias("vid"), F.col("hash64")
+    ).distinct()
+    sizes = fh.groupBy("vid").agg(F.count(F.lit(1)).alias("n_frames"))
+    if max_bucket is not None:
+        bsz = fh.groupBy("hash64").agg(F.count(F.lit(1)).alias("__bn"))
+        fh = (
+            fh.join(bsz, "hash64")
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
+    a = fh.select(F.col("vid").alias("id_a"), "hash64")
+    b = fh.select(F.col("vid").alias("id_b"), "hash64")
+    shared = (
+        a.join(b, "hash64")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("vid").alias("id_a"), F.col("n_frames").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("vid").alias("id_b"), F.col("n_frames").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("shared")
+            >= F.lit(float(min_jaccard))
+            * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
     )
 
 

@@ -332,6 +332,69 @@ def test_phash_brightness_shift_invariance():
     )
 
 
+def test_video_frame_hashes_and_near_dup_pairs(spark):
+    """Video content dedup (r10): an exact copy shares every frame
+    hash (Jaccard 1); a single-byte 're-encode' perturbs at most the
+    one frame whose slice changed, so the pair still clears
+    min_jaccard=0.5; an unrelated video is not paired. Frame cadence
+    matches frame_sample (one per 1000 ms); empty payloads emit no
+    frames."""
+    import random
+
+    rng = random.Random(11)
+    base = bytes(rng.randrange(32, 127) for _ in range(600))
+    edited = bytearray(base)
+    edited[300] = ord("~")
+    other = bytes(rng.randrange(32, 127) for _ in range(600))
+    media = spark.createDataFrame(
+        [
+            (1, "video", base, 5000),
+            (2, "video", base, 5000),  # exact copy
+            (3, "video", bytes(edited), 5000),  # re-encode
+            (4, "video", other, 5000),  # unrelated
+            (5, "video", b"", 5000),  # empty payload
+            (6, "image", base, 5000),  # filtered by kind
+        ],
+        "media_id long, kind string, payload binary, duration_ms long",
+    )
+    fh = multimodal.video_frame_hashes(media).localCheckpoint()
+    per_vid = {
+        r["media_id"]: r["cnt"]
+        for r in fh.groupBy("media_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # 5000 ms at 1000 ms cadence = frames at 0..4000 → 5 per video
+    assert per_vid == {1: 5, 2: 5, 3: 5, 4: 5}
+    # hash64 packs the bands exactly
+    r0 = fh.filter((F.col("media_id") == 1) & (F.col("frame_idx") == 0)).collect()[0]
+    h = r0["band0"] | (r0["band1"] << 16) | (r0["band2"] << 32) | (
+        r0["band3"] << 48
+    )
+    if h >= 1 << 63:
+        h -= 1 << 64
+    assert r0["hash64"] == h
+
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["n_a"], r["n_b"])
+        for r in multimodal.video_near_dup_pairs(fh, min_jaccard=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)][0] == 5  # exact copy: all shared
+    assert (1, 3) in pairs and pairs[(1, 3)][0] >= 4  # re-encode: ≥4/5 frames
+    assert not any(4 in p for p in pairs)  # unrelated video unpaired
+
+    # hot-bucket cap: a hash shared by every video is dropped from
+    # pair generation when the bucket exceeds the cap
+    hot = spark.createDataFrame(
+        [(i, 0, 1, 1, 1, 1, 7) for i in range(10)],
+        "media_id long, frame_idx int, band0 int, band1 int, "
+        "band2 int, band3 int, hash64 long",
+    )
+    assert multimodal.video_near_dup_pairs(hot, min_jaccard=0.1).count() == 45
+    assert (
+        multimodal.video_near_dup_pairs(hot, min_jaccard=0.1, max_bucket=5).count()
+        == 0
+    )
+
+
 def test_phash_near_dup_pairs_banding_contract(spark):
     """The pigeonhole recall contract, asserted at its boundary: a
     pair at Hamming d <= 3 always shares a band (found); a pair with
