@@ -1360,7 +1360,13 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
     # "phash") — fixed-point DCT-II over the 32×32 grid, 8×8
     # low-frequency block, median threshold; hash-checked bit-for-bit
     # against a relational DCT twin (_sql_media_phash_cte)
-    ph = multimodal.perceptual_hash(with_variants, method="phash").select(
+    # checkpointed like the dhash layer: the payload-reading kernel
+    # materializes once and the tag projection reads the tiny hash
+    # output (also keeps the slot plan payload-scan-free — the
+    # plan-shape battery pins that)
+    ph = multimodal.perceptual_hash(
+        with_variants, method="phash"
+    ).localCheckpoint(eager=False).select(
         F.lit("phash").alias("tag"),
         "media_id",
         *[
