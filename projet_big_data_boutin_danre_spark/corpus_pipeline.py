@@ -708,7 +708,17 @@ def incremental_ingest(
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
     bands_path = f"{out_root}/band_buckets"
-    bloom_path = f"{out_root}/bloom"
+    # geometry-encoded layer name: a filter's bit positions are only
+    # meaningful under the (k, hex_chars) that built it, and a PROBE
+    # against a filter of different geometry produces silent false
+    # negatives — the one failure mode Bloom admission must never
+    # have. Encoding the geometry in the path makes a constant change
+    # self-healing: the old layer is simply absent under the new name
+    # and the filter rebuilds from the fingerprint layer.
+    bloom_path = (
+        f"{out_root}/bloom_k{bloom_ops.K_DEFAULT}"
+        f"h{bloom_ops.HEX_CHARS_DEFAULT}"
+    )
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None

@@ -48,7 +48,14 @@ def _position(key: Column, j: int, hex_chars: int) -> Column:
     """Bit position ``j``: integer value of the last ``hex_chars``
     hex chars of the seeded digest ``md5(j| || key)`` (seed prefix
     omitted for j=0 — the minhash_component convention). 6 hex chars
-    = 24 bits, well inside long."""
+    = 24 bits, well inside long; 15 (60 bits) is the conv() ceiling —
+    enforced, because a silent overflow would desynchronize build and
+    probe positions (a correctness bug, not a capacity one)."""
+    if not 1 <= hex_chars <= 15:
+        raise ValueError(
+            f"hex_chars must be in [1, 15] (got {hex_chars}): 16 hex "
+            "chars overflow conv()'s 64-bit result"
+        )
     digest = F.md5(key) if j == 0 else F.md5(F.concat(F.lit(f"{j}|"), key))
     return F.conv(
         F.substring(digest, 33 - hex_chars, hex_chars), 16, 10

@@ -265,6 +265,7 @@ def test_bloom_guard_crash_windows_are_safe(spark, tmp_path):
 
     schema = "doc_id long, text string, lang string"
     root = str(tmp_path / "lake_crash")
+    blp = f"{root}/bloom_k{bl.K_DEFAULT}h{bl.HEX_CHARS_DEFAULT}"
     b1 = spark.createDataFrame(
         [(1, "first content here", "en"), (2, "second content here", "en")],
         schema,
@@ -278,9 +279,9 @@ def test_bloom_guard_crash_windows_are_safe(spark, tmp_path):
     )
     b2fp = b2.select(stable_fingerprint("text").alias("fingerprint"))
     merged = bl.bloom_merge(
-        spark.read.parquet(f"{root}/bloom"), bl.bloom_build(b2fp, "fingerprint")
+        spark.read.parquet(blp), bl.bloom_build(b2fp, "fingerprint")
     ).localCheckpoint()
-    merged.write.mode("overwrite").parquet(f"{root}/bloom")
+    merged.write.mode("overwrite").parquet(blp)
     r = incremental_ingest(spark, b2, root, bloom_guard=True)
     # the key probes maybe_seen (its bits are set) → exact join →
     # genuinely new → ADMITTED: no lost batch
@@ -292,7 +293,7 @@ def test_bloom_guard_crash_windows_are_safe(spark, tmp_path):
     import pathlib
     import shutil
 
-    bloom_dir = pathlib.Path(root) / "bloom"
+    bloom_dir = pathlib.Path(blp)
     shutil.rmtree(bloom_dir)
     bloom_dir.mkdir()
     (bloom_dir / "garbage.parquet").write_text("not parquet")
