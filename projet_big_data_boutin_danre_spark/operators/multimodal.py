@@ -392,7 +392,9 @@ def video_frame_hashes(
                     continue
                 payload = bytes(p)
                 n = len(payload)
-                dur = int(dur) if dur is not None else 0
+                # pd.isna, not `is None`: a NULL bigint arrives in
+                # the Arrow batch as NaN, which int() would raise on
+                dur = 0 if pd.isna(dur) else int(dur)
                 nf = max((max(dur, 1) - 1) // every_ms + 1, 1)
                 for f in range(nf):
                     lo = (f * n) // nf
@@ -439,7 +441,8 @@ def video_near_dup_pairs(
     millions of videos) is the usual hot-bucket hazard: cap with
     ``max_bucket`` (hashes above the cap are dropped from PAIR
     generation — the MinHash-LSH guard, same trade documented
-    there)."""
+    there; set sizes n_a/n_b stay FULL-set, so a capped hash can
+    only lower a pair's measured similarity, never inflate it)."""
     fh = frame_hashes.select(
         F.col(id_col).alias("vid"), F.col("hash64")
     ).distinct()
