@@ -1396,9 +1396,29 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_a").cast("bigint").alias("v3"),
         F.col("n_b").cast("bigint").alias("v4"),
     )
+    # r10: AUDIO matching — sliding-window fingerprints + offset
+    # voting (shift-tolerant, the regime set-Jaccard misses); both
+    # layers hash-checked against _sql_media_ahash_cte
+    awh = multimodal.audio_window_hashes(media).localCheckpoint(eager=False)
+    ah = awh.select(
+        F.lit("ahash").alias("tag"),
+        "media_id",
+        F.col("win_idx").cast("bigint").alias("v1"),
+        F.col("hash32").alias("v2"),
+        b.alias("v3"),
+        b.alias("v4"),
+    )
+    ap = multimodal.audio_match_pairs(awh, min_votes=4).select(
+        F.lit("apair").alias("tag"),
+        F.col("id_a").alias("media_id"),
+        F.col("id_b").cast("bigint").alias("v1"),
+        F.col("offset").cast("bigint").alias("v2"),
+        F.col("votes").cast("bigint").alias("v3"),
+        b.alias("v4"),
+    )
     return (
         rz.unionByName(fr).unionByName(dh).unionByName(hp).unionByName(ph)
-        .unionByName(vh).unionByName(vp)
+        .unionByName(vh).unionByName(vp).unionByName(ah).unionByName(ap)
     )
 
 
@@ -2626,6 +2646,58 @@ def _sql_media_vhash_cte() -> str:
                 JOIN vsz sa ON sa.media_id = ida
                 JOIN vsz sb ON sb.media_id = idb
                 WHERE shared >= 0.5 * (sa.nfr + sb.nfr - shared)
+            )"""
+
+
+def _sql_media_ahash_cte() -> str:
+    """Generated DuckDB twin of multimodal.audio_window_hashes +
+    audio_match_pairs over the synth audio rows (doc_id % 3 = 1):
+    AUDIO_WINDOW-byte windows at AUDIO_HOP stride, 32 gradient bits
+    over AUDIO_SAMPLES evenly-spaced bytes per window, then the
+    offset-voting matcher (equality join on the hash, (pair, offset)
+    vote counts, deterministic argmax via row_number) — integer math
+    end to end."""
+    mm = multimodal
+    win, hop, ns = mm.AUDIO_WINDOW, mm.AUDIO_HOP, mm.AUDIO_SAMPLES
+    sample_cols = ", ".join(
+        f"ord(substr(t, 1 + s + ({i} * {win}) // {ns}, 1)) AS a{i}"
+        for i in range(ns)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN a{i} > a{i + 1} THEN {1 << i} ELSE 0 END)"
+        for i in range(ns - 1)
+    )
+    return f""", awin0 AS (
+                SELECT doc_id AS media_id, text AS t,
+                       unnest(generate_series(0,
+                           (length(text) - {win}) // {hop})) AS w0
+                FROM documents
+                WHERE doc_id % 3 = 1 AND text IS NOT NULL
+                  AND length(text) >= {win}
+            ), awin AS (
+                SELECT media_id, t, CAST(w0 AS INT) AS w,
+                       CAST(w0 * {hop} AS BIGINT) AS s
+                FROM awin0
+            ), apx AS (
+                SELECT media_id, w, {sample_cols} FROM awin
+            ), ahash AS (
+                SELECT media_id, w, CAST({bits} AS BIGINT) AS h32
+                FROM apx
+            ), avote AS (
+                SELECT a.media_id AS ida, b.media_id AS idb,
+                       CAST(a.w - b.w AS BIGINT) AS off,
+                       CAST(count(*) AS BIGINT) AS votes
+                FROM ahash a JOIN ahash b
+                  ON a.h32 = b.h32 AND a.media_id < b.media_id
+                GROUP BY 1, 2, 3
+            ), apair AS (
+                SELECT ida, idb, off, votes FROM (
+                    SELECT ida, idb, off, votes,
+                           row_number() OVER (
+                               PARTITION BY ida, idb
+                               ORDER BY votes DESC, off ASC) AS rn
+                    FROM avote
+                ) WHERE rn = 1 AND votes >= 4
             )"""
 
 
@@ -4136,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
         + _sql_media_dhash_cte()
         + _sql_media_phash_cte()
         + _sql_media_vhash_cte()
+        + _sql_media_ahash_cte()
         + """
             SELECT 'resize' AS tag, media_id,
                    CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,
@@ -4183,6 +4256,11 @@ def oracle_sql() -> dict[str, str]:
             FROM vhash
             UNION ALL
             SELECT 'vpair', ida, idb, shared, na, nb FROM vpair
+            UNION ALL
+            SELECT 'ahash', media_id, CAST(w AS BIGINT), h32, NULL, NULL
+            FROM ahash
+            UNION ALL
+            SELECT 'apair', ida, idb, off, votes, NULL FROM apair
         """,
         "corpus_sample": _sql_corpus_sample(),
         "sparse_document": """

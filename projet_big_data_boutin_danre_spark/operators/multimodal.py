@@ -480,6 +480,140 @@ def video_near_dup_pairs(
     )
 
 
+AUDIO_WINDOW = 64  # bytes per fingerprint window
+AUDIO_HOP = 32  # window stride; offset granularity of the matcher
+AUDIO_SAMPLES = 33  # evenly-spaced samples per window → 32 gradient bits
+
+
+def _audio_hash32_py(window: bytes) -> int:
+    """32-bit window fingerprint: gradient bits over AUDIO_SAMPLES
+    evenly-spaced bytes (bit ``i`` set iff sample[i] > sample[i+1]) —
+    the 1-D sibling of the dHash grid, same integer-exact contract."""
+    n = len(window)
+    s = [window[(i * n) // AUDIO_SAMPLES] for i in range(AUDIO_SAMPLES)]
+    h = 0
+    for i in range(AUDIO_SAMPLES - 1):
+        if s[i] > s[i + 1]:
+            h |= 1 << i
+    return h
+
+
+def audio_window_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sliding-window audio fingerprints — the third modality of the
+    content-dedup family (images: dHash/pHash; video: frame hashes;
+    audio needs SHIFT TOLERANCE, which neither provides). Windows of
+    AUDIO_WINDOW bytes at AUDIO_HOP stride, each hashed to a 32-bit
+    gradient fingerprint, emitted as ``(id, win_idx, hash32)`` from
+    one map-only Arrow pass (payload read once — the video-kernel
+    rule). The stub 'codec' fingerprints the raw byte stream;
+    swapping in real spectral frames (chromaprint-style) changes only
+    the per-window hash function, not the matcher.
+
+    Scale: output ≈ 12 B per hop regardless of payload size — the
+    sidecar shape again. AUDIO_HOP bounds cost AND sets the matcher's
+    offset granularity: a leading trim is only recovered when it is a
+    multiple of the hop (real pipelines use finely-hopped spectral
+    frames for the same reason)."""
+    media = media.filter(F.col("kind") == "audio")
+    id_field = media.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("win_idx", IntegerType()),
+            StructField("hash32", LongType()),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                payload = bytes(p)
+                n = len(payload)
+                w = 0
+                for s in range(0, n - AUDIO_WINDOW + 1, AUDIO_HOP):
+                    rows.append(
+                        (
+                            mid,
+                            w,
+                            _audio_hash32_py(payload[s : s + AUDIO_WINDOW]),
+                        )
+                    )
+                    w += 1
+            yield pd.DataFrame(
+                rows, columns=[id_field.name, "win_idx", "hash32"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(_hash, schema=schema)
+
+
+def audio_match_pairs(
+    window_hashes: DataFrame,
+    id_col: str = "media_id",
+    min_votes: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Shift-tolerant audio matching by OFFSET VOTING (the landmark
+    idea behind Shazam-style matchers): candidate window pairs come
+    from an equality join on ``hash32``; a true match — the same
+    recording trimmed, re-padded, or embedded at a different start —
+    shows up as MANY candidates agreeing on one window offset
+    ``win_a − win_b``, while coincidental hash collisions scatter
+    across offsets. Returns ``(id_a, id_b, offset, votes)`` with
+    ``id_a < id_b`` and votes = the best offset's agreement count
+    (ties broken toward the smallest offset — deterministic), kept
+    when ``votes ≥ min_votes``.
+
+    Set-Jaccard (the video matcher) would miss this regime: a clip
+    embedded in a longer recording shares a small FRACTION of the
+    host's windows (low Jaccard) yet matches perfectly at one offset.
+    Scale: equality join on a 32-bit key + one (pair, offset)
+    aggregation; degenerate hash buckets (silence, zero runs) are
+    the LSH hot-bucket hazard — cap with ``max_bucket`` (dropped from
+    pair generation; a capped hash can only lower votes, never
+    inflate them)."""
+    wh = window_hashes.select(
+        F.col(id_col).alias("vid"), "win_idx", "hash32"
+    )
+    if max_bucket is not None:
+        bsz = wh.groupBy("hash32").agg(F.count(F.lit(1)).alias("__bn"))
+        wh = (
+            wh.join(bsz, "hash32")
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
+    a = wh.select(
+        F.col("vid").alias("id_a"), F.col("win_idx").alias("wa"), "hash32"
+    )
+    b = wh.select(
+        F.col("vid").alias("id_b"), F.col("win_idx").alias("wb"), "hash32"
+    )
+    votes = (
+        a.join(b, "hash32")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(
+            "id_a", "id_b", (F.col("wa") - F.col("wb")).alias("offset")
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("votes").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(best))
+        .filter((F.col("__rn") == 1) & (F.col("votes") >= int(min_votes)))
+        .drop("__rn")
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode each video row into frame
     timestamps (metadata-driven — no decode needed to *plan* the

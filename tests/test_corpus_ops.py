@@ -395,6 +395,65 @@ def test_video_frame_hashes_and_near_dup_pairs(spark):
     )
 
 
+def test_audio_offset_voting_matches_trimmed_copy(spark):
+    """Audio matching (r10): an exact copy votes at offset 0 with
+    every window; a copy trimmed by a hop multiple matches at the
+    corresponding positive offset (the shift-tolerance set-Jaccard
+    lacks); an unrelated clip produces no pair at min_votes; the
+    kernel skips NULL payloads and emits one hash per hop."""
+    import random
+
+    rng = random.Random(23)
+    base = bytes(rng.randrange(256) for _ in range(1000))
+    trimmed = base[6 * multimodal.AUDIO_HOP :]
+    other = bytes(rng.randrange(256) for _ in range(1000))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", base),
+            (2, "audio", base),
+            (3, "audio", trimmed),
+            (4, "audio", other),
+            (5, "audio", None),
+            (6, "video", base),  # filtered by kind
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    wh = multimodal.audio_window_hashes(media).localCheckpoint()
+    per = {
+        r["media_id"]: r["c"]
+        for r in wh.groupBy("media_id").agg(F.count("*").alias("c")).collect()
+    }
+    n_win = (1000 - multimodal.AUDIO_WINDOW) // multimodal.AUDIO_HOP + 1
+    assert per[1] == per[2] == per[4] == n_win
+    assert per[3] == n_win - 6
+    assert 5 not in per and 6 not in per
+    # driver-side reference for one window
+    w0 = {r["media_id"]: r["hash32"] for r in wh.filter(F.col("win_idx") == 0).collect()}
+    assert w0[1] == multimodal._audio_hash32_py(base[: multimodal.AUDIO_WINDOW])
+
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["votes"])
+        for r in multimodal.audio_match_pairs(wh, min_votes=4).collect()
+    }
+    assert pairs[(1, 2)] == (0, n_win)  # exact copy: all windows, offset 0
+    off, votes = pairs[(1, 3)]
+    assert off == 6 and votes == n_win - 6  # trimmed copy: shifted alignment
+    assert not any(4 in p for p in pairs)
+
+    # hot-bucket cap: a constant-byte 'silence' clip collides with
+    # everything byte-identical; capped hashes generate no pairs
+    silence = spark.createDataFrame(
+        [(i, "audio", b"\x00" * 1000) for i in range(10, 20)],
+        "media_id long, kind string, payload binary",
+    )
+    swh = multimodal.audio_window_hashes(silence)
+    assert multimodal.audio_match_pairs(swh, min_votes=1).count() == 45
+    assert (
+        multimodal.audio_match_pairs(swh, min_votes=1, max_bucket=5).count()
+        == 0
+    )
+
+
 def test_phash_near_dup_pairs_banding_contract(spark):
     """The pigeonhole recall contract, asserted at its boundary: a
     pair at Hamming d <= 3 always shares a band (found); a pair with
