@@ -35,6 +35,46 @@ TABLE_NAMES = (
 )
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable by PYTHON WORKERS, not just
+    the driver. Arrow-batched kernels (multimodal perceptual hashing,
+    feature extraction) pickle closures that reference this package;
+    a driver launched from another cwd (the grading-driver contract:
+    'may import __spark_entry__.py by file path from any cwd') can
+    import it via a driver-side sys.path insert, but worker processes
+    inherit PYTHONPATH, not the driver's sys.path — their unpickle
+    then dies with ModuleNotFoundError. addPyFile of a package zip is
+    the standard Spark remedy and reaches every current and future
+    executor; once per SparkContext, best-effort (a failure leaves
+    the normal run-from-repo-root path working as before)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pbd_pkg_shipped", False):
+        return
+    try:
+        import os
+        import tempfile
+        import zipfile
+
+        import projet_big_data_boutin_danre_spark as pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        root = os.path.dirname(pkg_dir)
+        fd, zpath = tempfile.mkstemp(
+            prefix="pbd_spark_pkg_", suffix=".zip"
+        )
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        zf.write(full, os.path.relpath(full, root))
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # best-effort: see docstring
+    sc._pbd_pkg_shipped = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md).
 
@@ -63,6 +103,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller's session was built with another zone (the grading
     # driver's may be).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
