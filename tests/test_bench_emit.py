@@ -1,0 +1,65 @@
+"""Regression guard for the graded-bench stdout protocol.
+
+The driver stores only the LAST 2,000 characters of bench.py's stdout
+and parses the final JSON line as the round's headline number.
+Round 10 shipped a single ~4.4 KB cold+warm line, the front (with the
+totals) fell outside the tail window, and BENCH_r10.json recorded
+``parsed: null``. These tests pin the fix: the LAST emitted line must
+be self-contained, parseable, and comfortably inside the window even
+with a full 50-slot query map.
+"""
+
+import json
+
+import bench
+
+
+def _fake_round(n_queries=50):
+    # Worst realistic shape: 50 graded slots with long-ish names plus
+    # ~20 bench-only probes mixed into the cold map.
+    names = [f"operator_slot_name_number_{i:02d}" for i in range(n_queries)]
+    timings = {n: 123.456 for n in names}
+    timings.update({f"bench_only_probe_{i}": 9.876 for i in range(20)})
+    warm = {n: 99.999 for n in names}
+    return names, timings, warm
+
+
+def test_last_line_is_compact_and_parseable():
+    names, timings, warm = _fake_round()
+    lines = bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1)
+    assert len(lines) == 2
+    last = lines[-1]
+    # Must fit the driver's tail capture with generous margin (other
+    # trailing output, e.g. a final newline or log line, eats chars).
+    assert len(last) <= 1800
+    parsed = json.loads(last)
+    assert parsed["metric"] == "total_headline_query_sec"
+    assert parsed["value"] == 321.5
+    assert parsed["value_cold"] == 321.5
+    assert parsed["value_warm"] == 280.25
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    # graded slots present, bench-only probes excluded
+    assert len(parsed["queries"]) == len(names)
+    assert all(not k.startswith("bench_only") for k in parsed["queries"])
+
+
+def test_detail_line_still_carries_everything():
+    names, timings, warm = _fake_round()
+    detail = json.loads(
+        bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1)[0]
+    )
+    assert detail["metric"] == "total_headline_query_sec_detail"
+    assert len(detail["queries"]) == len(timings)
+    assert detail["queries_warm"] == warm
+
+
+def test_length_guard_drops_queries_not_totals():
+    # Pathologically long slot names force the guard: totals survive.
+    names = ["q" * 200 + str(i) for i in range(50)]
+    timings = {n: 1.0 for n in names}
+    last = bench.emit_lines(names, timings, {}, 50.0, None, 0.1)[-1]
+    assert len(last) <= 1800
+    parsed = json.loads(last)
+    assert parsed["value"] == 50.0
+    assert "queries" not in parsed
