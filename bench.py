@@ -538,6 +538,7 @@ def emit_lines(names, timings, warm_timings, total, total_warm, sf):
             "sf": sf,
         }
     )
+    graded = set(names)
     compact = {
         "metric": "total_headline_query_sec",
         "value": total,
@@ -547,13 +548,28 @@ def emit_lines(names, timings, warm_timings, total, total_warm, sf):
         "queries": {
             k: round(v, 2)
             for k, v in sorted(timings.items())
-            if k in names
+            if k in graded
         },
         "sf": sf,
     }
     line = json.dumps(compact)
-    if len(line) > 1800:  # totals must survive the tail window
-        compact.pop("queries")
+    # Totals must survive the driver's 2,000-char tail window.
+    # Degrade gradually: 1-decimal precision, then shed the
+    # longest-named entries (counted in queries_dropped), and only
+    # as a last resort emit totals alone.
+    if len(line) > 1800:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact)
+    while len(line) > 1800 and compact.get("queries"):
+        longest = max(compact["queries"], key=len)
+        del compact["queries"][longest]
+        compact["queries_dropped"] = compact.get("queries_dropped", 0) + 1
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact.pop("queries", None)
+        compact.pop("queries_dropped", None)
         line = json.dumps(compact)
     return [detail, line]
 

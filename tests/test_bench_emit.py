@@ -5,8 +5,10 @@ and parses the final JSON line as the round's headline number.
 Round 10 shipped a single ~4.4 KB cold+warm line, the front (with the
 totals) fell outside the tail window, and BENCH_r10.json recorded
 ``parsed: null``. These tests pin the fix: the LAST emitted line must
-be self-contained, parseable, and comfortably inside the window even
-with a full 50-slot query map.
+be self-contained, parseable, and comfortably inside the window with
+a full 50-slot query map at realistic slot-name widths; above that,
+the guard degrades gradually (precision, then longest names) and the
+totals always survive.
 """
 
 import json
@@ -14,10 +16,13 @@ import json
 import bench
 
 
-def _fake_round(n_queries=50):
-    # Worst realistic shape: 50 graded slots with long-ish names plus
-    # ~20 bench-only probes mixed into the cold map.
-    names = [f"operator_slot_name_number_{i:02d}" for i in range(n_queries)]
+def _fake_round(n_queries=50, name_len=21):
+    # Realistic worst shape: 50 graded slots at the widest real slot
+    # name (21 chars, `watermark_incremental`) plus ~20 bench-only
+    # probes mixed into the cold map.
+    names = [
+        f"slot_{i:02d}_".ljust(name_len, "x") for i in range(n_queries)
+    ]
     timings = {n: 123.456 for n in names}
     timings.update({f"bench_only_probe_{i}": 9.876 for i in range(20)})
     warm = {n: 99.999 for n in names}
@@ -39,8 +44,9 @@ def test_last_line_is_compact_and_parseable():
     assert parsed["value_warm"] == 280.25
     assert parsed["unit"] == "sec"
     assert parsed["sf"] == 0.1
-    # graded slots present, bench-only probes excluded
+    # graded slots all present, bench-only probes excluded
     assert len(parsed["queries"]) == len(names)
+    assert "queries_dropped" not in parsed
     assert all(not k.startswith("bench_only") for k in parsed["queries"])
 
 
@@ -54,12 +60,31 @@ def test_detail_line_still_carries_everything():
     assert detail["queries_warm"] == warm
 
 
-def test_length_guard_drops_queries_not_totals():
-    # Pathologically long slot names force the guard: totals survive.
+def test_moderately_long_names_degrade_precision_not_coverage():
+    # 28-char names overflow at 2-decimal precision; the guard drops
+    # to 1 decimal (and possibly a few longest entries) but keeps the
+    # map rather than popping it wholesale.
+    names, timings, warm = _fake_round(name_len=28)
+    last = bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1)[-1]
+    assert len(last) <= 1800
+    parsed = json.loads(last)
+    assert parsed["value"] == 321.5
+    assert "queries" in parsed
+    kept = len(parsed["queries"])
+    dropped = parsed.get("queries_dropped", 0)
+    assert kept + dropped == len(names)
+    assert kept >= dropped  # degradation, not wholesale loss
+
+
+def test_length_guard_keeps_totals_under_pathological_names():
+    # Pathologically long slot names force the guard: totals survive;
+    # whatever query entries remain are accounted for by
+    # queries_dropped.
     names = ["q" * 200 + str(i) for i in range(50)]
     timings = {n: 1.0 for n in names}
     last = bench.emit_lines(names, timings, {}, 50.0, None, 0.1)[-1]
     assert len(last) <= 1800
     parsed = json.loads(last)
     assert parsed["value"] == 50.0
-    assert "queries" not in parsed
+    if "queries" in parsed:
+        assert len(parsed["queries"]) + parsed["queries_dropped"] == 50
