@@ -902,6 +902,7 @@ def incremental_ingest(
     else:
         seen = None
     n_bloom_fastpath = 0
+    blm = None  # probe-time filter, reused by the write path below
     if seen is not None and bloom_guard:
         # Bloom pre-filter: map-side probe (k broadcast joins, zero
         # batch exchanges); only the "maybe seen" residue pays the
@@ -1059,7 +1060,17 @@ def incremental_ingest(
             # duplicate skip the exact join. Merge is per-word
             # bit_or: replaying the same batch is a no-op.
             new_bits = bloom_ops.bloom_build(admitted, "fingerprint")
-            old_blm = _read_bloom_layer(spark, bloom_path)
+            # Reuse the probe-time filter: when the sidecar was
+            # missing/unreadable, the probe rebuilt it from the
+            # fingerprint layer, and re-reading disk here would
+            # return None and overwrite the sidecar with only THIS
+            # batch's bits — historical fingerprints would then probe
+            # maybe_seen=false and ride the fastpath past the exact
+            # join (false negatives, duplicate admission). The probe
+            # filter carries every historical bit by construction.
+            old_blm = blm
+            if old_blm is None:
+                old_blm = _read_bloom_layer(spark, bloom_path)
             merged = (
                 bloom_ops.bloom_merge(old_blm, new_bits)
                 if old_blm is not None

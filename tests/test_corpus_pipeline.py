@@ -309,6 +309,60 @@ def test_bloom_guard_crash_windows_are_safe(spark, tmp_path):
     assert _read_bloom_layer(spark, str(bloom_dir)) is not None
 
 
+def test_bloom_heal_preserves_historical_bits(spark, tmp_path):
+    """A missing/corrupt sidecar must heal to a filter that still
+    carries EVERY historical fingerprint's bits. The healing ingest
+    rebuilds the filter from the fingerprint layer at probe time; the
+    write path must persist THAT filter merged with the batch's bits
+    — not re-read the (absent) disk layer and overwrite the sidecar
+    with the batch's bits alone. Otherwise the NEXT ingest probes
+    maybe_seen=false for historical keys and admits duplicates via
+    the fastpath — a false negative the guard's whole design forbids."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+    from projet_big_data_boutin_danre_spark.operators import bloom as bl
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_heal")
+    blp = f"{root}/bloom_k{bl.K_DEFAULT}h{bl.HEX_CHARS_DEFAULT}"
+    b1 = spark.createDataFrame(
+        [(1, "historic alpha text", "en"), (2, "historic beta text", "en")],
+        schema,
+    )
+    incremental_ingest(spark, b1, root, bloom_guard=True)
+
+    # lose the sidecar entirely (crash during its overwrite)
+    shutil.rmtree(blp)
+
+    # healing ingest: a novel batch rebuilds the filter from the
+    # fingerprint layer and must write back history ∪ batch
+    b2 = spark.createDataFrame(
+        [(10, "novel gamma text", "en")], schema
+    )
+    r2 = incremental_ingest(spark, b2, root, bloom_guard=True)
+    assert r2["admitted"] == 1
+
+    # the next ingest carries a normalized duplicate of HISTORICAL
+    # doc 1 (pre-heal content) plus one novel doc: the duplicate must
+    # be rejected on the exact path (maybe_seen=true), never admitted
+    # via the fastpath
+    b3 = spark.createDataFrame(
+        [(20, "Historic ALPHA text!", "en"), (21, "novel delta text", "en")],
+        schema,
+    )
+    r3 = incremental_ingest(spark, b3, root, bloom_guard=True)
+    assert r3["admitted"] == 1
+    assert r3["bloom_fastpath"] <= 1  # the dup probed maybe_seen
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    }
+    assert ids == {1, 2, 10, 21}
+
+
 def test_repetition_gate_drops_boilerplate(spark, tmp_path):
     import shutil
 
