@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import (
     minhash_component,
@@ -777,7 +778,11 @@ def connected_components(
     pipeline can actually act on. Returns one row per node that
     appears in any pair: ``(node, component)`` where ``component`` is
     the smallest node id reachable from ``node`` (the canonical
-    keeper).
+    keeper). Ids of any orderable type are supported: integral ids run
+    the star loop directly; anything else (string doc ids are the
+    common real-corpus case) is routed through an order-preserving
+    dense-long dictionary so the loop's shuffles stay 8-byte-keyed and
+    the min-id keeper contract is preserved exactly.
 
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SOCC'14) — the
@@ -816,6 +821,89 @@ def connected_components(
     smaller endpoint), and ``stats["rounds"]`` still reports the loop
     executed on the residual (0 when the graph is nothing but
     pairs)."""
+    a_dt = pairs.schema[a_col].dataType.typeName()
+    b_dt = pairs.schema[b_col].dataType.typeName()
+    integral = {"byte", "short", "integer", "long"}
+    if a_dt not in integral or b_dt not in integral:
+        # Non-integral ids (real corpora key documents by string ids):
+        # a blind cast("long") nulls every value and the null filter
+        # below would silently drop the whole edge set — every member
+        # would fall back to a singleton, the exact leakage/dedup
+        # failure this operator exists to prevent. Instead, build a
+        # dense-long id dictionary and run the star loop on longs (the
+        # loop's shuffles then carry 8-byte keys, not full strings).
+        # The dictionary is SORTED before zipWithIndex — a sorted RDD
+        # is range-partitioned in global order, so index order == id
+        # order and ``component = min(dense)`` maps back to exactly
+        # ``min(original id)``: the keeper contract callers and the
+        # recursive-CTE oracles rely on is preserved verbatim.
+        ids = (
+            pairs.select(F.col(a_col).alias("__cc_id"))
+            .unionByName(pairs.select(F.col(b_col).alias("__cc_id")))
+            .filter(F.col("__cc_id").isNotNull())
+            .distinct()
+            .sort("__cc_id")
+        )
+        id_type = pairs.schema[a_col].dataType
+        mapping = (
+            ids.rdd.zipWithIndex()
+            .map(lambda t: (t[0][0], t[1]))
+            .toDF(
+                T.StructType(
+                    [
+                        T.StructField("__cc_id", id_type),
+                        T.StructField("__cc_dense", T.LongType()),
+                    ]
+                )
+            )
+            .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        )
+        dense_pairs = (
+            pairs.select(a_col, b_col)
+            .join(
+                mapping.select(
+                    F.col("__cc_id").alias(a_col),
+                    F.col("__cc_dense").alias("__cc_u"),
+                ),
+                a_col,
+            )
+            .join(
+                mapping.select(
+                    F.col("__cc_id").alias(b_col),
+                    F.col("__cc_dense").alias("__cc_v"),
+                ),
+                b_col,
+            )
+            .select("__cc_u", "__cc_v")
+        )
+        comp = connected_components(
+            dense_pairs,
+            a_col="__cc_u",
+            b_col="__cc_v",
+            max_iter=max_iter,
+            stats=stats,
+            contract_pairs=contract_pairs,
+        )
+        return (
+            comp.join(
+                mapping.select(
+                    F.col("__cc_dense").alias("node"),
+                    F.col("__cc_id").alias("__cc_node"),
+                ),
+                "node",
+            )
+            .join(
+                mapping.select(
+                    F.col("__cc_dense").alias("component"),
+                    F.col("__cc_id").alias("__cc_comp"),
+                ),
+                "component",
+            )
+            .select(
+                F.col("__cc_node").alias("node"),
+                F.col("__cc_comp").alias("component"),
+            )
+        )
     e0 = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),

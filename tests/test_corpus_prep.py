@@ -628,6 +628,60 @@ def test_leakage_safe_split_chained_map_cannot_straddle(spark):
     assert ok == split_of
 
 
+def test_leakage_safe_split_chained_string_ids(spark):
+    """Regression: the resolve_chains fixpoint routes through
+    connected_components, whose former cast("long") nulled STRING ids
+    and dropped every edge — each member silently fell back to itself
+    and transitive near-dups straddled splits. String-keyed chained
+    maps must now cluster exactly like the numeric path."""
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}",) for i in range(200)], "doc_id string"
+    )
+    chained = spark.createDataFrame(
+        [
+            ("doc-040", "doc-030"),
+            ("doc-030", "doc-020"),
+            ("doc-020", "doc-010"),
+            ("doc-050", "doc-045"),
+        ],
+        "member string, rep string",
+    )
+    fr = {"train": 0.5, "test": 0.5}
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=chained
+        ).collect()
+    }
+    assert len(split_of) == 200
+    # whole chain hashes on root doc-010 — identical to handing in the
+    # pre-canonicalized map
+    assert (
+        split_of["doc-040"]
+        == split_of["doc-030"]
+        == split_of["doc-020"]
+        == split_of["doc-010"]
+    )
+    assert split_of["doc-050"] == split_of["doc-045"]
+    canonical = spark.createDataFrame(
+        [
+            ("doc-040", "doc-010"),
+            ("doc-030", "doc-010"),
+            ("doc-020", "doc-010"),
+            ("doc-050", "doc-045"),
+        ],
+        "member string, rep string",
+    )
+    ok = {
+        r["doc_id"]: r["split"]
+        for r in cp.leakage_safe_split(
+            docs, "doc_id", fr, seed=3, members=canonical,
+            resolve_chains=False,
+        ).collect()
+    }
+    assert ok == split_of
+
+
 def test_leakage_safe_split_new_member_inherits_cluster_split(spark):
     """Incremental property: a NEW doc joining an existing cluster
     lands in the cluster's split (assignment depends only on the

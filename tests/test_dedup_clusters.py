@@ -79,6 +79,52 @@ def test_connected_components_random_graph(spark):
     assert _cc(spark, edges) == _uf_components(clean)
 
 
+def test_connected_components_string_ids_match_numeric(spark):
+    """String doc ids (the common real-corpus key) must produce the
+    SAME clusters as the numeric path — the dense-dictionary route,
+    not a silent cast("long")-to-null edge wipeout that would turn
+    every member into a singleton."""
+    rng = random.Random(11)
+    edges = [
+        (rng.randrange(1, 120), rng.randrange(1, 120)) for _ in range(100)
+    ]
+    clean = [(a, b) for a, b in edges if a != b]
+    expected = {
+        f"doc-{n:04d}": f"doc-{c:04d}"
+        for n, c in _uf_components(clean).items()
+    }
+    df = spark.createDataFrame(
+        [(f"doc-{a:04d}", f"doc-{b:04d}") for a, b in edges],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_string_keeper_is_lexicographic_min(spark):
+    """The keeper contract carries over verbatim: component = the
+    lexicographically smallest reachable id (zero-padding-free ids
+    where lexicographic and numeric order diverge)."""
+    df = spark.createDataFrame(
+        [("b9", "b10"), ("b10", "alpha"), ("zz", "z2")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == {
+        "b9": "alpha",
+        "b10": "alpha",
+        "alpha": "alpha",
+        "zz": "z2",
+        "z2": "z2",
+    }
+
+
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
