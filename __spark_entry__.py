@@ -1314,7 +1314,13 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
     verify, never all-pairs); ``phash`` rows (r10) carry the
     integer-DCT pHash bands (perceptual_hash method="phash" —
     fixed-point DCT-II basis so the kernel is cross-engine exact,
-    unlike classic float pHash)."""
+    unlike classic float pHash).
+
+    r12 widening — ``mcluster`` rows turn the three modality pair
+    sets into actionable clusters: union of hampair/vpair/apair
+    edges → connected_components → keeper (v1 = cluster-min media_id,
+    v2 = 1 on the keeper row); twin = recursive-CTE transitive
+    closure over the same pair CTEs."""
     docs = load_table(spark, sf, "documents")
     media = multimodal.synth_media_from_documents(docs)
     b = F.lit(None).cast("bigint")
@@ -1348,7 +1354,10 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(4)
         ],
     )
-    hp = multimodal.phash_near_dup_pairs(hashes, max_hamming=3).select(
+    hp_pairs = multimodal.phash_near_dup_pairs(
+        hashes, max_hamming=3
+    ).localCheckpoint(eager=False)
+    hp = hp_pairs.select(
         F.lit("hampair").alias("tag"),
         F.col("id_a").alias("media_id"),
         F.col("id_b").cast("bigint").alias("v1"),
@@ -1388,7 +1397,10 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("v3"),
         b.alias("v4"),
     )
-    vp = multimodal.video_near_dup_pairs(vfh, min_jaccard=0.5).select(
+    vp_pairs = multimodal.video_near_dup_pairs(
+        vfh, min_jaccard=0.5
+    ).localCheckpoint(eager=False)
+    vp = vp_pairs.select(
         F.lit("vpair").alias("tag"),
         F.col("id_a").alias("media_id"),
         F.col("id_b").cast("bigint").alias("v1"),
@@ -1408,7 +1420,10 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("v3"),
         b.alias("v4"),
     )
-    ap = multimodal.audio_match_pairs(awh, min_votes=4).select(
+    ap_pairs = multimodal.audio_match_pairs(
+        awh, min_votes=4
+    ).localCheckpoint(eager=False)
+    ap = ap_pairs.select(
         F.lit("apair").alias("tag"),
         F.col("id_a").alias("media_id"),
         F.col("id_b").cast("bigint").alias("v1"),
@@ -1416,9 +1431,36 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         F.col("votes").cast("bigint").alias("v3"),
         b.alias("v4"),
     )
+    # r12: media CLUSTERS + KEEPERS — the step that turns the three
+    # modality pair sets into something a pipeline can act on, the
+    # same pairs → connected_components → keeper flow the text leg
+    # uses (dedup_clusters). Edges are the union of image Hamming
+    # pairs, video Jaccard pairs, and audio offset-vote pairs (pair
+    # frames lazily checkpointed above, so the band joins run once
+    # and CC's own eager checkpoint reads their output); keeper =
+    # cluster-minimum media_id. Rows: v1 = component (keeper id),
+    # v2 = 1 when the row IS the keeper. Oracle twin: recursive-CTE
+    # transitive closure over the same three pair CTEs (mcomp).
+    medges = (
+        hp_pairs.select("id_a", "id_b")
+        .unionByName(vp_pairs.select("id_a", "id_b"))
+        .unionByName(ap_pairs.select("id_a", "id_b"))
+    )
+    mcluster = dedup.connected_components(medges).select(
+        F.lit("mcluster").alias("tag"),
+        F.col("node").alias("media_id"),
+        F.col("component").cast("bigint").alias("v1"),
+        F.when(F.col("node") == F.col("component"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("v2"),
+        b.alias("v3"),
+        b.alias("v4"),
+    )
     return (
         rz.unionByName(fr).unionByName(dh).unionByName(hp).unionByName(ph)
         .unionByName(vh).unionByName(vp).unionByName(ah).unionByName(ap)
+        .unionByName(mcluster)
     )
 
 
@@ -4199,7 +4241,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "media_plans": """
-            WITH m AS (
+            WITH RECURSIVE m AS (
                 SELECT doc_id AS media_id,
                        CAST(n_chars % 1920 + 16 AS INT) AS width,
                        CAST(n_chars % 1080 + 16 AS INT) AS height
@@ -4209,7 +4251,50 @@ def oracle_sql() -> dict[str, str]:
         + _sql_media_phash_cte()
         + _sql_media_vhash_cte()
         + _sql_media_ahash_cte()
-        + """
+        + """, hampairs AS (
+                SELECT * FROM (
+                    SELECT a.media_id AS ida,
+                           CAST(b.media_id AS BIGINT) AS idb,
+                           CAST(bit_count(xor(a.band0, b.band0))
+                                + bit_count(xor(a.band1, b.band1))
+                                + bit_count(xor(a.band2, b.band2))
+                                + bit_count(xor(a.band3, b.band3))
+                                AS BIGINT) AS ham
+                    FROM mbands a JOIN mbands b
+                      ON a.media_id < b.media_id
+                     AND a.band0 IS NOT NULL AND b.band0 IS NOT NULL
+                     AND (a.band0 = b.band0 OR a.band1 = b.band1
+                          OR a.band2 = b.band2 OR a.band3 = b.band3)
+                ) WHERE ham <= 3
+            ),
+            -- media clusters: transitive closure over the UNION of
+            -- the three modality pair sets (image Hamming, video
+            -- Jaccard, audio offset votes) — the relational twin of
+            -- the Spark side's pairs -> connected_components flow
+            medges AS (
+                SELECT ida AS u, idb AS v FROM hampairs
+                UNION
+                SELECT idb, ida FROM hampairs
+                UNION
+                SELECT ida, idb FROM vpair
+                UNION
+                SELECT idb, ida FROM vpair
+                UNION
+                SELECT ida, idb FROM apair
+                UNION
+                SELECT idb, ida FROM apair
+            ),
+            mreach(u, v) AS (
+                SELECT u, v FROM medges
+                UNION
+                SELECT r.u, e.v FROM mreach r
+                JOIN medges e ON r.v = e.u
+                WHERE e.v <> r.u
+            ),
+            mcomp AS (
+                SELECT u AS node, least(u, min(v)) AS component
+                FROM mreach GROUP BY u
+            )
             SELECT 'resize' AS tag, media_id,
                    CAST(width AS BIGINT) AS v1, CAST(height AS BIGINT) AS v2,
                    CAST(ceil(width * least(1.0, 512.0 / greatest(width, height)))
@@ -4230,20 +4315,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'dhash', media_id, band0, band1, band2, band3
             FROM mbands
             UNION ALL
-            SELECT 'hampair', ida, idb, ham, NULL, NULL FROM (
-                SELECT a.media_id AS ida,
-                       CAST(b.media_id AS BIGINT) AS idb,
-                       CAST(bit_count(xor(a.band0, b.band0))
-                            + bit_count(xor(a.band1, b.band1))
-                            + bit_count(xor(a.band2, b.band2))
-                            + bit_count(xor(a.band3, b.band3))
-                            AS BIGINT) AS ham
-                FROM mbands a JOIN mbands b
-                  ON a.media_id < b.media_id
-                 AND a.band0 IS NOT NULL AND b.band0 IS NOT NULL
-                 AND (a.band0 = b.band0 OR a.band1 = b.band1
-                      OR a.band2 = b.band2 OR a.band3 = b.band3)
-            ) WHERE ham <= 3
+            SELECT 'hampair', ida, idb, ham, NULL, NULL FROM hampairs
             UNION ALL
             SELECT 'phash', media_id, pband0, pband1, pband2, pband3
             FROM pbands
@@ -4261,6 +4333,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ahash
             UNION ALL
             SELECT 'apair', ida, idb, off, votes, NULL FROM apair
+            UNION ALL
+            SELECT 'mcluster', node, component,
+                   CASE WHEN node = component THEN 1 ELSE 0 END,
+                   NULL, NULL
+            FROM mcomp
         """,
         "corpus_sample": _sql_corpus_sample(),
         "sparse_document": """

@@ -524,6 +524,66 @@ def test_reencoded_variants_found_by_perceptual_dedup(spark):
     assert pairs == {(0, 1_000_000_000), (12, 1_000_000_012)}
 
 
+def test_media_clusters_and_keepers(spark):
+    """Media dedup acts, not just detects (r12): the union of the
+    three modality pair sets (image Hamming, video Jaccard, audio
+    offset votes) feeds connected_components and each cluster gets a
+    deterministic keeper (min media_id) — the same pairs → CC →
+    keeper flow the text leg runs in dedup_clusters."""
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    rows = [
+        # image class (doc_id%3==0); %12==0 → re-encoded variant
+        (0, "zero image salad words " * 12, "en", "s", 240),
+        (12, "twelve image salad words " * 12, "en", "s", 240),
+        # audio class (doc_id%3==1): 1 and 13 share content
+        (1, "shared audio clip content " * 12, "en", "s", 240),
+        (13, "shared audio clip content " * 12, "en", "s", 240),
+        # video class (doc_id%3==2): 2 and 14 share content
+        (2, "shared video reel content " * 12, "en", "s", 240),
+        (14, "shared video reel content " * 12, "en", "s", 240),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_media_from_documents(docs).unionByName(
+        multimodal.synth_reencoded_variants(docs)
+    )
+    hp = multimodal.phash_near_dup_pairs(
+        multimodal.perceptual_hash(media), max_hamming=3
+    )
+    vp = multimodal.video_near_dup_pairs(
+        multimodal.video_frame_hashes(media), min_jaccard=0.5
+    )
+    ap = multimodal.audio_match_pairs(
+        multimodal.audio_window_hashes(media), min_votes=4
+    )
+    edges = (
+        hp.select("id_a", "id_b")
+        .unionByName(vp.select("id_a", "id_b"))
+        .unionByName(ap.select("id_a", "id_b"))
+    )
+    members = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    # every synth variant collapses onto its original; the shared
+    # audio/video content collapses onto the smaller id
+    assert members == {
+        0: 0,
+        1_000_000_000: 0,
+        12: 12,
+        1_000_000_012: 12,
+        1: 1,
+        13: 1,
+        2: 2,
+        14: 2,
+    }
+    keepers = {n for n, c in members.items() if n == c}
+    assert keepers == {0, 12, 1, 2}
+
+
 def test_frame_sample_counts(spark):
     df = spark.createDataFrame(
         [(2, "t", "en", "s", 250)],  # doc_id%3==2 -> video, 2500ms
