@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import bloom as bloom_ops
-from .operators import corpus_prep, dedup, lm, text
+from .operators import corpus_prep, dedup, lm, multimodal, text
 
 
 @dataclass(frozen=True)
@@ -589,6 +589,9 @@ def incremental_ingest(
     max_top_ngram_frac: Mapping[int, float] | None = None,
     max_dup_ngram_frac: Mapping[int, float] | None = None,
     bloom_guard: bool = False,
+    media_guard: bool = False,
+    media_col: str = "payload",
+    media_max_hamming: int = 3,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -694,10 +697,31 @@ def incremental_ingest(
     absent or unreadable (crash mid-overwrite), it is rebuilt from
     the layer on next use.
 
+    ``media_guard`` (r12) upgrades admission with PERCEPTUAL media
+    dedup for batches that carry a binary ``media_col`` column: a
+    ``media_bands`` sidecar persists the 64-bit perceptual hash
+    (4×16-bit bands, :func:`operators.multimodal.perceptual_hash` —
+    constant width per image regardless of payload size); each batch
+    drops (a) its own perceptual-cluster non-keepers (banded Hamming
+    pairs → connected components, batch-sized) and (b) images within
+    ``media_max_hamming`` bits of ANY admitted image
+    (:func:`operators.multimodal.phash_seen_ids` — batch hash rows
+    broadcast against the sidecar, exact Hamming verify in the probe,
+    history never shuffled or payload-read). Unlike the text LSH gate
+    this one is verify-exact (the sidecar carries the full hash), so
+    at the default threshold the block is never a band-collision
+    false positive. The kernel identity is stamped into the
+    ``_lake_mode`` marker like the LSH recipe; append order
+    docs → … → bands → media hashes, with the same id-absence heal on
+    replay (``healed_media``). NULL/unreadable payloads hash to NULL
+    bands: admitted (no perceptual evidence), kept out of the
+    sidecar.
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
     ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
-    history band collisions) and healed_bands; with ``line_census``
+    history band collisions) and healed_bands; with ``media_guard``
+    also media_skipped and healed_media; with ``line_census``
     also census_lines (keys appended this call); with any quality
     gate on, also quality_rejected; with ``bloom_guard``, also
     bloom_fastpath (keys proven new without touching the exact
@@ -744,6 +768,13 @@ def incremental_ingest(
             f"+lsh:{lsh_num_hashes}x{lsh_bands}x{lsh_shingle_k}"
             f":{lsh_hash_family}"
         )
+    if media_guard:
+        # the perceptual-hash kernel is part of the lake's identity
+        # for the same reason as the LSH recipe: band keys from a
+        # different kernel would never collide with the persisted
+        # media sidecar, silently disabling the guard
+        mode += "+media:dhash"
+    media_bands_path = f"{out_root}/media_bands"
     marker_path = f"{out_root}/_lake_mode"
     recorded = None
     if _exists(spark, marker_path):
@@ -895,6 +926,49 @@ def incremental_ingest(
         n_near_skipped += members.filter(
             F.col("node") != F.col("component")
         ).count()
+    n_media_skipped = 0
+    batch_mhashes = None
+    if media_guard:
+        if media_col not in batch.columns:
+            raise ValueError(
+                f"incremental_ingest(media_guard=True) needs a "
+                f"{media_col!r} binary column in the input batch"
+            )
+        if "__md" in batch.columns:
+            raise ValueError(
+                "incremental_ingest(media_guard=True) reserves the "
+                "column name '__md' for its history guard — rename "
+                "it in the input"
+            )
+        # perceptual hashes of the batch payloads, computed ONCE
+        # (checkpointed: within-batch pairing, the history probe, and
+        # the sidecar append all read them) — 4 ints + 16 hex chars
+        # per row regardless of payload size. kinds=() — the guard
+        # hashes whatever payloads the batch carries; the caller owns
+        # kind routing.
+        batch = batch.localCheckpoint()
+        batch_mhashes = multimodal.perceptual_hash(
+            batch.select(id_col, media_col),
+            id_col=id_col,
+            payload_col=media_col,
+            kinds=(),
+        ).localCheckpoint()
+        # within-batch perceptual dedup: two near-identical images
+        # arriving together admit one keeper — pairs → components →
+        # anti-join, all batch-sized (the media mirror of the
+        # near_dup block above)
+        mpairs = multimodal.phash_near_dup_pairs(
+            batch_mhashes, id_col=id_col, max_hamming=media_max_hamming
+        )
+        mmembers = dedup.connected_components(
+            mpairs.select(
+                F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+            )
+        )
+        batch = dedup.drop_near_duplicates(batch, id_col, mmembers)
+        n_media_skipped += mmembers.filter(
+            F.col("node") != F.col("component")
+        ).count()
     if bucketed and spark.catalog.tableExists(fp_table):
         seen = spark.table(fp_table).select("fingerprint")
     elif not bucketed and _exists(spark, fp_path):
@@ -944,6 +1018,23 @@ def incremental_ingest(
         ).localCheckpoint()
         n_near_skipped += nd_flagged.filter(F.col("__nd")).count()
         admitted = nd_flagged.filter(F.col("__nd").isNull()).drop("__nd")
+    if media_guard and _exists(spark, media_bands_path):
+        # media history probe: batch hash rows BROADCAST against the
+        # constant-width media sidecar (4 ints/image — history never
+        # shuffled or payload-read per batch); exact Hamming verify
+        # inside the probe since the sidecar carries the full hash.
+        # Same flag-join shape as the near_dup guard above.
+        media_hits = multimodal.phash_seen_ids(
+            batch_mhashes,
+            spark.read.parquet(media_bands_path),
+            id_col=id_col,
+            max_hamming=media_max_hamming,
+        )
+        md_flagged = admitted.join(
+            media_hits.withColumn("__md", F.lit(True)), id_col, "left"
+        ).localCheckpoint()
+        n_media_skipped += md_flagged.filter(F.col("__md")).count()
+        admitted = md_flagged.filter(F.col("__md").isNull()).drop("__md")
     # crash-replay guard: ids already admitted are never re-appended
     # even if their fingerprint append didn't land
     prior_ids = None
@@ -1038,6 +1129,32 @@ def incremental_ingest(
     )
     if n_healed_bands:
         healable_bands.write.mode("append").parquet(bands_path)
+    # media-sidecar heal: same proof obligation as the bands heal —
+    # a doc row landed but its media-hash append did not, leaving the
+    # image invisible to the perceptual guard. Candidates = the
+    # batch's hash rows whose id is already admitted AND absent from
+    # the media sidecar's own id column.
+    healable_media = None
+    if media_guard and prior_ids is not None:
+        hm = batch_mhashes.filter(F.col("band0").isNotNull()).join(
+            prior_ids.dropDuplicates(), id_col, "left_semi"
+        )
+        if _exists(spark, media_bands_path):
+            hm = hm.join(
+                spark.read.parquet(media_bands_path)
+                .select(id_col)
+                .dropDuplicates(),
+                id_col,
+                "left_anti",
+            )
+        healable_media = hm.localCheckpoint()
+    n_healed_media = (
+        healable_media.select(id_col).distinct().count()
+        if healable_media is not None
+        else 0
+    )
+    if n_healed_media:
+        healable_media.write.mode("append").parquet(media_bands_path)
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
         if bucketed:
@@ -1127,6 +1244,14 @@ def incremental_ingest(
                 "id",
                 "left_semi",
             ).write.mode("append").parquet(bands_path)
+        if media_guard:
+            # media hashes after docs, like bands: a crash before this
+            # lands is healed on replay by the id-absence backfill
+            # above (NULL-band rows — unreadable payloads — carry no
+            # evidence and stay out of the sidecar)
+            batch_mhashes.filter(F.col("band0").isNotNull()).join(
+                admitted.select(id_col), id_col, "left_semi"
+            ).write.mode("append").parquet(media_bands_path)
     out = {
         "arrived": arrived,
         "admitted": n_admitted,
@@ -1138,6 +1263,9 @@ def incremental_ingest(
     if near_dup:
         out["near_dup_skipped"] = n_near_skipped
         out["healed_bands"] = n_healed_bands
+    if media_guard:
+        out["media_skipped"] = n_media_skipped
+        out["healed_media"] = n_healed_media
     if line_census:
         out["census_lines"] = n_census_lines
     if decontaminate_probes is not None:
@@ -1396,6 +1524,9 @@ def streaming_ingest(
     max_top_ngram_frac: Mapping[int, float] | None = None,
     max_dup_ngram_frac: Mapping[int, float] | None = None,
     bloom_guard: bool = False,
+    media_guard: bool = False,
+    media_col: str = "payload",
+    media_max_hamming: int = 3,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -1423,7 +1554,10 @@ def streaming_ingest(
     streaming face carries the full gate set the batch pipeline
     has; ``bloom_guard`` forwards the Bloom pre-filter (the
     bit_or-idempotent sidecar composes with replay exactly like the
-    census — see :func:`incremental_ingest`)."""
+    census — see :func:`incremental_ingest`); ``media_guard`` (r12)
+    forwards the perceptual media admission guard (constant-width
+    hash sidecar + id-absence heal, so at-least-once replay composes
+    the same way)."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         incremental_ingest(
@@ -1442,6 +1576,9 @@ def streaming_ingest(
             max_top_ngram_frac=max_top_ngram_frac,
             max_dup_ngram_frac=max_dup_ngram_frac,
             bloom_guard=bloom_guard,
+            media_guard=media_guard,
+            media_col=media_col,
+            media_max_hamming=media_max_hamming,
         )
 
     return (

@@ -341,6 +341,79 @@ def phash_near_dup_pairs(
     )
 
 
+def phash_seen_ids(
+    batch_hashes: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_broadcast_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """Cross-corpus perceptual-membership probe: the distinct batch
+    ids whose image hash lies within ``max_hamming`` bits of ANY
+    historical hash — the media analog of
+    :func:`..dedup.lsh_seen_ids`, for an ingest admission guard that
+    must ask "is this image a near-dup of anything already admitted"
+    without rescanning payloads.
+
+    ``seen_hashes`` is the persisted media-hash sidecar of the
+    admitted corpus — the ``(id, band0..band3)`` output of
+    :func:`perceptual_hash`, constant-width (4 ints per image)
+    regardless of payload size. Unlike the text LSH gate (candidates
+    dropped unverified — verifying would read historical text), the
+    probe here is EXACT at ``max_hamming <= 3``: the sidecar carries
+    the full 64-bit hash, so candidates from the band-equality join
+    are verified with the true Hamming distance at no extra read, and
+    the pigeonhole recall argument of :func:`phash_near_dup_pairs`
+    applies verbatim.
+
+    Plan (the 100 TB shape): batch band rows are explicitly
+    ``broadcast`` — the corpus-sized sidecar scan is probed map-side
+    with NO shuffle and NO sort of history. Mega-batches beyond
+    ``max_broadcast_rows`` band rows are chunked by an id-hash
+    modulus and unioned, mirroring ``lsh_seen_ids``."""
+    band_exprs = ", ".join(f"{j}, band{j}" for j in range(DHASH_BANDS))
+
+    def _long(h: DataFrame, prefix: str) -> DataFrame:
+        return h.filter(F.col("band0").isNotNull()).selectExpr(
+            f"{id_col} as {prefix}id",
+            *[f"band{j} as {prefix}{j}" for j in range(DHASH_BANDS)],
+            f"stack({DHASH_BANDS}, {band_exprs}) as (band, band_key)",
+        )
+
+    seen_long = _long(seen_hashes, "s")
+    ham = None
+    for j in range(DHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"b{j}").bitwiseXOR(F.col(f"s{j}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+
+    def _probe(chunk: DataFrame) -> DataFrame:
+        return (
+            seen_long.join(F.broadcast(chunk), ["band", "band_key"])
+            .filter(ham <= int(max_hamming))
+            .select(F.col("bid").alias(id_col))
+        )
+
+    batch_long = _long(batch_hashes, "b")
+    if max_broadcast_rows is not None:
+        batch_long = batch_long.localCheckpoint()
+        n = batch_long.count()
+        if n > int(max_broadcast_rows):
+            n_chunks = -(-n // int(max_broadcast_rows))
+            out = None
+            for i in range(n_chunks):
+                part = _probe(
+                    batch_long.filter(
+                        F.pmod(F.xxhash64(F.col("bid")), F.lit(n_chunks))
+                        == F.lit(i)
+                    )
+                )
+                out = part if out is None else out.unionByName(part)
+            return out.distinct()
+    return _probe(batch_long).distinct()
+
+
 def video_frame_hashes(
     media: DataFrame,
     every_ms: int = 1000,

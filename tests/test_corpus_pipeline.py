@@ -1062,6 +1062,180 @@ def test_near_dup_ingest_heals_missing_bands_on_replay(spark, tmp_path):
     assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
 
 
+def _media_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, payload binary"
+    )
+
+
+def _media_payloads():
+    import random
+
+    rng = random.Random(5)
+    p = bytes(rng.randrange(256) for _ in range(600))
+    q = bytes(rng.randrange(256) for _ in range(600))
+    r = bytes(rng.randrange(256) for _ in range(600))
+    flip = lambda b: b[:300] + b"~" + b[301:]
+    return p, q, r, flip
+
+
+def test_media_guard_blocks_perceptual_recrawls(spark, tmp_path):
+    """media_guard=True closes the media gap the text guards can't
+    see: a re-encoded copy of an admitted image (1-byte payload edit,
+    different caption) is blocked in a LATER batch (sidecar probe)
+    and within ONE batch (perceptual clustering); genuinely new media
+    still lands; replay is idempotent."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    p, q, r, flip = _media_payloads()
+    root = str(tmp_path / "lake_media")
+    r1 = incremental_ingest(
+        spark,
+        _media_docs(spark, [(1, "caption alpha", p)]),
+        root,
+        media_guard=True,
+    )
+    assert r1["admitted"] == 1 and r1["media_skipped"] == 0
+    b2 = [
+        (10, "caption beta entirely different", flip(p)),  # re-encode of 1
+        (11, "caption gamma", q),  # genuinely new
+        (12, "caption delta", r),  # within-batch perceptual pair ...
+        (13, "caption epsilon", flip(r)),  # ... admits one keeper
+    ]
+    r2 = incremental_ingest(
+        spark, _media_docs(spark, b2), root, media_guard=True
+    )
+    assert r2["admitted"] == 2
+    assert r2["media_skipped"] == 2
+    assert r2["total_docs"] == 3
+    r2b = incremental_ingest(
+        spark, _media_docs(spark, b2), root, media_guard=True
+    )
+    assert r2b["admitted"] == 0 and r2b["healed_media"] == 0
+    # the sidecar is constant-width: id + 4 bands + hex, one row per
+    # admitted image
+    side = spark.read.parquet(f"{root}/media_bands")
+    assert side.count() == 3
+    assert {"doc_id", "band0", "band1", "band2", "band3"} <= set(
+        side.columns
+    )
+
+
+def test_media_guard_is_lake_identity_and_handles_null_payloads(
+    spark, tmp_path
+):
+    """The perceptual kernel is stamped into the mode marker (an
+    unguarded call on a media-guarded lake is refused loudly), and a
+    NULL payload is admitted but leaves no sidecar row (no perceptual
+    evidence either way)."""
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    p, q, r, flip = _media_payloads()
+    root = str(tmp_path / "lake_media_mode")
+    res = incremental_ingest(
+        spark,
+        _media_docs(spark, [(1, "caption alpha", p), (2, "no image", None)]),
+        root,
+        media_guard=True,
+    )
+    assert res["admitted"] == 2
+    assert spark.read.parquet(f"{root}/media_bands").count() == 1
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(
+            spark, _media_docs(spark, [(3, "caption", q)]), root
+        )
+    with _pytest.raises(ValueError, match="payload"):
+        incremental_ingest(
+            spark,
+            spark.createDataFrame(
+                [(3, "caption")], "doc_id long, text string"
+            ),
+            root,
+            media_guard=True,
+        )
+
+
+def test_media_guard_heals_missing_sidecar_on_replay(spark, tmp_path):
+    """Crash window: docs landed, media-hash append did not. The
+    replay backfills the sidecar (healed_media) so the perceptual
+    guard regains sight — and a re-encoded copy arriving after the
+    heal is blocked again."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    p, q, r, flip = _media_payloads()
+    root = str(tmp_path / "lake_media_heal")
+    incremental_ingest(
+        spark,
+        _media_docs(spark, [(1, "caption alpha", p)]),
+        root,
+        media_guard=True,
+    )
+    shutil.rmtree(f"{root}/media_bands")
+    rep = incremental_ingest(
+        spark,
+        _media_docs(spark, [(1, "caption alpha", p)]),
+        root,
+        media_guard=True,
+    )
+    assert rep["admitted"] == 0
+    assert rep["healed_media"] == 1
+    r2 = incremental_ingest(
+        spark,
+        _media_docs(spark, [(9, "caption omega new", flip(p))]),
+        root,
+        media_guard=True,
+    )
+    assert r2["admitted"] == 0 and r2["media_skipped"] == 1
+
+
+def test_streaming_ingest_media_guard_blocks_reencodes(spark, tmp_path):
+    """The streaming face forwards media_guard: a re-encoded copy
+    arriving in a later micro-batch file is blocked by the sidecar
+    probe, exactly like the batch path."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    p, q, r, flip = _media_payloads()
+    root = str(tmp_path / "lake_media_stream")
+    src = tmp_path / "incoming"
+    src.mkdir()
+    _media_docs(spark, [(1, "caption alpha", p)]).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    schema = "doc_id long, text string, payload binary"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qy = streaming_ingest(stream, root, media_guard=True)
+    try:
+        qy.processAllAvailable()
+        _media_docs(
+            spark,
+            [(10, "caption beta other", flip(p)), (11, "caption gamma", q)],
+        ).write.mode("overwrite").parquet(str(src / "b2"))
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    docs = spark.read.parquet(f"{root}/docs")
+    assert {row["doc_id"] for row in docs.select("doc_id").collect()} == {
+        1,
+        11,
+    }
+
+
 def test_streaming_ingest_near_dup_blocks_perturbed_files(spark, tmp_path):
     """near_dup=True under the real streaming engine: a later file
     carrying a perturbed copy of admitted content admits nothing — the
