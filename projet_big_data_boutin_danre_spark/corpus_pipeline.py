@@ -589,6 +589,7 @@ def incremental_ingest(
     max_top_ngram_frac: Mapping[int, float] | None = None,
     max_dup_ngram_frac: Mapping[int, float] | None = None,
     bloom_guard: bool = False,
+    bloom_max_fill: float = 0.5,
     media_guard: bool = False,
     media_col: str = "payload",
     media_max_hamming: int = 3,
@@ -695,7 +696,13 @@ def incremental_ingest(
     filter, a false negative that would let a later duplicate skip
     the exact join. The filter is a CACHE of the fingerprint layer:
     absent or unreadable (crash mid-overwrite), it is rebuilt from
-    the layer on next use.
+    the layer on next use. Lifecycle (r12): the geometry lives in the
+    layer name and is DISCOVERED per call (largest layer wins); when
+    the post-merge fill crosses ``bloom_max_fill`` (default 0.5 —
+    fpp ≈ fill^k) the sidecar is rebuilt one ``hex_chars`` step
+    larger from the fingerprint layer (:func:`bloom_rebuild`, new
+    layer written before the old is deleted), restoring the fastpath
+    instead of silently degrading to all-"maybe".
 
     ``media_guard`` (r12) upgrades admission with PERCEPTUAL media
     dedup for batches that carry a binary ``media_col`` column: a
@@ -739,10 +746,15 @@ def incremental_ingest(
     # have. Encoding the geometry in the path makes a constant change
     # self-healing: the old layer is simply absent under the new name
     # and the filter rebuilds from the fingerprint layer.
-    bloom_path = (
-        f"{out_root}/bloom_k{bloom_ops.K_DEFAULT}"
-        f"h{bloom_ops.HEX_CHARS_DEFAULT}"
-    )
+    bloom_hex = bloom_ops.HEX_CHARS_DEFAULT
+    if bloom_guard:
+        # rebuild-on-fill grows the geometry; probe/build must follow
+        # the largest layer present (see _discover_bloom_geometry)
+        bloom_hex = (
+            _discover_bloom_geometry(spark, out_root)
+            or bloom_ops.HEX_CHARS_DEFAULT
+        )
+    bloom_path = _bloom_layer_path(out_root, bloom_hex)
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None
@@ -985,9 +997,11 @@ def incremental_ingest(
         # layer — the filter is a cache, never the source of truth.
         blm = _read_bloom_layer(spark, bloom_path)
         if blm is None:
-            blm = bloom_ops.bloom_build(seen, "fingerprint").localCheckpoint()
+            blm = bloom_ops.bloom_build(
+                seen, "fingerprint", hex_chars=bloom_hex
+            ).localCheckpoint()
         probed = bloom_ops.bloom_probe(
-            batch, blm, "fingerprint"
+            batch, blm, "fingerprint", hex_chars=bloom_hex
         ).localCheckpoint()
         definite = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -1176,7 +1190,9 @@ def incremental_ingest(
             # filter — a false negative that would let a later
             # duplicate skip the exact join. Merge is per-word
             # bit_or: replaying the same batch is a no-op.
-            new_bits = bloom_ops.bloom_build(admitted, "fingerprint")
+            new_bits = bloom_ops.bloom_build(
+                admitted, "fingerprint", hex_chars=bloom_hex
+            )
             # Reuse the probe-time filter: when the sidecar was
             # missing/unreadable, the probe rebuilt it from the
             # fingerprint layer, and re-reading disk here would
@@ -1252,6 +1268,31 @@ def incremental_ingest(
             batch_mhashes.filter(F.col("band0").isNotNull()).join(
                 admitted.select(id_col), id_col, "left_semi"
             ).write.mode("append").parquet(media_bands_path)
+    n_bloom_fill_pct = 0
+    n_bloom_rebuilt_hex = 0
+    if bloom_guard and n_admitted:
+        # saturation auto-check (rebuild-on-fill): fpp ≈ fill^k, so
+        # past bloom_max_fill the fastpath stops proving keys new and
+        # every batch pays the exact join anyway — grow the geometry
+        # one step and rebuild from the authoritative fingerprint
+        # layer, which at this point includes this batch (the appends
+        # above landed). One step per batch bounds the rebuild cost;
+        # a still-saturated filter grows again next batch.
+        cur = _read_bloom_layer(spark, bloom_path)
+        if cur is not None:
+            fill = float(
+                bloom_ops.bloom_fill_stats(cur, bloom_hex).first()[
+                    "fill_frac"
+                ]
+            )
+            if fill > bloom_max_fill:
+                res = bloom_rebuild(
+                    spark, out_root, bloom_hex + 1,
+                    catalog_prefix=catalog_prefix,
+                )
+                n_bloom_rebuilt_hex = bloom_hex + 1
+                fill = res["fill_frac"]
+            n_bloom_fill_pct = int(round(fill * 100))
     out = {
         "arrived": arrived,
         "admitted": n_admitted,
@@ -1274,7 +1315,100 @@ def incremental_ingest(
         out["quality_rejected"] = n_quality_rejected
     if bloom_guard:
         out["bloom_fastpath"] = n_bloom_fastpath
+        out["bloom_fill_pct"] = n_bloom_fill_pct
+        out["bloom_rebuilt_hex"] = n_bloom_rebuilt_hex
     return out
+
+
+def _bloom_layer_path(out_root: str, hex_chars: int) -> str:
+    return f"{out_root}/bloom_k{bloom_ops.K_DEFAULT}h{hex_chars}"
+
+
+def _discover_bloom_geometry(spark: SparkSession, out_root: str) -> int | None:
+    """Largest ``hex_chars`` for which a ``bloom_k{K}h{h}`` layer
+    exists under the lake root. Rebuild-on-fill grows the geometry,
+    and probe/build must follow the grown layer — probing a filter of
+    a different geometry produces silent false negatives, the one
+    failure mode Bloom admission must never have. Crash window
+    (rebuilt layer written, old not yet deleted) resolves to the
+    LARGER geometry; the stale layer is swept on the next rebuild."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(out_root)
+    prefix = f"bloom_k{bloom_ops.K_DEFAULT}h"
+    try:
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return None
+        best = None
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith(prefix):
+                continue
+            try:
+                h = int(name[len(prefix):])
+            except ValueError:
+                continue
+            best = h if best is None else max(best, h)
+        return best
+    except Exception:
+        return None
+
+
+def bloom_rebuild(
+    spark: SparkSession,
+    out_root: str,
+    hex_chars: int,
+    catalog_prefix: str | None = None,
+    drop_others: bool = True,
+) -> dict[str, float | int]:
+    """Rebuild the lake's Bloom sidecar from the authoritative
+    fingerprint layer at a NEW geometry — the saturation escape hatch
+    :func:`operators.bloom.bloom_fill_stats` documents (fpp ≈ fill^k;
+    past ~50% fill the fastpath stops proving anything and every key
+    pays the exact join). :func:`incremental_ingest` calls this
+    automatically when the post-merge fill crosses ``bloom_max_fill``
+    (one geometry step per batch); it is also a standalone
+    maintenance operation.
+
+    Crash-safe order: the new layer (its geometry encoded in the
+    path) is written BEFORE any old layer is deleted, and geometry
+    discovery always resolves to the largest layer present — a crash
+    between the two steps degrades to a stale extra directory, never
+    to a probe against missing bits. Returns
+    ``{"hex_chars", "bits_set", "fill_frac"}``."""
+    fp_table = f"{catalog_prefix}_fingerprints" if catalog_prefix else None
+    fp_path = f"{out_root}/fingerprints"
+    if fp_table and spark.catalog.tableExists(fp_table):
+        seen = spark.table(fp_table).select("fingerprint")
+    elif _exists(spark, fp_path):
+        seen = spark.read.parquet(fp_path).select("fingerprint")
+    else:
+        raise ValueError(
+            f"lake at {out_root} has no fingerprint layer to rebuild "
+            "the Bloom sidecar from"
+        )
+    blm = bloom_ops.bloom_build(
+        seen, "fingerprint", hex_chars=hex_chars
+    ).localCheckpoint()
+    path = _bloom_layer_path(out_root, hex_chars)
+    blm.write.mode("overwrite").parquet(path)
+    if drop_others:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        root = hpath(out_root)
+        prefix = f"bloom_k{bloom_ops.K_DEFAULT}h"
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith(prefix) and name != f"{prefix}{hex_chars}":
+                fs.delete(st.getPath(), True)
+    stats = bloom_ops.bloom_fill_stats(blm, hex_chars).first()
+    return {
+        "hex_chars": hex_chars,
+        "bits_set": int(stats["bits_set"]),
+        "fill_frac": float(stats["fill_frac"]),
+    }
 
 
 def _read_bloom_layer(spark: SparkSession, path: str) -> DataFrame | None:
@@ -1448,9 +1582,22 @@ def update_line_census(
         F.coalesce(
             F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
         ).alias("d"),
-        F.count(F.lit(1)).alias("n"),
+        # count(id), not count(1): a NULL id contributes nothing to
+        # the XOR digest (xxhash64(NULL) is NULL, dropped by bit_xor)
+        # and nothing to count_distinct, so comparing against the raw
+        # row count would flag a single NULL id as a spurious
+        # "duplicate ids" hard error — NULLs get their own message.
+        F.count(F.col(id_col)).alias("n"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).first()
+    if digest_row["n_rows"] != digest_row["n"]:
+        raise ValueError(
+            f"line-census batch has {digest_row['n_rows'] - digest_row['n']} "
+            f"NULL {id_col} value(s) — a NULL id is invisible to the "
+            "XOR replay digest, so the skip decision would be "
+            "unsound. Drop or key the NULL-id rows first."
+        )
     if digest_row["n"] != digest_row["nd"]:
         raise ValueError(
             f"line-census batch has duplicate {id_col} values "

@@ -82,7 +82,11 @@ def _positions_long(
         .select(
             *group_cols,
             "__key",
-            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            # integer DIV, not double division + cast: equal on the
+            # non-negative sub-2^53 positions in use, but the twin's
+            # hex polynomial is exact integer math and the documented
+            # geometry is `pos // 64` — keep them identical everywhere
+            F.expr("__pos DIV 64").alias("word_idx"),
             # PySpark's shiftleft() wants a literal shift — go through
             # the SQL form, which accepts a column
             F.expr(
@@ -151,7 +155,7 @@ def bloom_probe(
         )
         out = out.join(
             F.broadcast(w),
-            (F.col(f"__p{j}") / 64).cast("long") == F.col(f"__wi{j}"),
+            F.expr(f"__p{j} DIV 64") == F.col(f"__wi{j}"),
             "left",
         )
         hit_cols.append(

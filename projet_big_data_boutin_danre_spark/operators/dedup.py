@@ -764,6 +764,23 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage of a superseded
+    ``localCheckpoint`` — ``Dataset.unpersist`` does not reach it (the
+    blocks belong to the internal RDD captured inside the LogicalRDD
+    plan node, freed otherwise only when the JVM happens to GC the
+    dataset). An iterative loop that checkpoints every round MUST
+    free superseded rounds or their blocks accumulate for the whole
+    loop: measured as driver GC-OOM at the 32× peel-probe volume
+    under the default 8 g heap (r11 verdict #6). Best-effort —
+    freeing storage is an optimization, never a correctness
+    requirement."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -925,6 +942,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
+    # the round whose checkpoint blocks are currently live; freed as
+    # soon as the next round's checkpoint has materialized (see
+    # _free_local_checkpoint — otherwise every round's blocks stay
+    # resident for the whole loop)
+    prev_cp = edges
 
     trivial = None
     if contract_pairs:
@@ -1025,6 +1047,12 @@ def connected_components(
             .distinct()
             .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         )
+        # the eager checkpoint above has materialized this round —
+        # the previous round's blocks are now unreachable by any
+        # later plan (lineage is truncated), so free them instead of
+        # letting ~max_iter rounds of edge blocks pile up
+        _free_local_checkpoint(prev_cp)
+        prev_cp = edges
         new_sig = _digest(edges)
         if new_sig == sig:
             break

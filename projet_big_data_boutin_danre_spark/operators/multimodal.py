@@ -747,7 +747,13 @@ def synth_reencoded_variants(
     ).select(
         (F.col("doc_id") + F.lit(offset)).alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode(edited, "UTF-8").alias("payload"),
+        # empty text → NULL payload (not the bare "~" the midpoint
+        # edit would leave): there is no image to re-encode, and the
+        # relational twin (_sql_media_dhash_cte) NULLs the same row —
+        # the two sides must agree on the documented edge
+        F.when(
+            F.length("text") == 0, F.lit(None).cast("binary")
+        ).otherwise(F.encode(edited, "UTF-8")).alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         (F.col("n_chars") % 1920 + 16).cast("int").alias("width"),
         (F.col("n_chars") % 1080 + 16).cast("int").alias("height"),

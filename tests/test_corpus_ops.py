@@ -524,6 +524,35 @@ def test_reencoded_variants_found_by_perceptual_dedup(spark):
     assert pairs == {(0, 1_000_000_000), (12, 1_000_000_012)}
 
 
+def test_reencoded_variant_of_empty_text_is_null_payload(spark):
+    """The documented edge the kernel and the SQL twin must agree on:
+    an EMPTY-text image has no content to re-encode, so its variant
+    carries a NULL payload (not the bare midpoint byte) and both the
+    original and the variant hash to NULL bands — excluded from
+    pairing on both engines."""
+    docs = spark.createDataFrame(
+        [(24, "", "en", "s", 0), (36, "real words here " * 10, "en", "s", 160)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = multimodal.synth_media_from_documents(docs).unionByName(
+        multimodal.synth_reencoded_variants(docs)
+    )
+    rows = {
+        r["media_id"]: r["band0"]
+        for r in multimodal.perceptual_hash(media).collect()
+    }
+    assert rows[24] is None and rows[1_000_000_024] is None
+    assert rows[36] is not None and rows[1_000_000_036] is not None
+    assert (
+        multimodal.phash_near_dup_pairs(
+            multimodal.perceptual_hash(media), max_hamming=3
+        )
+        .filter("id_a in (24) or id_b in (1000000024)")
+        .count()
+        == 0
+    )
+
+
 def test_media_clusters_and_keepers(spark):
     """Media dedup acts, not just detects (r12): the union of the
     three modality pair sets (image Hamming, video Jaccard, audio

@@ -363,6 +363,76 @@ def test_bloom_heal_preserves_historical_bits(spark, tmp_path):
     assert ids == {1, 2, 10, 21}
 
 
+def test_bloom_rebuild_on_fill_restores_fastpath(spark, tmp_path):
+    """Saturation lifecycle: a filter past bloom_max_fill is rebuilt
+    one hex_chars step larger from the fingerprint layer (new layer
+    written before the old is deleted; geometry discovered from the
+    layer name), and the fastpath recovers — novel keys prove new
+    again instead of all probing "maybe"."""
+    import os
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _discover_bloom_geometry,
+        bloom_rebuild,
+        incremental_ingest,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_fill")
+    b1 = spark.createDataFrame(
+        [(i, f"seed document number {i} alpha", "en") for i in range(8)],
+        schema,
+    )
+    incremental_ingest(spark, b1, root, bloom_guard=True)
+    # shrink the lake's filter to a toy geometry (16 bits): the next
+    # batch saturates it immediately
+    stats = bloom_rebuild(spark, root, hex_chars=1)
+    assert stats["hex_chars"] == 1 and stats["fill_frac"] > 0.5
+    assert _discover_bloom_geometry(spark, root) == 1
+    assert not os.path.exists(f"{root}/bloom_k4h6")  # old layer swept
+    b2 = spark.createDataFrame(
+        [(100 + i, f"fresh content {i} beta", "en") for i in range(4)],
+        schema,
+    )
+    r2 = incremental_ingest(spark, b2, root, bloom_guard=True)
+    # all 4 admitted (saturation causes extra exact-join work, never
+    # wrong admission) and the auto-check grew the geometry one step
+    assert r2["admitted"] == 4
+    assert r2["bloom_rebuilt_hex"] == 2
+    assert _discover_bloom_geometry(spark, root) == 2
+    assert not os.path.exists(f"{root}/bloom_k4h1")
+    # keep growing until the fill drops under the threshold, then the
+    # fastpath proves novel keys new again
+    for step in range(3, 8):
+        b = spark.createDataFrame(
+            [(1000 * step + i, f"wave {step} doc {i} gamma", "en")
+             for i in range(4)],
+            schema,
+        )
+        r = incremental_ingest(spark, b, root, bloom_guard=True)
+        assert r["admitted"] == 4
+        if r["bloom_rebuilt_hex"] == 0:
+            break
+    assert r["bloom_fill_pct"] <= 50
+    rn = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(90001, "totally novel delta text", "en"),
+             (90002, "another novel epsilon text", "en")],
+            schema,
+        ),
+        root,
+        bloom_guard=True,
+    )
+    assert rn["admitted"] == 2
+    assert rn["bloom_fastpath"] >= 1  # the fastpath is back
+    # replaying an admitted batch still rejects everything (the grown
+    # filter was rebuilt from the authoritative layer — no false
+    # negatives across rebuilds)
+    r1b = incremental_ingest(spark, b1, root, bloom_guard=True)
+    assert r1b["admitted"] == 0
+
+
 def test_repetition_gate_drops_boilerplate(spark, tmp_path):
     import shutil
 

@@ -125,6 +125,29 @@ def test_connected_components_string_keeper_is_lexicographic_min(spark):
     }
 
 
+def test_connected_components_frees_superseded_round_checkpoints(spark):
+    """The star loop checkpoints every round; superseded rounds must
+    be UNPERSISTED as soon as the next round materializes (r11
+    verdict #6: keeping all rounds alive GC-OOMs the default 8 g
+    driver at the 32× probe volume). A long chain forces many rounds;
+    the persistent-RDD census afterwards may hold the final round,
+    the peel frames, and the input — never one block set per round."""
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    st: dict = {}
+    out = dedup.connected_components(df, stats=st)
+    assert out.count() == 60  # nodes 1..60
+    assert st["rounds"] >= 3  # the chain actually iterated
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 3, (
+        f"{after - before} checkpoint block sets alive after "
+        f"{st['rounds']} rounds — superseded rounds are not freed"
+    )
+
+
 def test_connected_components_nonconvergence_raises(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
