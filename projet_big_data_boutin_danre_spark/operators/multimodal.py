@@ -687,6 +687,58 @@ def audio_match_pairs(
     )
 
 
+def media_dedup_clusters(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    min_jaccard: float = 0.5,
+    min_votes: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """End-to-end media near-dup clustering — the media mirror of
+    ``dedup.dedup_clusters``: each modality's candidate pairs (image
+    banded Hamming, video frame-set Jaccard, audio offset voting) are
+    unioned and resolved to duplicate CLUSTERS via connected
+    components. Returns ``(node, component)`` with ``component`` the
+    cluster-minimum id (the canonical keeper); media in no pair are
+    implicit singletons, and ``dedup.drop_near_duplicates`` applies
+    the keeper decision without the payloads ever riding the join.
+
+    Scale: each kernel reads payloads ONCE into a constant-width hash
+    layer (checkpointed here so pair generation never re-decodes);
+    pairs come from banded equality joins, never all-pairs; the CC
+    loop shuffles 8-byte ids only."""
+    from . import dedup as _dedup
+
+    hashes = perceptual_hash(media, id_col, payload_col).localCheckpoint(
+        eager=False
+    )
+    vfh = video_frame_hashes(
+        media, id_col=id_col, payload_col=payload_col
+    ).localCheckpoint(eager=False)
+    awh = audio_window_hashes(media, id_col, payload_col).localCheckpoint(
+        eager=False
+    )
+    pairs = (
+        phash_near_dup_pairs(
+            hashes, id_col, max_hamming=max_hamming, max_bucket=max_bucket
+        )
+        .select("id_a", "id_b")
+        .unionByName(
+            video_near_dup_pairs(
+                vfh, id_col, min_jaccard=min_jaccard, max_bucket=max_bucket
+            ).select("id_a", "id_b")
+        )
+        .unionByName(
+            audio_match_pairs(
+                awh, id_col, min_votes=min_votes, max_bucket=max_bucket
+            ).select("id_a", "id_b")
+        )
+    )
+    return _dedup.connected_components(pairs)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode each video row into frame
     timestamps (metadata-driven — no decode needed to *plan* the

@@ -579,24 +579,8 @@ def test_media_clusters_and_keepers(spark):
     media = multimodal.synth_media_from_documents(docs).unionByName(
         multimodal.synth_reencoded_variants(docs)
     )
-    hp = multimodal.phash_near_dup_pairs(
-        multimodal.perceptual_hash(media), max_hamming=3
-    )
-    vp = multimodal.video_near_dup_pairs(
-        multimodal.video_frame_hashes(media), min_jaccard=0.5
-    )
-    ap = multimodal.audio_match_pairs(
-        multimodal.audio_window_hashes(media), min_votes=4
-    )
-    edges = (
-        hp.select("id_a", "id_b")
-        .unionByName(vp.select("id_a", "id_b"))
-        .unionByName(ap.select("id_a", "id_b"))
-    )
-    members = {
-        r["node"]: r["component"]
-        for r in dedup.connected_components(edges).collect()
-    }
+    clusters = multimodal.media_dedup_clusters(media)
+    members = {r["node"]: r["component"] for r in clusters.collect()}
     # every synth variant collapses onto its original; the shared
     # audio/video content collapses onto the smaller id
     assert members == {
@@ -611,6 +595,12 @@ def test_media_clusters_and_keepers(spark):
     }
     keepers = {n for n, c in members.items() if n == c}
     assert keepers == {0, 12, 1, 2}
+    # applying the keeper decision drops exactly the non-keepers; the
+    # apply join carries ids only (dedup.drop_near_duplicates)
+    kept = dedup.drop_near_duplicates(media, "media_id", clusters)
+    assert {r["media_id"] for r in kept.select("media_id").collect()} == {
+        0, 1, 2, 12,
+    }
 
 
 def test_frame_sample_counts(spark):
