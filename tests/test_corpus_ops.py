@@ -603,6 +603,42 @@ def test_media_clusters_and_keepers(spark):
     }
 
 
+def test_phash_seen_ids_probe_and_chunking(spark):
+    """The media history probe finds exactly the batch images within
+    the Hamming window of history, and the mega-batch fallback
+    (chunked broadcast) returns the identical id set — semantics are
+    a set union over chunks, never a shuffle of history."""
+    import random
+
+    rng = random.Random(31)
+    base = bytes(rng.randrange(256) for _ in range(600))
+    other = bytes(rng.randrange(256) for _ in range(600))
+    hist = spark.createDataFrame(
+        [(1, "image", base), (2, "image", other)],
+        "media_id long, kind string, payload binary",
+    )
+    flip = base[:300] + b"~" + base[301:]
+    fresh = bytes(rng.randrange(256) for _ in range(600))
+    batch = spark.createDataFrame(
+        [(10, "image", flip), (11, "image", fresh), (12, "image", None)],
+        "media_id long, kind string, payload binary",
+    )
+    seen_h = multimodal.perceptual_hash(hist).localCheckpoint()
+    batch_h = multimodal.perceptual_hash(batch).localCheckpoint()
+    hits = {
+        r["media_id"]
+        for r in multimodal.phash_seen_ids(batch_h, seen_h).collect()
+    }
+    assert hits == {10}  # the re-encode; fresh + NULL payload pass
+    chunked = {
+        r["media_id"]
+        for r in multimodal.phash_seen_ids(
+            batch_h, seen_h, max_broadcast_rows=1
+        ).collect()
+    }
+    assert chunked == hits
+
+
 def test_frame_sample_counts(spark):
     df = spark.createDataFrame(
         [(2, "t", "en", "s", 250)],  # doc_id%3==2 -> video, 2500ms
