@@ -175,6 +175,30 @@ def test_dedup_clusters_and_apply(spark, sf0001):
     assert all(by_node.get(i, i) == i for i in kept_ids)
 
 
+def test_dedup_clusters_string_ids_end_to_end(spark, sf0001):
+    """The full LSH → CC → apply pipeline on STRING doc ids (the
+    common real-corpus key) yields exactly the numeric-id clustering
+    under the id rename — locks the r12 string-id CC path at the
+    operator level, not just on raw edge frames."""
+    docs = load_table(spark, sf0001, "documents")
+    tag = F.format_string("doc-%06d", F.col("doc_id"))
+    sdocs = docs.select(tag.alias("doc_id"), "text")
+    expected = {
+        f"doc-{r['node']:06d}": f"doc-{r['component']:06d}"
+        for r in dedup.dedup_clusters(docs, "doc_id", "text").collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.dedup_clusters(sdocs, "doc_id", "text").collect()
+    }
+    assert got == expected and got
+    kept = dedup.drop_near_duplicates(
+        sdocs, "doc_id", dedup.dedup_clusters(sdocs, "doc_id", "text")
+    )
+    n_losers = sum(1 for n, c in got.items() if n != c)
+    assert kept.count() == docs.count() - n_losers
+
+
 def test_dedup_clusters_production_profile_matches_exact(spark, sf0001):
     docs = load_table(spark, sf0001, "documents")
     exact = dedup.dedup_clusters(docs, "doc_id", "text")
