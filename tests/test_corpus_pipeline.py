@@ -1268,6 +1268,57 @@ def test_media_guard_heals_missing_sidecar_on_replay(spark, tmp_path):
     assert r2["admitted"] == 0 and r2["media_skipped"] == 1
 
 
+def test_all_three_admission_guards_compose(spark, tmp_path):
+    """bloom_guard + near_dup + media_guard on ONE lake: each guard
+    blocks its own duplicate class in the same batch, counters
+    account independently, genuinely new docs land, and replay admits
+    nothing — the guards' flag-joins and sidecars don't interfere."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    p, q, r, flip = _media_payloads()
+    kw = dict(near_dup=True, bloom_guard=True, media_guard=True)
+    root = str(tmp_path / "lake_all_guards")
+    b1 = spark.createDataFrame(
+        [(1, _BASE, p)], "doc_id long, text string, payload binary"
+    )
+    r1 = incremental_ingest(spark, b1, root, **kw)
+    assert r1["admitted"] == 1
+    other = (
+        "completely different material about parquet row groups and "
+        "columnar page encodings with dictionary and run length "
+        "compression schemes layered over snappy block transforms"
+    )
+    b2 = spark.createDataFrame(
+        [
+            # text near-dup of history, novel payload
+            (10, _BASE.replace("lazy", "sleepy"), q),
+            # novel text, perceptual re-encode of history's image
+            (11, other, flip(p)),
+            # novel on every axis
+            (12, other + " plus a genuinely novel tail section", r),
+            # exact content duplicate of 12 (exact guard, same batch)
+            (13, other + " plus a genuinely novel tail section", None),
+        ],
+        "doc_id long, text string, payload binary",
+    )
+    r2 = incremental_ingest(spark, b2, root, **kw)
+    assert r2["admitted"] == 1  # only doc 12
+    assert r2["near_dup_skipped"] == 1  # doc 10
+    assert r2["media_skipped"] == 1  # doc 11
+    docs = {
+        row["doc_id"]
+        for row in spark.read.parquet(f"{root}/docs")
+        .select("doc_id")
+        .collect()
+    }
+    assert docs == {1, 12}
+    r2b = incremental_ingest(spark, b2, root, **kw)
+    assert r2b["admitted"] == 0
+    assert r2b["healed_bands"] == 0 and r2b["healed_media"] == 0
+
+
 def test_streaming_ingest_media_guard_blocks_reencodes(spark, tmp_path):
     """The streaming face forwards media_guard: a re-encoded copy
     arriving in a later micro-batch file is blocked by the sidecar
