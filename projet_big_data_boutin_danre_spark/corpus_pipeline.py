@@ -590,6 +590,7 @@ def incremental_ingest(
     max_dup_ngram_frac: Mapping[int, float] | None = None,
     bloom_guard: bool = False,
     bloom_max_fill: float = 0.5,
+    bloom_rebuild_mode: str = "sync",
     media_guard: bool = False,
     media_col: str = "payload",
     media_max_hamming: int = 3,
@@ -703,6 +704,13 @@ def incremental_ingest(
     larger from the fingerprint layer (:func:`bloom_rebuild`, new
     layer written before the old is deleted), restoring the fastpath
     instead of silently degrading to all-"maybe".
+    ``bloom_rebuild_mode="defer"`` (r13) keeps that rescan OFF the
+    admission path: a saturated batch only reports
+    ``bloom_rebuild_due`` and the operator runs :func:`maintain_lake`
+    out-of-band — at 100 TB the fingerprint sidecar is ~2 TB, and a
+    synchronous rebuild would stall one unlucky admission for the
+    whole rescan, while a deferred one costs only extra exact-join
+    traffic (correct either way) until maintenance runs.
 
     ``media_guard`` (r12) upgrades admission with PERCEPTUAL media
     dedup for batches that carry a binary ``media_col`` column: a
@@ -732,10 +740,18 @@ def incremental_ingest(
     also census_lines (keys appended this call); with any quality
     gate on, also quality_rejected; with ``bloom_guard``, also
     bloom_fastpath (keys proven new without touching the exact
-    sidecar).
+    sidecar), bloom_fill_pct, bloom_rebuilt_hex (0 unless this batch
+    grew the filter synchronously) and bloom_rebuild_due (the target
+    geometry when the filter is saturated and a
+    :func:`maintain_lake` run is owed; 0 otherwise).
     """
     from .functions.hashing import stable_fingerprint
 
+    if bloom_rebuild_mode not in ("sync", "defer"):
+        raise ValueError(
+            f"bloom_rebuild_mode must be 'sync' or 'defer', got "
+            f"{bloom_rebuild_mode!r}"
+        )
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
     bands_path = f"{out_root}/band_buckets"
@@ -850,6 +866,13 @@ def incremental_ingest(
         "fingerprint",
         F.coalesce(stable_fingerprint(text_col), F.lit("<null-text>")),
     )
+    # The payload-bearing batch is materialized in the block manager
+    # AT MOST ONCE (r13, advisor): the quality gate, near_dup, and
+    # media_guard blocks each need the batch-sized frame truncated,
+    # but checkpointing it per guard re-materializes the full payload
+    # two or three times per ingest call. Later guard blocks extend
+    # the checkpointed base with cheap batch-sized joins only.
+    batch_is_ckpt = False
     n_contaminated = 0
     if decontaminate_probes is not None:
         # eval-leak gate at ADMISSION (text.ngram_contamination —
@@ -893,6 +916,7 @@ def incremental_ingest(
                 min_stop_hits=gopher_min_stop_hits,
             )
         batch = batch.localCheckpoint()
+        batch_is_ckpt = True
         n_quality_rejected = before - batch.count()
 
     arrived = new_docs.count()
@@ -908,8 +932,11 @@ def incremental_ingest(
         # the exact-deduped batch feeds the band computation, the
         # within-batch anti-join, the members count, and the guards
         # below — checkpoint the batch-sized frame once instead of
-        # re-running the dedup window per consumer
-        batch = batch.localCheckpoint()
+        # re-running the dedup window per consumer (skipped when the
+        # quality block already materialized it)
+        if not batch_is_ckpt:
+            batch = batch.localCheckpoint()
+            batch_is_ckpt = True
         # band keys of the exact-deduped batch, computed ONCE
         # (checkpointed: the within-batch pair stage, the history
         # probe, and the sidecar append all read them) — batch-sized
@@ -957,8 +984,14 @@ def incremental_ingest(
         # the sidecar append all read them) — 4 ints + 16 hex chars
         # per row regardless of payload size. kinds=() — the guard
         # hashes whatever payloads the batch carries; the caller owns
-        # kind routing.
-        batch = batch.localCheckpoint()
+        # kind routing. The batch itself is checkpointed at most once
+        # per call (flag above); when the quality or near_dup block
+        # already materialized it, this block only stacks batch-sized
+        # joins on the existing checkpoint — batch_mhashes is its own
+        # checkpoint, so payloads are still read exactly once here.
+        if not batch_is_ckpt:
+            batch = batch.localCheckpoint()
+            batch_is_ckpt = True
         batch_mhashes = multimodal.perceptual_hash(
             batch.select(id_col, media_col),
             id_col=id_col,
@@ -1270,6 +1303,7 @@ def incremental_ingest(
             ).write.mode("append").parquet(media_bands_path)
     n_bloom_fill_pct = 0
     n_bloom_rebuilt_hex = 0
+    n_bloom_rebuild_due = 0
     if bloom_guard and n_admitted:
         # saturation auto-check (rebuild-on-fill): fpp ≈ fill^k, so
         # past bloom_max_fill the fastpath stops proving keys new and
@@ -1278,6 +1312,13 @@ def incremental_ingest(
         # layer, which at this point includes this batch (the appends
         # above landed). One step per batch bounds the rebuild cost;
         # a still-saturated filter grows again next batch.
+        # ``bloom_rebuild_mode="defer"`` (r13, verdict #5) moves the
+        # rebuild OFF the admission path entirely: the batch only
+        # reports saturation (``bloom_rebuild_due``) and the operator
+        # runs :func:`maintain_lake` on their own schedule — the guard
+        # degrades gracefully to "maybe" (extra exact-join work, never
+        # wrong admission) until then, and no single batch ever pays a
+        # full fingerprint-layer rescan mid-admission.
         cur = _read_bloom_layer(spark, bloom_path)
         if cur is not None:
             fill = float(
@@ -1285,13 +1326,17 @@ def incremental_ingest(
                     "fill_frac"
                 ]
             )
-            if fill > bloom_max_fill:
+            if fill > bloom_max_fill and bloom_rebuild_mode == "sync":
                 res = bloom_rebuild(
                     spark, out_root, bloom_hex + 1,
                     catalog_prefix=catalog_prefix,
                 )
                 n_bloom_rebuilt_hex = bloom_hex + 1
                 fill = res["fill_frac"]
+            if fill > bloom_max_fill:
+                n_bloom_rebuild_due = (
+                    n_bloom_rebuilt_hex or bloom_hex
+                ) + 1
             n_bloom_fill_pct = int(round(fill * 100))
     out = {
         "arrived": arrived,
@@ -1317,6 +1362,7 @@ def incremental_ingest(
         out["bloom_fastpath"] = n_bloom_fastpath
         out["bloom_fill_pct"] = n_bloom_fill_pct
         out["bloom_rebuilt_hex"] = n_bloom_rebuilt_hex
+        out["bloom_rebuild_due"] = n_bloom_rebuild_due
     return out
 
 
@@ -1331,28 +1377,38 @@ def _discover_bloom_geometry(spark: SparkSession, out_root: str) -> int | None:
     a different geometry produces silent false negatives, the one
     failure mode Bloom admission must never have. Crash window
     (rebuilt layer written, old not yet deleted) resolves to the
-    LARGER geometry; the stale layer is swept on the next rebuild."""
+    LARGER geometry; the stale layer is swept on the next rebuild.
+
+    Failure discipline (r13, advisor): ``None`` is returned ONLY when
+    the lake root genuinely does not exist (a brand-new lake). Any
+    other listing failure RE-RAISES — after a rebuild has grown the
+    layer (and deleted the old one), a transient listing error that
+    silently fell back to ``HEX_CHARS_DEFAULT`` would make that batch
+    rebuild/probe/merge at the default geometry while the next batch
+    re-discovers the larger stale layer, which is missing the interim
+    batch's bits → ``maybe_seen=false`` false negatives ride the
+    fastpath past the exact join and admit duplicates — the exact
+    silent failure mode the geometry-in-the-path design exists to
+    prevent. A loud transient failure costs one retried batch; a
+    silent one splits the filter lineage across geometries forever."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = hpath(out_root)
     prefix = f"bloom_k{bloom_ops.K_DEFAULT}h"
-    try:
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return None
-        best = None
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith(prefix):
-                continue
-            try:
-                h = int(name[len(prefix):])
-            except ValueError:
-                continue
-            best = h if best is None else max(best, h)
-        return best
-    except Exception:
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
         return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        try:
+            h = int(name[len(prefix):])
+        except ValueError:
+            continue
+        best = h if best is None else max(best, h)
+    return best
 
 
 def bloom_rebuild(
@@ -1408,6 +1464,80 @@ def bloom_rebuild(
         "hex_chars": hex_chars,
         "bits_set": int(stats["bits_set"]),
         "fill_frac": float(stats["fill_frac"]),
+    }
+
+
+def _bloom_growth_steps(fill: float, target: float, max_steps: int = 8) -> int:
+    """Smallest ``hex_chars`` growth (×16 bits per step) predicted to
+    bring a filter at ``fill`` under ``target`` with a 25% margin.
+    From the fill expectation ``fill = 1 - e^(-k·n/m)``, growing the
+    bit space by ``16^s`` predicts ``fill' = 1 - (1-fill)^(1/16^s)``
+    — so a long-deferred, deeply saturated filter is rebuilt in ONE
+    rescan at the right size instead of one rescan per step."""
+    import math
+
+    fill = min(max(fill, 0.0), 0.999999)
+    lam = -math.log1p(-fill)  # ≈ k·n/m, exact for the expectation
+    s = 1
+    while s < max_steps and 1.0 - math.exp(-lam / (16.0 ** s)) > target * 0.75:
+        s += 1
+    return s
+
+
+def maintain_lake(
+    spark: SparkSession,
+    out_root: str,
+    catalog_prefix: str | None = None,
+    bloom_max_fill: float = 0.5,
+    max_steps: int = 8,
+) -> dict[str, int]:
+    """Out-of-band lake maintenance (r13, verdict #5): the entry point
+    a ``bloom_rebuild_mode="defer"`` ingest defers its saturation work
+    to. Checks the Bloom sidecar's fill and, when it is past
+    ``bloom_max_fill``, rebuilds it from the authoritative fingerprint
+    layer at a geometry SIZED FROM THE MEASURED FILL
+    (:func:`_bloom_growth_steps` — one rescan even after long
+    deferral, not one per step), sweeping stale smaller layers. A
+    missing/unreadable filter (crash mid-overwrite) is rebuilt at the
+    current geometry. Admission stays correct whether or not this
+    ever runs — a saturated filter only answers "maybe" more often,
+    pushing keys to the exact join — so the scheduler contract is
+    soft: run it when ``bloom_rebuild_due`` from ingest counts is
+    nonzero, at whatever cadence amortizes the fingerprint rescan.
+
+    Returns ``{"bloom_rebuilt_hex": <new geometry or 0>,
+    "bloom_fill_pct": <final>, "bloom_steps": <rebuilds paid>}``."""
+    hex_cur = _discover_bloom_geometry(spark, out_root)
+    if hex_cur is None:
+        # no bloom layer at all: nothing to maintain (an unguarded or
+        # brand-new lake); the first bloom_guard ingest builds one
+        return {"bloom_rebuilt_hex": 0, "bloom_fill_pct": 0, "bloom_steps": 0}
+    steps = 0
+    rebuilt = 0
+    cur = _read_bloom_layer(spark, _bloom_layer_path(out_root, hex_cur))
+    if cur is None:
+        res = bloom_rebuild(
+            spark, out_root, hex_cur, catalog_prefix=catalog_prefix
+        )
+        fill = float(res["fill_frac"])
+        rebuilt = hex_cur
+        steps = 1
+    else:
+        fill = float(
+            bloom_ops.bloom_fill_stats(cur, hex_cur).first()["fill_frac"]
+        )
+    while fill > bloom_max_fill and steps < max_steps:
+        hex_cur += _bloom_growth_steps(fill, bloom_max_fill)
+        res = bloom_rebuild(
+            spark, out_root, hex_cur, catalog_prefix=catalog_prefix
+        )
+        fill = float(res["fill_frac"])
+        rebuilt = hex_cur
+        steps += 1
+    return {
+        "bloom_rebuilt_hex": rebuilt,
+        "bloom_fill_pct": int(round(fill * 100)),
+        "bloom_steps": steps,
     }
 
 
@@ -1663,14 +1793,22 @@ def streaming_ingest(
     checkpoint: str | None = None,
     catalog_prefix: str | None = None,
     near_dup: bool = False,
+    lsh_num_hashes: int = 8,
+    lsh_bands: int = 4,
+    lsh_shingle_k: int = 8,
+    lsh_hash_family: str = "fast",
     line_census: bool = False,
+    line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
+    decontam_ngram: int = 8,
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
     gopher_min_stop_hits: int = 2,
     max_top_ngram_frac: Mapping[int, float] | None = None,
     max_dup_ngram_frac: Mapping[int, float] | None = None,
     bloom_guard: bool = False,
+    bloom_max_fill: float = 0.5,
+    bloom_rebuild_mode: str = "sync",
     media_guard: bool = False,
     media_col: str = "payload",
     media_max_hamming: int = 3,
@@ -1701,7 +1839,15 @@ def streaming_ingest(
     streaming face carries the full gate set the batch pipeline
     has; ``bloom_guard`` forwards the Bloom pre-filter (the
     bit_or-idempotent sidecar composes with replay exactly like the
-    census — see :func:`incremental_ingest`); ``media_guard`` (r12)
+    census — see :func:`incremental_ingest`), and the full batch-face
+    knob surface forwards with it (r13, advisor): the LSH recipe
+    params (a non-default recipe is part of the lake's identity — a
+    streaming face that couldn't pass them would be refused by the
+    mode marker), ``line_census_min_len``, ``decontam_ngram``,
+    ``bloom_max_fill`` and ``bloom_rebuild_mode`` — streaming lakes
+    in particular want ``"defer"``, which keeps the saturation
+    rebuild out of micro-batch latency and leaves it to an
+    out-of-band :func:`maintain_lake` run; ``media_guard`` (r12)
     forwards the perceptual media admission guard (constant-width
     hash sidecar + id-absence heal, so at-least-once replay composes
     the same way)."""
@@ -1715,14 +1861,22 @@ def streaming_ingest(
             text_col=text_col,
             catalog_prefix=catalog_prefix,
             near_dup=near_dup,
+            lsh_num_hashes=lsh_num_hashes,
+            lsh_bands=lsh_bands,
+            lsh_shingle_k=lsh_shingle_k,
+            lsh_hash_family=lsh_hash_family,
             line_census=line_census,
+            line_census_min_len=line_census_min_len,
             decontaminate_probes=decontaminate_probes,
+            decontam_ngram=decontam_ngram,
             gopher_gate=gopher_gate,
             gopher_min_words=gopher_min_words,
             gopher_min_stop_hits=gopher_min_stop_hits,
             max_top_ngram_frac=max_top_ngram_frac,
             max_dup_ngram_frac=max_dup_ngram_frac,
             bloom_guard=bloom_guard,
+            bloom_max_fill=bloom_max_fill,
+            bloom_rebuild_mode=bloom_rebuild_mode,
             media_guard=media_guard,
             media_col=media_col,
             media_max_hamming=media_max_hamming,

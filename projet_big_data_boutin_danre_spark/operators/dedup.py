@@ -841,6 +841,21 @@ def connected_components(
     a_dt = pairs.schema[a_col].dataType.typeName()
     b_dt = pairs.schema[b_col].dataType.typeName()
     integral = {"byte", "short", "integer", "long"}
+    if (a_dt in integral) != (b_dt in integral) or (
+        a_dt not in integral and a_dt != b_dt
+    ):
+        # Mixed-type edges (e.g. long id_a, string id_b) would build
+        # the id dictionary typed from a_col while unionByName coerces
+        # values to the wider common type — the rdd.toDF(schema)
+        # mapping then mistypes or fails at runtime (r12 advisor).
+        # Both endpoints of an undirected edge draw from ONE node id
+        # domain; a type mismatch means the caller joined the wrong
+        # frames, so fail loudly here instead.
+        raise TypeError(
+            f"connected_components needs {a_col!r} and {b_col!r} to "
+            f"share one id type, got {a_dt} vs {b_dt} — cast the pair "
+            "columns to the common node-id type first"
+        )
     if a_dt not in integral or b_dt not in integral:
         # Non-integral ids (real corpora key documents by string ids):
         # a blind cast("long") nulls every value and the null filter

@@ -371,13 +371,34 @@ def phash_seen_ids(
     with NO shuffle and NO sort of history. Mega-batches beyond
     ``max_broadcast_rows`` band rows are chunked by an id-hash
     modulus and unioned, mirroring ``lsh_seen_ids``."""
-    band_exprs = ", ".join(f"{j}, band{j}" for j in range(DHASH_BANDS))
+    reserved = {"band", "band_key"} | {
+        f"band{j}" for j in range(DHASH_BANDS)
+    }
+    if id_col in reserved:
+        # the long layout's own output names — an id column spelled
+        # like one of them would silently collide with the stacked
+        # band columns (r12 advisor)
+        raise ValueError(
+            f"phash_seen_ids reserves the column names "
+            f"{sorted(reserved)} for its band layout — rename id_col "
+            f"{id_col!r} in the input"
+        )
 
     def _long(h: DataFrame, prefix: str) -> DataFrame:
-        return h.filter(F.col("band0").isNotNull()).selectExpr(
-            f"{id_col} as {prefix}id",
-            *[f"band{j} as {prefix}{j}" for j in range(DHASH_BANDS)],
-            f"stack({DHASH_BANDS}, {band_exprs}) as (band, band_key)",
+        # Column objects end-to-end (no selectExpr splicing, r12
+        # advisor): an id column needing backtick quoting parses
+        # fine, and the stack generator's outputs are aliased
+        # explicitly instead of riding on generated names
+        stack_args: list = [F.lit(DHASH_BANDS)]
+        for j in range(DHASH_BANDS):
+            stack_args += [F.lit(j), F.col(f"band{j}")]
+        return h.filter(F.col("band0").isNotNull()).select(
+            F.col(id_col).alias(f"{prefix}id"),
+            *[
+                F.col(f"band{j}").alias(f"{prefix}{j}")
+                for j in range(DHASH_BANDS)
+            ],
+            F.stack(*stack_args).alias("band", "band_key"),
         )
 
     seen_long = _long(seen_hashes, "s")

@@ -1123,3 +1123,30 @@ def test_ngram_repetition_counts(spark):
         for r in t.repetition_profile(df, "doc_id", "text").collect()
     }
     assert g2 == {k: (v[0], v[1], v[2]) for k, v in rp.items()}
+
+
+def test_phash_seen_ids_id_column_hygiene(spark):
+    """The probe's long layout is built from Column objects, so an id
+    column whose name needs quoting works, and names that collide
+    with the layout's own outputs are refused loudly (r12 advisor)."""
+    import random
+
+    rng = random.Random(47)
+    base = bytes(rng.randrange(256) for _ in range(600))
+    hist = spark.createDataFrame(
+        [(1, "image", base)], "media_id long, kind string, payload binary"
+    )
+    seen_h = multimodal.perceptual_hash(hist).localCheckpoint()
+    # an id column spelled like a SQL keyword with a space — raw
+    # selectExpr splicing would fail to parse this (both frames carry
+    # the lake's id column name, as in the real sidecar)
+    odd = seen_h.withColumnRenamed("media_id", "select id")
+    hits = multimodal.phash_seen_ids(odd, odd, id_col="select id").collect()
+    assert {r["select id"] for r in hits} == {1}
+    for bad in ("band", "band_key", "band0"):
+        with pytest.raises(ValueError, match="reserves the column"):
+            multimodal.phash_seen_ids(
+                seen_h.withColumnRenamed("media_id", bad),
+                seen_h,
+                id_col=bad,
+            )

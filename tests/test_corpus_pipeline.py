@@ -1928,3 +1928,136 @@ def test_update_line_census_refuses_duplicate_ids(spark, tmp_path):
         "doc_id long, text string",
     )
     assert update_line_census(spark, path, ok)["new_batch"] == 1
+
+
+def test_bloom_defer_mode_and_maintain_lake(spark, tmp_path):
+    """r13 verdict #5: with bloom_rebuild_mode="defer" no admitting
+    batch ever pays the saturation rescan — the batch only reports
+    bloom_rebuild_due while admission stays exactly correct (the
+    saturated filter degrades to "maybe", never to wrong answers) —
+    and an out-of-band maintain_lake() run rebuilds once, at a
+    fill-sized geometry, after which the fastpath recovers."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _discover_bloom_geometry,
+        bloom_rebuild,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_defer")
+    b1 = spark.createDataFrame(
+        [(i, f"seed document number {i} alpha", "en") for i in range(8)],
+        schema,
+    )
+    incremental_ingest(spark, b1, root, bloom_guard=True)
+    # shrink to a toy geometry (16 bits) to force saturation
+    bloom_rebuild(spark, root, hex_chars=1)
+    results = []
+    for wave in range(3):
+        b = spark.createDataFrame(
+            [(100 * (wave + 1) + i, f"wave {wave} doc {i} beta", "en")
+             for i in range(4)],
+            schema,
+        )
+        r = incremental_ingest(
+            spark, b, root, bloom_guard=True, bloom_rebuild_mode="defer"
+        )
+        results.append(r)
+        # every batch admits correctly and NONE pays a rebuild
+        assert r["admitted"] == 4
+        assert r["bloom_rebuilt_hex"] == 0
+        assert r["bloom_rebuild_due"] >= 2  # saturation reported
+    assert _discover_bloom_geometry(spark, root) == 1  # untouched
+    # duplicates still rejected through the saturated filter (the
+    # guard degrades to extra exact-join work, never wrong admission)
+    r_dup = incremental_ingest(
+        spark, b1, root, bloom_guard=True, bloom_rebuild_mode="defer"
+    )
+    assert r_dup["admitted"] == 0
+    # out-of-band maintenance: ONE rebuild sized from the measured
+    # fill (×16 bits per hex step is a big jump, so one step suffices
+    # here; the point under test is steps==1 — one rescan, off the
+    # admission path)
+    m = maintain_lake(spark, root)
+    assert m["bloom_steps"] == 1
+    assert m["bloom_rebuilt_hex"] >= 2
+    assert m["bloom_fill_pct"] <= 50
+    assert _discover_bloom_geometry(spark, root) == m["bloom_rebuilt_hex"]
+    # fastpath recovered: novel keys prove new without the exact join
+    rn = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(90001, "totally novel gamma text", "en"),
+             (90002, "another novel delta text", "en")],
+            schema,
+        ),
+        root,
+        bloom_guard=True,
+        bloom_rebuild_mode="defer",
+    )
+    assert rn["admitted"] == 2
+    assert rn["bloom_fastpath"] >= 1
+    assert rn["bloom_rebuild_due"] == 0
+    # replay of the original batch still rejects everything across
+    # the rebuild (no false negatives)
+    r1b = incremental_ingest(spark, b1, root, bloom_guard=True)
+    assert r1b["admitted"] == 0
+    # a lake with no bloom layer is a no-op for maintenance
+    root2 = str(tmp_path / "lake_nobloom")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame([(1, "x y z", "en")], schema),
+        root2,
+    )
+    assert maintain_lake(spark, root2)["bloom_steps"] == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="bloom_rebuild_mode"):
+        incremental_ingest(
+            spark, b1, root, bloom_guard=True, bloom_rebuild_mode="async"
+        )
+
+
+def test_discover_bloom_geometry_fails_loud(spark, tmp_path):
+    """r12 advisor (medium): a listing failure during geometry
+    discovery must RAISE, not silently fall back to the default
+    geometry — a silent fallback after a rebuild has grown the layer
+    would split the filter lineage across geometries and admit
+    duplicates through maybe_seen=false false negatives. Only a
+    genuinely absent lake root returns None."""
+    import pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _discover_bloom_geometry,
+    )
+
+    assert _discover_bloom_geometry(spark, str(tmp_path / "nope")) is None
+    with pytest.raises(Exception):
+        _discover_bloom_geometry(spark, "bogus-scheme://not/a/lake")
+
+
+def test_streaming_ingest_exposes_full_batch_knob_surface():
+    """r12 advisor: the two faces of the same pipeline must expose
+    the same knob surface — a batch-face knob missing from
+    streaming_ingest (bloom_max_fill was, pre-r13) means streaming
+    lakes silently run defaults they cannot tune. Locks names AND
+    defaults, so the next knob cannot ship half-surfaced."""
+    import inspect
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+        streaming_ingest,
+    )
+
+    batch = inspect.signature(incremental_ingest).parameters
+    stream = inspect.signature(streaming_ingest).parameters
+    batch_knobs = {
+        n: p.default for n, p in batch.items() if n not in ("spark", "new_docs")
+    }
+    stream_knobs = {
+        n: p.default
+        for n, p in stream.items()
+        if n not in ("stream_df", "checkpoint")
+    }
+    assert batch_knobs == stream_knobs

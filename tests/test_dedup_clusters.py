@@ -804,3 +804,24 @@ def test_ngram_jaccard_max_block_guard(spark):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_connected_components_mixed_id_types_refused(spark):
+    """Mixed-type edge columns (long id_a, string id_b) would build
+    the dense dictionary typed from one column while unionByName
+    coerces to the wider type — a silent mistype. Both endpoints of
+    an undirected edge draw from ONE id domain, so the mismatch is a
+    caller bug and must fail loudly (r12 advisor)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "doc-2"), (2, "doc-3")], "id_a long, id_b string"
+    )
+    with pytest.raises(TypeError, match="share one id type"):
+        dedup.connected_components(df)
+    # both-non-integral but different types is the same caller bug
+    df2 = spark.createDataFrame(
+        [("a", 1.5)], "id_a string, id_b double"
+    )
+    with pytest.raises(TypeError, match="share one id type"):
+        dedup.connected_components(df2)
