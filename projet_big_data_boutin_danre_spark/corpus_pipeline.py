@@ -594,6 +594,10 @@ def incremental_ingest(
     media_guard: bool = False,
     media_col: str = "payload",
     media_max_hamming: int = 3,
+    media_kind_col: str = "kind",
+    media_video_every_ms: int = 1000,
+    media_video_min_jaccard: float = 0.5,
+    media_audio_min_votes: int = 4,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -732,6 +736,30 @@ def incremental_ingest(
     bands: admitted (no perceptual evidence), kept out of the
     sidecar.
 
+    KIND ROUTING (r13, verdict #2): when the batch carries
+    ``media_kind_col`` (default ``"kind"``), admission is
+    per-modality — a re-encoded duplicate *video* or *audio* file is
+    blocked, not just images. Images go through the pHash guard
+    above; videos through a ``media_vframes`` sidecar (one row per
+    distinct sampled-frame hash with the video's distinct-hash count
+    stamped per row — :func:`operators.multimodal.vhash_seen_ids`
+    probes it by frame-set Jaccard without ever aggregating history;
+    a missing ``duration_ms`` column degrades the frame plan to one
+    whole-stream frame); audio through a ``media_awins`` sidecar of
+    sliding-window fingerprints probed by offset voting
+    (:func:`operators.multimodal.audio_seen_ids` — shift-tolerant,
+    so a trimmed/re-padded copy is still caught). Within-batch
+    dedup unions all three modalities' pairs into ONE components
+    pass; the three history probes union into ONE flag-join, so the
+    payload-bearing batch is never re-materialized per modality.
+    Each sidecar gets the docs→sidecar append order and its own
+    id-absence heal (``healed_video`` / ``healed_audio``). The
+    routing decision and the video frame cadence are stamped into
+    the mode marker — a kind-less batch on a routed lake (or vice
+    versa) is refused loudly, since each face reads only its own
+    sidecars. Kind-less batches keep the r12 legacy shape (every
+    payload hashed as an image).
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
     ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
@@ -796,13 +824,30 @@ def incremental_ingest(
             f"+lsh:{lsh_num_hashes}x{lsh_bands}x{lsh_shingle_k}"
             f":{lsh_hash_family}"
         )
+    # kind routing (r13, verdict #2): a batch that carries the media
+    # kind column gets per-modality admission — images through pHash
+    # bands, videos through frame-hash Jaccard, audio through window
+    # offset voting. A kind-less batch keeps the r12 legacy shape
+    # (every payload hashed as an image). The routing decision is
+    # part of the lake's identity like the kernels themselves: a
+    # routed lake's video sidecar is invisible to a legacy call and
+    # vice versa, so the marker makes a face mismatch loud.
+    media_routed = media_guard and media_kind_col in new_docs.columns
     if media_guard:
         # the perceptual-hash kernel is part of the lake's identity
         # for the same reason as the LSH recipe: band keys from a
         # different kernel would never collide with the persisted
         # media sidecar, silently disabling the guard
-        mode += "+media:dhash"
+        if media_routed:
+            mode += (
+                f"+media:dhash+vframes:{media_video_every_ms}"
+                f"+awins:{multimodal.AUDIO_WINDOW}/{multimodal.AUDIO_HOP}"
+            )
+        else:
+            mode += "+media:dhash"
     media_bands_path = f"{out_root}/media_bands"
+    media_vframes_path = f"{out_root}/media_vframes"
+    media_awins_path = f"{out_root}/media_awins"
     marker_path = f"{out_root}/_lake_mode"
     recorded = None
     if _exists(spark, marker_path):
@@ -967,6 +1012,8 @@ def incremental_ingest(
         ).count()
     n_media_skipped = 0
     batch_mhashes = None
+    batch_vside = None
+    batch_awins = None
     if media_guard:
         if media_col not in batch.columns:
             raise ValueError(
@@ -981,35 +1028,95 @@ def incremental_ingest(
             )
         # perceptual hashes of the batch payloads, computed ONCE
         # (checkpointed: within-batch pairing, the history probe, and
-        # the sidecar append all read them) — 4 ints + 16 hex chars
-        # per row regardless of payload size. kinds=() — the guard
-        # hashes whatever payloads the batch carries; the caller owns
-        # kind routing. The batch itself is checkpointed at most once
-        # per call (flag above); when the quality or near_dup block
-        # already materialized it, this block only stacks batch-sized
-        # joins on the existing checkpoint — batch_mhashes is its own
-        # checkpoint, so payloads are still read exactly once here.
+        # the sidecar append all read them) — constant width per row
+        # regardless of payload size. The batch itself is
+        # checkpointed at most once per call (flag above); when the
+        # quality or near_dup block already materialized it, this
+        # block only stacks batch-sized joins on the existing
+        # checkpoint — the hash layers are their own checkpoints, so
+        # payloads are still read exactly once per kernel.
         if not batch_is_ckpt:
             batch = batch.localCheckpoint()
             batch_is_ckpt = True
-        batch_mhashes = multimodal.perceptual_hash(
-            batch.select(id_col, media_col),
-            id_col=id_col,
-            payload_col=media_col,
-            kinds=(),
-        ).localCheckpoint()
-        # within-batch perceptual dedup: two near-identical images
-        # arriving together admit one keeper — pairs → components →
-        # anti-join, all batch-sized (the media mirror of the
-        # near_dup block above)
+        if media_routed:
+            # per-kind routing (r13): each modality's kernel sees
+            # only its own rows — a video's bytes are never hashed as
+            # an image. Other kinds / NULL payloads carry no
+            # perceptual evidence and are admitted.
+            duration = (
+                F.col("duration_ms").cast("long")
+                if "duration_ms" in batch.columns
+                # no duration: the video kernel degrades to ONE
+                # whole-stream frame (deterministic, documented)
+                else F.lit(None).cast("long")
+            )
+            msrc = batch.select(
+                F.col(id_col),
+                F.col(media_kind_col).alias("kind"),
+                F.col(media_col),
+                duration.alias("duration_ms"),
+            )
+            batch_mhashes = multimodal.perceptual_hash(
+                msrc,
+                id_col=id_col,
+                payload_col=media_col,
+                kinds=("image",),
+            ).localCheckpoint()
+            batch_vfh = multimodal.video_frame_hashes(
+                msrc,
+                every_ms=media_video_every_ms,
+                id_col=id_col,
+                payload_col=media_col,
+            )
+            # the video sidecar shape: one row per DISTINCT frame
+            # hash with the video's distinct-hash count stamped on
+            # every row, so the history probe never aggregates the
+            # corpus-sized layer (vhash_seen_ids plan notes).
+            # Checkpoint the distinct set (payloads decode exactly
+            # once, into it), then the count join is hash-sized.
+            vdist = batch_vfh.select(id_col, "hash64").distinct(
+            ).localCheckpoint()
+            batch_vside = vdist.join(
+                vdist.groupBy(id_col).agg(
+                    F.count(F.lit(1)).alias("n_frames")
+                ),
+                id_col,
+            ).localCheckpoint()
+            batch_awins = multimodal.audio_window_hashes(
+                msrc, id_col=id_col, payload_col=media_col
+            ).localCheckpoint()
+        else:
+            # legacy (r12) shape — kinds=(): every payload hashes as
+            # an image; the caller owns kind routing
+            batch_mhashes = multimodal.perceptual_hash(
+                batch.select(id_col, media_col),
+                id_col=id_col,
+                payload_col=media_col,
+                kinds=(),
+            ).localCheckpoint()
+        # within-batch perceptual dedup: two near-identical media
+        # arriving together admit one keeper — each modality's pairs
+        # union into ONE components pass (kind-disjoint ids, so no
+        # cross-modality edges), pairs → components → anti-join, all
+        # batch-sized (the media mirror of the near_dup block above)
         mpairs = multimodal.phash_near_dup_pairs(
             batch_mhashes, id_col=id_col, max_hamming=media_max_hamming
-        )
-        mmembers = dedup.connected_components(
-            mpairs.select(
-                F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+        ).select("id_a", "id_b")
+        if media_routed:
+            mpairs = mpairs.unionByName(
+                multimodal.video_near_dup_pairs(
+                    batch_vside,
+                    id_col=id_col,
+                    min_jaccard=media_video_min_jaccard,
+                ).select("id_a", "id_b")
+            ).unionByName(
+                multimodal.audio_match_pairs(
+                    batch_awins,
+                    id_col=id_col,
+                    min_votes=media_audio_min_votes,
+                ).select("id_a", "id_b")
             )
-        )
+        mmembers = dedup.connected_components(mpairs)
         batch = dedup.drop_near_duplicates(batch, id_col, mmembers)
         n_media_skipped += mmembers.filter(
             F.col("node") != F.col("component")
@@ -1065,23 +1172,56 @@ def incremental_ingest(
         ).localCheckpoint()
         n_near_skipped += nd_flagged.filter(F.col("__nd")).count()
         admitted = nd_flagged.filter(F.col("__nd").isNull()).drop("__nd")
-    if media_guard and _exists(spark, media_bands_path):
-        # media history probe: batch hash rows BROADCAST against the
-        # constant-width media sidecar (4 ints/image — history never
-        # shuffled or payload-read per batch); exact Hamming verify
-        # inside the probe since the sidecar carries the full hash.
-        # Same flag-join shape as the near_dup guard above.
-        media_hits = multimodal.phash_seen_ids(
-            batch_mhashes,
-            spark.read.parquet(media_bands_path),
-            id_col=id_col,
-            max_hamming=media_max_hamming,
-        )
-        md_flagged = admitted.join(
-            media_hits.withColumn("__md", F.lit(True)), id_col, "left"
-        ).localCheckpoint()
-        n_media_skipped += md_flagged.filter(F.col("__md")).count()
-        admitted = md_flagged.filter(F.col("__md").isNull()).drop("__md")
+    if media_guard:
+        # media history probes: batch hash rows BROADCAST against the
+        # constant-width media sidecars (history never shuffled or
+        # payload-read per batch) — image bands with exact Hamming
+        # verify, video frame-set Jaccard, audio offset voting. The
+        # per-modality hit sets UNION into ONE flag-join (the same
+        # shape as the near_dup guard above), so the payload-bearing
+        # admitted frame is materialized once, not once per modality.
+        media_hits = None
+        if _exists(spark, media_bands_path):
+            media_hits = multimodal.phash_seen_ids(
+                batch_mhashes,
+                spark.read.parquet(media_bands_path),
+                id_col=id_col,
+                max_hamming=media_max_hamming,
+            )
+        if media_routed and _exists(spark, media_vframes_path):
+            vhits = multimodal.vhash_seen_ids(
+                batch_vside,
+                spark.read.parquet(media_vframes_path),
+                id_col=id_col,
+                min_jaccard=media_video_min_jaccard,
+            )
+            media_hits = (
+                vhits
+                if media_hits is None
+                else media_hits.unionByName(vhits)
+            )
+        if media_routed and _exists(spark, media_awins_path):
+            ahits = multimodal.audio_seen_ids(
+                batch_awins,
+                spark.read.parquet(media_awins_path),
+                id_col=id_col,
+                min_votes=media_audio_min_votes,
+            )
+            media_hits = (
+                ahits
+                if media_hits is None
+                else media_hits.unionByName(ahits)
+            )
+        if media_hits is not None:
+            md_flagged = admitted.join(
+                media_hits.distinct().withColumn("__md", F.lit(True)),
+                id_col,
+                "left",
+            ).localCheckpoint()
+            n_media_skipped += md_flagged.filter(F.col("__md")).count()
+            admitted = md_flagged.filter(
+                F.col("__md").isNull()
+            ).drop("__md")
     # crash-replay guard: ids already admitted are never re-appended
     # even if their fingerprint append didn't land
     prior_ids = None
@@ -1202,6 +1342,51 @@ def incremental_ingest(
     )
     if n_healed_media:
         healable_media.write.mode("append").parquet(media_bands_path)
+    # video / audio sidecar heals (r13): the same id-absence proof,
+    # one sidecar each — a doc row landed but the frame-hash or
+    # window-hash append did not, leaving the video/audio invisible
+    # to its guard until the replay backfills it.
+    healable_video = None
+    healable_audio = None
+    if media_guard and media_routed and prior_ids is not None:
+        hv = batch_vside.join(
+            prior_ids.dropDuplicates(), id_col, "left_semi"
+        )
+        if _exists(spark, media_vframes_path):
+            hv = hv.join(
+                spark.read.parquet(media_vframes_path)
+                .select(id_col)
+                .dropDuplicates(),
+                id_col,
+                "left_anti",
+            )
+        healable_video = hv.localCheckpoint()
+        ha = batch_awins.join(
+            prior_ids.dropDuplicates(), id_col, "left_semi"
+        )
+        if _exists(spark, media_awins_path):
+            ha = ha.join(
+                spark.read.parquet(media_awins_path)
+                .select(id_col)
+                .dropDuplicates(),
+                id_col,
+                "left_anti",
+            )
+        healable_audio = ha.localCheckpoint()
+    n_healed_video = (
+        healable_video.select(id_col).distinct().count()
+        if healable_video is not None
+        else 0
+    )
+    if n_healed_video:
+        healable_video.write.mode("append").parquet(media_vframes_path)
+    n_healed_audio = (
+        healable_audio.select(id_col).distinct().count()
+        if healable_audio is not None
+        else 0
+    )
+    if n_healed_audio:
+        healable_audio.write.mode("append").parquet(media_awins_path)
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
         if bucketed:
@@ -1301,6 +1486,16 @@ def incremental_ingest(
             batch_mhashes.filter(F.col("band0").isNotNull()).join(
                 admitted.select(id_col), id_col, "left_semi"
             ).write.mode("append").parquet(media_bands_path)
+            if media_routed:
+                # the video/audio sidecars follow the same ordering
+                # rule; a crash between any two appends is healed by
+                # each sidecar's own id-absence backfill on replay
+                batch_vside.join(
+                    admitted.select(id_col), id_col, "left_semi"
+                ).write.mode("append").parquet(media_vframes_path)
+                batch_awins.join(
+                    admitted.select(id_col), id_col, "left_semi"
+                ).write.mode("append").parquet(media_awins_path)
     n_bloom_fill_pct = 0
     n_bloom_rebuilt_hex = 0
     n_bloom_rebuild_due = 0
@@ -1352,6 +1547,9 @@ def incremental_ingest(
     if media_guard:
         out["media_skipped"] = n_media_skipped
         out["healed_media"] = n_healed_media
+        if media_routed:
+            out["healed_video"] = n_healed_video
+            out["healed_audio"] = n_healed_audio
     if line_census:
         out["census_lines"] = n_census_lines
     if decontaminate_probes is not None:
@@ -1812,6 +2010,10 @@ def streaming_ingest(
     media_guard: bool = False,
     media_col: str = "payload",
     media_max_hamming: int = 3,
+    media_kind_col: str = "kind",
+    media_video_every_ms: int = 1000,
+    media_video_min_jaccard: float = 0.5,
+    media_audio_min_votes: int = 4,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -1880,6 +2082,10 @@ def streaming_ingest(
             media_guard=media_guard,
             media_col=media_col,
             media_max_hamming=media_max_hamming,
+            media_kind_col=media_kind_col,
+            media_video_every_ms=media_video_every_ms,
+            media_video_min_jaccard=media_video_min_jaccard,
+            media_audio_min_votes=media_audio_min_votes,
         )
 
     return (

@@ -435,6 +435,151 @@ def phash_seen_ids(
     return _probe(batch_long).distinct()
 
 
+def vhash_seen_ids(
+    batch_frames: DataFrame,
+    seen_frames: DataFrame,
+    id_col: str = "media_id",
+    min_jaccard: float = 0.5,
+    max_broadcast_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """Cross-corpus VIDEO-membership probe: the distinct batch video
+    ids whose frame-hash set reaches ``min_jaccard`` against ANY
+    admitted video — the video face of :func:`phash_seen_ids`, for an
+    ingest admission guard (r13, verdict #2).
+
+    ``batch_frames`` is the batch's :func:`video_frame_hashes` output
+    (only ``id`` + ``hash64`` are read; duplicates collapse to the
+    distinct frame-hash set). ``seen_frames`` is the persisted video
+    sidecar: ``(id, hash64, n_frames)`` — one row per admitted video
+    per DISTINCT frame hash, with that video's distinct-hash count
+    stamped on every row so the probe never aggregates history
+    (constant width per sampled frame, ~16 B + id).
+
+    Plan (the 100 TB shape): the batch's distinct frame set is
+    explicitly ``broadcast`` against the corpus-sized sidecar scan —
+    history is never shuffled or sorted; the only aggregation runs on
+    the matched rows (batch-driven). Jaccard =
+    ``shared / (n_a + n_b - shared)`` in exact integers. Mega-batches
+    chunk by an id-hash modulus like :func:`phash_seen_ids` (chunking
+    is per batch VIDEO, so every pair's full intersection stays in
+    one chunk). Degenerate shared frames (black frames, test
+    patterns) are the hot-bucket hazard on the HISTORY side; cap
+    them at sidecar-append time if a corpus exhibits them — dropping
+    an over-common hash from the sidecar only lowers measured
+    similarity (under-blocking, the conservative failure)."""
+    bset = (
+        batch_frames.select(
+            F.col(id_col).alias("bid"), F.col("hash64")
+        ).distinct()
+    )
+    n_a = bset.groupBy("bid").agg(F.count(F.lit(1)).alias("n_a"))
+    prepared = bset.join(n_a, "bid")
+    seen = seen_frames.select(
+        F.col(id_col).alias("sid"), F.col("hash64"), F.col("n_frames")
+    )
+
+    def _probe(chunk: DataFrame) -> DataFrame:
+        shared = (
+            seen.join(F.broadcast(chunk), "hash64")
+            .groupBy("bid", "sid", "n_a", "n_frames")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return (
+            shared.filter(
+                F.col("shared")
+                >= F.lit(float(min_jaccard))
+                * (F.col("n_a") + F.col("n_frames") - F.col("shared"))
+            )
+            .select(F.col("bid").alias(id_col))
+        )
+
+    if max_broadcast_rows is not None:
+        prepared = prepared.localCheckpoint()
+        n = prepared.count()
+        if n > int(max_broadcast_rows):
+            n_chunks = -(-n // int(max_broadcast_rows))
+            out = None
+            for i in range(n_chunks):
+                part = _probe(
+                    prepared.filter(
+                        F.pmod(F.xxhash64(F.col("bid")), F.lit(n_chunks))
+                        == F.lit(i)
+                    )
+                )
+                out = part if out is None else out.unionByName(part)
+            return out.distinct()
+    return _probe(prepared).distinct()
+
+
+def audio_seen_ids(
+    batch_wins: DataFrame,
+    seen_wins: DataFrame,
+    id_col: str = "media_id",
+    min_votes: int = 4,
+    max_broadcast_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """Cross-corpus AUDIO-membership probe: the distinct batch audio
+    ids that match ANY admitted recording by offset voting
+    (:func:`audio_match_pairs` semantics — many shared window hashes
+    agreeing on ONE alignment offset) — the audio face of
+    :func:`phash_seen_ids`, for an ingest admission guard (r13,
+    verdict #2).
+
+    ``batch_wins`` / ``seen_wins`` are :func:`audio_window_hashes`
+    rows ``(id, win_idx, hash32)``; the sidecar persists them
+    verbatim (~12 B per hop regardless of payload size). Offset
+    voting is shift-tolerant where set-Jaccard is not: a re-encoded
+    copy trimmed by k hops still votes ``≥ min_votes`` at offset k.
+
+    Plan: batch window rows ``broadcast`` against the corpus-sized
+    sidecar scan (history never shuffled); the (bid, sid, offset)
+    vote aggregation runs on matched rows only. Mega-batches chunk by
+    an id-hash modulus (per batch recording, so each pair's votes
+    stay in one chunk). Silence/zero-run hash buckets are the
+    history-side hot-bucket hazard — cap at append time if needed
+    (capping only lowers votes: under-blocking, never false
+    blocking)."""
+    bw = batch_wins.select(
+        F.col(id_col).alias("bid"),
+        F.col("win_idx").alias("wb"),
+        F.col("hash32"),
+    )
+    seen = seen_wins.select(
+        F.col(id_col).alias("sid"),
+        F.col("win_idx").alias("ws"),
+        F.col("hash32"),
+    )
+
+    def _probe(chunk: DataFrame) -> DataFrame:
+        votes = (
+            seen.join(F.broadcast(chunk), "hash32")
+            .groupBy(
+                "bid", "sid", (F.col("wb") - F.col("ws")).alias("offset")
+            )
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        return votes.filter(F.col("votes") >= int(min_votes)).select(
+            F.col("bid").alias(id_col)
+        )
+
+    if max_broadcast_rows is not None:
+        bw = bw.localCheckpoint()
+        n = bw.count()
+        if n > int(max_broadcast_rows):
+            n_chunks = -(-n // int(max_broadcast_rows))
+            out = None
+            for i in range(n_chunks):
+                part = _probe(
+                    bw.filter(
+                        F.pmod(F.xxhash64(F.col("bid")), F.lit(n_chunks))
+                        == F.lit(i)
+                    )
+                )
+                out = part if out is None else out.unionByName(part)
+            return out.distinct()
+    return _probe(bw).distinct()
+
+
 def video_frame_hashes(
     media: DataFrame,
     every_ms: int = 1000,
