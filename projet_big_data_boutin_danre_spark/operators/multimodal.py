@@ -371,9 +371,15 @@ def phash_seen_ids(
     with NO shuffle and NO sort of history. Mega-batches beyond
     ``max_broadcast_rows`` band rows are chunked by an id-hash
     modulus and unioned, mirroring ``lsh_seen_ids``."""
-    reserved = {"band", "band_key"} | {
-        f"band{j}" for j in range(DHASH_BANDS)
-    }
+    # EVERY name the long layout generates, not just the stacked band
+    # columns (r13 advisor): the prefixed id aliases (bid/sid) and the
+    # per-band aliases (b0..3/s0..3) collide just as silently
+    reserved = (
+        {"band", "band_key", "bid", "sid"}
+        | {f"band{j}" for j in range(DHASH_BANDS)}
+        | {f"b{j}" for j in range(DHASH_BANDS)}
+        | {f"s{j}" for j in range(DHASH_BANDS)}
+    )
     if id_col in reserved:
         # the long layout's own output names — an id column spelled
         # like one of them would silently collide with the stacked
@@ -467,6 +473,16 @@ def vhash_seen_ids(
     them at sidecar-append time if a corpus exhibits them — dropping
     an over-common hash from the sidecar only lowers measured
     similarity (under-blocking, the conservative failure)."""
+    reserved = {"bid", "sid", "n_a", "n_frames", "shared", "hash64"}
+    if id_col in reserved:
+        # the probe's own generated/required names (r13 advisor — the
+        # same hygiene as phash_seen_ids): an id column spelled like
+        # one of them would silently collide with the join layout
+        raise ValueError(
+            f"vhash_seen_ids reserves the column names "
+            f"{sorted(reserved)} for its probe layout — rename id_col "
+            f"{id_col!r} in the input"
+        )
     bset = (
         batch_frames.select(
             F.col(id_col).alias("bid"), F.col("hash64")
@@ -539,6 +555,14 @@ def audio_seen_ids(
     history-side hot-bucket hazard — cap at append time if needed
     (capping only lowers votes: under-blocking, never false
     blocking)."""
+    reserved = {"bid", "sid", "wb", "ws", "offset", "votes", "hash32"}
+    if id_col in reserved:
+        # same hygiene as phash_seen_ids/vhash_seen_ids (r13 advisor)
+        raise ValueError(
+            f"audio_seen_ids reserves the column names "
+            f"{sorted(reserved)} for its probe layout — rename id_col "
+            f"{id_col!r} in the input"
+        )
     bw = batch_wins.select(
         F.col(id_col).alias("bid"),
         F.col("win_idx").alias("wb"),

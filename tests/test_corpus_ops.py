@@ -1150,3 +1150,68 @@ def test_phash_seen_ids_id_column_hygiene(spark):
                 seen_h,
                 id_col=bad,
             )
+
+
+def test_media_seen_ids_reserved_names_complete(spark):
+    """r13 advisor: the reserved-name guards must cover EVERY name
+    the probes generate — the prefixed id aliases (bid/sid), the
+    per-band aliases (b0..3/s0..3), and the video/audio probes'
+    own layouts — not just the stacked band columns. An id column
+    named e.g. 'sid' or 'b0' previously collided silently with the
+    probe's internal columns."""
+    import random
+
+    rng = random.Random(48)
+    base = bytes(rng.randrange(256) for _ in range(600))
+    img = spark.createDataFrame(
+        [(1, "image", base)], "media_id long, kind string, payload binary"
+    )
+    seen_h = multimodal.perceptual_hash(img).localCheckpoint()
+    for bad in ("bid", "sid", "b0", "b3", "s0", "s3"):
+        with pytest.raises(ValueError, match="phash_seen_ids reserves"):
+            multimodal.phash_seen_ids(
+                seen_h.withColumnRenamed("media_id", bad),
+                seen_h,
+                id_col=bad,
+            )
+    vid = spark.createDataFrame(
+        [(1, "video", base, 3000)],
+        "media_id long, kind string, payload binary, duration_ms long",
+    )
+    vfh = multimodal.video_frame_hashes(vid).localCheckpoint()
+    vside = vfh.select("media_id", "hash64").distinct().withColumn(
+        "n_frames", F.lit(3)
+    )
+    for bad in ("bid", "sid", "n_a", "n_frames", "shared", "hash64"):
+        with pytest.raises(ValueError, match="vhash_seen_ids reserves"):
+            multimodal.vhash_seen_ids(
+                vside.withColumnRenamed("media_id", bad),
+                vside,
+                id_col=bad,
+            )
+    aud = spark.createDataFrame(
+        [(1, "audio", base)], "media_id long, kind string, payload binary"
+    )
+    awh = multimodal.audio_window_hashes(aud).localCheckpoint()
+    for bad in ("bid", "sid", "wb", "ws", "offset", "votes", "hash32"):
+        with pytest.raises(ValueError, match="audio_seen_ids reserves"):
+            multimodal.audio_seen_ids(
+                awh.withColumnRenamed("media_id", bad),
+                awh,
+                id_col=bad,
+            )
+    # and a NON-colliding odd name still works on all three probes
+    odd_v = vside.withColumnRenamed("media_id", "select id")
+    assert {
+        r["select id"]
+        for r in multimodal.vhash_seen_ids(
+            odd_v, odd_v, id_col="select id"
+        ).collect()
+    } == {1}
+    odd_a = awh.withColumnRenamed("media_id", "select id")
+    assert {
+        r["select id"]
+        for r in multimodal.audio_seen_ids(
+            odd_a, odd_a, id_col="select id"
+        ).collect()
+    } == {1}
