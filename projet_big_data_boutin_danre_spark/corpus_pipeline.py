@@ -771,7 +771,10 @@ def incremental_ingest(
     sidecar), bloom_fill_pct, bloom_rebuilt_hex (0 unless this batch
     grew the filter synchronously) and bloom_rebuild_due (the target
     geometry when the filter is saturated and a
-    :func:`maintain_lake` run is owed; 0 otherwise).
+    :func:`maintain_lake` run is owed; 0 otherwise — reported on
+    zero-admission batches too, since an all-duplicate stream on a
+    saturated lake is exactly the traffic a deferred rebuild exists
+    to relieve).
     """
     from .functions.hashing import stable_fingerprint
 
@@ -1499,7 +1502,7 @@ def incremental_ingest(
     n_bloom_fill_pct = 0
     n_bloom_rebuilt_hex = 0
     n_bloom_rebuild_due = 0
-    if bloom_guard and n_admitted:
+    if bloom_guard:
         # saturation auto-check (rebuild-on-fill): fpp ≈ fill^k, so
         # past bloom_max_fill the fastpath stops proving keys new and
         # every batch pays the exact join anyway — grow the geometry
@@ -1514,6 +1517,13 @@ def incremental_ingest(
         # degrades gracefully to "maybe" (extra exact-join work, never
         # wrong admission) until then, and no single batch ever pays a
         # full fingerprint-layer rescan mid-admission.
+        # The FILL CHECK runs whether or not this batch admitted
+        # anything (r13 advisor): a saturated lake receiving
+        # all-duplicate batches pays full exact-join traffic on every
+        # one of them, and an operator scheduling maintain_lake off
+        # ``bloom_rebuild_due`` must see the owed rebuild — only the
+        # merge (above) and the sync rebuild stay gated on admission,
+        # since they exist to fold NEW keys in.
         cur = _read_bloom_layer(spark, bloom_path)
         if cur is not None:
             fill = float(
@@ -1521,7 +1531,11 @@ def incremental_ingest(
                     "fill_frac"
                 ]
             )
-            if fill > bloom_max_fill and bloom_rebuild_mode == "sync":
+            if (
+                n_admitted
+                and fill > bloom_max_fill
+                and bloom_rebuild_mode == "sync"
+            ):
                 res = bloom_rebuild(
                     spark, out_root, bloom_hex + 1,
                     catalog_prefix=catalog_prefix,

@@ -1975,6 +1975,12 @@ def test_bloom_defer_mode_and_maintain_lake(spark, tmp_path):
         spark, b1, root, bloom_guard=True, bloom_rebuild_mode="defer"
     )
     assert r_dup["admitted"] == 0
+    # r13 advisor: the saturation check runs on ZERO-admission batches
+    # too — an all-duplicate stream on a saturated lake is exactly the
+    # traffic the deferred rebuild relieves, so an operator scheduling
+    # maintain_lake off this counter must see the owed rebuild here
+    assert r_dup["bloom_rebuild_due"] >= 2
+    assert r_dup["bloom_fill_pct"] > 50
     # out-of-band maintenance: ONE rebuild sized from the measured
     # fill (×16 bits per hex step is a big jump, so one step suffices
     # here; the point under test is steps==1 — one rescan, off the
