@@ -754,11 +754,16 @@ def incremental_ingest(
     payload-bearing batch is never re-materialized per modality.
     Each sidecar gets the docs→sidecar append order and its own
     id-absence heal (``healed_video`` / ``healed_audio``). The
-    routing decision and the video frame cadence are stamped into
-    the mode marker — a kind-less batch on a routed lake (or vice
-    versa) is refused loudly, since each face reads only its own
-    sidecars. Kind-less batches keep the r12 legacy shape (every
-    payload hashed as an image).
+    routing decision, the video frame cadence, AND the presence of
+    the ``duration_ms`` column are stamped into the mode marker — a
+    kind-less batch on a routed lake (or vice versa), a cadence
+    change, or a batch flipping duration presence is refused loudly,
+    since each would silently hash the same video into a different
+    frame set and collapse the Jaccard guard. Kind-less batches keep
+    the r12 legacy shape (every payload hashed as an image). Video
+    rows with a NULL duration still run the one-whole-stream-frame
+    degraded plan (per-row, documented); their count per batch is
+    surfaced as ``video_no_duration``.
 
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
@@ -836,14 +841,24 @@ def incremental_ingest(
     # routed lake's video sidecar is invisible to a legacy call and
     # vice versa, so the marker makes a face mismatch loud.
     media_routed = media_guard and media_kind_col in new_docs.columns
+    media_has_dur = "duration_ms" in new_docs.columns
     if media_guard:
         # the perceptual-hash kernel is part of the lake's identity
         # for the same reason as the LSH recipe: band keys from a
         # different kernel would never collide with the persisted
         # media sidecar, silently disabling the guard
         if media_routed:
+            # duration presence is stamped like the frame cadence
+            # (r13 advisor): a batch WITHOUT duration_ms hashes every
+            # video into ONE whole-stream frame, so the same video
+            # lands in a different frame set than a duration-carrying
+            # batch would produce — frame-set Jaccard against the
+            # sidecar silently collapses and duplicates re-admit.
+            # Flipping presence on a routed lake is refused loudly by
+            # the marker check below, exactly like a cadence change.
             mode += (
                 f"+media:dhash+vframes:{media_video_every_ms}"
+                f"{':dur' if media_has_dur else ':nodur'}"
                 f"+awins:{multimodal.AUDIO_WINDOW}/{multimodal.AUDIO_HOP}"
             )
         else:
@@ -1014,6 +1029,7 @@ def incremental_ingest(
             F.col("node") != F.col("component")
         ).count()
     n_media_skipped = 0
+    n_video_no_duration = 0
     batch_mhashes = None
     batch_vside = None
     batch_awins = None
@@ -1059,6 +1075,18 @@ def incremental_ingest(
                 F.col(media_col),
                 duration.alias("duration_ms"),
             )
+            # degraded-path visibility (r13 verdict note): a video row
+            # with a NULL duration runs the one-whole-stream-frame
+            # plan, which turns the Jaccard guard into an effectively
+            # exact-payload check for that row (a re-encode admits).
+            # Deterministic and documented — but the operator needs to
+            # SEE how much of the stream runs degraded, so count it.
+            # One narrow job over the checkpointed batch projection.
+            n_video_no_duration = msrc.filter(
+                (F.col("kind") == "video")
+                & F.col(media_col).isNotNull()
+                & F.col("duration_ms").isNull()
+            ).count()
             batch_mhashes = multimodal.perceptual_hash(
                 msrc,
                 id_col=id_col,
@@ -1564,6 +1592,7 @@ def incremental_ingest(
         if media_routed:
             out["healed_video"] = n_healed_video
             out["healed_audio"] = n_healed_audio
+            out["video_no_duration"] = n_video_no_duration
     if line_census:
         out["census_lines"] = n_census_lines
     if decontaminate_probes is not None:

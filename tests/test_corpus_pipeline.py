@@ -2254,6 +2254,68 @@ def test_media_guard_routing_is_lake_identity(spark, tmp_path):
         )
 
 
+def test_media_guard_duration_presence_is_lake_identity(spark, tmp_path):
+    """r13 advisor: the video frame plan depends on duration_ms — a
+    batch WITHOUT the column hashes every video into ONE whole-stream
+    frame, so the same video lands in a different frame set than a
+    duration-carrying batch produces, and frame-set Jaccard against
+    the sidecar silently collapses (duplicates re-admit). Duration
+    PRESENCE is therefore stamped into the routed mode string and a
+    flip is refused loudly, mirroring the cadence check. Per-ROW NULL
+    durations still run the degraded one-frame plan, surfaced by the
+    video_no_duration counter (r13 verdict note)."""
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    vid, aud, img, fresh = _av_payloads()
+    root = str(tmp_path / "lake_dur")
+    r1 = incremental_ingest(
+        spark,
+        _av_docs(spark, [
+            (1, "video alpha", vid, "video", 5000),
+            (2, "video beta nodur", fresh(1000), "video", None),
+            (3, "audio alpha", aud, "audio", None),
+        ]),
+        root,
+        media_guard=True,
+    )
+    assert r1["admitted"] == 3
+    # one routed video row ran the degraded whole-stream-frame plan
+    assert r1["video_no_duration"] == 1
+    # a batch that DROPS the duration column is a different frame-key
+    # recipe -> refused loudly, like a cadence change
+    nodur = spark.createDataFrame(
+        [(10, "video gamma", fresh(1000), "video")],
+        "doc_id long, text string, payload binary, kind string",
+    )
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(spark, nodur, root, media_guard=True)
+    # a lake CREATED without the column stamps :nodur and keeps
+    # accepting that face; its whole video stream runs degraded and
+    # the counter says so
+    root2 = str(tmp_path / "lake_nodur")
+    r2 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(1, "video alpha", vid, "video")],
+            "doc_id long, text string, payload binary, kind string",
+        ),
+        root2,
+        media_guard=True,
+    )
+    assert r2["admitted"] == 1 and r2["video_no_duration"] == 1
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(
+            spark,
+            _av_docs(spark, [(5, "video dur", fresh(1000), "video", 5000)]),
+            root2,
+            media_guard=True,
+        )
+
+
 def test_streaming_ingest_routed_media_guard(spark, tmp_path):
     """The streaming face forwards the kind-routed media guard: a
     re-encoded video and a trimmed audio arriving in a later
