@@ -598,6 +598,7 @@ def incremental_ingest(
     media_video_every_ms: int = 1000,
     media_video_min_jaccard: float = 0.5,
     media_audio_min_votes: int = 4,
+    media_max_bucket: int | None = None,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -764,6 +765,27 @@ def incremental_ingest(
     rows with a NULL duration still run the one-whole-stream-frame
     degraded plan (per-row, documented); their count per batch is
     surfaced as ``video_no_duration``.
+
+    ``media_max_bucket`` (r14, verdict #4) is the hot-bucket guard
+    for degenerate media content — all-black frames, silence/zero
+    padding, test patterns — whose shared hashes otherwise (a) blow
+    up the banded joins quadratically and (b) for AUDIO can falsely
+    block genuinely new recordings (``_audio_hash32_py`` maps every
+    constant byte run to hash 0, so two unrelated recordings sharing
+    ``min_votes`` hops of silence at aligned offsets vote past the
+    threshold). One knob, three enforcement sites: within-batch pair
+    generation (each kernel's own ``max_bucket``, internally
+    conservative — set sizes stay full), the history probes
+    (over-common SIDECAR hashes are dropped from the batch side
+    before the join, so the explosion never materializes; always
+    similarity-lowering since a batch∩history-common hash is by
+    definition shared), and sidecar APPEND time (hashes over-common
+    within the appended batch never enter ``media_vframes`` /
+    ``media_awins``, so history buckets stay bounded; the per-row
+    ``n_frames`` stamp is computed BEFORE the cap, so history set
+    sizes stay full and a capped hash can only lower a future
+    Jaccard). Capping is monotone under-blocking — never a false
+    block — so it is a tuning knob, not lake identity.
 
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs; with
@@ -1033,6 +1055,8 @@ def incremental_ingest(
     batch_mhashes = None
     batch_vside = None
     batch_awins = None
+    batch_vside_app = None
+    batch_awins_app = None
     if media_guard:
         if media_col not in batch.columns:
             raise ValueError(
@@ -1116,6 +1140,35 @@ def incremental_ingest(
             batch_awins = multimodal.audio_window_hashes(
                 msrc, id_col=id_col, payload_col=media_col
             ).localCheckpoint()
+            # append-facing capped views (media_max_bucket): hashes
+            # over-common WITHIN this batch never enter the sidecars,
+            # so history buckets stay bounded even on a degenerate
+            # corpus (all-black frames, silence). Applied ONLY to the
+            # append/heal paths — the probe's batch side keeps the
+            # full set (shrinking it would shrink n_a and INFLATE the
+            # probe's Jaccard); n_frames was stamped above from the
+            # full set, so a capped hash can only lower similarity.
+            batch_vside_app = batch_vside
+            batch_awins_app = batch_awins
+            if media_max_bucket is not None:
+                vhot = (
+                    batch_vside.groupBy("hash64")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") > int(media_max_bucket))
+                    .select("hash64")
+                )
+                batch_vside_app = batch_vside.join(
+                    F.broadcast(vhot), "hash64", "left_anti"
+                )
+                ahot = (
+                    batch_awins.groupBy("hash32")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter(F.col("__df") > int(media_max_bucket))
+                    .select("hash32")
+                )
+                batch_awins_app = batch_awins.join(
+                    F.broadcast(ahot), "hash32", "left_anti"
+                )
         else:
             # legacy (r12) shape — kinds=(): every payload hashes as
             # an image; the caller owns kind routing
@@ -1131,7 +1184,10 @@ def incremental_ingest(
         # cross-modality edges), pairs → components → anti-join, all
         # batch-sized (the media mirror of the near_dup block above)
         mpairs = multimodal.phash_near_dup_pairs(
-            batch_mhashes, id_col=id_col, max_hamming=media_max_hamming
+            batch_mhashes,
+            id_col=id_col,
+            max_hamming=media_max_hamming,
+            max_bucket=media_max_bucket,
         ).select("id_a", "id_b")
         if media_routed:
             mpairs = mpairs.unionByName(
@@ -1139,12 +1195,14 @@ def incremental_ingest(
                     batch_vside,
                     id_col=id_col,
                     min_jaccard=media_video_min_jaccard,
+                    max_bucket=media_max_bucket,
                 ).select("id_a", "id_b")
             ).unionByName(
                 multimodal.audio_match_pairs(
                     batch_awins,
                     id_col=id_col,
                     min_votes=media_audio_min_votes,
+                    max_bucket=media_max_bucket,
                 ).select("id_a", "id_b")
             )
         mmembers = dedup.connected_components(mpairs)
@@ -1225,6 +1283,7 @@ def incremental_ingest(
                 spark.read.parquet(media_vframes_path),
                 id_col=id_col,
                 min_jaccard=media_video_min_jaccard,
+                max_bucket=media_max_bucket,
             )
             media_hits = (
                 vhits
@@ -1237,6 +1296,7 @@ def incremental_ingest(
                 spark.read.parquet(media_awins_path),
                 id_col=id_col,
                 min_votes=media_audio_min_votes,
+                max_bucket=media_max_bucket,
             )
             media_hits = (
                 ahits
@@ -1380,7 +1440,10 @@ def incremental_ingest(
     healable_video = None
     healable_audio = None
     if media_guard and media_routed and prior_ids is not None:
-        hv = batch_vside.join(
+        # heals append the same capped view the normal append path
+        # writes (media_max_bucket) — a healed batch must not smuggle
+        # the over-common hashes past the append-time cap
+        hv = batch_vside_app.join(
             prior_ids.dropDuplicates(), id_col, "left_semi"
         )
         if _exists(spark, media_vframes_path):
@@ -1392,7 +1455,7 @@ def incremental_ingest(
                 "left_anti",
             )
         healable_video = hv.localCheckpoint()
-        ha = batch_awins.join(
+        ha = batch_awins_app.join(
             prior_ids.dropDuplicates(), id_col, "left_semi"
         )
         if _exists(spark, media_awins_path):
@@ -1521,10 +1584,10 @@ def incremental_ingest(
                 # the video/audio sidecars follow the same ordering
                 # rule; a crash between any two appends is healed by
                 # each sidecar's own id-absence backfill on replay
-                batch_vside.join(
+                batch_vside_app.join(
                     admitted.select(id_col), id_col, "left_semi"
                 ).write.mode("append").parquet(media_vframes_path)
-                batch_awins.join(
+                batch_awins_app.join(
                     admitted.select(id_col), id_col, "left_semi"
                 ).write.mode("append").parquet(media_awins_path)
     n_bloom_fill_pct = 0
@@ -2057,6 +2120,7 @@ def streaming_ingest(
     media_video_every_ms: int = 1000,
     media_video_min_jaccard: float = 0.5,
     media_audio_min_votes: int = 4,
+    media_max_bucket: int | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -2129,6 +2193,7 @@ def streaming_ingest(
             media_video_every_ms=media_video_every_ms,
             media_video_min_jaccard=media_video_min_jaccard,
             media_audio_min_votes=media_audio_min_votes,
+            media_max_bucket=media_max_bucket,
         )
 
     return (

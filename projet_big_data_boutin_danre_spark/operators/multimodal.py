@@ -447,6 +447,7 @@ def vhash_seen_ids(
     id_col: str = "media_id",
     min_jaccard: float = 0.5,
     max_broadcast_rows: int | None = 2_000_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus VIDEO-membership probe: the distinct batch video
     ids whose frame-hash set reaches ``min_jaccard`` against ANY
@@ -469,10 +470,16 @@ def vhash_seen_ids(
     chunk by an id-hash modulus like :func:`phash_seen_ids` (chunking
     is per batch VIDEO, so every pair's full intersection stays in
     one chunk). Degenerate shared frames (black frames, test
-    patterns) are the hot-bucket hazard on the HISTORY side; cap
-    them at sidecar-append time if a corpus exhibits them — dropping
-    an over-common hash from the sidecar only lowers measured
-    similarity (under-blocking, the conservative failure)."""
+    patterns) are the hot-bucket hazard on the HISTORY side:
+    ``max_bucket`` (r14) drops any frame hash held by more than that
+    many admitted videos from the probe — the over-common hashes are
+    discovered from a hash-pruned pre-pass of the sidecar against the
+    batch's (broadcast) distinct hash set and removed from the BATCH
+    side, so the exploded join never materializes. Dropping a hash
+    only lowers measured similarity (under-blocking, the conservative
+    failure — set sizes stay full). Pair it with the append-time cap
+    (``incremental_ingest(media_max_bucket=...)``) that keeps such
+    hashes out of the sidecar in the first place."""
     reserved = {"bid", "sid", "n_a", "n_frames", "shared", "hash64"}
     if id_col in reserved:
         # the probe's own generated/required names (r13 advisor — the
@@ -495,6 +502,23 @@ def vhash_seen_ids(
     )
 
     def _probe(chunk: DataFrame) -> DataFrame:
+        if max_bucket is not None:
+            # history-side hot-bucket guard: per-hash df over the
+            # sidecar, computed ONLY for hashes the batch carries
+            # (broadcast pre-pass, map-side agg on matched rows) —
+            # over-common hashes are dropped from the BATCH side so
+            # the main join below never materializes the explosion
+            hot = (
+                seen.join(
+                    F.broadcast(chunk.select("hash64").distinct()),
+                    "hash64",
+                )
+                .groupBy("hash64")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > int(max_bucket))
+                .select("hash64")
+            )
+            chunk = chunk.join(F.broadcast(hot), "hash64", "left_anti")
         shared = (
             seen.join(F.broadcast(chunk), "hash64")
             .groupBy("bid", "sid", "n_a", "n_frames")
@@ -533,6 +557,7 @@ def audio_seen_ids(
     id_col: str = "media_id",
     min_votes: int = 4,
     max_broadcast_rows: int | None = 2_000_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus AUDIO-membership probe: the distinct batch audio
     ids that match ANY admitted recording by offset voting
@@ -552,9 +577,17 @@ def audio_seen_ids(
     vote aggregation runs on matched rows only. Mega-batches chunk by
     an id-hash modulus (per batch recording, so each pair's votes
     stay in one chunk). Silence/zero-run hash buckets are the
-    history-side hot-bucket hazard — cap at append time if needed
-    (capping only lowers votes: under-blocking, never false
-    blocking)."""
+    history-side hot-bucket hazard — AND a correctness one, not just
+    cost (r13 advisor): ``_audio_hash32_py`` maps every constant byte
+    run to hash 0, so two UNRELATED recordings sharing ``min_votes``
+    hops of silence/zero padding at aligned offsets would vote past
+    the threshold and the new audio would be falsely blocked forever.
+    ``max_bucket`` (r14) drops any window hash with more than that
+    many sidecar rows from the probe (hash-pruned broadcast pre-pass,
+    removed from the BATCH side so the join never explodes) — capping
+    only lowers votes: under-blocking, never false blocking. Pair it
+    with the append-time cap (``incremental_ingest(
+    media_max_bucket=...)``)."""
     reserved = {"bid", "sid", "wb", "ws", "offset", "votes", "hash32"}
     if id_col in reserved:
         # same hygiene as phash_seen_ids/vhash_seen_ids (r13 advisor)
@@ -575,6 +608,21 @@ def audio_seen_ids(
     )
 
     def _probe(chunk: DataFrame) -> DataFrame:
+        if max_bucket is not None:
+            # hot-bucket guard, vhash_seen_ids shape: per-hash row
+            # count over the sidecar for batch-carried hashes only;
+            # over-common hashes leave the BATCH side before the join
+            hot = (
+                seen.join(
+                    F.broadcast(chunk.select("hash32").distinct()),
+                    "hash32",
+                )
+                .groupBy("hash32")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > int(max_bucket))
+                .select("hash32")
+            )
+            chunk = chunk.join(F.broadcast(hot), "hash32", "left_anti")
         votes = (
             seen.join(F.broadcast(chunk), "hash32")
             .groupBy(

@@ -1152,6 +1152,81 @@ def test_phash_seen_ids_id_column_hygiene(spark):
             )
 
 
+def test_media_seen_ids_hot_bucket_caps(spark):
+    """r14 (verdict #4 / r13 advisor medium): max_bucket on the
+    video/audio history probes drops over-common sidecar hashes
+    (black frames, silence) from the match — under-blocking only,
+    never false blocking — and in the audio case prevents a genuine
+    FALSE BLOCK: _audio_hash32_py maps constant byte runs to hash 0,
+    so two unrelated recordings sharing >= min_votes hops of silence
+    at aligned offsets would otherwise vote past the threshold."""
+    wschema = "media_id long, win_idx int, hash32 long"
+    # history recording 1: 7 silence windows (hash 0) + unique tail
+    seen = spark.createDataFrame(
+        [(1, i, 0) for i in range(7)]
+        + [(1, 7 + i, 1000 + i) for i in range(10)],
+        wschema,
+    )
+    # UNRELATED new recording 9: same silence prefix, different tail
+    batch = spark.createDataFrame(
+        [(9, i, 0) for i in range(7)]
+        + [(9, 7 + i, 2000 + i) for i in range(10)],
+        wschema,
+    )
+    hit = multimodal.audio_seen_ids(batch, seen, min_votes=4)
+    assert {r["media_id"] for r in hit.collect()} == {9}  # the false block
+    capped = multimodal.audio_seen_ids(
+        batch, seen, min_votes=4, max_bucket=5
+    )
+    assert capped.count() == 0  # silence bucket dropped -> admitted
+    # a TRUE duplicate (recording 1 trimmed by 2 hops) still matches
+    # through the cap: its unique tail windows vote at one offset
+    dup = spark.createDataFrame(
+        [(8, i, 0) for i in range(5)]
+        + [(8, 5 + i, 1000 + i) for i in range(10)],
+        wschema,
+    )
+    hit2 = multimodal.audio_seen_ids(dup, seen, min_votes=4, max_bucket=5)
+    assert {r["media_id"] for r in hit2.collect()} == {8}
+    # video face: a frame hash held by >max_bucket admitted videos is
+    # dropped from the probe; n_a stays FULL-set so the cap can only
+    # LOWER similarity (a batch video sharing only the hot hash plus
+    # one frame is no longer flagged)
+    fschema = "media_id long, hash64 long, n_frames long"
+    H = 777
+    seen_v = spark.createDataFrame(
+        [(v, H, 2) for v in range(1, 6)]
+        + [(v, 100 + v, 2) for v in range(1, 6)],
+        fschema,
+    )
+    batch_v = spark.createDataFrame(
+        [(9, H), (9, 101)], "media_id long, hash64 long"
+    )
+    vhit = multimodal.vhash_seen_ids(batch_v, seen_v, min_jaccard=0.5)
+    assert {r["media_id"] for r in vhit.collect()} == {9}
+    vcap = multimodal.vhash_seen_ids(
+        batch_v, seen_v, min_jaccard=0.5, max_bucket=4
+    )
+    # H dropped (5 holders > 4): shared with v1 = {101} only ->
+    # J = 1/(2+2-1) = 1/3 < 0.5
+    assert vcap.count() == 0
+    # an exact frame-set twin of v1 still matches through the cap?
+    # No — and that is the DOCUMENTED trade: v1's only other frame
+    # IS the hot hash's partner, so J = 1/3. A video matching on two
+    # non-hot frames does:
+    seen_v2 = seen_v.union(
+        spark.createDataFrame([(6, 200, 3), (6, 201, 3), (6, H, 3)], fschema)
+    )
+    batch_v2 = spark.createDataFrame(
+        [(10, 200), (10, 201), (10, H)], "media_id long, hash64 long"
+    )
+    vhit2 = multimodal.vhash_seen_ids(
+        batch_v2, seen_v2, min_jaccard=0.5, max_bucket=4
+    )
+    # shared = {200,201}, J = 2/(3+3-2) = 0.5 -> flagged
+    assert {r["media_id"] for r in vhit2.collect()} == {10}
+
+
 def test_media_seen_ids_reserved_names_complete(spark):
     """r13 advisor: the reserved-name guards must cover EVERY name
     the probes generate — the prefixed id aliases (bid/sid), the

@@ -2316,6 +2316,134 @@ def test_media_guard_duration_presence_is_lake_identity(spark, tmp_path):
         )
 
 
+def test_media_max_bucket_prevents_silence_false_block(spark, tmp_path):
+    """r13 advisor (medium) + r14 verdict #4: without a cap, two
+    UNRELATED recordings sharing >= min_votes hops of silence (zero
+    padding) at aligned offsets vote past the threshold and the new
+    audio is falsely blocked at admission — permanently. With
+    media_max_bucket the over-common hash is capped at sidecar-append
+    time AND at the probe, the degenerate corpus stays bounded, and
+    only TRUE duplicates are blocked."""
+    import random
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    rng = random.Random(77)
+    silence = bytes(256)
+    tail_a = bytes(rng.randrange(1, 256) for _ in range(600))
+    tail_b = bytes(rng.randrange(1, 256) for _ in range(600))
+    rec_a = silence + tail_a
+    rec_b = silence + tail_b  # unrelated content, same zero padding
+    # uncapped lake: the false block happens (documents the hazard)
+    root0 = str(tmp_path / "lake_nocap")
+    incremental_ingest(
+        spark,
+        _av_docs(spark, [(1, "rec a", rec_a, "audio", None)]),
+        root0,
+        media_guard=True,
+    )
+    r0 = incremental_ingest(
+        spark,
+        _av_docs(spark, [(2, "rec b", rec_b, "audio", None)]),
+        root0,
+        media_guard=True,
+    )
+    assert r0["admitted"] == 0 and r0["media_skipped"] == 1
+    # capped lake: B admits, A's true trimmed copy still blocks
+    root = str(tmp_path / "lake_cap")
+    incremental_ingest(
+        spark,
+        _av_docs(spark, [(1, "rec a", rec_a, "audio", None)]),
+        root,
+        media_guard=True,
+        media_max_bucket=5,
+    )
+    # append-time cap: the silence hash (7 windows of hash 0 in one
+    # batch) never entered the sidecar
+    aside = spark.read.parquet(f"{root}/media_awins")
+    assert aside.filter("hash32 = 0").count() == 0
+    r1 = incremental_ingest(
+        spark,
+        _av_docs(spark, [(2, "rec b", rec_b, "audio", None)]),
+        root,
+        media_guard=True,
+        media_max_bucket=5,
+    )
+    assert r1["admitted"] == 1 and r1["media_skipped"] == 0
+    r2 = incremental_ingest(
+        spark,
+        _av_docs(spark, [(3, "rec a trimmed", rec_a[64:], "audio", None)]),
+        root,
+        media_guard=True,
+        media_max_bucket=5,
+    )
+    assert r2["admitted"] == 0 and r2["media_skipped"] == 1
+    # within-batch: two unrelated silence-padded recordings arriving
+    # TOGETHER both admit under the cap (audio_match_pairs bucket
+    # dropped), where uncapped they would collapse to one keeper
+    tail_c = bytes(rng.randrange(1, 256) for _ in range(600))
+    tail_d = bytes(rng.randrange(1, 256) for _ in range(600))
+    both = [
+        (10, "rec c", silence + tail_c, "audio", None),
+        (11, "rec d", silence + tail_d, "audio", None),
+    ]
+    r3 = incremental_ingest(
+        spark, _av_docs(spark, both), root,
+        media_guard=True, media_max_bucket=5,
+    )
+    assert r3["admitted"] == 2 and r3["media_skipped"] == 0
+
+
+def test_media_max_bucket_bounds_black_frame_sidecar(spark, tmp_path):
+    """r14 verdict #4, video face: a frame hash shared by more than
+    media_max_bucket videos in a batch (all-black frames) never
+    enters media_vframes — the history bucket stays bounded on a
+    degenerate corpus — while per-video n_frames keeps the FULL set
+    size so similarity can only be lowered, and distinct-tail videos
+    all admit."""
+    import random
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    rng = random.Random(78)
+    black = bytes(800)
+
+    def vid(tail_seed):
+        r = random.Random(tail_seed)
+        return black + bytes(r.randrange(1, 256) for _ in range(200))
+
+    batch = [
+        (i, f"video {i}", vid(i), "video", 5000) for i in range(1, 4)
+    ]
+    root = str(tmp_path / "lake_black")
+    r1 = incremental_ingest(
+        spark, _av_docs(spark, batch), root,
+        media_guard=True, media_max_bucket=2,
+    )
+    # pairwise J = 1/(2+2-1) = 1/3 < 0.5 -> not near-dups; all land
+    assert r1["admitted"] == 3 and r1["media_skipped"] == 0
+    vside = spark.read.parquet(f"{root}/media_vframes")
+    # black-frame hash (shared by 3 > cap 2) capped out of the
+    # sidecar: each video keeps exactly its ONE unique frame row,
+    # stamped with the FULL distinct-set size (2)
+    assert vside.count() == 3
+    assert vside.filter("n_frames = 2").count() == 3
+    rows = vside.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+    # replay: heals append the same capped view (nothing to heal,
+    # nothing smuggled past the cap)
+    rb = incremental_ingest(
+        spark, _av_docs(spark, batch), root,
+        media_guard=True, media_max_bucket=2,
+    )
+    assert rb["admitted"] == 0 and rb["healed_video"] == 0
+    assert spark.read.parquet(f"{root}/media_vframes").count() == 3
+
+
 def test_streaming_ingest_routed_media_guard(spark, tmp_path):
     """The streaming face forwards the kind-routed media guard: a
     re-encoded video and a trimmed audio arriving in a later
