@@ -788,7 +788,11 @@ def incremental_ingest(
     block — so it is a tuning knob, not lake identity.
 
     Returns counts: arrived, admitted (new + first-copy),
-    healed_fingerprints (replay backfills), total_docs; with
+    healed_fingerprints (replay backfills), total_docs (from the
+    1-row ``_lake_stats`` running-total marker — replay-idempotent
+    via an admitted-id-set digest; the corpus-sized docs layer is
+    never re-listed per batch, and :func:`recount_lake_docs` is the
+    explicit re-sync entry point); with
     ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
     history band collisions) and healed_bands; with ``media_guard``
     also media_skipped and healed_media; with ``line_census``
@@ -1492,6 +1496,51 @@ def incremental_ingest(
             )
         else:
             healable.write.mode("append").parquet(fp_path)
+    # Running total (r14, verdict #3): the corpus-sized docs layer is
+    # NEVER re-counted on the normal path — at 100 TB a per-batch
+    # parquet count is a full-layer file listing, exactly the
+    # driver-action cost the r8 ingest lesson says to avoid. The
+    # 1-row ``_lake_stats`` marker carries the total; each admitting
+    # batch increments it, stamped with the admitted id-set digest
+    # (the line-census pattern) and written BEFORE the docs append:
+    # a crash in the (stats, docs) window replays into the identical
+    # admitted set, whose matching (digest, n) makes the increment a
+    # no-op — no double count; a crash in (docs, …) needs no stats
+    # action at all (the increment already landed). A missing or
+    # unreadable marker (pre-r14 lake, torn overwrite) degrades to
+    # ONE authoritative recount, persisted so the next batch skips
+    # it; :func:`recount_lake_docs` is the explicit re-sync entry
+    # point. Semantics: the total counts ADMITTED docs — in the
+    # bucketed-lake (docs, ids) crash window a replay re-appends the
+    # batch's physical rows AND re-increments (new digest path), so
+    # marker and physical count stay consistent there too.
+    stats_path = f"{out_root}/_lake_stats"
+    stats = _read_lake_stats(spark, stats_path)
+    if stats is not None:
+        base_total, last_digest, last_n = stats
+    else:
+        base_total = (
+            spark.read.parquet(docs_path).count()
+            if _exists(spark, docs_path)
+            else 0
+        )
+        last_digest, last_n = None, None
+    n_total_docs = base_total
+    if n_admitted:
+        adm_digest = _lake_docs_digest(admitted, id_col)
+        if adm_digest == last_digest and n_admitted == last_n:
+            # replayed batch: its increment already landed
+            pass
+        else:
+            n_total_docs = base_total + n_admitted
+            _write_lake_stats(
+                spark, stats_path, n_total_docs, adm_digest, n_admitted
+            )
+    elif stats is None and _exists(spark, docs_path):
+        # migration write for a pre-marker lake: persist the one-time
+        # recount so the next batch reads 1 row instead of listing
+        # the corpus
+        _write_lake_stats(spark, stats_path, base_total, None, None)
     n_census_lines = 0
     if n_admitted:
         if bloom_guard:
@@ -1642,9 +1691,7 @@ def incremental_ingest(
         "arrived": arrived,
         "admitted": n_admitted,
         "healed_fingerprints": n_healed,
-        "total_docs": spark.read.parquet(docs_path).count()
-        if _exists(spark, docs_path)
-        else 0,
+        "total_docs": n_total_docs,
     }
     if near_dup:
         out["near_dup_skipped"] = n_near_skipped
@@ -1668,6 +1715,75 @@ def incremental_ingest(
         out["bloom_rebuilt_hex"] = n_bloom_rebuilt_hex
         out["bloom_rebuild_due"] = n_bloom_rebuild_due
     return out
+
+
+def _lake_docs_digest(df: DataFrame, id_col: str) -> int:
+    """Order-free id-set digest (``bit_xor(xxhash64(id))`` — the
+    line-census / shard-manifest digest) used to make the
+    ``_lake_stats`` running-total increment replay-idempotent."""
+    row = df.agg(
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col))), F.lit(0)
+        ).alias("d")
+    ).first()
+    return int(row["d"])
+
+
+def _read_lake_stats(
+    spark: SparkSession, path: str
+) -> tuple[int, int | None, int | None] | None:
+    """Read the 1-row ``_lake_stats`` marker, or None if absent OR
+    unreadable (crash during its overwrite) — like the Bloom sidecar,
+    the marker is a rebuildable cache of the docs layer, so any read
+    failure degrades to one authoritative recount, never an error."""
+    try:
+        df = spark.read.parquet(path)
+        if {"total_docs", "last_digest", "last_n"} - set(df.columns):
+            return None
+        row = df.head()
+        if row is None:
+            return None
+        return (
+            int(row["total_docs"]),
+            None if row["last_digest"] is None else int(row["last_digest"]),
+            None if row["last_n"] is None else int(row["last_n"]),
+        )
+    except Exception:
+        return None
+
+
+def _write_lake_stats(
+    spark: SparkSession,
+    path: str,
+    total: int,
+    digest: int | None,
+    n: int | None,
+) -> None:
+    spark.createDataFrame(
+        [(total, digest, n)],
+        "total_docs long, last_digest long, last_n long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def recount_lake_docs(spark: SparkSession, out_root: str) -> int:
+    """Authoritative docs-layer recount — the explicit maintenance
+    entry point behind the ``_lake_stats`` running total (r14,
+    verdict #3). Counts the physical docs layer (parquet footer
+    metadata — no data read, but at 100 TB the per-batch FILE LISTING
+    this entails is exactly the driver-action cost
+    :func:`incremental_ingest` no longer pays per call) and
+    overwrites the marker, clearing the replay digest. Run it after
+    out-of-band surgery on the docs layer (manual deletes, external
+    compaction that drops rows) or on suspicion of drift; the normal
+    ingest path never needs it."""
+    docs_path = f"{out_root}/docs"
+    n = (
+        spark.read.parquet(docs_path).count()
+        if _exists(spark, docs_path)
+        else 0
+    )
+    _write_lake_stats(spark, f"{out_root}/_lake_stats", n, None, None)
+    return n
 
 
 def _bloom_layer_path(out_root: str, hex_chars: int) -> str:

@@ -2316,6 +2316,243 @@ def test_media_guard_duration_presence_is_lake_identity(spark, tmp_path):
         )
 
 
+def test_keeper_stability_under_incremental_cluster_growth(spark, tmp_path):
+    """r14 verdict #1 (carried from r12): the keeper contract under
+    cluster growth, on both faces.
+
+    INGEST face — keepers are APPEND-ONLY STABLE by construction:
+    admission blocks (never admits) any doc that would join or bridge
+    an existing cluster, so the admitted set — and therefore every
+    keeper — never changes once written, even when a LOWER id
+    near-copy arrives later (offline min-id re-clustering would have
+    flipped to it).
+
+    OFFLINE face — recomputing dedup clusters after corpus growth
+    follows the DETERMINISTIC RE-KEEPER RULE keeper = cluster-min id:
+    untouched clusters and clusters grown by higher ids keep their
+    keeper; a merge (bridge doc) or a lower-id arrival flips the
+    keeper to the new minimum — deterministically, never randomly.
+    The two faces differ BY DESIGN; SCALE.md §keeper documents which
+    to use when downstream stability matters."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    schema = "doc_id long, text string, lang string"
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "rain in spain stays mainly in the plain again and again"
+    )
+    text_b = (
+        "colorless green ideas sleep furiously beneath a silver "
+        "moon that hums a completely different tune every night"
+    )
+    root = str(tmp_path / "lake_keeper")
+    r1 = incremental_ingest(
+        spark,
+        spark.createDataFrame([(10, text_a, "en")], schema),
+        root,
+        near_dup=True,
+    )
+    r2 = incremental_ingest(
+        spark,
+        spark.createDataFrame([(20, text_b, "en")], schema),
+        root,
+        near_dup=True,
+    )
+    assert r1["admitted"] == 1 and r2["admitted"] == 1
+    # a LOWER-id near-copy of A arrives later: blocked, so the
+    # admitted keeper stays 10 — offline re-clustering of {5, 10}
+    # would have re-keepered to 5, the ingest face never does
+    r3 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(5, text_a.replace("fox", "cat"), "en")], schema
+        ),
+        root,
+        near_dup=True,
+    )
+    assert r3["admitted"] == 0 and r3["near_dup_skipped"] == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    }
+    assert kept == {10, 20}
+    # the bridge argument, a fortiori: a doc that would MERGE two
+    # admitted clusters must band-collide with members of BOTH — but
+    # admission blocks on the FIRST collision, so the admitted set can
+    # never gain a cluster-merging element (here: one doc near A, one
+    # near B, both blocked; a doc near both is blocked even sooner)
+    r4 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(2, text_a.replace("dog", "pig"), "en"),
+             (3, text_b.replace("moon", "star"), "en")],
+            schema,
+        ),
+        root,
+        near_dup=True,
+    )
+    assert r4["admitted"] == 0 and r4["near_dup_skipped"] == 2
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    } == {10, 20}
+
+    # ---- offline face: deterministic re-keeper on recompute ----
+    edges = "a long, b long"
+    v1 = spark.createDataFrame([(10, 11), (20, 21), (30, 31)], edges)
+    m1 = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(v1, "a", "b").collect()
+    }
+    assert m1 == {10: 10, 11: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+    # growth by a HIGHER id: keeper unchanged
+    v2 = v1.union(spark.createDataFrame([(21, 22)], edges))
+    m2 = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(v2, "a", "b").collect()
+    }
+    assert m2[22] == 20 and m2[20] == 20 and m2[10] == 10
+    # a BRIDGE merges two clusters: every member re-keepers to the
+    # merged minimum (20 -> 10 flips); untouched cluster 30 stays
+    v3 = v2.union(spark.createDataFrame([(11, 20)], edges))
+    m3 = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(v3, "a", "b").collect()
+    }
+    assert m3[20] == 10 and m3[21] == 10 and m3[22] == 10
+    assert m3[10] == 10 and m3[30] == 30 and m3[31] == 30
+    # a LOWER-id arrival flips its cluster's keeper to the new min
+    v4 = v3.union(spark.createDataFrame([(5, 10)], edges))
+    m4 = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(v4, "a", "b").collect()
+    }
+    assert m4[10] == 5 and m4[20] == 5 and m4[30] == 30
+
+
+def test_leakage_safe_split_follows_merged_representative(spark):
+    """r14 verdict #1, the split interaction: leakage_safe_split
+    hashes the cluster REPRESENTATIVE, so (a) clusters whose
+    representative is unchanged keep their split assignment across
+    corpus growth, (b) a MERGED cluster lands entirely in the merged
+    representative's split — the flipped side MOVES ACROSS THE SPLIT
+    WITH ITS CLUSTER, because leakage-safety (near-dups never
+    straddle) dominates assignment stability by design."""
+    from projet_big_data_boutin_danre_spark.operators import corpus_prep
+
+    ids = [(i,) for i in (10, 11, 20, 21, 30, 31, 40)]
+    df = spark.createDataFrame(ids, "doc_id long")
+    splits = {"train": 0.5, "eval": 0.5}
+    mschema = "member long, rep long"
+    m_v1 = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30), (31, 30)],
+        mschema,
+    )
+    s1 = {
+        r["doc_id"]: r["split"]
+        for r in corpus_prep.leakage_safe_split(
+            df, "doc_id", splits, seed=7, members=m_v1
+        ).collect()
+    }
+    # clusters are atomic already in v1
+    assert s1[10] == s1[11] and s1[20] == s1[21] and s1[30] == s1[31]
+    # v2: clusters {10,11} and {20,21} merged (bridge found in a
+    # later dedup recompute) — canonical map sends all four to 10
+    m_v2 = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 10), (21, 10), (30, 30), (31, 30)],
+        mschema,
+    )
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in corpus_prep.leakage_safe_split(
+            df, "doc_id", splits, seed=7, members=m_v2
+        ).collect()
+    }
+    # merged cluster is atomic, in the surviving representative's
+    # (unchanged) split
+    assert len({s2[i] for i in (10, 11, 20, 21)}) == 1
+    assert s2[10] == s1[10]
+    # untouched cluster and singleton keep their assignment
+    assert s2[30] == s1[30] and s2[31] == s1[31] and s2[40] == s1[40]
+    # the documented churn: IF the two old clusters sat in different
+    # splits, the absorbed side moved (leakage-safety over stability)
+    if s1[20] != s1[10]:
+        assert s2[20] != s1[20]
+
+
+def test_lake_stats_running_total(spark, tmp_path):
+    """r14 verdict #3: total_docs comes from the 1-row _lake_stats
+    running-total marker, not a per-batch count of the corpus-sized
+    docs layer. The increment is digest-idempotent (a replay of the
+    crash window between the stats write and the docs append does
+    not double-count), a missing/corrupt marker degrades to one
+    authoritative recount, and recount_lake_docs re-syncs
+    explicitly."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _lake_docs_digest,
+        _read_lake_stats,
+        _write_lake_stats,
+        incremental_ingest,
+        recount_lake_docs,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_stats")
+
+    def docs(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, f"stats doc {lo + i} body", "en") for i in range(n)],
+            schema,
+        )
+
+    b1 = docs(0, 5)
+    r1 = incremental_ingest(spark, b1, root)
+    assert r1["total_docs"] == 5
+    # replay adds nothing
+    r1b = incremental_ingest(spark, b1, root)
+    assert r1b["admitted"] == 0 and r1b["total_docs"] == 5
+    r2 = incremental_ingest(spark, docs(100, 3), root)
+    assert r2["total_docs"] == 8
+    assert spark.read.parquet(f"{root}/docs").count() == 8
+    # the marker, not the layer, is the source on the normal path:
+    # plant a WRONG total and watch the next batch extend it — proof
+    # the corpus was not re-counted
+    _write_lake_stats(spark, f"{root}/_lake_stats", 1000, None, None)
+    r3 = incremental_ingest(spark, docs(200, 2), root)
+    assert r3["total_docs"] == 1002
+    # explicit re-sync
+    assert recount_lake_docs(spark, root) == 10
+    r4 = incremental_ingest(spark, docs(300, 1), root)
+    assert r4["total_docs"] == 11
+    # crash window (stats written, docs append lost): simulate the
+    # REPLAY of a batch whose first attempt wrote the stats increment
+    # but crashed before the docs append — the digest match makes the
+    # re-increment a no-op and the totals reconcile
+    b5 = docs(400, 4)
+    adm_digest = _lake_docs_digest(b5, "doc_id")
+    _write_lake_stats(
+        spark, f"{root}/_lake_stats", 11 + 4, adm_digest, 4
+    )
+    r5 = incremental_ingest(spark, b5, root)
+    assert r5["admitted"] == 4
+    assert r5["total_docs"] == 15  # not 19: replay increment skipped
+    assert spark.read.parquet(f"{root}/docs").count() == 15
+    # a later batch resumes normal accumulation
+    r6 = incremental_ingest(spark, docs(500, 2), root)
+    assert r6["total_docs"] == 17
+    # torn marker overwrite -> one authoritative recount, persisted
+    shutil.rmtree(f"{root}/_lake_stats")
+    r7 = incremental_ingest(spark, docs(600, 1), root)
+    assert r7["total_docs"] == 18
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st is not None and st[0] == 18
+
+
 def test_media_max_bucket_prevents_silence_false_block(spark, tmp_path):
     """r13 advisor (medium) + r14 verdict #4: without a cap, two
     UNRELATED recordings sharing >= min_votes hops of silence (zero
