@@ -1,0 +1,231 @@
+"""Media admission-probe scaling sweep (r14, verdict #2 — carried
+from r12 #3): measure `phash_seen_ids` / `vhash_seen_ids` /
+`audio_seen_ids` wall-time as the HISTORY sidecar grows 1x→32x while
+the arriving batch stays fixed — the exact shape of an ingest
+admission call against a growing lake. Also measures:
+
+- the chunked mega-batch path (`max_broadcast_rows` forced tiny, so
+  every probe runs the id-hash-modulus union) vs the plain broadcast
+  path — the claim is that chunking costs ~n_chunks history scans and
+  nothing super-linear;
+- a NAIVE baseline for the image probe: the same band-equality join
+  with a sort-merge hint (history shuffled + sorted per batch — what
+  the plan notes say we must never do);
+- the r14 verdict #3 companion numbers: per-batch `total_docs` via a
+  parquet count of the docs layer (the pre-r14 cost — listing +
+  footer reads growing with the lake) vs the 1-row `_lake_stats`
+  read that replaced it.
+
+History layers are WRITTEN TO PARQUET and read back, so the probe
+scans real files like production, not a cached in-memory frame.
+Bench-side measurement only — never a correctness input.
+
+Usage: python tools/media_probe.py [sf_dir] [max_k] [probes,csv]
+Output: one markdown table + a JSON line (SCALE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+    _read_lake_stats,
+    _write_lake_stats,
+)
+from projet_big_data_boutin_danre_spark.operators import multimodal
+from projet_big_data_boutin_danre_spark.session import get_spark
+from projet_big_data_boutin_danre_spark.sources.readers import load_table
+
+
+def scaled(df: DataFrame, id_col: str, k: int, stride: int) -> DataFrame:
+    copies = df.sparkSession.range(k).select(F.col("id").alias("__copy"))
+    return (
+        df.crossJoin(F.broadcast(copies))
+        .withColumn(id_col, F.col(id_col) + F.col("__copy") * F.lit(stride))
+        .drop("__copy")
+        .repartition(32)
+    )
+
+
+def _naive_phash_seen(
+    batch_hashes: DataFrame, seen_hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """The shape the plan notes forbid: same band-equality semantics
+    as phash_seen_ids, but the corpus-sized history side is SHUFFLED
+    AND SORTED per batch (merge-join hint, no broadcast)."""
+    def _long(h: DataFrame, prefix: str) -> DataFrame:
+        stack_args: list = [F.lit(multimodal.DHASH_BANDS)]
+        for j in range(multimodal.DHASH_BANDS):
+            stack_args += [F.lit(j), F.col(f"band{j}")]
+        return h.filter(F.col("band0").isNotNull()).select(
+            F.col("media_id").alias(f"{prefix}id"),
+            *[
+                F.col(f"band{j}").alias(f"{prefix}{j}")
+                for j in range(multimodal.DHASH_BANDS)
+            ],
+            F.stack(*stack_args).alias("band", "band_key"),
+        )
+
+    seen_long = _long(seen_hashes, "s").hint("merge")
+    batch_long = _long(batch_hashes, "b")
+    ham = None
+    for j in range(multimodal.DHASH_BANDS):
+        term = F.bit_count(
+            F.col(f"b{j}").bitwiseXOR(F.col(f"s{j}")).cast("long")
+        )
+        ham = term if ham is None else ham + term
+    return (
+        seen_long.join(batch_long, ["band", "band_key"])
+        .filter(ham <= int(max_hamming))
+        .select(F.col("bid").alias("media_id"))
+        .distinct()
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    ks = [k for k in (1, 4, 16, 32, 64) if k <= max_k]
+    spark = get_spark("media_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs0 = load_table(spark, sf_dir, "documents")
+    n_docs = docs0.count()
+    work = tempfile.mkdtemp(prefix="media_probe_")
+
+    # fixed arriving batch: media for the first ~600 base docs (~200
+    # per modality), an exact content-duplicate of part of history —
+    # the admission worst case (every row matches something)
+    batch_media = multimodal.synth_media_from_documents(
+        docs0.filter(F.col("doc_id") < 600)
+    ).localCheckpoint()
+    batch_ph = multimodal.perceptual_hash(batch_media).localCheckpoint()
+    bvf = multimodal.video_frame_hashes(batch_media)
+    bvd = bvf.select("media_id", "hash64").distinct().localCheckpoint()
+    batch_vs = bvd.join(
+        bvd.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")),
+        "media_id",
+    ).localCheckpoint()
+    batch_aw = multimodal.audio_window_hashes(batch_media).localCheckpoint()
+
+    results: dict[str, dict[int, float]] = {}
+    rows_hist: dict[int, dict[str, int]] = {}
+    try:
+        for k in ks:
+            kd = f"{work}/k{k}"
+            media = multimodal.synth_media_from_documents(
+                scaled(docs0, "doc_id", k, n_docs)
+            )
+            # history sidecars, written then re-read (real file scans)
+            multimodal.perceptual_hash(media).filter(
+                F.col("band0").isNotNull()
+            ).write.mode("overwrite").parquet(f"{kd}/media_bands")
+            vf = multimodal.video_frame_hashes(media)
+            vd = vf.select("media_id", "hash64").distinct()
+            vd.join(
+                vd.groupBy("media_id").agg(
+                    F.count(F.lit(1)).alias("n_frames")
+                ),
+                "media_id",
+            ).write.mode("overwrite").parquet(f"{kd}/media_vframes")
+            multimodal.audio_window_hashes(media).write.mode(
+                "overwrite"
+            ).parquet(f"{kd}/media_awins")
+            # docs layer + stats marker for the verdict #3 companion
+            scaled(docs0, "doc_id", k, n_docs).select(
+                "doc_id", "text", "lang"
+            ).write.mode("overwrite").parquet(f"{kd}/docs")
+            _write_lake_stats(spark, f"{kd}/_lake_stats", 0, None, None)
+
+            seen_ph = spark.read.parquet(f"{kd}/media_bands")
+            seen_vs = spark.read.parquet(f"{kd}/media_vframes")
+            seen_aw = spark.read.parquet(f"{kd}/media_awins")
+            rows_hist[k] = {
+                "bands": seen_ph.count(),
+                "vframes": seen_vs.count(),
+                "awins": seen_aw.count(),
+            }
+
+            probes = {
+                "phash_seen": lambda: multimodal.phash_seen_ids(
+                    batch_ph, seen_ph
+                ).count(),
+                "phash_seen_chunked": lambda: multimodal.phash_seen_ids(
+                    batch_ph, seen_ph, max_broadcast_rows=200
+                ).count(),
+                "phash_seen_naiveSMJ": lambda: _naive_phash_seen(
+                    batch_ph, seen_ph
+                ).count(),
+                "vhash_seen": lambda: multimodal.vhash_seen_ids(
+                    batch_vs, seen_vs
+                ).count(),
+                "vhash_seen_chunked": lambda: multimodal.vhash_seen_ids(
+                    batch_vs, seen_vs, max_broadcast_rows=500
+                ).count(),
+                "audio_seen": lambda: multimodal.audio_seen_ids(
+                    batch_aw, seen_aw
+                ).count(),
+                "audio_seen_chunked": lambda: multimodal.audio_seen_ids(
+                    batch_aw, seen_aw, max_broadcast_rows=2000
+                ).count(),
+                "total_docs_count": lambda: spark.read.parquet(
+                    f"{kd}/docs"
+                ).count(),
+                "lake_stats_read": lambda: _read_lake_stats(
+                    spark, f"{kd}/_lake_stats"
+                ),
+            }
+            for name, fn in probes.items():
+                if only is not None and name not in only:
+                    continue
+                fn()  # warm (codegen + broadcast build)
+                t0 = time.time()
+                fn()
+                results.setdefault(name, {})[k] = round(time.time() - t0, 3)
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        "\n| probe | " + " | ".join(f"{k}x" for k in ks) + " | exponent |"
+    )
+    print("|---" * (len(ks) + 2) + "|")
+    exps = {}
+    for name, ts in results.items():
+        k0, k1 = ks[0], ks[-1]
+        exp = (
+            math.log(max(ts[k1], 1e-3) / max(ts[k0], 1e-3))
+            / math.log(k1 / k0)
+            if k1 > k0
+            else float("nan")
+        )
+        exps[name] = round(exp, 2)
+        row = " | ".join(f"{ts[k]:.2f}" for k in ks)
+        print(f"| {name} | {row} | {exps[name]} |")
+    print()
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "ks": ks,
+                "history_rows": rows_hist,
+                "timings": results,
+                "exponents": exps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
