@@ -142,6 +142,40 @@ def test_gray_decoder_locality(decode, hasher, n_px, payload_of):
     assert ham <= 3, f"perturbation moved the hash {ham} bits"
 
 
+def test_real_codec_entries_unskip_when_codec_present():
+    """Codec-unskip insurance (r13 stretch / r14): the day the image
+    library lands in this container, the pil_* registry entries must
+    COME ALIVE — a refactor that breaks the self-registration
+    import-try would otherwise leave the real-codec battery skipping
+    forever while the suite stays green. This guard fails loudly on
+    exactly that state: codec importable, entries still stubbed out.
+    (grade.py runs the suite, so the check rides every graded run.)"""
+    try:
+        import PIL  # noqa: F401
+
+        pil_present = True
+    except ImportError:
+        pil_present = False
+    pil_decoders = {
+        name: d for name, d, _h, _n, _pf in GRAY_CODECS
+        if name.startswith("pil_")
+    }
+    assert pil_decoders, "registry lost its real-codec entries"
+    if pil_present:
+        dead = sorted(n for n, d in pil_decoders.items() if d is None)
+        assert not dead, (
+            f"PIL is importable but codec-contract entries {dead} would "
+            "still SKIP — the real-codec self-registration is broken; "
+            "fix _pil_gray_decoder so the conformance battery actually "
+            "runs against the real decoder"
+        )
+        payload = _png_payload(1)
+        assert payload is not None and len(payload) > 0
+    else:
+        # registry stays visibly skipped, not silently absent
+        assert all(d is None for d in pil_decoders.values())
+
+
 def test_feature_decoder_contract():
     assert mm._decode_stub(None) == [0.0] * mm.FEATURE_DIM
     v1 = mm._decode_stub(_raw_payload(11))

@@ -2316,6 +2316,91 @@ def test_media_guard_duration_presence_is_lake_identity(spark, tmp_path):
         )
 
 
+def test_streaming_face_defer_and_maintain_lake(spark, tmp_path):
+    """r13 stretch / r14: exercise maintain_lake FROM THE STREAMING
+    FACE — a saturated lake streams micro-batches in defer mode
+    without any of them paying the rebuild (geometry untouched
+    in-stream), out-of-band maintenance rebuilds between stream runs,
+    and a resumed stream on the same lake keeps admission exact
+    (novel keys land, replayed duplicates stay out)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _discover_bloom_geometry,
+        bloom_rebuild,
+        incremental_ingest,
+        maintain_lake,
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_stream_defer")
+    src = tmp_path / "defer_incoming"
+    src.mkdir()
+    seed = spark.createDataFrame(
+        [(i, f"stream seed doc {i} alpha", "en") for i in range(8)],
+        schema,
+    )
+    incremental_ingest(spark, seed, root, bloom_guard=True)
+    bloom_rebuild(spark, root, hex_chars=1)  # toy geometry -> saturated
+
+    def wave(path, lo, n, tag):
+        spark.createDataFrame(
+            [(lo + i, f"wave {tag} doc {lo + i} beta", "en")
+             for i in range(n)],
+            schema,
+        ).write.mode("overwrite").parquet(str(src / path))
+
+    wave("w1", 100, 4, "one")
+    wave("w2", 200, 4, "two")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qy = streaming_ingest(
+        stream, root, bloom_guard=True, bloom_rebuild_mode="defer"
+    )
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    # no micro-batch grew the filter (the defer contract held
+    # in-stream) and every wave admitted exactly
+    assert _discover_bloom_geometry(spark, root) == 1
+    assert spark.read.parquet(f"{root}/docs").count() == 16
+    # out-of-band maintenance between stream runs: one fill-sized
+    # rebuild restores the fastpath
+    m = maintain_lake(spark, root)
+    assert m["bloom_steps"] == 1 and m["bloom_rebuilt_hex"] >= 2
+    assert _discover_bloom_geometry(spark, root) == m["bloom_rebuilt_hex"]
+    # resume streaming on the SAME lake: a duplicate replay wave (the
+    # seed docs under the same ids) admits nothing, a novel wave lands
+    seed.write.mode("overwrite").parquet(str(src / "w3_dup"))
+    wave("w4", 300, 3, "four")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qy2 = streaming_ingest(
+        stream2,
+        root,
+        bloom_guard=True,
+        bloom_rebuild_mode="defer",
+        checkpoint=f"{root}/_checkpoints/ingest",
+    )
+    try:
+        qy2.processAllAvailable()
+    finally:
+        qy2.stop()
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    }
+    assert kept == set(range(8)) | {100 + i for i in range(4)} | {
+        200 + i for i in range(4)
+    } | {300 + i for i in range(3)}
+
+
 def test_keeper_stability_under_incremental_cluster_growth(spark, tmp_path):
     """r14 verdict #1 (carried from r12): the keeper contract under
     cluster growth, on both faces.

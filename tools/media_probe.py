@@ -92,7 +92,99 @@ def _naive_phash_seen(
     )
 
 
+def big_main(n_max: int) -> None:
+    """Synthetic big-history mode (`--big N`): the sf-derived sweep's
+    sidecars top out around ~4e5 rows at 32x — every probe is
+    driver-action-bound there and the broadcast-vs-shuffle story
+    cannot show. Here the sidecars are built DIRECTLY (spark.range →
+    hash columns, no payload decode) at N/4, N rows, written to
+    parquet, and probed with a fixed batch that duplicates a slice of
+    history (every row matches — the admission worst case). This is
+    the regime where the naive SMJ baseline pays history shuffle+sort
+    per batch and the broadcast probe does not."""
+    spark = get_spark("media_probe_big")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="media_probe_big_")
+    ns = [max(n_max // 4, 1), n_max]
+    results: dict[str, dict[int, float]] = {}
+    try:
+        for n in ns:
+            kd = f"{work}/n{n}"
+            base = spark.range(n)
+            bands = base.select(
+                F.col("id").alias("media_id"),
+                *[
+                    F.pmod(F.xxhash64("id", F.lit(j)), F.lit(65536))
+                    .cast("int")
+                    .alias(f"band{j}")
+                    for j in range(multimodal.DHASH_BANDS)
+                ],
+            )
+            bands.write.mode("overwrite").parquet(f"{kd}/media_bands")
+            base.select(
+                (F.col("id") / 20).cast("long").alias("media_id"),
+                F.xxhash64("id").alias("hash64"),
+                F.lit(20).alias("n_frames"),
+            ).write.mode("overwrite").parquet(f"{kd}/media_vframes")
+            base.select(
+                (F.col("id") / 50).cast("long").alias("media_id"),
+                (F.col("id") % 50).cast("int").alias("win_idx"),
+                F.pmod(F.xxhash64("id"), F.lit(1 << 32)).alias("hash32"),
+            ).write.mode("overwrite").parquet(f"{kd}/media_awins")
+            seen_ph = spark.read.parquet(f"{kd}/media_bands")
+            seen_vs = spark.read.parquet(f"{kd}/media_vframes")
+            seen_aw = spark.read.parquet(f"{kd}/media_awins")
+            # batches duplicate a history slice under fresh ids
+            b_ph = seen_ph.filter(F.col("media_id") < 200).withColumn(
+                "media_id", F.col("media_id") + F.lit(10 * n)
+            ).localCheckpoint()
+            b_vs = seen_vs.filter(F.col("media_id") < 50).withColumn(
+                "media_id", F.col("media_id") + F.lit(10 * n)
+            ).localCheckpoint()
+            b_aw = seen_aw.filter(F.col("media_id") < 40).withColumn(
+                "media_id", F.col("media_id") + F.lit(10 * n)
+            ).localCheckpoint()
+            probes = {
+                "phash_seen": lambda: multimodal.phash_seen_ids(
+                    b_ph, seen_ph
+                ).count(),
+                "phash_seen_chunked": lambda: multimodal.phash_seen_ids(
+                    b_ph, seen_ph, max_broadcast_rows=200
+                ).count(),
+                "phash_seen_naiveSMJ": lambda: _naive_phash_seen(
+                    b_ph, seen_ph
+                ).count(),
+                "vhash_seen": lambda: multimodal.vhash_seen_ids(
+                    b_vs, seen_vs
+                ).count(),
+                "audio_seen": lambda: multimodal.audio_seen_ids(
+                    b_aw, seen_aw
+                ).count(),
+            }
+            for name, fn in probes.items():
+                fn()
+                t0 = time.time()
+                fn()
+                results.setdefault(name, {})[n] = round(time.time() - t0, 3)
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\n| probe | " + " | ".join(f"{n:,} rows" for n in ns) + " |")
+    print("|---" * (len(ns) + 1) + "|")
+    for name, ts in results.items():
+        print(
+            f"| {name} | "
+            + " | ".join(f"{ts[n]:.2f}" for n in ns)
+            + " |"
+        )
+    print()
+    print(json.dumps({"mode": "big", "ns": ns, "timings": results}))
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--big":
+        big_main(int(sys.argv[2]))
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
