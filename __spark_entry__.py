@@ -607,7 +607,22 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
       duplicated three-sentence spans cut everywhere except the
       globally-first occurrence; sentence view = '. ' after every
       6th word) — key = md5 of the cut text, v1 = doc_id,
-      v2 = n_cut_chars."""
+      v2 = n_cut_chars;
+    - ``canon`` / ``url`` / ``dom`` (r14): the URL/domain hygiene
+      family (operators/urls.py — the PRE-content gate real pipelines
+      run first: RefinedWeb dedups by canonicalized URL before
+      MinHash sees text; C4 gates on domain blocklists/rollups).
+      Deterministic messy-URL substrate (urls.synth_urls — mixed
+      case, default ports, www, trailing slash, tracking params,
+      fragments; every (doc_id % 211) group canonicalizes to ONE
+      url). ``canon``: per-doc canonical url for doc_id < 500 — key =
+      canonical_url, v1 = doc_id; ``url``: canonical-url dedup
+      groups — key = canonical_url, v1 = keeper (min id), v2 =
+      n_copies (> 1 proves the canonicalizer merged messy variants);
+      ``dom``: registered-domain rollup — key = domain, v1 = n_docs,
+      v2 = total chars. Pure Column algebra (anchored RE2/Java-safe
+      regexes — no UDFs, no list lambdas), map-only + two hash
+      aggregates."""
     docs = load_table(spark, sf, "documents")
     groups = dedup.exact_dedup_stats(docs, "doc_id", "text").select(
         F.lit("group").alias("tag"),
@@ -680,9 +695,34 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("v1"),
         F.col("n_cut_chars").cast("bigint").alias("v2"),
     )
+    # r14 widening: URL/domain hygiene tags (docstring above)
+    from projet_big_data_boutin_danre_spark.operators import urls as urls_ops
+
+    wu = urls_ops.synth_urls(docs)
+    canon = wu.filter(F.col("doc_id") < 500).select(
+        F.lit("canon").alias("tag"),
+        urls_ops.canonicalize_url(F.col("url")).alias("key"),
+        F.col("doc_id").alias("v1"),
+        F.lit(None).cast("bigint").alias("v2"),
+    )
+    url_groups = urls_ops.url_dedup_groups(wu, "doc_id", "url").select(
+        F.lit("url").alias("tag"),
+        F.col("canonical_url").alias("key"),
+        F.col("keeper_id").alias("v1"),
+        F.col("n_copies").cast("bigint").alias("v2"),
+    )
+    dom = urls_ops.domain_rollup(
+        wu, "doc_id", "url", weight_col="n_chars"
+    ).select(
+        F.lit("dom").alias("tag"),
+        F.col("domain").alias("key"),
+        F.col("n_docs").cast("bigint").alias("v1"),
+        F.col("total_weight").alias("v2"),
+    )
     return (
         groups.unionByName(spans).unionByName(cover).unionByName(topwin)
         .unionByName(lines_tag).unionByName(c4)
+        .unionByName(canon).unionByName(url_groups).unionByName(dom)
     )
 
 
@@ -3645,6 +3685,92 @@ def oracle_sql() -> dict[str, str]:
                                        0) AS BIGINT) AS v2
                 FROM c4d d LEFT JOIN c4k USING (doc_id)
             ) cr
+            UNION ALL
+            -- URL/domain hygiene twin (r14): same messy-URL synth
+            -- (group key g = doc_id % 211; domain/path derive from g,
+            -- variant cycles on doc_id), same canonicalization recipe
+            -- step for step (lowercase scheme+host, strip leading
+            -- www., drop DEFAULT ports only, strip trailing slashes,
+            -- drop tracking params via the &-prefixed boundary trick,
+            -- drop fragment). Three tags from one canonical CTE.
+            SELECT ur.tag, ur.key, ur.v1, ur.v2 FROM (
+                WITH usyn AS (
+                    SELECT doc_id, n_chars,
+                        CAST(doc_id % 211 AS VARCHAR) AS g,
+                        CAST((doc_id % 211) % 13 AS VARCHAR) AS d,
+                        CAST((doc_id % 211) % 7 AS VARCHAR) AS p,
+                        doc_id % 4 AS v
+                    FROM documents
+                ), uraw AS (
+                    SELECT doc_id, n_chars,
+                        CASE v
+                        WHEN 0 THEN 'https://www.site' || g || '.ex'
+                            || d || '.com/a/b' || p || '?id=' || g
+                            || '&utm_source=feed'
+                        WHEN 1 THEN 'HTTPS://' || upper('site' || g
+                            || '.ex' || d || '.com') || ':443/a/b'
+                            || p || '/?id=' || g
+                        WHEN 2 THEN 'https://site' || g || '.ex' || d
+                            || '.com/a/b' || p || '?utm_medium=x&id='
+                            || g || '#frag'
+                        ELSE 'https://www.site' || g || '.ex' || d
+                            || '.com:443/a/b' || p || '?id=' || g
+                            || '&gclid=zz'
+                        END AS url
+                    FROM usyn
+                ), uparts AS (
+                    SELECT doc_id, n_chars,
+                        lower(regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                            AS scheme,
+                        regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+                            AS hostport,
+                        regexp_replace(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)',
+                            1), '/+$', '') AS path2,
+                        regexp_replace(regexp_replace('&' ||
+                            regexp_extract(url, '^[^#]*[?]([^#]*)', 1),
+                            '&(utm_[^&]*|fbclid=[^&]*|gclid=[^&]*)',
+                            '', 'g'), '^&+', '') AS q2
+                    FROM uraw
+                ), uhost AS (
+                    SELECT doc_id, n_chars, scheme, path2, q2,
+                        regexp_replace(lower(regexp_replace(hostport,
+                            ':[0-9]+$', '')), '^www[.]', '') AS host,
+                        regexp_extract(hostport, ':([0-9]+)$', 1)
+                            AS port
+                    FROM uparts
+                ), ucn AS (
+                    SELECT doc_id, n_chars,
+                        scheme || '://' || host
+                        || CASE WHEN port <> ''
+                                AND NOT (scheme = 'https'
+                                         AND port = '443')
+                                AND NOT (scheme = 'http'
+                                         AND port = '80')
+                           THEN ':' || port ELSE '' END
+                        || path2
+                        || CASE WHEN q2 <> '' THEN '?' || q2
+                           ELSE '' END AS canonical,
+                        regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+                            AS domain
+                    FROM uhost
+                )
+                SELECT 'canon' AS tag, canonical AS key,
+                       doc_id AS v1, CAST(NULL AS BIGINT) AS v2
+                FROM ucn WHERE doc_id < 500
+                UNION ALL
+                SELECT 'url', canonical,
+                       CAST(min(doc_id) AS BIGINT),
+                       CAST(count(*) AS BIGINT)
+                FROM ucn GROUP BY canonical
+                UNION ALL
+                SELECT 'dom', domain,
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(n_chars) AS BIGINT)
+                FROM ucn GROUP BY domain
+            ) ur
         """,
         "exact_cardinality": f"""
             WITH g AS (

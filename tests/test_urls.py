@@ -1,0 +1,120 @@
+"""URL / domain hygiene operators (r14 stretch — the pre-content
+gate of a web-scale pipeline: RefinedWeb URL dedup, C4-style domain
+rollups)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from projet_big_data_boutin_danre_spark.operators import urls
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in raw], "u string")
+    return [
+        r["c"]
+        for r in df.select(
+            urls.canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    ]
+
+
+def test_canonicalize_merges_messy_variants(spark):
+    variants = [
+        "https://www.site5.ex5.com/a/b5?id=5&utm_source=feed",
+        "HTTPS://SITE5.EX5.COM:443/a/b5/?id=5",
+        "https://site5.ex5.com/a/b5?utm_medium=x&id=5#frag",
+        "https://www.site5.ex5.com:443/a/b5?id=5&gclid=zz",
+    ]
+    out = set(_canon(spark, variants))
+    assert out == {"https://site5.ex5.com/a/b5?id=5"}
+
+
+def test_canonicalize_rules_one_by_one(spark):
+    cases = {
+        # default ports dropped per scheme; non-default kept
+        "http://Host.COM:80/x": "http://host.com/x",
+        "https://host.com:8443/x": "https://host.com:8443/x",
+        "http://host.com:443/x": "http://host.com:443/x",
+        # trailing slashes; root path collapses to empty
+        "https://host.com///": "https://host.com",
+        # fragment dropped, kept params preserve ORDER
+        "https://host.com/p?b=2&a=1#sec": "https://host.com/p?b=2&a=1",
+        # tracking-only query drops the '?' entirely
+        "https://host.com/p?utm_campaign=x&utm_id=y": "https://host.com/p",
+        # tracking prefix must match at a PARAM boundary only
+        "https://host.com/p?xutm_source=keep": (
+            "https://host.com/p?xutm_source=keep"
+        ),
+        # www stripped only as a leading label
+        "https://www.wwwish.com/p": "https://wwwish.com/p",
+        "https://notwww.www.com/p": "https://notwww.www.com/p",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_registered_domain_and_host(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.b.site9.ex3.com:9999/x",),
+            ("HTTP://WWW.EX0.COM/",),
+        ],
+        "u string",
+    )
+    rows = df.select(
+        urls.url_host(F.col("u")).alias("h"),
+        urls.registered_domain(F.col("u")).alias("d"),
+    ).collect()
+    assert (rows[0]["h"], rows[0]["d"]) == ("a.b.site9.ex3.com", "ex3.com")
+    assert (rows[1]["h"], rows[1]["d"]) == ("ex0.com", "ex0.com")
+
+
+def test_url_dedup_groups_and_domain_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.site1.ex1.com/p?id=1&utm_source=a", 10),
+            (2, "HTTPS://SITE1.EX1.COM:443/p/?id=1", 20),
+            (3, "https://site2.ex1.com/q", 30),
+            (4, "https://site3.ex2.com/r#frag", 40),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    groups = {
+        r["canonical_url"]: (r["keeper_id"], r["n_copies"])
+        for r in urls.url_dedup_groups(df, "doc_id", "url").collect()
+    }
+    assert groups["https://site1.ex1.com/p?id=1"] == (1, 2)
+    assert groups["https://site2.ex1.com/q"] == (3, 1)
+    assert groups["https://site3.ex2.com/r"] == (4, 1)
+    roll = {
+        r["domain"]: (r["n_docs"], r["total_weight"])
+        for r in urls.domain_rollup(
+            df, "doc_id", "url", weight_col="n_chars"
+        ).collect()
+    }
+    assert roll == {"ex1.com": (3, 60), "ex2.com": (1, 40)}
+
+
+def test_synth_urls_variants_collapse(spark, sf0001):
+    from projet_big_data_boutin_danre_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    with_urls = urls.synth_urls(docs)
+    n_docs = docs.count()
+    groups = urls.url_dedup_groups(with_urls, "doc_id", "url")
+    n_groups = groups.count()
+    # every (doc_id % 211) class collapses to ONE canonical url even
+    # though raw variants differ — canonicalization does the merging
+    assert n_groups == min(211, n_docs)
+    assert (
+        with_urls.select("url").distinct().count() > n_groups
+        or n_docs <= 211
+    )
+    # no UDFs, map-only canonicalizer: plan stays in codegen
+    plan = with_urls.select(
+        urls.canonicalize_url(F.col("url"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
