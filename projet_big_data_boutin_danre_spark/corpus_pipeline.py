@@ -1280,6 +1280,7 @@ def incremental_ingest(
                 spark.read.parquet(media_bands_path),
                 id_col=id_col,
                 max_hamming=media_max_hamming,
+                max_bucket=media_max_bucket,
             )
         if media_routed and _exists(spark, media_vframes_path):
             vhits = multimodal.vhash_seen_ids(

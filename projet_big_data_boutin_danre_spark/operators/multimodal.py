@@ -347,6 +347,7 @@ def phash_seen_ids(
     id_col: str = "media_id",
     max_hamming: int = 3,
     max_broadcast_rows: int | None = 2_000_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus perceptual-membership probe: the distinct batch
     ids whose image hash lies within ``max_hamming`` bits of ANY
@@ -370,7 +371,14 @@ def phash_seen_ids(
     ``broadcast`` — the corpus-sized sidecar scan is probed map-side
     with NO shuffle and NO sort of history. Mega-batches beyond
     ``max_broadcast_rows`` band rows are chunked by an id-hash
-    modulus and unioned, mirroring ``lsh_seen_ids``."""
+    modulus and unioned, mirroring ``lsh_seen_ids``. ``max_bucket``
+    (r14) is the hot-bucket guard of the other two probes applied to
+    bands: a (band, value) held by more than that many sidecar rows
+    (all-black thumbnails) is dropped from the BATCH side before the
+    join — the verify step keeps correctness either way (the block is
+    exact Hamming), the cap keeps a degenerate bucket from exploding
+    the candidate join; a capped image can still match through its
+    three other bands."""
     # EVERY name the long layout generates, not just the stacked band
     # columns (r13 advisor): the prefixed id aliases (bid/sid) and the
     # per-band aliases (b0..3/s0..3) collide just as silently
@@ -416,6 +424,25 @@ def phash_seen_ids(
         ham = term if ham is None else ham + term
 
     def _probe(chunk: DataFrame) -> DataFrame:
+        if max_bucket is not None:
+            # hot-bucket guard (vhash/audio_seen_ids shape): per-key
+            # sidecar row count for batch-carried band values only;
+            # over-common values leave the BATCH side pre-join
+            hot = (
+                seen_long.join(
+                    F.broadcast(
+                        chunk.select("band", "band_key").distinct()
+                    ),
+                    ["band", "band_key"],
+                )
+                .groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > int(max_bucket))
+                .select("band", "band_key")
+            )
+            chunk = chunk.join(
+                F.broadcast(hot), ["band", "band_key"], "left_anti"
+            )
         return (
             seen_long.join(F.broadcast(chunk), ["band", "band_key"])
             .filter(ham <= int(max_hamming))

@@ -1225,6 +1225,36 @@ def test_media_seen_ids_hot_bucket_caps(spark):
     )
     # shared = {200,201}, J = 2/(3+3-2) = 0.5 -> flagged
     assert {r["media_id"] for r in vhit2.collect()} == {10}
+    # image face (r14 symmetry): a hot (band, value) held by more
+    # than max_bucket sidecar rows is dropped from the probe; an
+    # image matching ONLY through the hot band is no longer flagged,
+    # while an exact duplicate still matches via its other bands
+    bschema = (
+        "media_id long, band0 int, band1 int, band2 int, band3 int, "
+        "dhash_hex string"
+    )
+    seen_p = spark.createDataFrame(
+        [(v, 7, 100 + v, 200 + v, 300 + v, "x") for v in range(1, 8)],
+        bschema,
+    )
+    # batch image 9 shares ONLY band0=7 (the hot bucket, 7 holders)
+    batch_p = spark.createDataFrame(
+        [(9, 7, 900, 901, 902, "y")], bschema
+    )
+    # uncapped: candidate via band0, but true Hamming is large -> the
+    # verify step already rejects it; capped: no candidate at all
+    assert multimodal.phash_seen_ids(batch_p, seen_p).count() == 0
+    assert (
+        multimodal.phash_seen_ids(batch_p, seen_p, max_bucket=5).count()
+        == 0
+    )
+    # an exact duplicate of image 3 still matches through the cap:
+    # band0 is capped out but bands 1-3 are unique buckets
+    dup_p = spark.createDataFrame(
+        [(19, 7, 103, 203, 303, "x")], bschema
+    )
+    hit_p = multimodal.phash_seen_ids(dup_p, seen_p, max_bucket=5)
+    assert {r["media_id"] for r in hit_p.collect()} == {19}
 
 
 def test_media_seen_ids_reserved_names_complete(spark):
