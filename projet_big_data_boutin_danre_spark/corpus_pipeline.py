@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from .operators import bloom as bloom_ops
 from .operators import corpus_prep, dedup, lm, multimodal, text
+from .operators import urls as urls_ops
 
 
 @dataclass(frozen=True)
@@ -599,6 +600,9 @@ def incremental_ingest(
     media_video_min_jaccard: float = 0.5,
     media_audio_min_votes: int = 4,
     media_max_bucket: int | None = None,
+    url_guard: bool = False,
+    url_col: str = "url",
+    url_blocklist: tuple[str, ...] = (),
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -787,6 +791,25 @@ def incremental_ingest(
     Jaccard). Capping is monotone under-blocking — never a false
     block — so it is a tuning knob, not lake identity.
 
+    ``url_guard`` (r14) adds the RefinedWeb-order URL gate — the
+    CHEAPEST guard, run before any content hashing: each batch keeps
+    the min-id keeper per canonical url (operators/urls.py
+    canonicalization; the window shuffles (id, canonical) only, never
+    the payload-bearing frame) and drops docs whose canonical url is
+    already admitted (``url_keys`` sidecar — one-column scan,
+    equality join, the fingerprint-guard shape). NULL/unparseable
+    urls carry no evidence: admitted, kept out of the sidecar. The
+    guard is lake identity (``+url`` in the mode marker — docs
+    admitted without url keys would be invisible to it forever);
+    append order docs → … → url keys with the usual id-absence heal
+    (``healed_urls``). ``url_blocklist`` is the C4-style domain gate
+    (registered-domain match on the canonical host), applied with the
+    quality-gate precedent: blocked docs leave NO fingerprint, so
+    removing a domain from the blocklist later admits its content —
+    independent of ``url_guard``, tunable per call, not lake
+    identity. Counters: ``url_skipped`` (within-batch non-keepers +
+    history hits), ``healed_urls``, ``domain_blocked``.
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs (from the
     1-row ``_lake_stats`` running-total marker — replay-idempotent
@@ -858,6 +881,12 @@ def incremental_ingest(
             f"+lsh:{lsh_num_hashes}x{lsh_bands}x{lsh_shingle_k}"
             f":{lsh_hash_family}"
         )
+    if url_guard:
+        # the URL guard is lake identity like the LSH recipe: docs
+        # admitted without url keys would be invisible to the guard
+        # forever, so a guarded lake refuses unguarded calls (and
+        # vice versa)
+        mode += "+url"
     # kind routing (r13, verdict #2): a batch that carries the media
     # kind column gets per-modality admission — images through pHash
     # bands, videos through frame-hash Jaccard, audio through window
@@ -892,6 +921,7 @@ def incremental_ingest(
     media_bands_path = f"{out_root}/media_bands"
     media_vframes_path = f"{out_root}/media_vframes"
     media_awins_path = f"{out_root}/media_awins"
+    url_keys_path = f"{out_root}/url_keys"
     marker_path = f"{out_root}/_lake_mode"
     recorded = None
     if _exists(spark, marker_path):
@@ -1007,6 +1037,75 @@ def incremental_ingest(
         batch = batch.localCheckpoint()
         batch_is_ckpt = True
         n_quality_rejected = before - batch.count()
+
+    n_domain_blocked = 0
+    if url_blocklist:
+        # C4-style domain blocklist at ADMISSION (the quality-gate
+        # precedent: blocked docs leave no fingerprint, so removing a
+        # domain from the blocklist later lets its content in — the
+        # content guard owns identity). Registered-domain match on
+        # the canonicalized host; NULL/unparseable urls carry no
+        # domain evidence and pass.
+        if url_col not in batch.columns:
+            raise ValueError(
+                f"incremental_ingest(url_blocklist=...) needs a "
+                f"{url_col!r} column in the input batch"
+            )
+        before_b = batch.count()
+        blocked = urls_ops.registered_domain(F.col(url_col)).isin(
+            [d.lower() for d in url_blocklist]
+        )
+        batch = batch.filter(
+            ~F.coalesce(blocked, F.lit(False))
+        ).localCheckpoint()
+        batch_is_ckpt = True
+        n_domain_blocked = before_b - batch.count()
+
+    n_url_skipped = 0
+    batch_urls = None
+    if url_guard:
+        # RefinedWeb URL dedup at ADMISSION — the cheapest guard, run
+        # before any content hashing: one canonical-url window over
+        # the batch (id + canonical string only — the payload-bearing
+        # frame never rides the shuffle) keeps the min-id keeper per
+        # canonical url; the history probe below blocks urls already
+        # admitted. NULL/unparseable urls carry no evidence: admitted,
+        # kept out of the sidecar (the NULL-payload rule).
+        if url_col not in batch.columns:
+            raise ValueError(
+                f"incremental_ingest(url_guard=True) needs a "
+                f"{url_col!r} column in the input batch"
+            )
+        for rname in ("__curl", "__rn_url", "__ug"):
+            if rname in batch.columns:
+                raise ValueError(
+                    "incremental_ingest(url_guard=True) reserves the "
+                    f"column name {rname!r} — rename it in the input"
+                )
+        if not batch_is_ckpt:
+            batch = batch.localCheckpoint()
+            batch_is_ckpt = True
+        from pyspark.sql import Window as _W
+
+        uproj = batch.select(
+            F.col(id_col),
+            urls_ops.canonicalize_url(F.col(url_col)).alias("__curl"),
+        ).filter(F.col("__curl").isNotNull())
+        ranked = uproj.withColumn(
+            "__rn_url",
+            F.row_number().over(
+                _W.partitionBy("__curl").orderBy(F.col(id_col).asc())
+            ),
+        ).localCheckpoint()
+        losers = ranked.filter(F.col("__rn_url") > 1).select(id_col)
+        n_url_losers = losers.count()
+        if n_url_losers:
+            n_url_skipped += n_url_losers
+            batch = batch.join(losers, id_col, "left_anti")
+        # keeper url keys: probe input, sidecar append, heal source
+        batch_urls = ranked.filter(F.col("__rn_url") == 1).select(
+            id_col, F.col("__curl").alias("canonical_url")
+        )
 
     arrived = new_docs.count()
     n_near_skipped = 0
@@ -1246,6 +1345,27 @@ def incremental_ingest(
         admitted = batch.join(seen, "fingerprint", "left_anti")
     else:
         admitted = batch
+    if url_guard and _exists(spark, url_keys_path):
+        # URL history probe: the batch's canonical keys against a
+        # ONE-column scan of the url_keys sidecar (equality join on
+        # the canonical string — the fingerprint-guard shape; AQE
+        # broadcasts the batch side). ONE flag-join on the admitted
+        # frame, like the near_dup/media guards below.
+        url_hits = (
+            batch_urls.join(
+                spark.read.parquet(url_keys_path).select(
+                    "canonical_url"
+                ),
+                "canonical_url",
+                "left_semi",
+            )
+            .select(id_col)
+        )
+        uf = admitted.join(
+            url_hits.withColumn("__ug", F.lit(True)), id_col, "left"
+        ).localCheckpoint()
+        n_url_skipped += uf.filter(F.col("__ug")).count()
+        admitted = uf.filter(F.col("__ug").isNull()).drop("__ug")
     if near_dup and _exists(spark, bands_path):
         # history probe: batch band rows BROADCAST against a
         # two-column scan of the persisted band layer — history is
@@ -1486,6 +1606,30 @@ def incremental_ingest(
     )
     if n_healed_audio:
         healable_audio.write.mode("append").parquet(media_awins_path)
+    # url-keys heal: same id-absence proof, one more sidecar — a doc
+    # row landed but its url-key append did not, leaving the doc's
+    # canonical url invisible to the URL guard until replay backfills
+    healable_urls = None
+    if url_guard and prior_ids is not None:
+        hu = batch_urls.join(
+            prior_ids.dropDuplicates(), id_col, "left_semi"
+        )
+        if _exists(spark, url_keys_path):
+            hu = hu.join(
+                spark.read.parquet(url_keys_path)
+                .select(id_col)
+                .dropDuplicates(),
+                id_col,
+                "left_anti",
+            )
+        healable_urls = hu.localCheckpoint()
+    n_healed_urls = (
+        healable_urls.select(id_col).distinct().count()
+        if healable_urls is not None
+        else 0
+    )
+    if n_healed_urls:
+        healable_urls.write.mode("append").parquet(url_keys_path)
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
         if bucketed:
@@ -1640,6 +1784,13 @@ def incremental_ingest(
                 batch_awins_app.join(
                     admitted.select(id_col), id_col, "left_semi"
                 ).write.mode("append").parquet(media_awins_path)
+        if url_guard:
+            # url keys last, like the other guard sidecars: a crash
+            # before this lands is healed on replay by the id-absence
+            # backfill above
+            batch_urls.join(
+                admitted.select(id_col), id_col, "left_semi"
+            ).write.mode("append").parquet(url_keys_path)
     n_bloom_fill_pct = 0
     n_bloom_rebuilt_hex = 0
     n_bloom_rebuild_due = 0
@@ -1704,6 +1855,11 @@ def incremental_ingest(
             out["healed_video"] = n_healed_video
             out["healed_audio"] = n_healed_audio
             out["video_no_duration"] = n_video_no_duration
+    if url_guard:
+        out["url_skipped"] = n_url_skipped
+        out["healed_urls"] = n_healed_urls
+    if url_blocklist:
+        out["domain_blocked"] = n_domain_blocked
     if line_census:
         out["census_lines"] = n_census_lines
     if decontaminate_probes is not None:
@@ -2238,6 +2394,9 @@ def streaming_ingest(
     media_video_min_jaccard: float = 0.5,
     media_audio_min_votes: int = 4,
     media_max_bucket: int | None = None,
+    url_guard: bool = False,
+    url_col: str = "url",
+    url_blocklist: tuple[str, ...] = (),
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -2311,6 +2470,9 @@ def streaming_ingest(
             media_video_min_jaccard=media_video_min_jaccard,
             media_audio_min_votes=media_audio_min_votes,
             media_max_bucket=media_max_bucket,
+            url_guard=url_guard,
+            url_col=url_col,
+            url_blocklist=url_blocklist,
         )
 
     return (

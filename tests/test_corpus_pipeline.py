@@ -2316,6 +2316,135 @@ def test_media_guard_duration_presence_is_lake_identity(spark, tmp_path):
         )
 
 
+def test_url_guard_admission(spark, tmp_path):
+    """r14: the RefinedWeb-order URL gate at admission — a re-crawl
+    of an already-admitted page (same canonical url, DIFFERENT
+    content, so only the URL guard can catch it) is blocked;
+    within-batch messy variants of one page admit one keeper; NULL
+    urls carry no evidence; replay is idempotent and the url_keys
+    sidecar heals by id-absence; the guard is lake identity."""
+    import shutil
+
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    schema = "doc_id long, text string, url string"
+    root = str(tmp_path / "lake_url")
+    b1 = spark.createDataFrame(
+        [
+            # two messy variants of ONE page (distinct content): the
+            # canonicalizer merges them -> min-id keeper admits
+            (10, "page one crawl alpha",
+             "https://www.site1.ex1.com/p?id=1&utm_source=a"),
+            (11, "page one crawl beta",
+             "HTTPS://SITE1.EX1.COM:443/p/?id=1"),
+            (12, "page two crawl alpha", "https://site2.ex1.com/q"),
+            (13, "no url evidence", None),
+        ],
+        schema,
+    )
+    r1 = incremental_ingest(spark, b1, root, url_guard=True)
+    assert r1["admitted"] == 3 and r1["url_skipped"] == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    }
+    assert kept == {10, 12, 13}
+    ukeys = spark.read.parquet(f"{root}/url_keys")
+    assert {r["doc_id"] for r in ukeys.collect()} == {10, 12}  # no NULL row
+    # re-crawl: same canonical url, new id, NEW CONTENT — only the
+    # URL guard can block it; a genuinely new url admits
+    b2 = spark.createDataFrame(
+        [
+            (20, "page one recrawl DIFFERENT text",
+             "https://site1.ex1.com/p?id=1&gclid=zz"),
+            (21, "page three", "https://site3.ex2.com/r"),
+        ],
+        schema,
+    )
+    r2 = incremental_ingest(spark, b2, root, url_guard=True)
+    assert r2["admitted"] == 1 and r2["url_skipped"] == 1
+    # replay: nothing admits, nothing to heal
+    r2b = incremental_ingest(spark, b2, root, url_guard=True)
+    assert r2b["admitted"] == 0 and r2b["healed_urls"] == 0
+    # crash window: docs landed, url keys lost -> replay backfills
+    shutil.rmtree(f"{root}/url_keys")
+    rh = incremental_ingest(spark, b1, root, url_guard=True)
+    assert rh["admitted"] == 0 and rh["healed_urls"] >= 2
+    r3 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(30, "page one recrawl again",
+              "https://www.site1.ex1.com/p?id=1")],
+            schema,
+        ),
+        root,
+        url_guard=True,
+    )
+    assert r3["admitted"] == 0 and r3["url_skipped"] == 1
+    # lake identity: unguarded call on a guarded lake refused (and
+    # vice versa)
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(spark, b1, root)
+    root2 = str(tmp_path / "lake_nourl")
+    incremental_ingest(spark, b1, root2)
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(spark, b1, root2, url_guard=True)
+    # knob hygiene
+    with _pytest.raises(ValueError, match="url_guard"):
+        incremental_ingest(
+            spark,
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            str(tmp_path / "lake_nocol"),
+            url_guard=True,
+        )
+
+
+def test_url_blocklist_gate(spark, tmp_path):
+    """r14: the C4-style domain blocklist at admission follows the
+    quality-gate precedent — blocked docs leave NO fingerprint, so
+    removing the domain from the blocklist later admits the same
+    content; NULL urls pass (no domain evidence); the knob is per
+    call, not lake identity."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    schema = "doc_id long, text string, url string"
+    root = str(tmp_path / "lake_block")
+    b1 = spark.createDataFrame(
+        [
+            (1, "spam farm page", "https://www.spam1.bad.com/x"),
+            (2, "good page", "https://site1.ex1.com/p"),
+            (3, "null url page", None),
+        ],
+        schema,
+    )
+    r1 = incremental_ingest(
+        spark, b1, root, url_blocklist=("bad.com",)
+    )
+    assert r1["admitted"] == 2 and r1["domain_blocked"] == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    }
+    assert kept == {2, 3}
+    # blocked content left no fingerprint: with the blocklist lifted,
+    # the SAME content admits (the content guard owns identity)
+    r2 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(9, "spam farm page", "https://www.spam1.bad.com/x")],
+            schema,
+        ),
+        root,
+    )
+    assert r2["admitted"] == 1
+
+
 def test_streaming_face_defer_and_maintain_lake(spark, tmp_path):
     """r13 stretch / r14: exercise maintain_lake FROM THE STREAMING
     FACE — a saturated lake streams micro-batches in defer mode
