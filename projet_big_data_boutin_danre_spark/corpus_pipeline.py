@@ -580,6 +580,7 @@ def incremental_ingest(
     lsh_bands: int = 4,
     lsh_shingle_k: int = 8,
     lsh_hash_family: str = "fast",
+    lsh_max_bucket: int | None = None,
     line_census: bool = False,
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
@@ -660,7 +661,14 @@ def incremental_ingest(
     batch). Band collisions without true similarity make this an
     over-blocking gate by design (candidates are dropped, not
     verified — verifying would read historical text); tune
-    bands/rows for the intended threshold. The LSH recipe is stamped
+    bands/rows for the intended threshold; ``lsh_max_bucket`` (r14)
+    NARROWS the over-blocking with the media probes' hot-bucket
+    guard — a band key held by more than that many history rows
+    (near-empty shingle sets, boilerplate bands) is dropped from the
+    probe, so a doc colliding only on a degenerate bucket admits
+    instead of silently blocking, and the join explosion stays
+    bounded (a tuning knob, not lake identity — capping only narrows
+    the gate). The LSH recipe is stamped
     into the ``_lake_mode`` marker, so every batch provably uses the
     same banding (mismatched keys would silently never collide) and a
     guarded lake refuses unguarded calls (docs skipping the guard
@@ -1375,7 +1383,8 @@ def incremental_ingest(
         # subplan twice.
         seen_b = spark.read.parquet(bands_path)
         near_hits = dedup.lsh_seen_ids(
-            None, seen_b, id_col, text_col, bands_df=batch_bands
+            None, seen_b, id_col, text_col, bands_df=batch_bands,
+            max_bucket=lsh_max_bucket,
         )
         # ONE flag-join (the id-guard trick): count + filter both read
         # the checkpointed result instead of paying a semi and an anti
@@ -2374,6 +2383,7 @@ def streaming_ingest(
     lsh_bands: int = 4,
     lsh_shingle_k: int = 8,
     lsh_hash_family: str = "fast",
+    lsh_max_bucket: int | None = None,
     line_census: bool = False,
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
@@ -2450,6 +2460,7 @@ def streaming_ingest(
             lsh_bands=lsh_bands,
             lsh_shingle_k=lsh_shingle_k,
             lsh_hash_family=lsh_hash_family,
+            lsh_max_bucket=lsh_max_bucket,
             line_census=line_census,
             line_census_min_len=line_census_min_len,
             decontaminate_probes=decontaminate_probes,

@@ -431,6 +431,7 @@ def lsh_seen_ids(
     hash_family: str = "md5",
     bands_df: DataFrame | None = None,
     max_broadcast_rows: int | None = 2_000_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH membership probe: the distinct batch ids that
     share at least one band bucket with a HISTORICAL band layer —
@@ -475,7 +476,18 @@ def lsh_seen_ids(
     bands frame once (``localCheckpoint``) so the row count and every
     chunk read one computation of the signatures. Pass
     ``max_broadcast_rows=None`` to skip the guard (and the
-    checkpoint+count) when the caller knows the batch is bounded."""
+    checkpoint+count) when the caller knows the batch is bounded.
+
+    ``max_bucket`` (r14 — the media probes' hot-bucket guard applied
+    to the text gate): a band key held by more than that many HISTORY
+    rows (degenerate near-empty shingle sets, boilerplate-dominated
+    docs) is dropped from the batch side before the join, discovered
+    by a hash-pruned broadcast pre-pass over the sidecar. Two effects,
+    both wanted: the intermediate join explosion is bounded, and the
+    gate's documented over-blocking NARROWS — a doc colliding ONLY on
+    a degenerate bucket is admitted instead of silently blocked (it
+    can still block through its other bands). Under-blocking-only,
+    like every cap in this family."""
     if bands_df is None:
         if batch is None:
             raise ValueError(
@@ -493,6 +505,23 @@ def lsh_seen_ids(
         )
 
     def _probe(chunk: DataFrame) -> DataFrame:
+        if max_bucket is not None:
+            hot = (
+                seen_bands.select("band", "band_key")
+                .join(
+                    F.broadcast(
+                        chunk.select("band", "band_key").distinct()
+                    ),
+                    ["band", "band_key"],
+                )
+                .groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") > int(max_bucket))
+                .select("band", "band_key")
+            )
+            chunk = chunk.join(
+                F.broadcast(hot), ["band", "band_key"], "left_anti"
+            )
         return (
             seen_bands.select("band", "band_key")
             .join(F.broadcast(chunk), ["band", "band_key"])

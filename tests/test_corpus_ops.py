@@ -1257,6 +1257,32 @@ def test_media_seen_ids_hot_bucket_caps(spark):
     assert {r["media_id"] for r in hit_p.collect()} == {19}
 
 
+def test_lsh_seen_ids_hot_bucket_cap(spark):
+    """r14: the media probes' hot-bucket guard applied to the TEXT
+    LSH gate — a band key held by more than max_bucket history rows
+    is dropped from the probe, so a batch doc colliding ONLY on the
+    degenerate bucket is admitted (the over-blocking narrows), while
+    a doc also colliding on a normal bucket still blocks."""
+    bschema = "id long, band int, band_key string"
+    # history: band (0, 'HOT') held by 6 docs; (1, 'u1') by one
+    seen = spark.createDataFrame(
+        [(i, 0, "HOT") for i in range(6)] + [(0, 1, "u1")], bschema
+    )
+    batch = spark.createDataFrame(
+        [(100, 0, "HOT"), (101, 0, "HOT"), (101, 1, "u1")], bschema
+    )
+    hits = dedup.lsh_seen_ids(
+        None, seen, "id", "text", bands_df=batch
+    )
+    assert {r["id"] for r in hits.collect()} == {100, 101}
+    capped = dedup.lsh_seen_ids(
+        None, seen, "id", "text", bands_df=batch, max_bucket=5
+    )
+    # 100 collided only via the hot bucket -> admitted; 101 still
+    # blocks through its normal bucket
+    assert {r["id"] for r in capped.collect()} == {101}
+
+
 def test_media_seen_ids_reserved_names_complete(spark):
     """r13 advisor: the reserved-name guards must cover EVERY name
     the probes generate — the prefixed id aliases (bid/sid), the
