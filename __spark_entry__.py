@@ -3735,15 +3735,24 @@ def oracle_sql() -> dict[str, str]:
                             '', 'g'), '^&+', '') AS q2
                     FROM uraw
                 ), uhost AS (
+                    -- userinfo stripped before port/host math; a
+                    -- scheme-less or host-less input canonicalizes
+                    -- to NULL ("no URL evidence"), mirroring
+                    -- operators/urls.py exactly (r14 fix: the old
+                    -- recipe collapsed every such string to '://')
                     SELECT doc_id, n_chars, scheme, path2, q2,
-                        regexp_replace(lower(regexp_replace(hostport,
+                        regexp_replace(lower(regexp_replace(
+                            regexp_replace(hostport, '^[^@]*@', ''),
                             ':[0-9]+$', '')), '^www[.]', '') AS host,
-                        regexp_extract(hostport, ':([0-9]+)$', 1)
-                            AS port
+                        regexp_extract(
+                            regexp_replace(hostport, '^[^@]*@', ''),
+                            ':([0-9]+)$', 1) AS port
                     FROM uparts
                 ), ucn AS (
                     SELECT doc_id, n_chars,
-                        scheme || '://' || host
+                        CASE WHEN scheme = '' OR host = ''
+                        THEN CAST(NULL AS VARCHAR)
+                        ELSE scheme || '://' || host
                         || CASE WHEN port <> ''
                                 AND NOT (scheme = 'https'
                                          AND port = '443')
@@ -3752,7 +3761,7 @@ def oracle_sql() -> dict[str, str]:
                            THEN ':' || port ELSE '' END
                         || path2
                         || CASE WHEN q2 <> '' THEN '?' || q2
-                           ELSE '' END AS canonical,
+                           ELSE '' END END AS canonical,
                         regexp_extract(host, '([^.]+[.][^.]+)$', 1)
                             AS domain
                     FROM uhost
@@ -3764,12 +3773,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'url', canonical,
                        CAST(min(doc_id) AS BIGINT),
                        CAST(count(*) AS BIGINT)
-                FROM ucn GROUP BY canonical
+                FROM ucn WHERE canonical IS NOT NULL
+                GROUP BY canonical
                 UNION ALL
                 SELECT 'dom', domain,
                        CAST(count(*) AS BIGINT),
                        CAST(sum(n_chars) AS BIGINT)
-                FROM ucn GROUP BY domain
+                FROM ucn WHERE domain <> '' GROUP BY domain
             ) ur
         """,
         "exact_cardinality": f"""

@@ -54,9 +54,11 @@ def url_scheme(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Canonical host: lowercased, port and leading ``www.``
-    stripped."""
-    hostport = F.regexp_extract(url, _RE_HOSTPORT, 1)
+    """Canonical host: userinfo (``user:pass@``) stripped, lowercased,
+    port and leading ``www.`` stripped."""
+    hostport = F.regexp_replace(
+        F.regexp_extract(url, _RE_HOSTPORT, 1), "^[^@]*@", ""
+    )
     host = F.lower(F.regexp_replace(hostport, _RE_PORT_STRIP, ""))
     return F.regexp_replace(host, "^www[.]", "")
 
@@ -72,9 +74,19 @@ def registered_domain(url: Column) -> Column:
 
 def canonicalize_url(url: Column) -> Column:
     """The full canonical form (module docstring recipe) as a single
-    map-only Column expression."""
+    map-only Column expression.
+
+    Unparseable input — no ``scheme://`` or an empty host — yields
+    NULL, not a degenerate string (r14 fix): collapsing every
+    scheme-less string to ``'://'`` would FALSELY MERGE unrelated
+    docs in :func:`url_dedup_groups` and make the ingest url_guard
+    block them against each other; NULL means "no URL evidence"
+    everywhere downstream (admitted, out of the sidecar — the
+    NULL-payload rule)."""
     scheme = url_scheme(url)
-    hostport = F.regexp_extract(url, _RE_HOSTPORT, 1)
+    hostport = F.regexp_replace(
+        F.regexp_extract(url, _RE_HOSTPORT, 1), "^[^@]*@", ""
+    )
     port = F.regexp_extract(hostport, _RE_PORT, 1)
     host = url_host(url)
     keep_port = (
@@ -97,8 +109,10 @@ def canonicalize_url(url: Column) -> Column:
     querypart = F.when(
         q_clean != "", F.concat(F.lit("?"), q_clean)
     ).otherwise(F.lit(""))
-    return F.concat(
-        scheme, F.lit("://"), host, portpart, path, querypart
+    return F.when(
+        (scheme == "") | (host == ""), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(scheme, F.lit("://"), host, portpart, path, querypart)
     )
 
 
@@ -109,12 +123,16 @@ def url_dedup_groups(
     CANONICAL url with the deterministic keeper (min id) and the copy
     count — consumers keep rows where ``id == keeper_id`` (or
     anti-join the rest), before any content-level dedup runs. One
-    hash aggregate on the canonical string key."""
+    hash aggregate on the canonical string key. Rows whose url does
+    not canonicalize (NULL — no URL evidence) are EXCLUDED from the
+    groups: merging them would treat every unparseable string as one
+    page; consumers keep them as singletons."""
     return (
         df.select(
             F.col(id_col),
             canonicalize_url(F.col(url_col)).alias("canonical_url"),
         )
+        .filter(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -145,6 +163,7 @@ def domain_rollup(
             registered_domain(F.col(url_col)).alias("domain"),
             *([F.col(weight_col)] if weight_col is not None else []),
         )
+        .filter(F.col("domain") != "")  # no domain evidence -> out
         .groupBy("domain")
         .agg(*aggs)
     )
