@@ -181,9 +181,86 @@ def big_main(n_max: int) -> None:
     print(json.dumps({"mode": "big", "ns": ns, "timings": results}))
 
 
+def hot_main(n_hist: int, n_batch: int = 200) -> None:
+    """Hot-bucket mode (`--hot N`): measure what `max_bucket` is FOR.
+    History = N band rows with 1% sharing ONE (band, value) bucket
+    (the all-black-thumbnail regime); the arriving batch is 200
+    images that ALL carry the hot value in band0 (each with unique
+    bands 1-3, one an exact duplicate of a history image). Uncapped,
+    the probe's candidate join materializes 200 x N/100 rows; capped,
+    the hot bucket leaves the batch side pre-join and the duplicate
+    still matches through its other bands."""
+    spark = get_spark("media_probe_hot")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="media_probe_hot_")
+    try:
+        base = spark.range(n_hist)
+        bands = base.select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") % 100 == 0, F.lit(0))
+            .otherwise(
+                F.pmod(F.xxhash64("id", F.lit(0)), F.lit(65536)).cast(
+                    "int"
+                )
+            )
+            .alias("band0"),
+            *[
+                F.pmod(F.xxhash64("id", F.lit(j)), F.lit(65536))
+                .cast("int")
+                .alias(f"band{j}")
+                for j in range(1, multimodal.DHASH_BANDS)
+            ],
+        )
+        bands.write.mode("overwrite").parquet(f"{work}/media_bands")
+        seen = spark.read.parquet(f"{work}/media_bands")
+        # batch: 200 all-hot-band images; image 0 duplicates history
+        # row 100 exactly (its bands 1-3 match), the rest are new
+        dup = seen.filter(F.col("media_id") == 100).select(
+            (F.col("media_id") + 10 * n_hist).alias("media_id"),
+            "band0", "band1", "band2", "band3",
+        )
+        fresh = spark.range(1, n_batch).select(
+            (F.col("id") + 20 * n_hist).alias("media_id"),
+            F.lit(0).alias("band0"),
+            *[
+                F.pmod(
+                    F.xxhash64("id", F.lit(100 + j)), F.lit(65536)
+                ).cast("int").alias(f"band{j}")
+                for j in range(1, multimodal.DHASH_BANDS)
+            ],
+        )
+        batch = dup.unionByName(fresh).localCheckpoint()
+        timings = {}
+        for name, mb in (("uncapped", None), ("max_bucket=1000", 1000)):
+            fn = lambda: multimodal.phash_seen_ids(
+                batch, seen, max_bucket=mb, max_hamming=0
+            ).count()
+            hits = fn()  # warm + correctness
+            t0 = time.time()
+            fn()
+            timings[name] = (round(time.time() - t0, 3), hits)
+        print(f"\n| arm | seconds | hits (expect 1 dup) |")
+        print("|---|---|---|")
+        for name, (t, h) in timings.items():
+            print(f"| {name} | {t:.2f} | {h} |")
+        print()
+        print(json.dumps({"mode": "hot", "n_hist": n_hist,
+                          "n_batch": n_batch,
+                          "timings": {k: v[0] for k, v in timings.items()},
+                          "hits": {k: v[1] for k, v in timings.items()}}))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--big":
         big_main(int(sys.argv[2]))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--hot":
+        hot_main(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) > 3 else 200,
+        )
         return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_k = int(sys.argv[2]) if len(sys.argv) > 2 else 32
