@@ -604,6 +604,7 @@ def incremental_ingest(
     url_guard: bool = False,
     url_col: str = "url",
     url_blocklist: tuple[str, ...] = (),
+    url_extra_suffixes: tuple[str, ...] = (),
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -815,8 +816,15 @@ def incremental_ingest(
     quality-gate precedent: blocked docs leave NO fingerprint, so
     removing a domain from the blocklist later admits its content —
     independent of ``url_guard``, tunable per call, not lake
-    identity. Counters: ``url_skipped`` (within-batch non-keepers +
-    history hits), ``healed_urls``, ``domain_blocked``.
+    identity. The default domain extract is the last-TWO-labels
+    approximation, which cannot express ccTLD sites (blocking
+    ``bbc.co.uk`` never matches — the extract yields ``co.uk`` — and
+    listing ``co.uk`` would block the entire ccTLD); pass the
+    two-label public suffixes your corpus touches in
+    ``url_extra_suffixes`` (``("co.uk", "com.au")``) to shift those
+    hosts to a three-label extract (r15 advisor). Counters:
+    ``url_skipped`` (within-batch non-keepers + history hits),
+    ``healed_urls``, ``domain_blocked``.
 
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs (from the
@@ -945,6 +953,34 @@ def incremental_ingest(
                 "'catalog:<prefix>') before ingesting"
             )
         recorded = row["mode"]
+    if recorded is not None and recorded != mode and media_routed:
+        # legacy-marker migration (r15 advisor): a routed lake stamped
+        # by pre-r14 code lacks the ':dur'/':nodur' duration token —
+        # without this check every such lake would refuse all further
+        # ingest with the generic mode-mismatch error and no repair
+        # path short of hand-rewriting the marker. A recorded mode
+        # that matches this call's mode EXACTLY once the current
+        # batch's duration token is removed is that legacy marker
+        # (same kernels, cadence, LSH recipe, url stamp), so it is
+        # auto-upgraded in place with the current batch's token: the
+        # legacy recipe hashed with whatever duration presence its
+        # batches carried, and the pipeline feeding a lake carries a
+        # stable input schema — stamping the presence now makes any
+        # FUTURE flip loud, which pre-r14 lakes never had. Residual
+        # (documented): a legacy lake whose batches already flipped
+        # presence was silently degraded before r14; the upgrade
+        # cannot detect that retroactively, only stop it recurring.
+        dur_token = ":dur" if media_has_dur else ":nodur"
+        legacy = mode.replace(
+            f"+vframes:{media_video_every_ms}{dur_token}",
+            f"+vframes:{media_video_every_ms}",
+            1,
+        )
+        if recorded == legacy:
+            spark.createDataFrame([(mode,)], "mode string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(marker_path)
+            recorded = mode
     if recorded is not None and recorded != mode:
         raise ValueError(
             f"lake at {out_root} was created in mode '{recorded}' but "
@@ -1060,9 +1096,9 @@ def incremental_ingest(
                 f"{url_col!r} column in the input batch"
             )
         before_b = batch.count()
-        blocked = urls_ops.registered_domain(F.col(url_col)).isin(
-            [d.lower() for d in url_blocklist]
-        )
+        blocked = urls_ops.registered_domain(
+            F.col(url_col), extra_suffixes=url_extra_suffixes
+        ).isin([d.lower() for d in url_blocklist])
         batch = batch.filter(
             ~F.coalesce(blocked, F.lit(False))
         ).localCheckpoint()
@@ -1354,20 +1390,21 @@ def incremental_ingest(
     else:
         admitted = batch
     if url_guard and _exists(spark, url_keys_path):
-        # URL history probe: the batch's canonical keys against a
-        # ONE-column scan of the url_keys sidecar (equality join on
-        # the canonical string — the fingerprint-guard shape; AQE
-        # broadcasts the batch side). ONE flag-join on the admitted
-        # frame, like the near_dup/media guards below.
+        # URL history probe: a ONE-column scan of the url_keys
+        # sidecar probed by the BROADCAST batch keys — the
+        # lsh_seen_ids/phash_seen_ids inversion (r15 advisor): a
+        # left-semi with the corpus-sized sidecar on the right could
+        # only broadcast-build on HISTORY, so it would shuffle the
+        # sidecar every batch; inner-joining history against the
+        # broadcast batch probes it map-side with no history shuffle
+        # or sort. ONE flag-join on the admitted frame after, like
+        # the near_dup/media guards below.
         url_hits = (
-            batch_urls.join(
-                spark.read.parquet(url_keys_path).select(
-                    "canonical_url"
-                ),
-                "canonical_url",
-                "left_semi",
-            )
+            spark.read.parquet(url_keys_path)
+            .select("canonical_url")
+            .join(F.broadcast(batch_urls), "canonical_url")
             .select(id_col)
+            .distinct()
         )
         uf = admitted.join(
             url_hits.withColumn("__ug", F.lit(True)), id_col, "left"
@@ -1664,10 +1701,17 @@ def incremental_ingest(
     # unreadable marker (pre-r14 lake, torn overwrite) degrades to
     # ONE authoritative recount, persisted so the next batch skips
     # it; :func:`recount_lake_docs` is the explicit re-sync entry
-    # point. Semantics: the total counts ADMITTED docs — in the
-    # bucketed-lake (docs, ids) crash window a replay re-appends the
-    # batch's physical rows AND re-increments (new digest path), so
-    # marker and physical count stay consistent there too.
+    # point. Semantics: the total counts ADMITTED docs (r15 advisor
+    # correction) — in the bucketed-lake (docs, ids) crash window a
+    # replay admits the IDENTICAL id set, so the matching (digest, n)
+    # SKIPS the increment while the docs append physically re-lands
+    # the rows: the marker stays at admitted-once semantics and
+    # diverges from the physical row count until the pipeline's
+    # exact-dedup stage heals the duplicates (the same at-least-once
+    # window the bucketed append order already documents).
+    # recount_lake_docs run BEFORE that heal re-syncs total_docs to
+    # the duplicated physical count — by design, since it is the
+    # "trust the layer" entry point.
     stats_path = f"{out_root}/_lake_stats"
     stats = _read_lake_stats(spark, stats_path)
     if stats is not None:
@@ -2407,6 +2451,7 @@ def streaming_ingest(
     url_guard: bool = False,
     url_col: str = "url",
     url_blocklist: tuple[str, ...] = (),
+    url_extra_suffixes: tuple[str, ...] = (),
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -2484,6 +2529,7 @@ def streaming_ingest(
             url_guard=url_guard,
             url_col=url_col,
             url_blocklist=url_blocklist,
+            url_extra_suffixes=url_extra_suffixes,
         )
 
     return (

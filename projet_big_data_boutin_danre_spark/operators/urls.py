@@ -63,13 +63,32 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(host, "^www[.]", "")
 
 
-def registered_domain(url: Column) -> Column:
+def registered_domain(
+    url: Column, extra_suffixes: tuple[str, ...] = ()
+) -> Column:
     """Approximate registered domain: the last two host labels
-    (``a.b.site.ex3.com`` → ``ex3.com``). A faithful public-suffix
-    split needs the PSL (``co.uk`` etc.) — out of scope for the
-    synthetic corpus and swappable here without touching consumers;
-    the approximation is exact for all generic TLDs."""
-    return F.regexp_extract(url_host(url), "([^.]+[.][^.]+)$", 1)
+    (``a.b.site.ex3.com`` → ``ex3.com``), exact for all generic TLDs.
+
+    ``extra_suffixes`` (r15 advisor) patches the ccTLD gap without a
+    full PSL: any lowercase two-label public suffix listed there
+    (``co.uk``, ``com.au``, …) shifts the extract to THREE labels, so
+    ``news.bbc.co.uk`` → ``bbc.co.uk`` instead of the unusable
+    ``co.uk`` — which a blocklist could otherwise neither name (a
+    site under it never matches) nor list (it would block the whole
+    ccTLD). Column algebra only: one extra anchored extract plus an
+    ``isin`` over the (small, literal) suffix set. A faithful
+    public-suffix split still needs the full PSL — this is the
+    documented swap point; the two-label default stays exact for the
+    synthetic corpus and every oracle twin."""
+    host = url_host(url)
+    last2 = F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+    if not extra_suffixes:
+        return last2
+    last3 = F.regexp_extract(host, "([^.]+[.][^.]+[.][^.]+)$", 1)
+    return F.when(
+        last2.isin([s.lower() for s in extra_suffixes]) & (last3 != ""),
+        last3,
+    ).otherwise(last2)
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -146,12 +165,16 @@ def domain_rollup(
     id_col: str,
     url_col: str,
     weight_col: str | None = None,
+    extra_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-registered-domain aggregate — the table a domain blocklist
     or a mixing-weight recipe is built from: doc count plus an
     optional summed weight (chars, tokens, bytes). One hash
     aggregate; at 100 TB the result is domains-sized (millions of
-    rows), trivially collectable or joinable as a broadcast dim."""
+    rows), trivially collectable or joinable as a broadcast dim.
+    ``extra_suffixes`` passes through to :func:`registered_domain`
+    (ccTLD rollup — ``bbc.co.uk`` rows otherwise land under
+    ``co.uk``)."""
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if weight_col is not None:
         aggs.append(
@@ -160,7 +183,9 @@ def domain_rollup(
     return (
         df.select(
             F.col(id_col),
-            registered_domain(F.col(url_col)).alias("domain"),
+            registered_domain(
+                F.col(url_col), extra_suffixes=extra_suffixes
+            ).alias("domain"),
             *([F.col(weight_col)] if weight_col is not None else []),
         )
         .filter(F.col("domain") != "")  # no domain evidence -> out

@@ -2445,6 +2445,97 @@ def test_url_blocklist_gate(spark, tmp_path):
     assert r2["admitted"] == 1
 
 
+def test_url_blocklist_cctld_extra_suffixes(spark, tmp_path):
+    """r15 advisor: without ``url_extra_suffixes`` a ccTLD site is
+    unblockable (the two-label extract yields ``co.uk``, which the
+    blocklist entry ``bbc.co.uk`` never matches); with the suffix
+    listed, exactly that site is blocked and its ccTLD neighbours
+    still admit."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    schema = "doc_id long, text string, url string"
+    rows = [
+        (1, "bbc article", "https://news.bbc.co.uk/politics"),
+        (2, "other uk site", "https://www.guardian.co.uk/news"),
+        (3, "generic site", "https://site1.ex1.com/p"),
+    ]
+    b = spark.createDataFrame(rows, schema)
+    # two-label default: 'bbc.co.uk' never matches -> nothing blocked
+    r0 = incremental_ingest(
+        spark, b, str(tmp_path / "lake_cc0"),
+        url_blocklist=("bbc.co.uk",),
+    )
+    assert r0["admitted"] == 3 and r0["domain_blocked"] == 0
+    # with the suffix: only the named site is blocked
+    r1 = incremental_ingest(
+        spark, b, str(tmp_path / "lake_cc1"),
+        url_blocklist=("bbc.co.uk",),
+        url_extra_suffixes=("co.uk",),
+    )
+    assert r1["admitted"] == 2 and r1["domain_blocked"] == 1
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            str(tmp_path / "lake_cc1") + "/docs"
+        ).select("doc_id").collect()
+    }
+    assert kept == {2, 3}
+
+
+def test_legacy_media_marker_auto_upgrade(spark, tmp_path):
+    """r15 advisor: a routed lake stamped by pre-r14 code (no
+    ':dur'/':nodur' token in the marker) is auto-upgraded in place on
+    the next ingest instead of refusing forever with the generic
+    mode-mismatch error; a genuine duration-presence FLIP after the
+    upgrade is still refused loudly."""
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    vid, aud, img, fresh = _av_payloads()
+    root = str(tmp_path / "lake_legacy_dur")
+    b1 = _av_docs(
+        spark,
+        [
+            (1, "video one", vid, "video", 3000),
+            (2, "image one", img, "image", None),
+        ],
+    )
+    r1 = incremental_ingest(spark, b1, root, media_guard=True)
+    assert r1["admitted"] == 2
+    marker_path = f"{root}/_lake_mode"
+    stamped = spark.read.parquet(marker_path).head()["mode"]
+    assert ":dur" in stamped
+    # simulate the pre-r14 marker: same recipe, no duration token
+    legacy = stamped.replace(":dur", "", 1)
+    spark.createDataFrame([(legacy,)], "mode string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(marker_path)
+    # next ingest auto-upgrades and proceeds (new doc admits, the
+    # replayed video stays out via the vframes guard)
+    b2 = _av_docs(
+        spark,
+        [
+            (1, "video one", vid, "video", 3000),
+            (3, "video two", fresh(1000), "video", 2500),
+        ],
+    )
+    r2 = incremental_ingest(spark, b2, root, media_guard=True)
+    assert r2["admitted"] == 1
+    assert spark.read.parquet(marker_path).head()["mode"] == stamped
+    # a duration-presence flip is NOT a legacy marker: refused
+    b3 = spark.createDataFrame(
+        [(4, "video three", fresh(1000), "video")],
+        "doc_id long, text string, payload binary, kind string",
+    )
+    with _pytest.raises(ValueError, match="mode"):
+        incremental_ingest(spark, b3, root, media_guard=True)
+
+
 def test_streaming_face_defer_and_maintain_lake(spark, tmp_path):
     """r13 stretch / r14: exercise maintain_lake FROM THE STREAMING
     FACE — a saturated lake streams micro-batches in defer mode

@@ -110,6 +110,47 @@ def test_registered_domain_and_host(spark):
     assert (rows[1]["h"], rows[1]["d"]) == ("ex0.com", "ex0.com")
 
 
+def test_registered_domain_extra_suffixes(spark):
+    """r15 advisor: the last-two-labels approximation cannot express
+    ccTLD sites — ``extra_suffixes`` shifts listed two-label public
+    suffixes to a three-label extract, so ``bbc.co.uk`` becomes
+    nameable without blocking the whole ccTLD; unlisted hosts and the
+    no-suffix default keep the two-label extract; a bare two-label
+    suffix host (``co.uk`` itself) has no third label and falls back."""
+    df = spark.createDataFrame(
+        [
+            ("https://news.bbc.co.uk/politics",),
+            ("https://www.shop.com.au/cart",),
+            ("https://a.b.site9.ex3.com/x",),
+            ("https://co.uk/",),
+        ],
+        "u string",
+    )
+    sufs = ("co.uk", "COM.AU")
+    rows = df.select(
+        urls.registered_domain(F.col("u")).alias("d2"),
+        urls.registered_domain(F.col("u"), extra_suffixes=sufs).alias(
+            "d3"
+        ),
+    ).collect()
+    assert [r["d2"] for r in rows] == [
+        "co.uk", "com.au", "ex3.com", "co.uk",
+    ]
+    assert [r["d3"] for r in rows] == [
+        "bbc.co.uk", "shop.com.au", "ex3.com", "co.uk",
+    ]
+    roll = {
+        r["domain"]
+        for r in urls.domain_rollup(
+            df.withColumn("doc_id", F.lit(1)),
+            "doc_id",
+            "u",
+            extra_suffixes=("co.uk",),
+        ).collect()
+    }
+    assert "bbc.co.uk" in roll and "co.uk" in roll
+
+
 def test_url_dedup_groups_and_domain_rollup(spark):
     df = spark.createDataFrame(
         [
