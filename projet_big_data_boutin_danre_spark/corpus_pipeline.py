@@ -2114,12 +2114,52 @@ def _bloom_growth_steps(fill: float, target: float, max_steps: int = 8) -> int:
     return s
 
 
+# every per-batch APPEND layer a lake can carry — the compaction
+# sweep's worklist. NOT here: the 1-row markers (`_lake_mode`,
+# `_lake_stats` — single file by construction), the Bloom sidecar
+# (rewritten wholesale by overwrite each merge, so its file count
+# never grows with batch count), streaming `_checkpoints` (Spark owns
+# that layout), and catalog-mode bucketed sidecars (a repartition
+# would destroy the bucket layout the guards' exchange-free joins
+# depend on; Spark's own `INSERT OVERWRITE` / bucketed compaction is
+# the tool there).
+_APPEND_LAYERS = (
+    "docs",
+    "fingerprints",
+    "band_buckets",
+    "media_bands",
+    "media_vframes",
+    "media_awins",
+    "url_keys",
+    "line_census",
+)
+
+
+def _data_file_count(spark: SparkSession, path: str) -> int:
+    """Count a layer's data files (recursive, underscore-prefixed
+    bookkeeping like _SUCCESS excluded); 0 for a missing layer."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    it, n = fs.listFiles(p, True), 0
+    while it.hasNext():
+        f = it.next()
+        if not f.getPath().getName().startswith("_"):
+            n += 1
+    return n
+
+
 def maintain_lake(
     spark: SparkSession,
     out_root: str,
     catalog_prefix: str | None = None,
     bloom_max_fill: float = 0.5,
     max_steps: int = 8,
+    compact_above_files: int | None = None,
+    compact_target_file_mb: int = 128,
 ) -> dict[str, int]:
     """Out-of-band lake maintenance (r13, verdict #5): the entry point
     a ``bloom_rebuild_mode="defer"`` ingest defers its saturation work
@@ -2135,13 +2175,58 @@ def maintain_lake(
     soft: run it when ``bloom_rebuild_due`` from ingest counts is
     nonzero, at whatever cadence amortizes the fingerprint rescan.
 
+    ``compact_above_files`` (r15, verdict #1) adds the SMALL-FILE
+    sweep: every per-batch append layer the lake carries (docs +
+    every guard sidecar — ``_APPEND_LAYERS``) whose data-file count
+    exceeds the threshold is rewritten to ~``compact_target_file_mb``
+    files via :func:`compact_layer` (crash-safe rename swap; content
+    identical, so every guard's behavior is unchanged by
+    construction). Per-batch appends grow file counts without bound —
+    one file set per micro-batch — and the r14 measurement (SCALE.md)
+    put the metadata cost of that at 4.7× on a LOCAL fs for a
+    footer-only count at 2 000 files, paid by EVERY guard's sidecar
+    scan on EVERY batch, worse on object stores. The sweep runs
+    BEFORE the Bloom check so a rebuild's fingerprint rescan reads
+    the compacted layer. A layer left live-less by a compaction crash
+    (``__compact`` present, live missing) is swept regardless of the
+    threshold so the entry repair in :func:`compact_layer` finishes
+    the swap. Default ``None`` keeps the pre-r15 bloom-only behavior.
+
     Returns ``{"bloom_rebuilt_hex": <new geometry or 0>,
-    "bloom_fill_pct": <final>, "bloom_steps": <rebuilds paid>}``."""
+    "bloom_fill_pct": <final>, "bloom_steps": <rebuilds paid>,
+    "compacted_layers": <layers swept>, "files_before": <their data
+    files before>, "files_after": <after>}``."""
+    compacted_layers = 0
+    files_before = 0
+    files_after = 0
+    if compact_above_files is not None:
+        for layer in _APPEND_LAYERS:
+            path = f"{out_root}/{layer}"
+            n_files = _data_file_count(spark, path)
+            crashed = not _exists(spark, path) and _data_file_count(
+                spark, path + "__compact"
+            )
+            if n_files <= int(compact_above_files) and not crashed:
+                continue
+            res = compact_layer(
+                spark, path, target_file_mb=compact_target_file_mb
+            )
+            compacted_layers += 1
+            files_before += res["files_before"]
+            files_after += res["files_after"]
     hex_cur = _discover_bloom_geometry(spark, out_root)
     if hex_cur is None:
-        # no bloom layer at all: nothing to maintain (an unguarded or
-        # brand-new lake); the first bloom_guard ingest builds one
-        return {"bloom_rebuilt_hex": 0, "bloom_fill_pct": 0, "bloom_steps": 0}
+        # no bloom layer at all: nothing to maintain bloom-wise (an
+        # unguarded or brand-new lake); the first bloom_guard ingest
+        # builds one — the compaction sweep above still ran
+        return {
+            "bloom_rebuilt_hex": 0,
+            "bloom_fill_pct": 0,
+            "bloom_steps": 0,
+            "compacted_layers": compacted_layers,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
     steps = 0
     rebuilt = 0
     cur = _read_bloom_layer(spark, _bloom_layer_path(out_root, hex_cur))
@@ -2168,6 +2253,9 @@ def maintain_lake(
         "bloom_rebuilt_hex": rebuilt,
         "bloom_fill_pct": int(round(fill * 100)),
         "bloom_steps": steps,
+        "compacted_layers": compacted_layers,
+        "files_before": files_before,
+        "files_after": files_after,
     }
 
 

@@ -2025,6 +2025,104 @@ def test_bloom_defer_mode_and_maintain_lake(spark, tmp_path):
         )
 
 
+def test_maintain_lake_compaction_sweep(spark, tmp_path):
+    """r15 verdict #1: maintain_lake(compact_above_files=N) sweeps
+    EVERY per-batch append layer of a lake — docs and all guard
+    sidecars — back to few files, with content (and therefore every
+    guard decision and the running total) identical across the sweep;
+    a layer left live-less by a compaction crash is swept regardless
+    of the threshold; layers at or under the threshold are untouched."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    schema = "doc_id long, text string, url string"
+    root = str(tmp_path / "lake_sweep")
+    kw = dict(near_dup=True, url_guard=True, line_census=True,
+              bloom_guard=True, lsh_hash_family="fast")
+    def _text(n):
+        # per-doc DISTINCT word material (texts that share most of
+        # their 8-char shingles would near-dup-block each other)
+        return " ".join(f"w{n}x{j}y{(n * 7 + j) % 97}" for j in range(12))
+
+    for b in range(5):  # five appends -> five file sets per layer
+        batch = spark.createDataFrame(
+            [
+                (b * 10 + i, _text(b * 10 + i),
+                 f"https://site{b}{i}.ex1.com/p/{b}/{i}")
+                for i in range(3)
+            ],
+            schema,
+        )
+        assert incremental_ingest(spark, batch, root, **kw)["admitted"] == 3
+    layers = ("docs", "fingerprints", "band_buckets", "url_keys",
+              "line_census")
+    files0 = {l: _data_file_count(spark, f"{root}/{l}") for l in layers}
+    assert all(n > 4 for n in files0.values()), files0
+    before = {
+        l: sorted(
+            tuple(r) for r in spark.read.parquet(f"{root}/{l}").collect()
+        )
+        for l in layers
+    }
+    m = maintain_lake(spark, root, compact_above_files=4)
+    assert m["compacted_layers"] == len(layers)
+    assert m["files_after"] < m["files_before"]
+    for l in layers:
+        assert _data_file_count(spark, f"{root}/{l}") < files0[l], l
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(f"{root}/{l}").collect()
+        )
+        assert got == before[l], l
+    # guards intact across the sweep: an exact replay admits nothing,
+    # a url re-crawl and a near-dup perturbation are blocked, a novel
+    # doc admits, and the running total never drifted
+    replay = spark.createDataFrame(
+        [(0, _text(0), "https://site00.ex1.com/p/0/0")],
+        schema,
+    )
+    r = incremental_ingest(spark, replay, root, **kw)
+    assert r["admitted"] == 0
+    r2 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(901, "recrawl DIFFERENT content entirely",
+              "https://site00.ex1.com/p/0/0"),
+             # alphanumeric perturbation: "!!"-style punctuation
+             # would normalize away and hit the EXACT guard instead
+             (902, _text(0) + " zz9",
+              "https://novel902.ex2.com/q"),
+             (903, "a genuinely novel body of words after compaction",
+              "https://novel903.ex2.com/r")],
+            schema,
+        ),
+        root,
+        **kw,
+    )
+    assert r2["url_skipped"] == 1 and r2["near_dup_skipped"] >= 1
+    assert r2["admitted"] == 1 and r2["total_docs"] == 16
+    # idempotent: a second sweep finds nothing over the threshold
+    m2 = maintain_lake(spark, root, compact_above_files=64)
+    assert m2["compacted_layers"] == 0
+    # crash state: live layer renamed away mid-swap with a complete
+    # __compact (_SUCCESS present) — swept (and repaired) even though
+    # the missing layer counts 0 files, i.e. under any threshold
+    ukeys = f"{root}/url_keys"
+    ukeys_rows = sorted(
+        tuple(r) for r in spark.read.parquet(ukeys).collect()
+    )
+    shutil.move(ukeys, f"{ukeys}__compact")
+    m3 = maintain_lake(spark, root, compact_above_files=1000)
+    assert m3["compacted_layers"] == 1
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(ukeys).collect()
+    ) == ukeys_rows
+
+
 def test_discover_bloom_geometry_fails_loud(spark, tmp_path):
     """r12 advisor (medium): a listing failure during geometry
     discovery must RAISE, not silently fall back to the default
@@ -2619,6 +2717,94 @@ def test_streaming_face_defer_and_maintain_lake(spark, tmp_path):
     assert kept == set(range(8)) | {100 + i for i in range(4)} | {
         200 + i for i in range(4)
     } | {300 + i for i in range(3)}
+
+
+def test_streaming_face_compaction_battery(spark, tmp_path):
+    """r15 stretch: the streaming twin of the maintain_lake
+    compaction battery — per-trigger micro-batches fragment every
+    lake layer into one file set each; an out-of-band
+    maintain_lake(compact_above_files=...) run between stream runs
+    compacts them all; a RESUMED stream on the same checkpoint then
+    still admits exactly (duplicate replays blocked across the
+    compaction, novel docs land) and the running total never
+    drifts."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        _read_lake_stats,
+        incremental_ingest,
+        maintain_lake,
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string, url string"
+    root = str(tmp_path / "lake_stream_compact")
+    src = tmp_path / "compact_incoming"
+    src.mkdir()
+    kw = dict(near_dup=True, url_guard=True, lsh_hash_family="fast")
+
+    def _text(n):
+        return " ".join(f"s{n}q{j}r{(n * 11 + j) % 89}" for j in range(12))
+
+    def wave(path, lo, n):
+        spark.createDataFrame(
+            [(lo + i, _text(lo + i),
+              f"https://s{lo + i}.ex1.com/p/{lo + i}")
+             for i in range(n)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / path))
+
+    for w in range(6):
+        wave(f"w{w}", w * 10, 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qy = streaming_ingest(stream, root, **kw)
+    try:
+        qy.processAllAvailable()
+    finally:
+        qy.stop()
+    assert spark.read.parquet(f"{root}/docs").count() == 12
+    layers = ("docs", "fingerprints", "band_buckets", "url_keys")
+    files0 = {l: _data_file_count(spark, f"{root}/{l}") for l in layers}
+    assert all(n >= 6 for n in files0.values()), files0
+    m = maintain_lake(spark, root, compact_above_files=4)
+    assert m["compacted_layers"] == len(layers)
+    for l in layers:
+        assert _data_file_count(spark, f"{root}/{l}") < files0[l], l
+    # resume on the SAME checkpoint across the compaction: a replayed
+    # wave (same ids+content), a re-crawled url, a near-dup body, and
+    # a novel doc — admission must behave as if nothing happened
+    wave("w0_replay", 0, 2)
+    spark.createDataFrame(
+        [
+            (900, "recrawl body entirely different", f"https://s0.ex1.com/p/0"),
+            (901, _text(10) + " zz9", "https://n901.ex2.com/a"),
+            (902, "a clean novel streaming document body", "https://n902.ex2.com/b"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "w_probe"))
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    qy2 = streaming_ingest(
+        stream2, root, checkpoint=f"{root}/_checkpoints/ingest", **kw
+    )
+    try:
+        qy2.processAllAvailable()
+    finally:
+        qy2.stop()
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/docs").select("doc_id").collect()
+    }
+    assert kept == {w * 10 + i for w in range(6) for i in range(2)} | {902}
+    # the running total tracked the physical layer across compaction
+    total, _, _ = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert total == 13
 
 
 def test_keeper_stability_under_incremental_cluster_growth(spark, tmp_path):
