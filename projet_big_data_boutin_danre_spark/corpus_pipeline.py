@@ -581,6 +581,7 @@ def incremental_ingest(
     lsh_shingle_k: int = 8,
     lsh_hash_family: str = "fast",
     lsh_max_bucket: int | None = None,
+    near_dup_verify: float | None = None,
     line_census: bool = False,
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
@@ -660,16 +661,29 @@ def incremental_ingest(
     — the batch's band rows broadcast against a two-column scan of the
     sidecar: history is never shuffled, sorted, or text-read per
     batch). Band collisions without true similarity make this an
-    over-blocking gate by design (candidates are dropped, not
-    verified — verifying would read historical text); tune
-    bands/rows for the intended threshold; ``lsh_max_bucket`` (r14)
-    NARROWS the over-blocking with the media probes' hot-bucket
-    guard — a band key held by more than that many history rows
-    (near-empty shingle sets, boilerplate bands) is dropped from the
-    probe, so a doc colliding only on a degenerate bucket admits
-    instead of silently blocking, and the join explosion stays
-    bounded (a tuning knob, not lake identity — capping only narrows
-    the gate). The LSH recipe is stamped
+    over-blocking gate by default (candidates are dropped, not
+    verified); tune bands/rows for the intended threshold;
+    ``lsh_max_bucket`` (r14) NARROWS the over-blocking with the media
+    probes' hot-bucket guard — a band key held by more than that many
+    history rows (near-empty shingle sets, boilerplate bands) is
+    dropped from the probe, so a doc colliding only on a degenerate
+    bucket admits instead of silently blocking, and the join
+    explosion stays bounded (a tuning knob, not lake identity —
+    capping only narrows the gate). ``near_dup_verify`` (r15, verdict
+    #2) upgrades the history gate to VERIFY-BEFORE-BLOCK, aligning
+    its precision with the media faces' exact-Hamming verify: band
+    candidates are rescored with exact char-shingle Jaccard over the
+    real texts (:func:`operators.dedup.verify_candidates_jaccard`)
+    and a doc is blocked only when some historical candidate clears
+    the threshold — this matters precisely because the ingest keeper
+    contract is append-only, so an unverified band-collision false
+    block is PERMANENT. Cost: one extra scan of the docs layer per
+    candidate-carrying batch, pruned to (id, text) and semi-joined
+    against the BROADCAST candidate ids (history text read for
+    candidate rows only, never shuffled) — bound the candidate set
+    with ``lsh_max_bucket`` when enabling this. A tuning knob, not
+    lake identity: verification only narrows the gate and the
+    sidecar layout is unchanged. The LSH recipe is stamped
     into the ``_lake_mode`` marker, so every batch provably uses the
     same banding (mismatched keys would silently never collide) and a
     guarded lake refuses unguarded calls (docs skipping the guard
@@ -1419,10 +1433,31 @@ def incremental_ingest(
         # (filter) pair below doesn't re-run the fingerprint guard
         # subplan twice.
         seen_b = spark.read.parquet(bands_path)
-        near_hits = dedup.lsh_seen_ids(
-            None, seen_b, id_col, text_col, bands_df=batch_bands,
-            max_bucket=lsh_max_bucket,
-        )
+        if near_dup_verify is None:
+            near_hits = dedup.lsh_seen_ids(
+                None, seen_b, id_col, text_col, bands_df=batch_bands,
+                max_bucket=lsh_max_bucket,
+            )
+        else:
+            # verify-before-block (r15, verdict #2): rescore the
+            # bounded candidate pairs with exact char-shingle Jaccard
+            # against the docs layer before blocking anything — the
+            # text-gate analog of the media probes' Hamming verify.
+            # Same shingle_k as the LSH recipe, so the threshold sits
+            # on the banding curve the recipe was tuned for.
+            cand_pairs = dedup.lsh_seen_ids(
+                None, seen_b, id_col, text_col, bands_df=batch_bands,
+                max_bucket=lsh_max_bucket, return_pairs=True,
+            )
+            near_hits = dedup.verify_candidates_jaccard(
+                batch,
+                spark.read.parquet(docs_path).select(id_col, text_col),
+                cand_pairs,
+                id_col,
+                text_col,
+                shingle_k=lsh_shingle_k,
+                min_jaccard=near_dup_verify,
+            )
         # ONE flag-join (the id-guard trick): count + filter both read
         # the checkpointed result instead of paying a semi and an anti
         # join over the guard subplan separately
@@ -2516,6 +2551,7 @@ def streaming_ingest(
     lsh_shingle_k: int = 8,
     lsh_hash_family: str = "fast",
     lsh_max_bucket: int | None = None,
+    near_dup_verify: float | None = None,
     line_census: bool = False,
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
@@ -2594,6 +2630,7 @@ def streaming_ingest(
             lsh_shingle_k=lsh_shingle_k,
             lsh_hash_family=lsh_hash_family,
             lsh_max_bucket=lsh_max_bucket,
+            near_dup_verify=near_dup_verify,
             line_census=line_census,
             line_census_min_len=line_census_min_len,
             decontaminate_probes=decontaminate_probes,

@@ -432,6 +432,7 @@ def lsh_seen_ids(
     bands_df: DataFrame | None = None,
     max_broadcast_rows: int | None = 2_000_000,
     max_bucket: int | None = None,
+    return_pairs: bool = False,
 ) -> DataFrame:
     """Cross-corpus LSH membership probe: the distinct batch ids that
     share at least one band bucket with a HISTORICAL band layer —
@@ -487,7 +488,16 @@ def lsh_seen_ids(
     gate's documented over-blocking NARROWS — a doc colliding ONLY on
     a degenerate bucket is admitted instead of silently blocked (it
     can still block through its other bands). Under-blocking-only,
-    like every cap in this family."""
+    like every cap in this family.
+
+    ``return_pairs=True`` (r15 — the verify-before-block input)
+    returns distinct CANDIDATE PAIRS ``(id_col, seen_id)`` instead of
+    batch ids: which historical doc each batch doc collided with, so
+    a verifier (:func:`verify_candidates_jaccard`) can rescore the
+    bounded pair set against real text before anything is blocked.
+    The history scan then reads its id column too (three columns
+    instead of two) — still never the text, and still probed by the
+    broadcast batch with no history shuffle."""
     if bands_df is None:
         if batch is None:
             raise ValueError(
@@ -522,6 +532,14 @@ def lsh_seen_ids(
             chunk = chunk.join(
                 F.broadcast(hot), ["band", "band_key"], "left_anti"
             )
+        if return_pairs:
+            return (
+                seen_bands.select(
+                    F.col("id").alias("seen_id"), "band", "band_key"
+                )
+                .join(F.broadcast(chunk), ["band", "band_key"])
+                .select(F.col("id").alias(id_col), "seen_id")
+            )
         return (
             seen_bands.select("band", "band_key")
             .join(F.broadcast(chunk), ["band", "band_key"])
@@ -544,6 +562,89 @@ def lsh_seen_ids(
                 out = part if out is None else out.unionByName(part)
             return out.distinct()
     return _probe(bands_df).distinct()
+
+
+def _shingle_set(text: Column, k: int) -> Column:
+    """Distinct char k-shingle array of the NORMALIZED text as one
+    map-only Column expression (no explode, no shuffle) — the exact
+    shingle material :func:`minhash_signatures` estimates Jaccard
+    over, so a threshold tuned for the LSH banding curve carries over
+    to the verifier unchanged. NULL text stays NULL (no evidence)."""
+    # the text is expected to be a plain column reference — a caller
+    # passing a raw expression would re-evaluate it per element (the
+    # r6 lambda trap); verify_candidates_jaccard projects first.
+    n = F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: text.substr(i, F.lit(k)))
+    )
+
+
+def verify_candidates_jaccard(
+    batch: DataFrame,
+    history_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Verify-before-block for the cross-corpus LSH gate (r15,
+    verdict #2): rescore the candidate pairs from
+    ``lsh_seen_ids(return_pairs=True)`` with EXACT char-shingle
+    Jaccard over the real texts, and return the distinct batch ids
+    whose similarity to at least one historical doc clears
+    ``min_jaccard`` — the text-gate analog of the media probes' exact
+    Hamming verify. An unverified gate drops a doc on band collision
+    alone, and under the ingest face's append-only keeper contract a
+    false block is PERMANENT; verification bounds the gate's false
+    positives to genuinely similar text at the cost of reading the
+    CANDIDATE texts only.
+
+    Cost shape (the 100 TB argument): ``pairs`` is bounded by
+    batch × ``max_bucket``; the only corpus-sized input is
+    ``history_docs``, scanned ONCE with the scan pruned to
+    (id, text) and immediately semi-joined against the BROADCAST
+    candidate history ids — history text is read for candidate rows
+    only, never shuffled. Shingle sets are per-row column algebra
+    (no explode); the pair join + intersection runs on the bounded
+    candidate frame. Pass the same ``shingle_k`` as the LSH recipe.
+    NULL/empty texts never reach this verifier on the ingest path —
+    they share a fingerprint (sentinel / md5 of ""), so the EXACT
+    guard blocks them first; called directly, a NULL text matches
+    only another NULL (degenerate, like-for-like)."""
+    from ..functions.hashing import normalize_text
+
+    hist_ids = pairs.select("seen_id").distinct()
+    left = (
+        batch.join(
+            F.broadcast(pairs.select(F.col(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
+        .select(F.col(id_col), normalize_text(text_col).alias("__nt"))
+        .select(F.col(id_col), _shingle_set(F.col("__nt"), shingle_k).alias("__sa"))
+    )
+    right = (
+        history_docs.select(
+            F.col(id_col).alias("seen_id"),
+            normalize_text(text_col).alias("__nt"),
+        )
+        .join(F.broadcast(hist_ids), "seen_id", "left_semi")
+        .select("seen_id", _shingle_set(F.col("__nt"), shingle_k).alias("__sb"))
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+    # history side stays the streamed probe side end-to-end: the
+    # (pairs ⋈ batch shingles) frame is batch-bounded and BROADCAST,
+    # so the history text scan is read map-side exactly once
+    cand = pairs.join(left, id_col)
+    return (
+        right.join(F.broadcast(cand), "seen_id")
+        .filter(union > 0)
+        .filter((inter / union) >= F.lit(float(min_jaccard)))
+        .select(F.col(id_col))
+        .distinct()
+    )
 
 
 def simhash(

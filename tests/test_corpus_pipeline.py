@@ -2025,6 +2025,103 @@ def test_bloom_defer_mode_and_maintain_lake(spark, tmp_path):
         )
 
 
+def test_near_dup_verify_before_block(spark, tmp_path):
+    """r15 verdict #2: the text admission gate drops on band
+    collision alone by default — with ``near_dup_verify`` it rescores
+    candidates with exact char-shingle Jaccard against the docs layer
+    first, so a NON-duplicate that merely band-collides is ADMITTED
+    (with verify off it is silently, permanently blocked) while a
+    true near-duplicate is blocked either way. The collider is found
+    deterministically by replaying the recipe's own banding over
+    candidate texts."""
+    import re as _re
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee zulu one "
+        "two three four five six seven eight nine ten eleven twelve"
+    )
+
+    def _norm(s):
+        return _re.sub(" +", " ", _re.sub("[^a-z0-9]+", " ", s.lower())).strip()
+
+    def _sh(s, k=8):
+        t = _norm(s)
+        return {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    def _jac(a, b):
+        sa, sb = _sh(a), _sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    # candidate NON-duplicates: a prefix slice of the base plus mostly
+    # fresh material -> low true jaccard, but ~25% band-collision
+    # odds each under the 8x4 'fast' recipe, so 60 candidates
+    # deterministically contain colliders
+    cands = [
+        (100 + j,
+         base[: len(base) // 3]
+         + " " + " ".join(f"fresh{j}w{i}v{(j * 13 + i) % 83}"
+                          for i in range(16)))
+        for j in range(60)
+    ]
+    cdf = spark.createDataFrame(cands, "doc_id long, text string")
+    hist = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    hb = dedup.lsh_bands(
+        dedup.minhash_signatures(hist, "doc_id", "text",
+                                 hash_family="fast"),
+        hash_family="fast",
+    ).select("band", "band_key")
+    colliding = {
+        r["id"]
+        for r in dedup.lsh_bands(
+            dedup.minhash_signatures(cdf, "doc_id", "text",
+                                     hash_family="fast"),
+            hash_family="fast",
+        ).join(hb, ["band", "band_key"]).select("id").distinct().collect()
+    }
+    by_id = dict(cands)
+    false_pos = [
+        i for i in sorted(colliding) if _jac(base, by_id[i]) < 0.35
+    ]
+    assert false_pos, (
+        "no low-jaccard band collider among 60 candidates — "
+        "recipe/corpus changed, re-tune the candidate generator"
+    )
+    doc = false_pos[0]
+    assert _jac(base, by_id[doc]) < 0.35
+    probe = spark.createDataFrame(
+        [(doc, by_id[doc])], "doc_id long, text string"
+    )
+    kw = dict(near_dup=True, lsh_hash_family="fast")
+    # verify OFF: the band collision alone blocks the non-duplicate
+    lake0 = str(tmp_path / "lake_noverify")
+    incremental_ingest(spark, hist, lake0, **kw)
+    r0 = incremental_ingest(spark, probe, lake0, **kw)
+    assert r0["admitted"] == 0 and r0["near_dup_skipped"] == 1
+    # verify ON: the same doc is rescored against the real text and
+    # ADMITTED; a true near-duplicate is still blocked
+    lake1 = str(tmp_path / "lake_verify")
+    kwv = dict(kw, near_dup_verify=0.5)
+    incremental_ingest(spark, hist, lake1, **kwv)
+    r1 = incremental_ingest(spark, probe, lake1, **kwv)
+    assert r1["admitted"] == 1 and r1["near_dup_skipped"] == 0
+    true_dup = spark.createDataFrame(
+        [(500, base + " thirteen")], "doc_id long, text string"
+    )
+    assert _jac(base, base + " thirteen") >= 0.5
+    r2 = incremental_ingest(spark, true_dup, lake1, **kwv)
+    assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
+    # replay stays idempotent through the verify path
+    r1b = incremental_ingest(spark, probe, lake1, **kwv)
+    assert r1b["admitted"] == 0 and r1b["near_dup_skipped"] == 0
+
+
 def test_maintain_lake_compaction_sweep(spark, tmp_path):
     """r15 verdict #1: maintain_lake(compact_above_files=N) sweeps
     EVERY per-batch append layer of a lake — docs and all guard
