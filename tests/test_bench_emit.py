@@ -76,6 +76,30 @@ def test_moderately_long_names_degrade_precision_not_coverage():
     assert kept >= dropped  # degradation, not wholesale loss
 
 
+def test_current_real_slot_names_fit_with_headroom():
+    """r15 stretch: the widened tagged-union slots make name drift the
+    live risk — pin that the compact totals line with the CURRENT
+    registered slot names (all 50, real widths, full precision, no
+    drops) sits under the driver's 2,000-char tail window with margin.
+    If a future slot rename/addition trips this, shorten names before
+    relying on the degrade-gradually guard."""
+    import __spark_entry__ as entry
+
+    names = sorted(entry.queries())
+    assert len(names) <= 50
+    timings = {n: 123.456 for n in names}
+    warm = {n: 99.999 for n in names}
+    lines = bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1)
+    last = lines[-1]
+    assert len(last) <= 1600, (
+        f"compact totals line at {len(last)} chars with current slot "
+        "names — approaching the driver's 2,000-char tail window"
+    )
+    parsed = json.loads(last)
+    assert len(parsed["queries"]) == len(names)
+    assert "queries_dropped" not in parsed
+
+
 def test_length_guard_keeps_totals_under_pathological_names():
     # Pathologically long slot names force the guard: totals survive;
     # whatever query entries remain are accounted for by
