@@ -1445,19 +1445,30 @@ def incremental_ingest(
             # text-gate analog of the media probes' Hamming verify.
             # Same shingle_k as the LSH recipe, so the threshold sits
             # on the banding curve the recipe was tuned for.
+            # checkpoint the batch-bounded pair set: the verifier
+            # reads it three times (candidate ids both sides + the
+            # final join), and a CANDIDATE-FREE batch — the common
+            # case on a novel stream — skips the docs-layer scan
+            # entirely (one cheap first() on the materialized frame
+            # instead of planning the corpus-sized verify job)
             cand_pairs = dedup.lsh_seen_ids(
                 None, seen_b, id_col, text_col, bands_df=batch_bands,
                 max_bucket=lsh_max_bucket, return_pairs=True,
-            )
-            near_hits = dedup.verify_candidates_jaccard(
-                batch,
-                spark.read.parquet(docs_path).select(id_col, text_col),
-                cand_pairs,
-                id_col,
-                text_col,
-                shingle_k=lsh_shingle_k,
-                min_jaccard=near_dup_verify,
-            )
+            ).localCheckpoint()
+            if cand_pairs.first() is None:
+                near_hits = cand_pairs.select(F.col(id_col))
+            else:
+                near_hits = dedup.verify_candidates_jaccard(
+                    batch,
+                    spark.read.parquet(docs_path).select(
+                        id_col, text_col
+                    ),
+                    cand_pairs,
+                    id_col,
+                    text_col,
+                    shingle_k=lsh_shingle_k,
+                    min_jaccard=near_dup_verify,
+                )
         # ONE flag-join (the id-guard trick): count + filter both read
         # the checkpointed result instead of paying a semi and an anti
         # join over the guard subplan separately

@@ -1,0 +1,334 @@
+"""Ingest-guard scaling probes (r15, verdict #1/#2/#4): the three
+measurements the r14 verdict asked for around the non-media admission
+guards, in the media_probe/ab_probe protocol (synthetic sidecars
+written to parquet and re-read; interleaved min-of-4 timing; one
+markdown table + one JSON line for SCALE.md).
+
+Modes:
+
+- ``url N`` — the url_guard history probe swept 1x→32x of ``url_keys``
+  rows (N at 32x) against a fixed duplicate-heavy batch (every batch
+  url already admitted — the admission worst case). Three arms:
+  the r15 probe shape (history scan inner-joined against the
+  BROADCAST batch keys), the pre-r15 shape (batch LEFT-SEMI the
+  sidecar — BroadcastHashJoin can only build the RIGHT side of a
+  semi, so the corpus-sized sidecar shuffles), and a forced
+  sort-merge baseline.
+
+- ``compact N`` — the verdict-#1 before/after: the fingerprint and
+  url guard probes timed against sidecars fragmented into ~2k
+  per-batch-append-sized files, then again after
+  ``compact_layer`` — the number that justifies scheduling
+  compaction inside ``maintain_lake``.
+
+- ``verify N`` — the verdict-#2 admission-cost delta: the text gate's
+  history probe with and without ``near_dup_verify`` (candidate
+  pairs + exact char-shingle Jaccard against the docs layer) on the
+  same batch/history, isolating what verification adds per batch.
+
+Bench-side measurement only — never a correctness input.
+
+Usage: python tools/guard_probe.py url|compact|verify [N]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.corpus_pipeline import compact_layer
+from projet_big_data_boutin_danre_spark.operators import dedup
+from projet_big_data_boutin_danre_spark.session import get_spark
+
+from media_probe import interleaved_min  # noqa: E402  (same tools dir)
+
+
+def _url(idc) -> F.Column:
+    return F.concat(
+        F.lit("https://site"),
+        (idc % 100_000).cast("string"),
+        F.lit(".ex"),
+        (idc % 13).cast("string"),
+        F.lit(".com/p/"),
+        idc.cast("string"),
+    )
+
+
+def url_main(n_max: int) -> None:
+    spark = get_spark("guard_probe_url")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_url_")
+    ks = [1, 4, 16, 32]
+    base_n = max(n_max // 32, 1)
+    results: dict[str, dict[int, float]] = {}
+    try:
+        # fixed duplicate-heavy batch: 5k urls all already admitted,
+        # arriving under fresh doc ids (the admission worst case)
+        batch = (
+            spark.range(5_000)
+            .select(
+                (F.col("id") + F.lit(10 * n_max)).alias("doc_id"),
+                _url(F.col("id")).alias("canonical_url"),
+            )
+            .localCheckpoint()
+        )
+        for k in ks:
+            n = base_n * k
+            kd = f"{work}/k{k}"
+            spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                _url(F.col("id")).alias("canonical_url"),
+            ).write.mode("overwrite").parquet(f"{kd}/url_keys")
+            hist = spark.read.parquet(f"{kd}/url_keys")
+
+            probes = {
+                # r15 shape: history streamed, batch broadcast
+                "url_seen_broadcast": lambda: hist.select("canonical_url")
+                .join(F.broadcast(batch), "canonical_url")
+                .select("doc_id")
+                .distinct()
+                .count(),
+                # pre-r15 shape as written: LEFT-SEMI with the
+                # corpus-sized sidecar on the right (build side)
+                "url_seen_leftsemi": lambda: batch.join(
+                    hist.select("canonical_url"), "canonical_url",
+                    "left_semi",
+                ).count(),
+                # forced shuffle+sort of history per batch
+                "url_seen_naiveSMJ": lambda: batch.join(
+                    hist.select("canonical_url").hint("merge"),
+                    "canonical_url",
+                    "left_semi",
+                ).count(),
+            }
+            best = interleaved_min(probes)
+            for name, t in best.items():
+                results.setdefault(name, {})[k] = t
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\n| probe | " + " | ".join(f"{k}x" for k in ks) + " | exponent |")
+    print("|---" * (len(ks) + 2) + "|")
+    exps = {}
+    for name, ts in results.items():
+        exp = math.log(
+            max(ts[ks[-1]], 1e-3) / max(ts[ks[0]], 1e-3)
+        ) / math.log(ks[-1] / ks[0])
+        exps[name] = round(exp, 2)
+        print(
+            f"| {name} | "
+            + " | ".join(f"{ts[k]:.2f}" for k in ks)
+            + f" | {exps[name]} |"
+        )
+    print()
+    print(json.dumps({
+        "mode": "url", "base_rows": base_n, "ks": ks,
+        "timings": results, "exponents": exps,
+    }))
+
+
+def compact_main(n_rows: int, n_files: int = 2_048) -> None:
+    spark = get_spark("guard_probe_compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_compact_")
+    try:
+        # guard sidecars fragmented like a lake after n_files
+        # micro-batch appends (repartition mimics the file litter —
+        # the probe cost depends on file count, not append history)
+        spark.range(n_rows).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint"),
+            F.col("id").alias("doc_id"),
+        ).repartition(n_files).write.mode("overwrite").parquet(
+            f"{work}/fingerprints"
+        )
+        spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            _url(F.col("id")).alias("canonical_url"),
+        ).repartition(n_files).write.mode("overwrite").parquet(
+            f"{work}/url_keys"
+        )
+        batch_fp = (
+            spark.range(5_000)
+            .select(
+                F.md5((F.col("id") + 7 * n_rows).cast("string")).alias(
+                    "fingerprint"
+                ),
+                (F.col("id") + F.lit(10 * n_rows)).alias("doc_id"),
+            )
+            .localCheckpoint()
+        )
+        batch_url = (
+            spark.range(5_000)
+            .select(
+                (F.col("id") + F.lit(10 * n_rows)).alias("doc_id"),
+                _url(F.col("id")).alias("canonical_url"),
+            )
+            .localCheckpoint()
+        )
+
+        def _probes():
+            fp = spark.read.parquet(f"{work}/fingerprints")
+            uk = spark.read.parquet(f"{work}/url_keys")
+            return {
+                "fp_guard_anti": lambda: batch_fp.join(
+                    fp.select("fingerprint"), "fingerprint", "left_anti"
+                ).count(),
+                "url_probe_broadcast": lambda: uk.select("canonical_url")
+                .join(F.broadcast(batch_url), "canonical_url")
+                .select("doc_id")
+                .distinct()
+                .count(),
+                # the metadata-bound op class (footer-only count —
+                # what per-batch total_docs used to be, and what every
+                # listing-shaped cost behaves like): this is where
+                # file count shows even on a local fs; scan-bound
+                # probes above hide it behind data-read CPU until the
+                # store charges per file open (object stores)
+                "fp_layer_count": lambda: spark.read.parquet(
+                    f"{work}/fingerprints"
+                ).count(),
+            }
+
+        before = interleaved_min(_probes())
+        t0 = time.time()
+        cfp = compact_layer(spark, f"{work}/fingerprints")
+        cuk = compact_layer(spark, f"{work}/url_keys")
+        compact_s = round(time.time() - t0, 2)
+        after = interleaved_min(_probes())
+        print(
+            f"\n| probe | fragmented ({cfp['files_before']}+"
+            f"{cuk['files_before']} files) | compacted "
+            f"({cfp['files_after']}+{cuk['files_after']} files) |"
+        )
+        print("|---|---|---|")
+        for name in before:
+            print(f"| {name} | {before[name]:.2f} | {after[name]:.2f} |")
+        print(f"\ncompaction of both layers: {compact_s}s (one-off)")
+        print()
+        print(json.dumps({
+            "mode": "compact", "rows": n_rows, "files": n_files,
+            "before": before, "after": after,
+            "compact_seconds": compact_s,
+            "files_before": cfp["files_before"] + cuk["files_before"],
+            "files_after": cfp["files_after"] + cuk["files_after"],
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _doc_text(idc, prefix: str = "w") -> F.Column:
+    # `prefix` separates doc families: at 1M+ docs the per-slot value
+    # space (mod 9973) saturates, so any same-prefix doc shares most
+    # of its shingle skeleton with SOME history doc — genuinely fresh
+    # docs need a disjoint word alphabet, not just fresh ids
+    parts = []
+    for j in range(14):
+        parts.append(
+            F.concat(
+                F.lit(f"{prefix}{j}t"),
+                ((idc * (j * 2 + 3)) % 9_973).cast("string"),
+            )
+        )
+    return F.concat_ws(" ", *parts)
+
+
+def verify_main(n_docs: int) -> None:
+    spark = get_spark("guard_probe_verify")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_verify_")
+    try:
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), _doc_text(F.col("id")).alias("text")
+        )
+        docs.write.mode("overwrite").parquet(f"{work}/docs")
+        dedup.lsh_bands(
+            dedup.minhash_signatures(
+                docs, "doc_id", "text", hash_family="fast"
+            ),
+            hash_family="fast",
+        ).write.mode("overwrite").parquet(f"{work}/band_buckets")
+        hist_docs = spark.read.parquet(f"{work}/docs")
+        seen_b = spark.read.parquet(f"{work}/band_buckets")
+        # batch: 250 true near-dups of history (text + one extra word,
+        # fresh ids) + 250 genuinely fresh docs — candidates exist but
+        # are bounded, the realistic verify regime
+        nd = (
+            spark.range(250)
+            .select(F.col("id").alias("doc_id"),
+                    _doc_text(F.col("id")).alias("text"))
+            .select(
+                (F.col("doc_id") + F.lit(10 * n_docs)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz9qq7")).alias("text"),
+            )
+        )
+        fresh = spark.range(250).select(
+            (F.col("id") + F.lit(20 * n_docs)).alias("doc_id"),
+            _doc_text(F.col("id"), prefix="zfresh").alias("text"),
+        )
+        batch = nd.unionByName(fresh).localCheckpoint()
+        batch_bands = dedup.lsh_bands(
+            dedup.minhash_signatures(
+                batch, "doc_id", "text", hash_family="fast"
+            ),
+            hash_family="fast",
+        ).localCheckpoint()
+
+        probes = {
+            "gate_plain": lambda: dedup.lsh_seen_ids(
+                None, seen_b, "doc_id", "text", bands_df=batch_bands
+            ).count(),
+            "gate_verified": lambda: dedup.verify_candidates_jaccard(
+                batch,
+                hist_docs,
+                dedup.lsh_seen_ids(
+                    None, seen_b, "doc_id", "text",
+                    bands_df=batch_bands, return_pairs=True,
+                ),
+                "doc_id",
+                "text",
+                min_jaccard=0.5,
+            ).count(),
+        }
+        best = interleaved_min(probes)
+        hits_plain = probes["gate_plain"]()
+        hits_verified = probes["gate_verified"]()
+        print("\n| arm | seconds | blocked ids |")
+        print("|---|---|---|")
+        print(f"| gate_plain | {best['gate_plain']:.2f} | {hits_plain} |")
+        print(
+            f"| gate_verified | {best['gate_verified']:.2f} | "
+            f"{hits_verified} |"
+        )
+        print()
+        print(json.dumps({
+            "mode": "verify", "n_docs": n_docs, "timings": best,
+            "blocked": {"plain": hits_plain, "verified": hits_verified},
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "url"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
+    if mode == "url":
+        url_main(n)
+    elif mode == "compact":
+        compact_main(n if len(sys.argv) > 2 else 4_000_000)
+    elif mode == "verify":
+        verify_main(n if len(sys.argv) > 2 else 1_000_000)
+    else:
+        raise SystemExit(f"unknown mode {mode!r} (url|compact|verify)")
+
+
+if __name__ == "__main__":
+    main()
