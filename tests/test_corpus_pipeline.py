@@ -2025,6 +2025,66 @@ def test_bloom_defer_mode_and_maintain_lake(spark, tmp_path):
         )
 
 
+def test_maintain_lake_compaction_catalog_mode(spark, tmp_path):
+    """r15: on a CATALOG-mode lake the compaction sweep rewrites the
+    path layers (docs — plain parquet in both modes) and leaves the
+    bucketed catalog sidecars untouched (a repartition would destroy
+    the bucket layout the exchange-free guard joins depend on);
+    guards hold across the sweep."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    root = str(tmp_path / "lake_cat_sweep")
+    prefix = "t_r15_sweep"
+    schema = "doc_id long, text string, lang string"
+    try:
+        for b in range(5):
+            batch = spark.createDataFrame(
+                [(b * 10 + i, f"cat sweep body {b} {i} unique", "en")
+                 for i in range(3)],
+                schema,
+            )
+            r = incremental_ingest(
+                spark, batch, root, catalog_prefix=prefix
+            )
+            assert r["admitted"] == 3
+        files0 = _data_file_count(spark, f"{root}/docs")
+        assert files0 > 4
+        before_docs = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{root}/docs").collect()
+        )
+        fp_before = spark.table(f"{prefix}_fingerprints").count()
+        m = maintain_lake(spark, root, compact_above_files=4)
+        # only the docs path layer swept; the bucketed sidecars are
+        # not path layers under the root, so the sweep cannot see them
+        assert m["compacted_layers"] == 1
+        assert _data_file_count(spark, f"{root}/docs") < files0
+        assert sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{root}/docs").collect()
+        ) == before_docs
+        assert spark.table(f"{prefix}_fingerprints").count() == fp_before
+        # guards hold: replay admits nothing, novel admits
+        rr = incremental_ingest(
+            spark,
+            spark.createDataFrame(
+                [(0, "cat sweep body 0 0 unique", "en"),
+                 (990, "a novel catalog doc", "en")],
+                schema,
+            ),
+            root,
+            catalog_prefix=prefix,
+        )
+        assert rr["admitted"] == 1 and rr["total_docs"] == 16
+    finally:
+        for t in (f"{prefix}_fingerprints", f"{prefix}_ids"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_near_dup_verify_before_block(spark, tmp_path):
     """r15 verdict #2: the text admission gate drops on band
     collision alone by default — with ``near_dup_verify`` it rescores
