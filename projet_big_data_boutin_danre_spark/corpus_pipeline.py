@@ -606,6 +606,7 @@ def incremental_ingest(
     url_col: str = "url",
     url_blocklist: tuple[str, ...] = (),
     url_extra_suffixes: tuple[str, ...] = (),
+    url_bloom: bool = False,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -840,6 +841,30 @@ def incremental_ingest(
     ``url_skipped`` (within-batch non-keepers + history hits),
     ``healed_urls``, ``domain_blocked``.
 
+    ``url_bloom`` (r15) puts a Bloom filter in FRONT of the url
+    history probe — the url analog of ``bloom_guard``, and the fix
+    for the one guard whose per-batch cost grew with lake size
+    unmitigated (the ``url_keys`` sidecar SCAN — measured exponent
+    0.55 to 32M rows, SCALE.md §r15; the band/media probes read
+    constant-width sidecars and the fingerprint guard already has its
+    filter). The batch's canonical urls are probed map-side;
+    "definitely new" urls skip the sidecar join (no false negatives
+    by construction) and a batch with NO "maybe" urls — the
+    novel-stream common case — never scans the sidecar at all.
+    Write order is the census rule: the filter merges (per-word
+    bit_or, replay-idempotent) BEFORE the docs/url_keys appends, so a
+    crash degrades to harmless false positives, never to a url
+    missing its bits. The filter is a CACHE of ``url_keys`` —
+    absent/torn, it rebuilds from the layer; geometry lives in the
+    ``url_bloom_k{k}h{hex}`` path and grows on saturation under the
+    same ``bloom_max_fill`` / ``bloom_rebuild_mode`` knobs as the
+    fingerprint filter (``defer`` leaves the rescan to
+    :func:`maintain_lake`, which maintains both lineages). Not lake
+    identity (a cache can always be rebuilt); requires
+    ``url_guard=True``. Counters: ``url_bloom_fastpath``,
+    ``url_bloom_fill_pct``, ``url_bloom_rebuilt_hex``,
+    ``url_bloom_rebuild_due``.
+
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs (from the
     1-row ``_lake_stats`` running-total marker — replay-idempotent
@@ -867,6 +892,12 @@ def incremental_ingest(
             f"bloom_rebuild_mode must be 'sync' or 'defer', got "
             f"{bloom_rebuild_mode!r}"
         )
+    if url_bloom and not url_guard:
+        raise ValueError(
+            "url_bloom=True is the url_guard's fastpath — it needs "
+            "url_guard=True (the filter is a cache of the url_keys "
+            "sidecar, which only a guarded lake maintains)"
+        )
     fp_path = f"{out_root}/fingerprints"
     docs_path = f"{out_root}/docs"
     bands_path = f"{out_root}/band_buckets"
@@ -886,6 +917,15 @@ def incremental_ingest(
             or bloom_ops.HEX_CHARS_DEFAULT
         )
     bloom_path = _bloom_layer_path(out_root, bloom_hex)
+    url_bloom_hex = bloom_ops.HEX_CHARS_DEFAULT
+    if url_bloom:
+        url_bloom_hex = (
+            _discover_bloom_geometry(spark, out_root, layer="url_bloom")
+            or bloom_ops.HEX_CHARS_DEFAULT
+        )
+    url_bloom_path = _bloom_layer_path(
+        out_root, url_bloom_hex, layer="url_bloom"
+    )
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
     id_table = f"{catalog_prefix}_ids" if bucketed else None
@@ -1403,6 +1443,8 @@ def incremental_ingest(
         admitted = batch.join(seen, "fingerprint", "left_anti")
     else:
         admitted = batch
+    n_url_bloom_fastpath = 0
+    ublm = None  # url-bloom probe-time filter, reused by the write path
     if url_guard and _exists(spark, url_keys_path):
         # URL history probe: a ONE-column scan of the url_keys
         # sidecar probed by the BROADCAST batch keys — the
@@ -1413,18 +1455,58 @@ def incremental_ingest(
         # broadcast batch probes it map-side with no history shuffle
         # or sort. ONE flag-join on the admitted frame after, like
         # the near_dup/media guards below.
-        url_hits = (
-            spark.read.parquet(url_keys_path)
-            .select("canonical_url")
-            .join(F.broadcast(batch_urls), "canonical_url")
-            .select(id_col)
-            .distinct()
-        )
-        uf = admitted.join(
-            url_hits.withColumn("__ug", F.lit(True)), id_col, "left"
-        ).localCheckpoint()
-        n_url_skipped += uf.filter(F.col("__ug")).count()
-        admitted = uf.filter(F.col("__ug").isNull()).drop("__ug")
+        probe_urls = batch_urls
+        if url_bloom:
+            # Bloom front for the url guard (r15): of the five
+            # guards, this probe was the only one whose per-batch
+            # cost grows with lake size unmitigated (the sidecar SCAN
+            # — measured exponent 0.55 to 32M rows, SCALE.md §r15;
+            # the band/media probes read constant-width sidecars,
+            # the fingerprint guard already has bloom_guard). The
+            # batch's canonical urls are probed map-side first;
+            # "definitely new" urls cannot be history hits, so only
+            # the "maybe" residue joins the sidecar scan — and a
+            # batch with NO maybes (the novel-stream common case)
+            # skips the corpus-sized scan entirely. False positives
+            # cost one confirmed join row; false negatives are
+            # impossible by the merge-before-docs write order below.
+            ublm = _read_bloom_layer(spark, url_bloom_path)
+            if ublm is None:
+                # absent/torn filter: rebuild from the authoritative
+                # url_keys layer — the filter is a cache, never the
+                # source of truth
+                ublm = bloom_ops.bloom_build(
+                    spark.read.parquet(url_keys_path).select(
+                        "canonical_url"
+                    ),
+                    "canonical_url",
+                    hex_chars=url_bloom_hex,
+                ).localCheckpoint()
+            uprobed = bloom_ops.bloom_probe(
+                batch_urls, ublm, "canonical_url",
+                hex_chars=url_bloom_hex,
+            ).localCheckpoint()
+            probe_urls = uprobed.filter(F.col("maybe_seen")).drop(
+                "maybe_seen"
+            )
+            n_url_bloom_fastpath = uprobed.filter(
+                ~F.col("maybe_seen")
+            ).count()
+            if probe_urls.first() is None:
+                probe_urls = None
+        if probe_urls is not None:
+            url_hits = (
+                spark.read.parquet(url_keys_path)
+                .select("canonical_url")
+                .join(F.broadcast(probe_urls), "canonical_url")
+                .select(id_col)
+                .distinct()
+            )
+            uf = admitted.join(
+                url_hits.withColumn("__ug", F.lit(True)), id_col, "left"
+            ).localCheckpoint()
+            n_url_skipped += uf.filter(F.col("__ug")).count()
+            admitted = uf.filter(F.col("__ug").isNull()).drop("__ug")
     if near_dup and _exists(spark, bands_path):
         # history probe: batch band rows BROADCAST against a
         # two-column scan of the persisted band layer — history is
@@ -1815,6 +1897,45 @@ def incremental_ingest(
                 else new_bits
             ).localCheckpoint()  # materialize BEFORE overwriting its own input path
             merged.write.mode("overwrite").parquet(bloom_path)
+        if url_bloom:
+            # url-bloom merge BEFORE the docs/url_keys appends — the
+            # census ordering rule again: bits for urls that never
+            # land are harmless false positives, while merge-after-
+            # append could leave admitted urls missing from the
+            # filter, a false negative that would let a later
+            # re-crawl of that url skip the sidecar scan and admit.
+            # The folded rows are exactly the keeper urls the append
+            # block writes below. Reuse the probe-time filter when
+            # disk was unreadable (the r13 fingerprint-bloom lesson:
+            # re-reading would return None and overwrite history's
+            # bits with only this batch's).
+            new_ubits = bloom_ops.bloom_build(
+                batch_urls.join(
+                    admitted.select(id_col), id_col, "left_semi"
+                ),
+                "canonical_url",
+                hex_chars=url_bloom_hex,
+            )
+            old_ublm = ublm
+            if old_ublm is None and _exists(spark, url_keys_path):
+                old_ublm = _read_bloom_layer(spark, url_bloom_path)
+                if old_ublm is None:
+                    # torn/absent filter discovered at write time on a
+                    # lake WITH history: rebuild from the key layer so
+                    # historical urls keep their bits
+                    old_ublm = bloom_ops.bloom_build(
+                        spark.read.parquet(url_keys_path).select(
+                            "canonical_url"
+                        ),
+                        "canonical_url",
+                        hex_chars=url_bloom_hex,
+                    ).localCheckpoint()
+            umerged = (
+                bloom_ops.bloom_merge(old_ublm, new_ubits)
+                if old_ublm is not None
+                else new_ubits
+            ).localCheckpoint()
+            umerged.write.mode("overwrite").parquet(url_bloom_path)
         if line_census:
             # census BEFORE the docs append: a crash after this lands
             # replays into an identical admitted set (the guards saw
@@ -1938,6 +2059,37 @@ def incremental_ingest(
                     n_bloom_rebuilt_hex or bloom_hex
                 ) + 1
             n_bloom_fill_pct = int(round(fill * 100))
+    n_url_bloom_fill_pct = 0
+    n_url_bloom_rebuilt_hex = 0
+    n_url_bloom_rebuild_due = 0
+    if url_bloom:
+        # the same rebuild-on-fill / defer contract as the
+        # fingerprint filter, one knob set (bloom_max_fill,
+        # bloom_rebuild_mode) governing both lineages — a saturated
+        # url filter only answers "maybe" more often (extra sidecar
+        # scans, never wrong admission), so deferral is safe here too
+        ucur = _read_bloom_layer(spark, url_bloom_path)
+        if ucur is not None:
+            ufill = float(
+                bloom_ops.bloom_fill_stats(ucur, url_bloom_hex).first()[
+                    "fill_frac"
+                ]
+            )
+            if (
+                n_admitted
+                and ufill > bloom_max_fill
+                and bloom_rebuild_mode == "sync"
+            ):
+                ures = bloom_rebuild(
+                    spark, out_root, url_bloom_hex + 1, layer="url_bloom"
+                )
+                n_url_bloom_rebuilt_hex = url_bloom_hex + 1
+                ufill = ures["fill_frac"]
+            if ufill > bloom_max_fill:
+                n_url_bloom_rebuild_due = (
+                    n_url_bloom_rebuilt_hex or url_bloom_hex
+                ) + 1
+            n_url_bloom_fill_pct = int(round(ufill * 100))
     out = {
         "arrived": arrived,
         "admitted": n_admitted,
@@ -1957,6 +2109,11 @@ def incremental_ingest(
     if url_guard:
         out["url_skipped"] = n_url_skipped
         out["healed_urls"] = n_healed_urls
+    if url_bloom:
+        out["url_bloom_fastpath"] = n_url_bloom_fastpath
+        out["url_bloom_fill_pct"] = n_url_bloom_fill_pct
+        out["url_bloom_rebuilt_hex"] = n_url_bloom_rebuilt_hex
+        out["url_bloom_rebuild_due"] = n_url_bloom_rebuild_due
     if url_blocklist:
         out["domain_blocked"] = n_domain_blocked
     if line_census:
@@ -2042,11 +2199,15 @@ def recount_lake_docs(spark: SparkSession, out_root: str) -> int:
     return n
 
 
-def _bloom_layer_path(out_root: str, hex_chars: int) -> str:
-    return f"{out_root}/bloom_k{bloom_ops.K_DEFAULT}h{hex_chars}"
+def _bloom_layer_path(
+    out_root: str, hex_chars: int, layer: str = "bloom"
+) -> str:
+    return f"{out_root}/{layer}_k{bloom_ops.K_DEFAULT}h{hex_chars}"
 
 
-def _discover_bloom_geometry(spark: SparkSession, out_root: str) -> int | None:
+def _discover_bloom_geometry(
+    spark: SparkSession, out_root: str, layer: str = "bloom"
+) -> int | None:
     """Largest ``hex_chars`` for which a ``bloom_k{K}h{h}`` layer
     exists under the lake root. Rebuild-on-fill grows the geometry,
     and probe/build must follow the grown layer — probing a filter of
@@ -2070,7 +2231,10 @@ def _discover_bloom_geometry(spark: SparkSession, out_root: str) -> int | None:
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = hpath(out_root)
-    prefix = f"bloom_k{bloom_ops.K_DEFAULT}h"
+    # note: the "bloom" prefix cannot match a "url_bloom_*" layer —
+    # startswith on the full '<layer>_k{K}h' string keeps the two
+    # filter lineages disjoint by construction
+    prefix = f"{layer}_k{bloom_ops.K_DEFAULT}h"
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return None
@@ -2093,15 +2257,19 @@ def bloom_rebuild(
     hex_chars: int,
     catalog_prefix: str | None = None,
     drop_others: bool = True,
+    layer: str = "bloom",
 ) -> dict[str, float | int]:
-    """Rebuild the lake's Bloom sidecar from the authoritative
-    fingerprint layer at a NEW geometry — the saturation escape hatch
+    """Rebuild a lake Bloom sidecar from its authoritative key layer
+    at a NEW geometry — the saturation escape hatch
     :func:`operators.bloom.bloom_fill_stats` documents (fpp ≈ fill^k;
     past ~50% fill the fastpath stops proving anything and every key
     pays the exact join). :func:`incremental_ingest` calls this
     automatically when the post-merge fill crosses ``bloom_max_fill``
     (one geometry step per batch); it is also a standalone
-    maintenance operation.
+    maintenance operation. ``layer`` selects the filter lineage:
+    ``"bloom"`` (default) rebuilds from the fingerprint layer,
+    ``"url_bloom"`` (r15) from the ``url_keys`` sidecar's canonical
+    urls — each filter is a cache of exactly one key layer.
 
     Crash-safe order: the new layer (its geometry encoded in the
     path) is written BEFORE any old layer is deleted, and geometry
@@ -2109,27 +2277,40 @@ def bloom_rebuild(
     between the two steps degrades to a stale extra directory, never
     to a probe against missing bits. Returns
     ``{"hex_chars", "bits_set", "fill_frac"}``."""
-    fp_table = f"{catalog_prefix}_fingerprints" if catalog_prefix else None
-    fp_path = f"{out_root}/fingerprints"
-    if fp_table and spark.catalog.tableExists(fp_table):
-        seen = spark.table(fp_table).select("fingerprint")
-    elif _exists(spark, fp_path):
-        seen = spark.read.parquet(fp_path).select("fingerprint")
+    if layer == "url_bloom":
+        uk_path = f"{out_root}/url_keys"
+        if not _exists(spark, uk_path):
+            raise ValueError(
+                f"lake at {out_root} has no url_keys layer to rebuild "
+                "the url Bloom sidecar from"
+            )
+        seen = spark.read.parquet(uk_path).select("canonical_url")
+        key_col = "canonical_url"
     else:
-        raise ValueError(
-            f"lake at {out_root} has no fingerprint layer to rebuild "
-            "the Bloom sidecar from"
+        fp_table = (
+            f"{catalog_prefix}_fingerprints" if catalog_prefix else None
         )
+        fp_path = f"{out_root}/fingerprints"
+        if fp_table and spark.catalog.tableExists(fp_table):
+            seen = spark.table(fp_table).select("fingerprint")
+        elif _exists(spark, fp_path):
+            seen = spark.read.parquet(fp_path).select("fingerprint")
+        else:
+            raise ValueError(
+                f"lake at {out_root} has no fingerprint layer to rebuild "
+                "the Bloom sidecar from"
+            )
+        key_col = "fingerprint"
     blm = bloom_ops.bloom_build(
-        seen, "fingerprint", hex_chars=hex_chars
+        seen, key_col, hex_chars=hex_chars
     ).localCheckpoint()
-    path = _bloom_layer_path(out_root, hex_chars)
+    path = _bloom_layer_path(out_root, hex_chars, layer=layer)
     blm.write.mode("overwrite").parquet(path)
     if drop_others:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
         root = hpath(out_root)
-        prefix = f"bloom_k{bloom_ops.K_DEFAULT}h"
+        prefix = f"{layer}_k{bloom_ops.K_DEFAULT}h"
         fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -2238,8 +2419,14 @@ def maintain_lake(
     threshold so the entry repair in :func:`compact_layer` finishes
     the swap. Default ``None`` keeps the pre-r15 bloom-only behavior.
 
+    The url Bloom lineage (r15 — ``incremental_ingest(url_bloom=
+    True)``) gets the same treatment when its layer exists: fill
+    check, fill-sized rebuild from the ``url_keys`` sidecar, stale
+    layer sweep.
+
     Returns ``{"bloom_rebuilt_hex": <new geometry or 0>,
     "bloom_fill_pct": <final>, "bloom_steps": <rebuilds paid>,
+    "url_bloom_rebuilt_hex", "url_bloom_fill_pct", "url_bloom_steps",
     "compacted_layers": <layers swept>, "files_before": <their data
     files before>, "files_after": <after>}``."""
     compacted_layers = 0
@@ -2260,45 +2447,56 @@ def maintain_lake(
             compacted_layers += 1
             files_before += res["files_before"]
             files_after += res["files_after"]
-    hex_cur = _discover_bloom_geometry(spark, out_root)
-    if hex_cur is None:
-        # no bloom layer at all: nothing to maintain bloom-wise (an
-        # unguarded or brand-new lake); the first bloom_guard ingest
-        # builds one — the compaction sweep above still ran
+    def _maintain_filter(layer: str) -> dict[str, int]:
+        hex_cur = _discover_bloom_geometry(spark, out_root, layer=layer)
+        if hex_cur is None:
+            # no layer of this lineage: nothing to maintain (an
+            # unguarded or brand-new lake); the first guarded ingest
+            # builds one
+            return {"rebuilt": 0, "fill_pct": 0, "steps": 0}
+        steps = 0
+        rebuilt = 0
+        cur = _read_bloom_layer(
+            spark, _bloom_layer_path(out_root, hex_cur, layer=layer)
+        )
+        if cur is None:
+            res = bloom_rebuild(
+                spark, out_root, hex_cur,
+                catalog_prefix=catalog_prefix, layer=layer,
+            )
+            fill = float(res["fill_frac"])
+            rebuilt = hex_cur
+            steps = 1
+        else:
+            fill = float(
+                bloom_ops.bloom_fill_stats(cur, hex_cur).first()[
+                    "fill_frac"
+                ]
+            )
+        while fill > bloom_max_fill and steps < max_steps:
+            hex_cur += _bloom_growth_steps(fill, bloom_max_fill)
+            res = bloom_rebuild(
+                spark, out_root, hex_cur,
+                catalog_prefix=catalog_prefix, layer=layer,
+            )
+            fill = float(res["fill_frac"])
+            rebuilt = hex_cur
+            steps += 1
         return {
-            "bloom_rebuilt_hex": 0,
-            "bloom_fill_pct": 0,
-            "bloom_steps": 0,
-            "compacted_layers": compacted_layers,
-            "files_before": files_before,
-            "files_after": files_after,
+            "rebuilt": rebuilt,
+            "fill_pct": int(round(fill * 100)),
+            "steps": steps,
         }
-    steps = 0
-    rebuilt = 0
-    cur = _read_bloom_layer(spark, _bloom_layer_path(out_root, hex_cur))
-    if cur is None:
-        res = bloom_rebuild(
-            spark, out_root, hex_cur, catalog_prefix=catalog_prefix
-        )
-        fill = float(res["fill_frac"])
-        rebuilt = hex_cur
-        steps = 1
-    else:
-        fill = float(
-            bloom_ops.bloom_fill_stats(cur, hex_cur).first()["fill_frac"]
-        )
-    while fill > bloom_max_fill and steps < max_steps:
-        hex_cur += _bloom_growth_steps(fill, bloom_max_fill)
-        res = bloom_rebuild(
-            spark, out_root, hex_cur, catalog_prefix=catalog_prefix
-        )
-        fill = float(res["fill_frac"])
-        rebuilt = hex_cur
-        steps += 1
+
+    fp = _maintain_filter("bloom")
+    ub = _maintain_filter("url_bloom")
     return {
-        "bloom_rebuilt_hex": rebuilt,
-        "bloom_fill_pct": int(round(fill * 100)),
-        "bloom_steps": steps,
+        "bloom_rebuilt_hex": fp["rebuilt"],
+        "bloom_fill_pct": fp["fill_pct"],
+        "bloom_steps": fp["steps"],
+        "url_bloom_rebuilt_hex": ub["rebuilt"],
+        "url_bloom_fill_pct": ub["fill_pct"],
+        "url_bloom_steps": ub["steps"],
         "compacted_layers": compacted_layers,
         "files_before": files_before,
         "files_after": files_after,
@@ -2587,6 +2785,7 @@ def streaming_ingest(
     url_col: str = "url",
     url_blocklist: tuple[str, ...] = (),
     url_extra_suffixes: tuple[str, ...] = (),
+    url_bloom: bool = False,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -2666,6 +2865,7 @@ def streaming_ingest(
             url_col=url_col,
             url_blocklist=url_blocklist,
             url_extra_suffixes=url_extra_suffixes,
+            url_bloom=url_bloom,
         )
 
     return (

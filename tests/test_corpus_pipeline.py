@@ -2876,6 +2876,114 @@ def test_streaming_face_defer_and_maintain_lake(spark, tmp_path):
     } | {300 + i for i in range(3)}
 
 
+def test_url_bloom_fastpath(spark, tmp_path):
+    """r15: the url guard's Bloom front — novel urls prove
+    "definitely new" map-side and skip the url_keys sidecar scan
+    (the one guard whose per-batch cost grew with lake size);
+    duplicates still block exactly through the confirmed join; the
+    filter is a rebuildable cache (deleting it changes nothing);
+    saturation defers to maintain_lake, which maintains the url
+    lineage alongside the fingerprint one."""
+    import glob
+    import shutil
+
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _discover_bloom_geometry,
+        bloom_rebuild,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    schema = "doc_id long, text string, url string"
+    root = str(tmp_path / "lake_ubloom")
+    kw = dict(url_guard=True, url_bloom=True)
+    with _pytest.raises(ValueError, match="url_bloom"):
+        incremental_ingest(
+            spark,
+            spark.createDataFrame([(1, "x", "https://a.ex1.com/")], schema),
+            root,
+            url_bloom=True,
+        )
+    b1 = spark.createDataFrame(
+        [(1, "first page body", "https://site1.ex1.com/p"),
+         (2, "second page body", "https://site2.ex1.com/q")],
+        schema,
+    )
+    r1 = incremental_ingest(spark, b1, root, **kw)
+    assert r1["admitted"] == 2
+    assert "url_bloom_fastpath" in r1  # counters present from batch 1
+    # filter landed (merge-before-docs): geometry discoverable
+    assert _discover_bloom_geometry(spark, root, layer="url_bloom") is not None
+    # novel urls ride the fastpath; a re-crawl of an admitted url is
+    # confirmed against the sidecar and blocked
+    b2 = spark.createDataFrame(
+        [(10, "recrawl body totally new", "https://site1.ex1.com/p"),
+         (11, "third page body", "https://site3.ex2.com/r"),
+         (12, "fourth page body", "https://site4.ex2.com/s")],
+        schema,
+    )
+    r2 = incremental_ingest(spark, b2, root, **kw)
+    assert r2["admitted"] == 2 and r2["url_skipped"] == 1
+    assert r2["url_bloom_fastpath"] == 2  # the two novel urls
+    # cache contract: delete the filter layer — admission is
+    # unchanged (rebuilt from url_keys on the next probe)
+    for d in glob.glob(f"{root}/url_bloom_k*"):
+        shutil.rmtree(d)
+    b3 = spark.createDataFrame(
+        [(20, "recrawl again different body", "https://site3.ex2.com/r"),
+         (21, "fifth page body", "https://site5.ex3.com/t")],
+        schema,
+    )
+    r3 = incremental_ingest(spark, b3, root, **kw)
+    assert r3["admitted"] == 1 and r3["url_skipped"] == 1
+    assert r3["url_bloom_fastpath"] == 1
+    # replay: idempotent through the bloom front
+    r3b = incremental_ingest(spark, b3, root, **kw)
+    assert r3b["admitted"] == 0
+    # saturation at a toy geometry: defer mode reports the owed
+    # rebuild without paying it in-batch; maintain_lake pays it for
+    # BOTH filter lineages and the fastpath recovers
+    bloom_rebuild(spark, root, hex_chars=1, layer="url_bloom")
+    b4 = spark.createDataFrame(
+        [(30, "sixth page body", "https://site6.ex3.com/u")],
+        schema,
+    )
+    r4 = incremental_ingest(
+        spark, b4, root, bloom_rebuild_mode="defer", **kw
+    )
+    assert r4["admitted"] == 1
+    assert r4["url_bloom_rebuild_due"] >= 2
+    assert _discover_bloom_geometry(spark, root, layer="url_bloom") == 1
+    m = maintain_lake(spark, root)
+    assert m["url_bloom_steps"] == 1
+    assert m["url_bloom_rebuilt_hex"] >= 2
+    assert m["url_bloom_fill_pct"] <= 50
+    r5 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(40, "seventh page body", "https://site7.ex4.com/v")],
+            schema,
+        ),
+        root,
+        **kw,
+    )
+    assert r5["admitted"] == 1 and r5["url_bloom_fastpath"] == 1
+    # every admitted url still blocks its re-crawl across the rebuild
+    r6 = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(50, "recrawl of six", "https://site6.ex3.com/u"),
+             (51, "recrawl of seven", "https://site7.ex4.com/v")],
+            schema,
+        ),
+        root,
+        **kw,
+    )
+    assert r6["admitted"] == 0 and r6["url_skipped"] == 2
+
+
 def test_streaming_face_compaction_battery(spark, tmp_path):
     """r15 stretch: the streaming twin of the maintain_lake
     compaction battery — per-trigger micro-batches fragment every
