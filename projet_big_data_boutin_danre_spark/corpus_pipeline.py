@@ -607,6 +607,7 @@ def incremental_ingest(
     url_blocklist: tuple[str, ...] = (),
     url_extra_suffixes: tuple[str, ...] = (),
     url_bloom: bool = False,
+    url_bloom_max_fill: float = 0.1,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -856,14 +857,23 @@ def incremental_ingest(
     crash degrades to harmless false positives, never to a url
     missing its bits. The filter is a CACHE of ``url_keys`` —
     absent/torn, it rebuilds from the layer; geometry lives in the
-    ``url_bloom_k{k}h{hex}`` path and grows on saturation under the
-    same ``bloom_max_fill`` / ``bloom_rebuild_mode`` knobs as the
-    fingerprint filter (``defer`` leaves the rescan to
-    :func:`maintain_lake`, which maintains both lineages). Not lake
-    identity (a cache can always be rebuilt); requires
-    ``url_guard=True``. Counters: ``url_bloom_fastpath``,
-    ``url_bloom_fill_pct``, ``url_bloom_rebuilt_hex``,
-    ``url_bloom_rebuild_due``.
+    ``url_bloom_k{k}h{hex}`` path and grows on saturation under
+    ``url_bloom_max_fill`` (default 0.1 — STRICTER than the
+    fingerprint lineage's 0.5 on purpose: this filter's value is
+    skipping the scan OUTRIGHT, which needs ``fpp·|batch| < 1``,
+    i.e. fill^4·batch < 1 — at fill 0.5 a 5k-url batch always
+    carries false positives and the scan always runs; measured,
+    SCALE.md §r15 bloom) with ``bloom_rebuild_mode`` shared
+    (``defer`` leaves the rescan to :func:`maintain_lake`, which
+    maintains both lineages at their own targets). Honest regime
+    statement (measured): at local-fs scan rates the filter scan is
+    within ~2x of the one-column sidecar scan itself, so the
+    fastpath pays on I/O-bound storage (object stores) and on the
+    reliability of the SKIP, not on local wall-clock — leave it off
+    for small lakes. Not lake identity (a cache can always be
+    rebuilt); requires ``url_guard=True``. Counters:
+    ``url_bloom_fastpath``, ``url_bloom_fill_pct``,
+    ``url_bloom_rebuilt_hex``, ``url_bloom_rebuild_due``.
 
     Returns counts: arrived, admitted (new + first-copy),
     healed_fingerprints (replay backfills), total_docs (from the
@@ -2064,10 +2074,15 @@ def incremental_ingest(
     n_url_bloom_rebuild_due = 0
     if url_bloom:
         # the same rebuild-on-fill / defer contract as the
-        # fingerprint filter, one knob set (bloom_max_fill,
-        # bloom_rebuild_mode) governing both lineages — a saturated
-        # url filter only answers "maybe" more often (extra sidecar
-        # scans, never wrong admission), so deferral is safe here too
+        # fingerprint filter, but with a STRICTER fill target
+        # (url_bloom_max_fill, default 0.1): this filter's whole
+        # value is skipping the sidecar scan OUTRIGHT, which needs
+        # fpp·|batch| < 1 — at the fingerprint lineage's 0.5 target
+        # fpp ≈ 6% and a 5k-url batch would always carry false
+        # positives, triggering the scan it exists to avoid (measured,
+        # SCALE.md §r15 bloom). A saturated filter still only answers
+        # "maybe" more often (never wrong admission), so deferral
+        # stays safe
         ucur = _read_bloom_layer(spark, url_bloom_path)
         if ucur is not None:
             ufill = float(
@@ -2077,7 +2092,7 @@ def incremental_ingest(
             )
             if (
                 n_admitted
-                and ufill > bloom_max_fill
+                and ufill > url_bloom_max_fill
                 and bloom_rebuild_mode == "sync"
             ):
                 ures = bloom_rebuild(
@@ -2085,7 +2100,7 @@ def incremental_ingest(
                 )
                 n_url_bloom_rebuilt_hex = url_bloom_hex + 1
                 ufill = ures["fill_frac"]
-            if ufill > bloom_max_fill:
+            if ufill > url_bloom_max_fill:
                 n_url_bloom_rebuild_due = (
                     n_url_bloom_rebuilt_hex or url_bloom_hex
                 ) + 1
@@ -2387,6 +2402,7 @@ def maintain_lake(
     max_steps: int = 8,
     compact_above_files: int | None = None,
     compact_target_file_mb: int = 128,
+    url_bloom_max_fill: float = 0.1,
 ) -> dict[str, int]:
     """Out-of-band lake maintenance (r13, verdict #5): the entry point
     a ``bloom_rebuild_mode="defer"`` ingest defers its saturation work
@@ -2447,7 +2463,7 @@ def maintain_lake(
             compacted_layers += 1
             files_before += res["files_before"]
             files_after += res["files_after"]
-    def _maintain_filter(layer: str) -> dict[str, int]:
+    def _maintain_filter(layer: str, max_fill: float) -> dict[str, int]:
         hex_cur = _discover_bloom_geometry(spark, out_root, layer=layer)
         if hex_cur is None:
             # no layer of this lineage: nothing to maintain (an
@@ -2473,8 +2489,8 @@ def maintain_lake(
                     "fill_frac"
                 ]
             )
-        while fill > bloom_max_fill and steps < max_steps:
-            hex_cur += _bloom_growth_steps(fill, bloom_max_fill)
+        while fill > max_fill and steps < max_steps:
+            hex_cur += _bloom_growth_steps(fill, max_fill)
             res = bloom_rebuild(
                 spark, out_root, hex_cur,
                 catalog_prefix=catalog_prefix, layer=layer,
@@ -2488,8 +2504,8 @@ def maintain_lake(
             "steps": steps,
         }
 
-    fp = _maintain_filter("bloom")
-    ub = _maintain_filter("url_bloom")
+    fp = _maintain_filter("bloom", bloom_max_fill)
+    ub = _maintain_filter("url_bloom", url_bloom_max_fill)
     return {
         "bloom_rebuilt_hex": fp["rebuilt"],
         "bloom_fill_pct": fp["fill_pct"],
@@ -2786,6 +2802,7 @@ def streaming_ingest(
     url_blocklist: tuple[str, ...] = (),
     url_extra_suffixes: tuple[str, ...] = (),
     url_bloom: bool = False,
+    url_bloom_max_fill: float = 0.1,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -2866,6 +2883,7 @@ def streaming_ingest(
             url_blocklist=url_blocklist,
             url_extra_suffixes=url_extra_suffixes,
             url_bloom=url_bloom,
+            url_bloom_max_fill=url_bloom_max_fill,
         )
 
     return (

@@ -132,19 +132,80 @@ def bloom_probe(
     key_col: str,
     k: int = K_DEFAULT,
     hex_chars: int = HEX_CHARS_DEFAULT,
+    mode: str = "auto",
 ) -> DataFrame:
     """Membership pre-filter: the batch keyed rows plus a
     ``maybe_seen`` boolean. ``maybe_seen = false`` is a PROOF the key
     was never inserted (no false negatives); ``true`` means "check
     exactly" (true member, or false positive at the filter's fpp).
 
-    Plan shape: k broadcast LEFT joins (the filter is ≤262k words ≈
-    4 MiB at the default geometry — always broadcastable), one per
-    hash function, then a map-side AND of the per-hash bit tests —
-    the batch takes ZERO exchanges, so the pre-filter composes into
-    the admission path without repartitioning anything. All batch
-    columns ride through."""
+    Two plan shapes, same semantics, chosen by ``mode``:
+
+    - ``"broadcast"`` — k broadcast LEFT joins of the FILTER (≤262k
+      words ≈ 4 MiB at the default geometry), one per hash function,
+      then a map-side AND of the per-hash bit tests: the batch takes
+      ZERO exchanges. Right while the filter is small.
+    - ``"stream"`` (r15) — the probe INVERSION for grown filters: the
+      batch's k positions per key are BROADCAST against the filter
+      scan (filter streamed map-side, never copied to every task's
+      memory as a broadcast build), a key is "maybe" iff all k of its
+      positions hit a set bit, and the batch-sized maybe-key set
+      joins back broadcast. One rebuild-grown geometry step takes the
+      filter ×16 — at hex 8+ a broadcast build is hundreds of MB per
+      PROBE CALL, while the streamed shape pays one pruned 2-column
+      scan. Costs one batch-sized distinct on the key column.
+    - ``"auto"`` (default) — ``broadcast`` at ``hex_chars`` ≤ 6 (the
+      dense filter caps at 2 MiB), ``stream`` above: the switch is a
+      pure function of geometry, known statically — no stats job.
+
+    All batch columns ride through; NULL keys probe ``False`` (a NULL
+    key never participates in dedup)."""
+    if mode not in ("auto", "broadcast", "stream"):
+        raise ValueError(
+            f"bloom_probe mode must be auto|broadcast|stream, got {mode!r}"
+        )
+    if mode == "auto":
+        mode = "broadcast" if hex_chars <= HEX_CHARS_DEFAULT else "stream"
     key = F.col(key_col)
+    if mode == "stream":
+        if "__bp_key" in batch.columns:
+            raise ValueError(
+                "bloom_probe(mode='stream') reserves the column name "
+                "'__bp_key' — rename it in the input"
+            )
+        keys = (
+            batch.select(key.alias("__bp_key"))
+            .filter(F.col("__bp_key").isNotNull())
+            .distinct()
+        )
+        pos = _positions_long(keys, "__bp_key", k, hex_chars).select(
+            F.col("__key").alias("__bp_key"), "word_idx", "__mask"
+        )
+        maybe_keys = (
+            bloom.join(F.broadcast(pos), "word_idx")
+            .filter((F.col("word").bitwiseAND(F.col("__mask"))) != 0)
+            .groupBy("__bp_key")
+            .agg(F.count(F.lit(1)).alias("__nhit"))
+            # k rows per key by construction; a position whose word is
+            # absent from the sparse filter is an unset bit (inner
+            # join drops it), so all-k-hits == every bit set
+            .filter(F.col("__nhit") == k)
+            .select("__bp_key", F.lit(True).alias("__bp_maybe"))
+        )
+        return (
+            batch.join(
+                F.broadcast(maybe_keys),
+                key == F.col("__bp_key"),
+                "left",
+            )
+            .withColumn(
+                "maybe_seen",
+                F.when(key.isNull(), F.lit(False)).otherwise(
+                    F.coalesce(F.col("__bp_maybe"), F.lit(False))
+                ),
+            )
+            .drop("__bp_key", "__bp_maybe")
+        )
     out = batch
     hit_cols = []
     for j in range(k):

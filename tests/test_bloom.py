@@ -109,3 +109,60 @@ def test_grouped_build_is_per_group(spark):
     }
     assert probed["k1"] is True
     assert probed["k2"] is False
+
+
+def test_stream_probe_matches_broadcast(spark):
+    """r15: the streamed probe shape (filter scanned map-side against
+    broadcast batch positions — the grown-geometry path) is verdict-
+    identical to the broadcast shape on members, non-members, NULLs,
+    and duplicate batch keys, at both a small and a grown geometry;
+    auto mode picks broadcast at the default geometry and stream
+    above it."""
+    inserted = _keys(spark, 0, 400)
+    batch = (
+        _keys(spark, 300, 500)          # 100 members + 100 fresh
+        .unionByName(_keys(spark, 300, 350))  # duplicate keys
+        .unionByName(
+            spark.range(1).select(F.lit(None).cast("string").alias("k"))
+        )
+        .withColumn("payload", F.concat(F.lit("p-"), F.col("k")))
+    )
+    for hex_chars in (6, 7):
+        filt = bloom.bloom_build(
+            inserted, "k", hex_chars=hex_chars
+        ).localCheckpoint()
+
+        def verdicts(mode):
+            rows = bloom.bloom_probe(
+                batch, filt, "k", hex_chars=hex_chars, mode=mode
+            ).collect()
+            # all batch columns ride through both shapes
+            assert {r["payload"] for r in rows} == {
+                f"p-key-{i}" for i in range(300, 500)
+            } | {None}
+            return sorted(
+                ((r["k"], r["maybe_seen"]) for r in rows),
+                key=lambda t: (t[0] is None, t[0] or "", t[1]),
+            )
+
+        b, s = verdicts("broadcast"), verdicts("stream")
+        assert b == s
+        # members all maybe, NULL always false (shared contract)
+        by_key = dict(b)
+        assert by_key[None] is False
+        assert all(by_key[f"key-{i}"] for i in range(300, 400))
+
+
+def test_stream_probe_never_broadcasts_filter(spark):
+    """The streamed shape's 100 TB contract: the FILTER side is
+    scanned, not broadcast-built — only batch-sized frames (positions,
+    maybe-keys) broadcast."""
+    inserted = _keys(spark, 0, 2000)
+    filt = bloom.bloom_build(inserted, "k", hex_chars=7).localCheckpoint()
+    probed = bloom.bloom_probe(_keys(spark, 0, 10), filt, "k",
+                               hex_chars=7, mode="stream")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # no SMJ/shuffled join anywhere; every join is a BroadcastHashJoin
+    # whose build side is batch-derived
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan

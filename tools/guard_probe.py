@@ -225,6 +225,90 @@ def compact_main(n_rows: int, n_files: int = 2_048) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bloom_mode_main(n_rows: int, hex_chars: int = 7) -> None:
+    """url_bloom fastpath measurement (r15): a NOVEL batch against a
+    bloom-fronted url guard skips the sidecar scan (probe-only,
+    O(batch)); the same batch without the filter pays the full scan;
+    a duplicate-heavy batch pays probe + scan either way. Filter
+    geometry must fit broadcast (hex 7 = 2^28 bits ≈ 34 MiB, good to
+    ~27M keys at 1% fpp) — the envelope note in SCALE.md; the filter
+    build is lake state (one-off / maintained), kept outside the
+    per-batch timing."""
+    from projet_big_data_boutin_danre_spark.operators import (
+        bloom as bloom_ops,
+    )
+
+    spark = get_spark("guard_probe_bloom")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_bloom_")
+    try:
+        spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            _url(F.col("id")).alias("canonical_url"),
+        ).write.mode("overwrite").parquet(f"{work}/url_keys")
+        hist = spark.read.parquet(f"{work}/url_keys")
+        ublm = bloom_ops.bloom_build(
+            hist.select("canonical_url"), "canonical_url",
+            hex_chars=hex_chars,
+        ).localCheckpoint()
+        dup = (
+            spark.range(5_000)
+            .select(
+                (F.col("id") + F.lit(10 * n_rows)).alias("doc_id"),
+                _url(F.col("id")).alias("canonical_url"),
+            )
+            .localCheckpoint()
+        )
+        novel = (
+            spark.range(5_000)
+            .select(
+                (F.col("id") + F.lit(10 * n_rows)).alias("doc_id"),
+                _url(F.col("id") + F.lit(7 * n_rows)).alias(
+                    "canonical_url"
+                ),
+            )
+            .localCheckpoint()
+        )
+
+        def _scan(batch):
+            return (
+                hist.select("canonical_url")
+                .join(F.broadcast(batch), "canonical_url")
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+
+        def _bloomed(batch):
+            probed = bloom_ops.bloom_probe(
+                batch, ublm, "canonical_url", hex_chars=hex_chars
+            ).localCheckpoint()
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            if maybe.first() is None:
+                return 0
+            return _scan(maybe)
+
+        probes = {
+            "novel_plain_scan": lambda: _scan(novel),
+            "novel_bloom_skip": lambda: _bloomed(novel),
+            "dup_plain_scan": lambda: _scan(dup),
+            "dup_bloom_confirm": lambda: _bloomed(dup),
+        }
+        best = interleaved_min(probes)
+        hits = {nm: fn() for nm, fn in probes.items()}
+        print("\n| arm | seconds | hits |")
+        print("|---|---|---|")
+        for nm in probes:
+            print(f"| {nm} | {best[nm]:.2f} | {hits[nm]} |")
+        print()
+        print(json.dumps({
+            "mode": "bloom", "rows": n_rows, "hex_chars": hex_chars,
+            "timings": best, "hits": hits,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _doc_text(idc, prefix: str = "w") -> F.Column:
     # `prefix` separates doc families: at 1M+ docs the per-slot value
     # space (mod 9973) saturates, so any same-prefix doc shares most
@@ -326,8 +410,12 @@ def main() -> None:
         compact_main(n if len(sys.argv) > 2 else 4_000_000)
     elif mode == "verify":
         verify_main(n if len(sys.argv) > 2 else 1_000_000)
+    elif mode == "bloom":
+        bloom_mode_main(n if len(sys.argv) > 2 else 4_000_000)
     else:
-        raise SystemExit(f"unknown mode {mode!r} (url|compact|verify)")
+        raise SystemExit(
+            f"unknown mode {mode!r} (url|compact|verify|bloom)"
+        )
 
 
 if __name__ == "__main__":
