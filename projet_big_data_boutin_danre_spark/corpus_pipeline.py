@@ -744,7 +744,15 @@ def incremental_ingest(
     out-of-band — at 100 TB the fingerprint sidecar is ~2 TB, and a
     synchronous rebuild would stall one unlucky admission for the
     whole rescan, while a deferred one costs only extra exact-join
-    traffic (correct either way) until maintenance runs.
+    traffic (correct either way) until maintenance runs. FRESHNESS
+    RULE (r15): a filter layer present in the lake is merged into by
+    EVERY admitting batch, whether or not its guard knob is on — the
+    knob gates only the probe. Toggling the knob off and back on
+    would otherwise leave the filter readable-but-stale, and a stale
+    filter PROVES off-window keys new (false negatives → duplicate
+    admission). Opt out of maintenance by deleting the filter layer;
+    the next guarded batch rebuilds it from the authoritative key
+    layer. Applies identically to the ``url_bloom`` lineage.
 
     ``media_guard`` (r12) upgrades admission with PERCEPTUAL media
     dedup for batches that carry a binary ``media_col`` column: a
@@ -1879,7 +1887,25 @@ def incremental_ingest(
         _write_lake_stats(spark, stats_path, base_total, None, None)
     n_census_lines = 0
     if n_admitted:
-        if bloom_guard:
+        # FILTER FRESHNESS RULE (r15 — found by the url-bloom review,
+        # applies to both lineages): a filter layer PRESENT in the
+        # lake is maintained by EVERY admitting batch; the guard knob
+        # gates only the probe. Without this, toggling the knob off
+        # for a while and back on is a silent false-negative bug: the
+        # off-window batches append their keys to the authoritative
+        # layer but never merge their bits, so the stale (but
+        # perfectly readable) filter later PROVES those keys new and
+        # re-sends of their content ride the fastpath past the exact
+        # join. Opting out of maintenance = delete the filter layer
+        # (it is a cache; the next guarded batch rebuilds it).
+        maintain_fp_filter = bloom_guard
+        if not maintain_fp_filter:
+            g = _discover_bloom_geometry(spark, out_root)
+            if g is not None:
+                maintain_fp_filter = True
+                bloom_hex = g
+                bloom_path = _bloom_layer_path(out_root, g)
+        if maintain_fp_filter:
             # bloom BEFORE the docs/fingerprint appends (the census
             # ordering rule): bits for keys that end up never landing
             # are harmless false positives, while bloom-after-docs
@@ -1901,13 +1927,31 @@ def incremental_ingest(
             old_blm = blm
             if old_blm is None:
                 old_blm = _read_bloom_layer(spark, bloom_path)
+            if old_blm is None and seen is not None:
+                # knob-off maintenance on a TORN filter over a lake
+                # with history: writing this batch's bits alone would
+                # manufacture exactly the false negatives this rule
+                # exists to prevent — rebuild from the authoritative
+                # layer first (rare: torn overwrite + knob off)
+                old_blm = bloom_ops.bloom_build(
+                    seen, "fingerprint", hex_chars=bloom_hex
+                ).localCheckpoint()
             merged = (
                 bloom_ops.bloom_merge(old_blm, new_bits)
                 if old_blm is not None
                 else new_bits
             ).localCheckpoint()  # materialize BEFORE overwriting its own input path
             merged.write.mode("overwrite").parquet(bloom_path)
-        if url_bloom:
+        maintain_url_filter = url_guard and url_bloom
+        if url_guard and not url_bloom:
+            g = _discover_bloom_geometry(spark, out_root, layer="url_bloom")
+            if g is not None:
+                maintain_url_filter = True
+                url_bloom_hex = g
+                url_bloom_path = _bloom_layer_path(
+                    out_root, g, layer="url_bloom"
+                )
+        if maintain_url_filter:
             # url-bloom merge BEFORE the docs/url_keys appends — the
             # census ordering rule again: bits for urls that never
             # land are harmless false positives, while merge-after-

@@ -2984,6 +2984,83 @@ def test_url_bloom_fastpath(spark, tmp_path):
     assert r6["admitted"] == 0 and r6["url_skipped"] == 2
 
 
+def test_bloom_filter_stays_fresh_across_knob_toggle(spark, tmp_path):
+    """r15 freshness rule: a filter layer present in the lake is
+    merged into by every admitting batch even when its guard knob is
+    OFF — otherwise a knob-off window leaves the filter readable but
+    stale, and on re-enable the stale filter PROVES the off-window
+    keys new, letting re-sends of their content ride the fastpath
+    past the exact join (false negatives = duplicate admission).
+    Proven for BOTH lineages."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    # fingerprint lineage
+    schema = "doc_id long, text string, lang string"
+    root = str(tmp_path / "lake_fresh_fp")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame([(1, "alpha content", "en")], schema),
+        root,
+        bloom_guard=True,
+    )
+    # knob OFF: a new doc admits; its bits must still merge
+    r_off = incremental_ingest(
+        spark,
+        spark.createDataFrame([(2, "beta content", "en")], schema),
+        root,
+    )
+    assert r_off["admitted"] == 1
+    # knob ON again: a re-send of the off-window CONTENT under a new
+    # id must be blocked (stale filter would fastpath-admit it)
+    r_on = incremental_ingest(
+        spark,
+        spark.createDataFrame([(3, "beta content", "en")], schema),
+        root,
+        bloom_guard=True,
+    )
+    assert r_on["admitted"] == 0
+    # and the filter did not go stale: the duplicate was NOT proven
+    # new by the fastpath (it rode the maybe → exact-join path)
+    assert r_on["bloom_fastpath"] == 0
+
+    # url lineage
+    uschema = "doc_id long, text string, url string"
+    uroot = str(tmp_path / "lake_fresh_url")
+    ukw = dict(url_guard=True)
+    incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(1, "page one", "https://s1.ex1.com/a")], uschema
+        ),
+        uroot,
+        url_bloom=True,
+        **ukw,
+    )
+    r_off = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(2, "page two", "https://s2.ex1.com/b")], uschema
+        ),
+        uroot,
+        **ukw,
+    )
+    assert r_off["admitted"] == 1
+    r_on = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(3, "recrawl of two NEW text", "https://s2.ex1.com/b")],
+            uschema,
+        ),
+        uroot,
+        url_bloom=True,
+        **ukw,
+    )
+    assert r_on["admitted"] == 0 and r_on["url_skipped"] == 1
+    assert r_on["url_bloom_fastpath"] == 0
+
+
 def test_streaming_face_compaction_battery(spark, tmp_path):
     """r15 stretch: the streaming twin of the maintain_lake
     compaction battery — per-trigger micro-batches fragment every
