@@ -672,20 +672,26 @@ def incremental_ingest(
     bucket admits instead of silently blocking, and the join
     explosion stays bounded (a tuning knob, not lake identity —
     capping only narrows the gate). ``near_dup_verify`` (r15, verdict
-    #2) upgrades the history gate to VERIFY-BEFORE-BLOCK, aligning
-    its precision with the media faces' exact-Hamming verify: band
-    candidates are rescored with exact char-shingle Jaccard over the
-    real texts (:func:`operators.dedup.verify_candidates_jaccard`)
-    and a doc is blocked only when some historical candidate clears
-    the threshold — this matters precisely because the ingest keeper
-    contract is append-only, so an unverified band-collision false
-    block is PERMANENT. Cost: one extra scan of the docs layer per
-    candidate-carrying batch, pruned to (id, text) and semi-joined
-    against the BROADCAST candidate ids (history text read for
-    candidate rows only, never shuffled) — bound the candidate set
-    with ``lsh_max_bucket`` when enabling this. A tuning knob, not
-    lake identity: verification only narrows the gate and the
-    sidecar layout is unchanged. The LSH recipe is stamped
+    #2) upgrades BOTH near-dup stages to VERIFY-BEFORE-BLOCK,
+    aligning their precision with the media faces' exact-Hamming
+    verify: history band candidates are rescored with exact
+    char-shingle Jaccard over the real texts
+    (:func:`operators.dedup.verify_candidates_jaccard`) and a doc is
+    blocked only when some historical candidate clears the
+    threshold; within-batch candidate pairs are rescored the same
+    way (:func:`operators.dedup.verify_pairs_jaccard`) before
+    connected components, so a bare band collision between unrelated
+    batch docs no longer merges their clusters. This matters
+    precisely because the ingest keeper contract is append-only, so
+    an unverified band-collision false block is PERMANENT. Cost: one
+    extra scan of the docs layer per candidate-carrying batch,
+    pruned to (id, text) and semi-joined against the BROADCAST
+    candidate ids (history text read for candidate rows only, never
+    shuffled; the within-batch verify is pair-set-sized) — bound the
+    candidate set with ``lsh_max_bucket`` when enabling this. A
+    tuning knob, not lake identity: verification only narrows the
+    gate and the sidecar layout is unchanged. The LSH recipe is
+    stamped
     into the ``_lake_mode`` marker, so every batch provably uses the
     same banding (mismatched keys would silently never collide) and a
     guarded lake refuses unguarded calls (docs skipping the guard
@@ -1261,6 +1267,17 @@ def incremental_ingest(
             scale_profile="production", hash_family=lsh_hash_family,
             bands_df=batch_bands,
         )
+        if near_dup_verify is not None:
+            # verify-before-block applies to the WITHIN-BATCH stage
+            # too (r15 — the history gate alone would leave an
+            # asymmetry): a bare band collision between two unrelated
+            # batch docs would otherwise merge their components and
+            # permanently drop one. Pair-set-sized work (two joins
+            # against a shingle projection of the batch).
+            pairs = dedup.verify_pairs_jaccard(
+                batch, id_col, text_col, pairs,
+                shingle_k=lsh_shingle_k, min_jaccard=near_dup_verify,
+            )
         members = dedup.connected_components(pairs)
         batch = dedup.drop_near_duplicates(batch, id_col, members)
         # skip accounting from the members frame (pairs-sized) — the

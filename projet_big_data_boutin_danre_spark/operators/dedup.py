@@ -579,6 +579,59 @@ def _shingle_set(text: Column, k: int) -> Column:
     )
 
 
+def verify_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    shingle_k: int = 8,
+    min_jaccard: float = 0.5,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Within-frame pair verification by exact char-shingle Jaccard:
+    keep only the candidate pairs whose two texts clear
+    ``min_jaccard`` — the one-frame sibling of
+    :func:`verify_candidates_jaccard` (same shingle material as
+    :func:`minhash_signatures`, so thresholds sit on the LSH banding
+    curve) and the Jaccard sibling of
+    :func:`verify_pairs_levenshtein`'s join shape: two joins of the
+    (blocking-bounded) pair set against a two-column shingle
+    projection — text never fans out, everything is pair-set-sized.
+    Feeding the surviving pairs to :func:`connected_components` makes
+    the cluster stage verify-exact: a bare band collision (or a
+    ``max_bucket`` keeper-star chain whose member is not actually
+    similar to the keeper) no longer merges components."""
+    # normalized text materialized in its own projection before the
+    # shingle transform references it (the r6 lambda trap)
+    t = df.select(
+        F.col(id_col).alias("__vid"),
+        normalize_text(text_col).alias("__vnt"),
+    ).select(
+        "__vid", _shingle_set(F.col("__vnt"), shingle_k).alias("__vs")
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+    out_cols = list(pairs.columns)
+    return (
+        pairs.join(
+            t.select(
+                F.col("__vid").alias(a_col), F.col("__vs").alias("__sa")
+            ),
+            a_col,
+        )
+        .join(
+            t.select(
+                F.col("__vid").alias(b_col), F.col("__vs").alias("__sb")
+            ),
+            b_col,
+        )
+        .filter(union > 0)
+        .filter((inter / union) >= F.lit(float(min_jaccard)))
+        .select(*out_cols)
+    )
+
+
 def verify_candidates_jaccard(
     batch: DataFrame,
     history_docs: DataFrame,

@@ -2180,6 +2180,23 @@ def test_near_dup_verify_before_block(spark, tmp_path):
     # replay stays idempotent through the verify path
     r1b = incremental_ingest(spark, probe, lake1, **kwv)
     assert r1b["admitted"] == 0 and r1b["near_dup_skipped"] == 0
+    # WITHIN-BATCH arm (r15): the same collider pair arriving in ONE
+    # batch — verify off merges their components and drops one;
+    # verify on admits both (and still dedups a true near-dup pair)
+    wb = spark.createDataFrame(
+        [(600, base), (601, by_id[doc]),
+         (700, base + " fourteen")],
+        "doc_id long, text string",
+    )
+    r_off = incremental_ingest(
+        spark, wb, str(tmp_path / "lake_wb_off"), **kw
+    )
+    assert r_off["near_dup_skipped"] >= 2  # collider AND true dup drop
+    r_on = incremental_ingest(
+        spark, wb, str(tmp_path / "lake_wb_on"), **kwv
+    )
+    assert r_on["admitted"] == 2  # base + collider; true dup dropped
+    assert r_on["near_dup_skipped"] == 1
 
 
 def test_maintain_lake_compaction_sweep(spark, tmp_path):
