@@ -2510,6 +2510,8 @@ def maintain_lake(
     files_before = 0
     files_after = 0
     if compact_above_files is not None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
         for layer in _APPEND_LAYERS:
             path = f"{out_root}/{layer}"
             n_files = _data_file_count(spark, path)
@@ -2517,6 +2519,18 @@ def maintain_lake(
                 spark, path + "__compact"
             )
             if n_files <= int(compact_above_files) and not crashed:
+                # a crash after the swap's step 4 (live in place, old
+                # copy not yet deleted) leaves a stale `__old` dir
+                # that only a future recompaction of the SAME layer
+                # would clear — sweep it here (single-writer
+                # maintenance assumption, like every step of the swap)
+                if n_files:
+                    old = hpath(path + "__old")
+                    fs = old.getFileSystem(
+                        spark._jsc.hadoopConfiguration()
+                    )
+                    if fs.exists(old):
+                        fs.delete(old, True)
                 continue
             res = compact_layer(
                 spark, path, target_file_mb=compact_target_file_mb

@@ -2290,11 +2290,17 @@ def test_maintain_lake_compaction_sweep(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(ukeys).collect()
     )
     shutil.move(ukeys, f"{ukeys}__compact")
+    # plus a crash-after-step-4 leftover on another (healthy,
+    # under-threshold) layer: the sweep deletes it without compacting
+    shutil.copytree(f"{root}/docs", f"{root}/docs__old")
     m3 = maintain_lake(spark, root, compact_above_files=1000)
     assert m3["compacted_layers"] == 1
     assert sorted(
         tuple(r) for r in spark.read.parquet(ukeys).collect()
     ) == ukeys_rows
+    import os as _os
+
+    assert not _os.path.exists(f"{root}/docs__old")
 
 
 def test_discover_bloom_geometry_fails_loud(spark, tmp_path):
