@@ -366,6 +366,12 @@ def verify_main(n_docs: int) -> None:
             hash_family="fast",
         ).localCheckpoint()
 
+        wb_pairs = dedup.minhash_lsh_pairs(
+            batch, "doc_id", "text",
+            scale_profile="production", hash_family="fast",
+            bands_df=batch_bands,
+        ).localCheckpoint()
+
         probes = {
             "gate_plain": lambda: dedup.lsh_seen_ids(
                 None, seen_b, "doc_id", "text", bands_df=batch_bands
@@ -381,21 +387,24 @@ def verify_main(n_docs: int) -> None:
                 "text",
                 min_jaccard=0.5,
             ).count(),
+            # within-batch stage: raw candidate pairs vs the same
+            # pairs rescored by exact jaccard (pair-set-sized — the
+            # r15 within-batch verify's marginal cost)
+            "wb_pairs_plain": lambda: wb_pairs.count(),
+            "wb_pairs_verified": lambda: dedup.verify_pairs_jaccard(
+                batch, "doc_id", "text", wb_pairs, min_jaccard=0.5
+            ).count(),
         }
         best = interleaved_min(probes)
-        hits_plain = probes["gate_plain"]()
-        hits_verified = probes["gate_verified"]()
-        print("\n| arm | seconds | blocked ids |")
+        hits = {nm: fn() for nm, fn in probes.items()}
+        print("\n| arm | seconds | blocked ids / pairs |")
         print("|---|---|---|")
-        print(f"| gate_plain | {best['gate_plain']:.2f} | {hits_plain} |")
-        print(
-            f"| gate_verified | {best['gate_verified']:.2f} | "
-            f"{hits_verified} |"
-        )
+        for nm in probes:
+            print(f"| {nm} | {best[nm]:.2f} | {hits[nm]} |")
         print()
         print(json.dumps({
             "mode": "verify", "n_docs": n_docs, "timings": best,
-            "blocked": {"plain": hits_plain, "verified": hits_verified},
+            "hits": hits,
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
