@@ -895,8 +895,12 @@ def incremental_ingest(
     via an admitted-id-set digest; the corpus-sized docs layer is
     never re-listed per batch, and :func:`recount_lake_docs` is the
     explicit re-sync entry point); with
-    ``near_dup`` also near_dup_skipped (batch-internal non-keepers +
-    history band collisions) and healed_bands; with ``media_guard``
+    ``near_dup`` also near_dup_blocked (batch-internal non-keepers +
+    history hits; verified when ``near_dup_verify`` is on),
+    near_dup_rescued (candidates ADMITTED because verification
+    cleared them — 0 with the knob off; the threshold-tuning
+    signal), near_dup_skipped (pre-r16 alias of blocked) and
+    healed_bands; with ``media_guard``
     also media_skipped and healed_media; with ``line_census``
     also census_lines (keys appended this call); with any quality
     gate on, also quality_rejected; with ``bloom_guard``, also
@@ -1231,12 +1235,14 @@ def incremental_ingest(
 
     arrived = new_docs.count()
     n_near_skipped = 0
+    n_near_rescued = 0
     batch_bands = None
     if near_dup:
-        if "__nd" in batch.columns:
+        if "__nd" in batch.columns or "__ndr" in batch.columns:
             raise ValueError(
                 "incremental_ingest(near_dup=True) reserves the "
-                "column name '__nd' for its history guard — rename "
+                "column names '__nd'/'__ndr' for its history guard — "
+                "rename "
                 "it in the input"
             )
         # the exact-deduped batch feeds the band computation, the
@@ -1267,6 +1273,8 @@ def incremental_ingest(
             scale_profile="production", hash_family=lsh_hash_family,
             bands_df=batch_bands,
         )
+        wb_rejected = None
+        raw_pairs = pairs
         if near_dup_verify is not None:
             # verify-before-block applies to the WITHIN-BATCH stage
             # too (r15 — the history gate alone would leave an
@@ -1274,18 +1282,47 @@ def incremental_ingest(
             # batch docs would otherwise merge their components and
             # permanently drop one. Pair-set-sized work (two joins
             # against a shingle projection of the batch).
-            pairs = dedup.verify_pairs_jaccard(
-                batch, id_col, text_col, pairs,
+            # Both the verified set and its complement are needed for
+            # the blocked/rescued split below (r16, verdict #2) —
+            # checkpoint the raw pair set so the verify plan and the
+            # anti-join read it instead of re-running the band join.
+            raw_pairs = pairs.localCheckpoint()
+            verified = dedup.verify_pairs_jaccard(
+                batch, id_col, text_col, raw_pairs,
                 shingle_k=lsh_shingle_k, min_jaccard=near_dup_verify,
+            ).localCheckpoint()
+            wb_rejected = raw_pairs.join(
+                verified, ["id_a", "id_b"], "left_anti"
             )
+            pairs = verified
         members = dedup.connected_components(pairs)
         batch = dedup.drop_near_duplicates(batch, id_col, members)
         # skip accounting from the members frame (pairs-sized) — the
         # non-keepers ARE the dropped rows, so this replaces two
         # batch-subplan counts with one job on a smaller frame
-        n_near_skipped += members.filter(
+        n_wb_blocked = members.filter(
             F.col("node") != F.col("component")
         ).count()
+        n_near_skipped += n_wb_blocked
+        if wb_rejected is not None and wb_rejected.first() is not None:
+            # rescued accounting (r16, verdict #2): docs that verify
+            # saved from a within-batch block = non-keepers under the
+            # RAW (unverified) pair graph minus non-keepers under the
+            # verified graph. Verified pairs ⊆ raw pairs, so verified
+            # components REFINE raw components and every verified
+            # non-keeper is also a raw non-keeper (a smaller id in its
+            # verified component sits in its raw component too) — the
+            # count difference is exactly the rescued-set size. The
+            # extra connected_components run is pair-set-sized
+            # (batch-bounded) and is SKIPPED on the common path: an
+            # empty rejected set (one cheap first() on the
+            # checkpointed anti-join) proves rescued = 0.
+            n_raw_nonkeep = (
+                dedup.connected_components(raw_pairs)
+                .filter(F.col("node") != F.col("component"))
+                .count()
+            )
+            n_near_rescued += n_raw_nonkeep - n_wb_blocked
     n_media_skipped = 0
     n_video_no_duration = 0
     batch_mhashes = None
@@ -1550,6 +1587,7 @@ def incremental_ingest(
         # (filter) pair below doesn't re-run the fingerprint guard
         # subplan twice.
         seen_b = spark.read.parquet(bands_path)
+        rescued_ids = None
         if near_dup_verify is None:
             near_hits = dedup.lsh_seen_ids(
                 None, seen_b, id_col, text_col, bands_df=batch_bands,
@@ -1585,14 +1623,41 @@ def incremental_ingest(
                     text_col,
                     shingle_k=lsh_shingle_k,
                     min_jaccard=near_dup_verify,
+                ).localCheckpoint()
+                # rescued accounting (r16, verdict #2): band-collision
+                # candidates that verify CLEARED — without the knob
+                # every one of these would have been blocked, so the
+                # count is the knob's measured value per batch (and
+                # the tuning signal for the Jaccard threshold). Ids
+                # only, batch-bounded; joined below in the same
+                # flag-join that counts the blocks.
+                rescued_ids = cand_pairs.select(F.col(id_col)).join(
+                    near_hits, id_col, "left_anti"
                 )
         # ONE flag-join (the id-guard trick): count + filter both read
         # the checkpointed result instead of paying a semi and an anti
-        # join over the guard subplan separately
+        # join over the guard subplan separately; the rescued flag
+        # rides the same join (rescued rows stay admitted — the flag
+        # only feeds the counter)
         nd_flagged = admitted.join(
             near_hits.withColumn("__nd", F.lit(True)), id_col, "left"
-        ).localCheckpoint()
-        n_near_skipped += nd_flagged.filter(F.col("__nd")).count()
+        )
+        if rescued_ids is not None:
+            nd_flagged = nd_flagged.join(
+                rescued_ids.distinct().withColumn("__ndr", F.lit(True)),
+                id_col,
+                "left",
+            )
+        nd_flagged = nd_flagged.localCheckpoint()
+        if rescued_ids is not None:
+            nd_counts = nd_flagged.agg(
+                F.count("__nd").alias("b"), F.count("__ndr").alias("r")
+            ).first()
+            n_near_skipped += int(nd_counts["b"])
+            n_near_rescued += int(nd_counts["r"])
+            nd_flagged = nd_flagged.drop("__ndr")
+        else:
+            n_near_skipped += nd_flagged.filter(F.col("__nd")).count()
         admitted = nd_flagged.filter(F.col("__nd").isNull()).drop("__nd")
     if media_guard:
         # media history probes: batch hash rows BROADCAST against the
@@ -2173,7 +2238,17 @@ def incremental_ingest(
         "total_docs": n_total_docs,
     }
     if near_dup:
+        # blocked/rescued split (r16, verdict #2): ``near_dup_blocked``
+        # is what the gate dropped (verified drops when the knob is
+        # on, raw band-collision drops when off); ``near_dup_rescued``
+        # counts candidates ADMITTED because ``near_dup_verify``
+        # cleared them — the knob's measured value per batch and the
+        # signal for tuning its Jaccard threshold (always 0 with the
+        # knob off). ``near_dup_skipped`` stays as the pre-r16 alias
+        # of blocked so existing consumers keep working.
         out["near_dup_skipped"] = n_near_skipped
+        out["near_dup_blocked"] = n_near_skipped
+        out["near_dup_rescued"] = n_near_rescued
         out["healed_bands"] = n_healed_bands
     if media_guard:
         out["media_skipped"] = n_media_skipped

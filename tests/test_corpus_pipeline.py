@@ -2164,6 +2164,9 @@ def test_near_dup_verify_before_block(spark, tmp_path):
     incremental_ingest(spark, hist, lake0, **kw)
     r0 = incremental_ingest(spark, probe, lake0, **kw)
     assert r0["admitted"] == 0 and r0["near_dup_skipped"] == 1
+    # r16 verdict #2 split: blocked mirrors skipped; nothing can be
+    # rescued with the verify knob off
+    assert r0["near_dup_blocked"] == 1 and r0["near_dup_rescued"] == 0
     # verify ON: the same doc is rescored against the real text and
     # ADMITTED; a true near-duplicate is still blocked
     lake1 = str(tmp_path / "lake_verify")
@@ -2171,15 +2174,23 @@ def test_near_dup_verify_before_block(spark, tmp_path):
     incremental_ingest(spark, hist, lake1, **kwv)
     r1 = incremental_ingest(spark, probe, lake1, **kwv)
     assert r1["admitted"] == 1 and r1["near_dup_skipped"] == 0
+    # r16 verdict #2: the admitted collider is counted as RESCUED —
+    # a band-collision candidate that verification cleared
+    assert r1["near_dup_blocked"] == 0 and r1["near_dup_rescued"] == 1
     true_dup = spark.createDataFrame(
         [(500, base + " thirteen")], "doc_id long, text string"
     )
     assert _jac(base, base + " thirteen") >= 0.5
     r2 = incremental_ingest(spark, true_dup, lake1, **kwv)
     assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
+    # a verified true block is blocked, not rescued
+    assert r2["near_dup_blocked"] == 1 and r2["near_dup_rescued"] == 0
     # replay stays idempotent through the verify path
     r1b = incremental_ingest(spark, probe, lake1, **kwv)
     assert r1b["admitted"] == 0 and r1b["near_dup_skipped"] == 0
+    # the replay's collider is caught by the EXACT guard upstream, so
+    # the near-dup stage neither blocks nor rescues anything
+    assert r1b["near_dup_blocked"] == 0 and r1b["near_dup_rescued"] == 0
     # WITHIN-BATCH arm (r15): the same collider pair arriving in ONE
     # batch — verify off merges their components and drops one;
     # verify on admits both (and still dedups a true near-dup pair)
@@ -2192,11 +2203,17 @@ def test_near_dup_verify_before_block(spark, tmp_path):
         spark, wb, str(tmp_path / "lake_wb_off"), **kw
     )
     assert r_off["near_dup_skipped"] >= 2  # collider AND true dup drop
+    assert r_off["near_dup_rescued"] == 0
     r_on = incremental_ingest(
         spark, wb, str(tmp_path / "lake_wb_on"), **kwv
     )
     assert r_on["admitted"] == 2  # base + collider; true dup dropped
     assert r_on["near_dup_skipped"] == 1
+    # within-batch split (r16, verdict #2): the true dup is the one
+    # verified block; the collider — a raw-graph non-keeper that the
+    # verified graph keeps — is the one rescue
+    assert r_on["near_dup_blocked"] == 1
+    assert r_on["near_dup_rescued"] == 1
 
 
 def test_maintain_lake_compaction_sweep(spark, tmp_path):
