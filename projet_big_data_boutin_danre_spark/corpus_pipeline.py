@@ -608,6 +608,7 @@ def incremental_ingest(
     url_extra_suffixes: tuple[str, ...] = (),
     url_bloom: bool = False,
     url_bloom_max_fill: float = 0.1,
+    compact_above_files: int | None = None,
 ) -> dict[str, int]:
     """Incremental corpus ingestion: admit only documents whose
     normalized-content fingerprint has never been seen, then append
@@ -911,7 +912,16 @@ def incremental_ingest(
     :func:`maintain_lake` run is owed; 0 otherwise — reported on
     zero-admission batches too, since an all-duplicate stream on a
     saturated lake is exactly the traffic a deferred rebuild exists
-    to relieve).
+    to relieve); with ``compact_above_files`` set, also
+    ``compact_due`` (r16, verdict #1): the number of append layers
+    whose files-appended-since-compaction accounting — carried in the
+    same 1-row ``_lake_stats`` marker, incremented at write time with
+    the planned write-task count, never a listing — exceeds the
+    threshold, i.e. how many layers a
+    ``maintain_lake(compact_above_files=...)`` run would sweep.
+    Nonzero means that run is owed; admission stays correct either
+    way (file growth taxes metadata, never decisions), which is why
+    the signal is a counter, not an inline compaction.
     """
     from .functions.hashing import stable_fingerprint
 
@@ -1943,24 +1953,74 @@ def incremental_ingest(
     stats_path = f"{out_root}/_lake_stats"
     stats = _read_lake_stats(spark, stats_path)
     if stats is not None:
-        base_total, last_digest, last_n = stats
+        base_total, last_digest, last_n, files_acc = stats
     else:
         base_total = (
             spark.read.parquet(docs_path).count()
             if _exists(spark, docs_path)
             else 0
         )
-        last_digest, last_n = None, None
+        last_digest, last_n, files_acc = None, None, {}
     n_total_docs = base_total
     if n_admitted:
+        # Append accounting for the compaction trigger (r16, verdict
+        # #1): per-layer files-appended-since-compaction rides the
+        # SAME digest-guarded 1-row marker write as the running total
+        # — known at write time, never a listing (the marker's whole
+        # point). The per-append increment is the checkpointed batch
+        # frame's partition count: the writer launches one task per
+        # partition, so this is the planned file count — an upper
+        # bound when AQE coalesces or partitions come up empty, which
+        # errs toward compacting EARLY (the safe direction;
+        # :func:`compact_layer` resets the entry to ground truth).
+        # Replay semantics inherit the digest guard: a replayed batch
+        # whose marker write landed before the crash skips the
+        # increment while its appends land once — counted once,
+        # appended once. Uncounted residual: heal backfills on
+        # zero-admission replays (no marker write happens) — bounded
+        # by crash count, not batch count. Bucketed catalog sidecars
+        # are excluded, mirroring the ``maintain_lake`` sweep (a
+        # repartition would destroy their bucketing).
+        n_write_parts = admitted.rdd.getNumPartitions()
+        appended_layers = ["docs"]
+        if not bucketed:
+            appended_layers.append("fingerprints")
+        if near_dup:
+            appended_layers.append("band_buckets")
+        if media_guard:
+            appended_layers.append("media_bands")
+            if media_routed:
+                appended_layers.append("media_vframes")
+                appended_layers.append("media_awins")
+        if url_guard:
+            appended_layers.append("url_keys")
+        if line_census:
+            appended_layers.append("line_census")
+        heal_appends = {
+            "band_buckets": n_healed_bands,
+            "media_bands": n_healed_media,
+            "media_vframes": n_healed_video,
+            "media_awins": n_healed_audio,
+            "url_keys": n_healed_urls,
+            "fingerprints": 0 if bucketed else n_healed,
+        }
         adm_digest = _lake_docs_digest(admitted, id_col)
         if adm_digest == last_digest and n_admitted == last_n:
             # replayed batch: its increment already landed
             pass
         else:
+            files_acc = dict(files_acc)
+            for layer in appended_layers:
+                files_acc[layer] = files_acc.get(layer, 0) + n_write_parts
+            for layer, healed in heal_appends.items():
+                if healed:
+                    files_acc[layer] = (
+                        files_acc.get(layer, 0) + n_write_parts
+                    )
             n_total_docs = base_total + n_admitted
             _write_lake_stats(
-                spark, stats_path, n_total_docs, adm_digest, n_admitted
+                spark, stats_path, n_total_docs, adm_digest, n_admitted,
+                files=files_acc,
             )
     elif stats is None and _exists(spark, docs_path):
         # migration write for a pre-marker lake: persist the one-time
@@ -2267,6 +2327,21 @@ def incremental_ingest(
         out["url_bloom_rebuild_due"] = n_url_bloom_rebuild_due
     if url_blocklist:
         out["domain_blocked"] = n_domain_blocked
+    if compact_above_files is not None:
+        # compaction-due signal (r16, verdict #1) — the
+        # ``bloom_rebuild_due`` pattern for the one maintenance action
+        # that previously had no trigger: the number of append layers
+        # whose files-appended-since-compaction accounting (1-row
+        # marker, no listing) exceeds the threshold. Nonzero means a
+        # ``maintain_lake(compact_above_files=...)`` run is owed; the
+        # lake stays correct either way (small files only tax
+        # metadata, never admission decisions). Reported on
+        # zero-admission batches too — an all-duplicate stream still
+        # pays every guard's sidecar scan, which is exactly the cost
+        # compaction relieves.
+        out["compact_due"] = sum(
+            1 for v in files_acc.values() if v > int(compact_above_files)
+        )
     if line_census:
         out["census_lines"] = n_census_lines
     if decontaminate_probes is not None:
@@ -2295,11 +2370,18 @@ def _lake_docs_digest(df: DataFrame, id_col: str) -> int:
 
 def _read_lake_stats(
     spark: SparkSession, path: str
-) -> tuple[int, int | None, int | None] | None:
+) -> tuple[int, int | None, int | None, dict[str, int]] | None:
     """Read the 1-row ``_lake_stats`` marker, or None if absent OR
     unreadable (crash during its overwrite) — like the Bloom sidecar,
     the marker is a rebuildable cache of the docs layer, so any read
-    failure degrades to one authoritative recount, never an error."""
+    failure degrades to one authoritative recount, never an error.
+
+    The 4th element (r16, verdict #1) is the per-layer
+    files-appended-since-compaction accounting ``compact_due`` reads;
+    a pre-r16 marker (no ``files_appended`` column) degrades to an
+    empty dict — the counter simply starts at this lake's next
+    admitting batch (an operator who suspects a legacy lake is
+    already overgrown runs :func:`maintain_lake` once, which LISTS)."""
     try:
         df = spark.read.parquet(path)
         if {"total_docs", "last_digest", "last_n"} - set(df.columns):
@@ -2307,10 +2389,17 @@ def _read_lake_stats(
         row = df.head()
         if row is None:
             return None
+        files = (
+            dict(row["files_appended"])
+            if "files_appended" in df.columns
+            and row["files_appended"] is not None
+            else {}
+        )
         return (
             int(row["total_docs"]),
             None if row["last_digest"] is None else int(row["last_digest"]),
             None if row["last_n"] is None else int(row["last_n"]),
+            {str(k): int(v) for k, v in files.items()},
         )
     except Exception:
         return None
@@ -2322,10 +2411,12 @@ def _write_lake_stats(
     total: int,
     digest: int | None,
     n: int | None,
+    files: dict[str, int] | None = None,
 ) -> None:
     spark.createDataFrame(
-        [(total, digest, n)],
-        "total_docs long, last_digest long, last_n long",
+        [(total, digest, n, files or {})],
+        "total_docs long, last_digest long, last_n long, "
+        "files_appended map<string,long>",
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -2346,7 +2437,14 @@ def recount_lake_docs(spark: SparkSession, out_root: str) -> int:
         if _exists(spark, docs_path)
         else 0
     )
-    _write_lake_stats(spark, f"{out_root}/_lake_stats", n, None, None)
+    # the recount re-syncs total_docs only; the files-appended
+    # accounting is orthogonal (it tracks appends-since-compaction,
+    # not rows) and is carried over unchanged
+    prior = _read_lake_stats(spark, f"{out_root}/_lake_stats")
+    _write_lake_stats(
+        spark, f"{out_root}/_lake_stats", n, None, None,
+        files=prior[3] if prior is not None else None,
+    )
     return n
 
 
@@ -2790,6 +2888,24 @@ def compact_layer(
         fs.rename(old, live)
         raise
     fs.delete(old, True)
+    # reset the layer's files-appended-since-compaction accounting in
+    # the sibling ``_lake_stats`` marker (r16, verdict #1) — the
+    # compaction IS the event the counter measures distance from. A
+    # layer outside a marker-carrying lake (or a pre-r16 lake) has no
+    # entry to reset; the running total and replay digest are carried
+    # over untouched. A crash before this write leaves a stale-high
+    # counter, which only re-triggers an (idempotent, cheap on a
+    # freshly compacted layer) sweep — the safe direction.
+    root, _, layer_name = path.rstrip("/").rpartition("/")
+    if root:
+        stats = _read_lake_stats(spark, f"{root}/_lake_stats")
+        if stats is not None and stats[3].get(layer_name):
+            reset = dict(stats[3])
+            reset[layer_name] = 0
+            _write_lake_stats(
+                spark, f"{root}/_lake_stats",
+                stats[0], stats[1], stats[2], files=reset,
+            )
     return {
         "files_before": files_before,
         "files_after": _files(live),
@@ -2953,6 +3069,7 @@ def streaming_ingest(
     url_extra_suffixes: tuple[str, ...] = (),
     url_bloom: bool = False,
     url_bloom_max_fill: float = 0.1,
+    compact_above_files: int | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -3034,6 +3151,7 @@ def streaming_ingest(
             url_extra_suffixes=url_extra_suffixes,
             url_bloom=url_bloom,
             url_bloom_max_fill=url_bloom_max_fill,
+            compact_above_files=compact_above_files,
         )
 
     return (

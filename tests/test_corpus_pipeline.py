@@ -3185,7 +3185,7 @@ def test_streaming_face_compaction_battery(spark, tmp_path):
     }
     assert kept == {w * 10 + i for w in range(6) for i in range(2)} | {902}
     # the running total tracked the physical layer across compaction
-    total, _, _ = _read_lake_stats(spark, f"{root}/_lake_stats")
+    total, _, _, _ = _read_lake_stats(spark, f"{root}/_lake_stats")
     assert total == 13
 
 
@@ -3594,3 +3594,113 @@ def test_streaming_ingest_routed_media_guard(spark, tmp_path):
     assert {row["doc_id"] for row in docs.select("doc_id").collect()} == {
         1, 2, 12,
     }
+
+
+def test_compact_due_append_accounting(spark, tmp_path):
+    """r16 verdict #1: the compaction sweep gets a trigger signal.
+    Each admitting batch increments a per-layer
+    files-appended-since-compaction accounting inside the SAME
+    digest-guarded 1-row ``_lake_stats`` write as the running total
+    (write-time task count — never a listing); ``compact_above_files``
+    on the ingest faces surfaces ``compact_due`` like
+    ``bloom_rebuild_due``; :func:`compact_layer` (hence
+    ``maintain_lake``) resets the swept layer's entry; the increment
+    is digest-idempotent across the crash-replay window."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_lake_stats,
+        _write_lake_stats,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    root = str(tmp_path / "lake_cdue")
+    schema = "doc_id long, text string"
+
+    def docs(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, f"compact-due doc {lo + i} body words " * 4)
+             for i in range(n)],
+            schema,
+        )
+
+    r1 = incremental_ingest(
+        spark, docs(0, 4), root, compact_above_files=10 ** 6
+    )
+    assert r1["compact_due"] == 0  # nothing exceeds a huge threshold
+    st1 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st1 is not None
+    fa1 = st1[3]
+    # both append layers of an unguarded lake are being accounted
+    assert fa1.get("docs", 0) >= 1 and fa1.get("fingerprints", 0) >= 1
+    # guard sidecars this lake does not carry are not invented
+    assert "band_buckets" not in fa1 and "url_keys" not in fa1
+
+    r2 = incremental_ingest(
+        spark, docs(100, 4), root, compact_above_files=10 ** 6
+    )
+    st2 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st2[3]["docs"] > fa1["docs"]  # grows per admitting batch
+
+    # fires over threshold: the next batch pushes docs strictly past
+    # the CURRENT accumulated count, so thresholding at that count
+    # must report at least the docs layer due
+    r3 = incremental_ingest(
+        spark, docs(200, 4), root,
+        compact_above_files=st2[3]["docs"],
+    )
+    assert r3["compact_due"] >= 1
+
+    # replay idempotence (all-blocked re-send): no admission, no
+    # marker write, counters unchanged — and the signal still reports
+    st3 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    r3b = incremental_ingest(
+        spark, docs(200, 4), root,
+        compact_above_files=st3[3]["docs"] - 1,
+    )
+    assert r3b["admitted"] == 0 and r3b["compact_due"] >= 1
+    assert _read_lake_stats(spark, f"{root}/_lake_stats")[3] == st3[3]
+
+    # digest idempotence (the crash window between the marker write
+    # and the docs append): pre-write the marker exactly as the
+    # crashed attempt would have — total, digest and files already
+    # incremented — then replay the batch: the increment is SKIPPED
+    # while the appends land once
+    nxt = docs(300, 3)
+    dig = int(
+        nxt.agg(
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("doc_id"))), F.lit(0)
+            ).alias("d")
+        ).first()["d"]
+    )
+    pre_files = dict(st3[3])
+    pre_files["docs"] = pre_files["docs"] + 7  # the crashed attempt's bump
+    _write_lake_stats(
+        spark, f"{root}/_lake_stats", st3[0] + 3, dig, 3, files=pre_files
+    )
+    r4 = incremental_ingest(
+        spark, nxt, root, compact_above_files=10 ** 6
+    )
+    assert r4["admitted"] == 3
+    st4 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st4[3] == pre_files  # replay did NOT double-increment
+    assert st4[0] == st3[0] + 3
+
+    # resets after maintain_lake: the sweep compacts both append
+    # layers (4 batches of physical appends each) and zeroes exactly
+    # their accounting entries
+    m = maintain_lake(spark, root, compact_above_files=3)
+    assert m["compacted_layers"] == 2
+    st5 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st5[3]["docs"] == 0 and st5[3]["fingerprints"] == 0
+    # totals and replay digest survive the reset
+    assert st5[0] == st4[0]
+    # a fresh batch on the compacted lake starts the count over and
+    # sits under a one-batch-sized threshold again
+    r5 = incremental_ingest(
+        spark, docs(400, 2), root,
+        compact_above_files=10 * max(st3[3]["docs"], 1),
+    )
+    assert r5["compact_due"] == 0
+    st6 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert 0 < st6[3]["docs"] < st3[3]["docs"] + 1
