@@ -606,6 +606,7 @@ def incremental_ingest(
     url_col: str = "url",
     url_blocklist: tuple[str, ...] = (),
     url_extra_suffixes: tuple[str, ...] = (),
+    url_psl_rules: tuple[str, ...] | None = None,
     url_bloom: bool = False,
     url_bloom_max_fill: float = 0.1,
     compact_above_files: int | None = None,
@@ -853,7 +854,13 @@ def incremental_ingest(
     listing ``co.uk`` would block the entire ccTLD); pass the
     two-label public suffixes your corpus touches in
     ``url_extra_suffixes`` (``("co.uk", "com.au")``) to shift those
-    hosts to a three-label extract (r15 advisor). Counters:
+    hosts to a three-label extract (r15 advisor) — or pass a real
+    Public Suffix List through ``url_psl_rules`` (r16, verdict #6:
+    ``urls.PSL_BUILTIN_MINI`` or ``urls.load_psl_rules(open(...))``)
+    to run the full longest-match/wildcard/exception PSL algorithm in
+    the blocklist's domain extract; still pure Column algebra (InSet
+    probes), and like the blocklist itself it is policy, not lake
+    identity. Counters:
     ``url_skipped`` (within-batch non-keepers + history hits),
     ``healed_urls``, ``domain_blocked``.
 
@@ -1189,7 +1196,8 @@ def incremental_ingest(
             )
         before_b = batch.count()
         blocked = urls_ops.registered_domain(
-            F.col(url_col), extra_suffixes=url_extra_suffixes
+            F.col(url_col), extra_suffixes=url_extra_suffixes,
+            psl_rules=url_psl_rules,
         ).isin([d.lower() for d in url_blocklist])
         batch = batch.filter(
             ~F.coalesce(blocked, F.lit(False))
@@ -2083,7 +2091,15 @@ def incremental_ingest(
                 if old_blm is not None
                 else new_bits
             ).localCheckpoint()  # materialize BEFORE overwriting its own input path
-            merged.write.mode("overwrite").parquet(bloom_path)
+            # coalesced write (r16, verdict #4 follow-through): the
+            # filter is MB-scale, but an uncoalesced write leaves one
+            # file per shuffle partition — every later batch then pays
+            # that many opens (requests, on object stores) just to
+            # read the filter. Few large files cost the same to scan
+            # (parquet splits by maxPartitionBytes) and a fraction of
+            # the requests. Narrow on the checkpointed frame — no
+            # recompute, no extra shuffle.
+            merged.coalesce(8).write.mode("overwrite").parquet(bloom_path)
         maintain_url_filter = url_guard and url_bloom
         if url_guard and not url_bloom:
             g = _discover_bloom_geometry(spark, out_root, layer="url_bloom")
@@ -2131,7 +2147,11 @@ def incremental_ingest(
                 if old_ublm is not None
                 else new_ubits
             ).localCheckpoint()
-            umerged.write.mode("overwrite").parquet(url_bloom_path)
+            # same coalesced-write rationale as the fingerprint
+            # lineage above
+            umerged.coalesce(8).write.mode("overwrite").parquet(
+                url_bloom_path
+            )
         if line_census:
             # census BEFORE the docs append: a crash after this lands
             # replays into an identical admitted set (the guards saw
@@ -2554,7 +2574,9 @@ def bloom_rebuild(
         seen, key_col, hex_chars=hex_chars
     ).localCheckpoint()
     path = _bloom_layer_path(out_root, hex_chars, layer=layer)
-    blm.write.mode("overwrite").parquet(path)
+    # coalesced like the ingest-side merges: per-batch filter reads
+    # pay one request per file, and the filter is MB-scale
+    blm.coalesce(8).write.mode("overwrite").parquet(path)
     if drop_others:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
@@ -3067,6 +3089,7 @@ def streaming_ingest(
     url_col: str = "url",
     url_blocklist: tuple[str, ...] = (),
     url_extra_suffixes: tuple[str, ...] = (),
+    url_psl_rules: tuple[str, ...] | None = None,
     url_bloom: bool = False,
     url_bloom_max_fill: float = 0.1,
     compact_above_files: int | None = None,
@@ -3149,6 +3172,7 @@ def streaming_ingest(
             url_col=url_col,
             url_blocklist=url_blocklist,
             url_extra_suffixes=url_extra_suffixes,
+            url_psl_rules=url_psl_rules,
             url_bloom=url_bloom,
             url_bloom_max_fill=url_bloom_max_fill,
             compact_above_files=compact_above_files,

@@ -63,24 +63,167 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(host, "^www[.]", "")
 
 
-def registered_domain(
-    url: Column, extra_suffixes: tuple[str, ...] = ()
-) -> Column:
-    """Approximate registered domain: the last two host labels
-    (``a.b.site.ex3.com`` → ``ex3.com``), exact for all generic TLDs.
+# Demo SUBSET of the Mozilla Public Suffix List (publicsuffix.org —
+# well-known second-level registry suffixes plus the PSL's canonical
+# wildcard/exception pair for the Cook Islands). This is NOT the PSL:
+# production passes the real list through :func:`load_psl_rules` and
+# ``registered_domain(..., psl_rules=...)``; this subset exists so the
+# PSL code path is exercisable (and useful) without a download.
+PSL_BUILTIN_MINI: tuple[str, ...] = (
+    # uk / au / nz / za / il
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il",
+    # jp / kr / tw / hk / sg / th / my / id / in / ph / vn
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "net.id", "ac.id", "go.id", "web.id", "sch.id",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "gov.in", "res.in", "nic.in",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    # americas / europe / tr / cn
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    # the PSL's canonical wildcard + exception pair
+    "*.ck", "!www.ck",
+)
 
-    ``extra_suffixes`` (r15 advisor) patches the ccTLD gap without a
-    full PSL: any lowercase two-label public suffix listed there
+
+def load_psl_rules(lines) -> tuple[str, ...]:
+    """Parse Public Suffix List file content (an iterable of lines —
+    e.g. ``open('public_suffix_list.dat')`` after the operator
+    downloads the published list) into the rule tuple
+    :func:`registered_domain` consumes: comments (``//``) and blanks
+    dropped, rules lowercased, wildcard (``*.``) and exception
+    (``!``) markers kept. ASCII/punycode form only — the published
+    ``.dat`` carries punycode alongside unicode; hosts compared
+    against these rules must be punycode too (out of scope here: the
+    canonicalizer passes hosts through byte-lowercased)."""
+    rules = []
+    for ln in lines:
+        s = ln.strip().lower()
+        if not s or s.startswith("//"):
+            continue
+        rules.append(s)
+    return tuple(rules)
+
+
+def _psl_match(host: Column, rules: tuple[str, ...]) -> Column:
+    """Registered domain of ``host`` under PSL semantics (longest
+    matching rule wins; ``*.`` wildcards; ``!`` exceptions; unmatched
+    TLDs default to the implicit ``*`` rule) as pure Column algebra:
+    per-depth anchored suffix extracts tested against plan-time
+    literal sets — Catalyst compiles each ``isin`` to an O(1) InSet
+    hash probe, so even the full ~9k-rule PSL costs a handful of
+    hash lookups per row, no join, no UDF."""
+    exceptions = {r[1:] for r in rules if r.startswith("!")}
+    wild_bases = {r[2:] for r in rules if r.startswith("*.")}
+    normal = {
+        r for r in rules if not r.startswith("!") and not r.startswith("*.")
+    }
+
+    def depth(s: str) -> int:
+        return s.count(".") + 1
+
+    max_suffix_depth = max(
+        [depth(r) for r in normal]
+        + [depth(b) + 1 for b in wild_bases]
+        + [depth(e) for e in exceptions]
+        + [1]
+    )
+    # lastk[k] = the last k labels of host ('' when host is shallower)
+    lastk: dict[int, Column] = {}
+    for k in range(1, max_suffix_depth + 2):
+        pat = "([^.]+" + "[.][^.]+" * (k - 1) + ")$"
+        lastk[k] = F.regexp_extract(host, pat, 1)
+
+    def in_set(col: Column, values: set[str]) -> Column:
+        return col.isin(sorted(values)) if values else F.lit(False)
+
+    # public-suffix depth: ascending k so each deeper match wraps (and
+    # therefore overrides) shallower ones — longest match wins, with
+    # the implicit ``*`` rule (depth 1) as the floor
+    expr = F.lit(1)
+    for k in range(1, max_suffix_depth + 1):
+        norm_k = {r for r in normal if depth(r) == k}
+        wild_k = {b for b in wild_bases if depth(b) == k - 1}
+        cond = None
+        if norm_k:
+            cond = in_set(lastk[k], norm_k)
+        if wild_k:
+            w = in_set(lastk[k - 1], wild_k) & (lastk[k] != "")
+            cond = w if cond is None else (cond | w)
+        if cond is not None:
+            expr = F.when(cond, F.lit(k)).otherwise(expr)
+    # exceptions LAST: per the PSL algorithm an exception rule beats
+    # every other matching rule regardless of length — the public
+    # suffix is the exception minus its leftmost label (depth e-1)
+    for k in range(1, max_suffix_depth + 1):
+        exc_k = {e for e in exceptions if depth(e) == k}
+        if exc_k:
+            expr = F.when(
+                in_set(lastk[k], exc_k), F.lit(k - 1)
+            ).otherwise(expr)
+    # registered domain = public suffix + one label; '' when the host
+    # IS a public suffix (no registrable part — no domain evidence).
+    # Depth 0 (a depth-1 exception rule) degrades to the full last
+    # label — unseen in the published list, handled for totality.
+    out = F.lit("")
+    for k in range(0, max_suffix_depth + 1):
+        out = F.when(expr == F.lit(k), lastk[k + 1]).otherwise(out)
+    return out
+
+
+def registered_domain(
+    url: Column,
+    extra_suffixes: tuple[str, ...] = (),
+    psl_rules: tuple[str, ...] | None = None,
+) -> Column:
+    """Registered domain of the URL's canonical host.
+
+    Default: the last two host labels (``a.b.site.ex3.com`` →
+    ``ex3.com``), exact for all generic TLDs; ``extra_suffixes``
+    (r15 advisor) patches individual ccTLD suffixes without a full
+    PSL: any lowercase two-label public suffix listed there
     (``co.uk``, ``com.au``, …) shifts the extract to THREE labels, so
     ``news.bbc.co.uk`` → ``bbc.co.uk`` instead of the unusable
     ``co.uk`` — which a blocklist could otherwise neither name (a
     site under it never matches) nor list (it would block the whole
-    ccTLD). Column algebra only: one extra anchored extract plus an
-    ``isin`` over the (small, literal) suffix set. A faithful
-    public-suffix split still needs the full PSL — this is the
-    documented swap point; the two-label default stays exact for the
-    synthetic corpus and every oracle twin."""
+    ccTLD).
+
+    ``psl_rules`` (r16, verdict #6 — the documented swap point, now
+    implemented) runs the real Public Suffix List algorithm instead:
+    pass :data:`PSL_BUILTIN_MINI` (packaged demo subset) or the full
+    published list via :func:`load_psl_rules`. Longest-match, ``*.``
+    wildcard and ``!`` exception semantics; unmatched TLDs fall back
+    to the implicit ``*`` rule (two labels — identical to the
+    default, so the PSL path strictly refines it). A host WITH no
+    registrable part (the host IS a public suffix) yields ``''`` —
+    "no domain evidence", excluded by :func:`domain_rollup` and never
+    matched by a blocklist. ``extra_suffixes`` composes: its entries
+    join the rule set as normal rules. Still pure Column algebra —
+    per-depth anchored extracts against InSet literal sets, no UDF,
+    no join; the two-label DEFAULT stays byte-identical to r14/r15
+    so every oracle twin is untouched."""
     host = url_host(url)
+    if psl_rules is not None:
+        rules = tuple(psl_rules) + tuple(
+            s.lower() for s in extra_suffixes
+        )
+        return _psl_match(host, rules)
     last2 = F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
     if not extra_suffixes:
         return last2
@@ -166,6 +309,7 @@ def domain_rollup(
     url_col: str,
     weight_col: str | None = None,
     extra_suffixes: tuple[str, ...] = (),
+    psl_rules: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Per-registered-domain aggregate — the table a domain blocklist
     or a mixing-weight recipe is built from: doc count plus an
@@ -184,7 +328,8 @@ def domain_rollup(
         df.select(
             F.col(id_col),
             registered_domain(
-                F.col(url_col), extra_suffixes=extra_suffixes
+                F.col(url_col), extra_suffixes=extra_suffixes,
+                psl_rules=psl_rules,
             ).alias("domain"),
             *([F.col(weight_col)] if weight_col is not None else []),
         )

@@ -199,3 +199,96 @@ def test_synth_urls_variants_collapse(spark, sf0001):
         urls.canonicalize_url(F.col("url"))
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_registered_domain_psl_rules(spark):
+    """r16 verdict #6: ``psl_rules`` runs the real Public Suffix List
+    algorithm — longest match, ``*.`` wildcards, ``!`` exceptions,
+    implicit ``*`` fallback for unlisted TLDs — over the packaged
+    demo subset or a parsed published list. ccTLD sites (``co.uk``,
+    ``com.au``) become nameable with no per-suffix manual knob."""
+    df = spark.createDataFrame(
+        [
+            ("https://news.bbc.co.uk/politics",),     # co.uk rule
+            ("https://www.shop.com.au/cart",),        # com.au rule
+            ("https://a.b.site9.ex3.com/x",),         # implicit * rule
+            ("https://co.uk/",),                      # host IS a suffix
+            ("https://a.b.thing.ck/",),               # *.ck wildcard
+            ("https://deep.www.ck/",),                # !www.ck exception
+            ("https://single/",),                     # one-label host
+        ],
+        "u string",
+    )
+    rows = df.select(
+        urls.registered_domain(
+            F.col("u"), psl_rules=urls.PSL_BUILTIN_MINI
+        ).alias("d")
+    ).collect()
+    assert [r["d"] for r in rows] == [
+        "bbc.co.uk",     # three labels via the co.uk rule
+        "shop.com.au",   # www. stripped by the canonical host first
+        "ex3.com",       # unlisted TLD -> implicit two-label rule
+        "",              # no registrable part -> no domain evidence
+        "b.thing.ck",    # *.ck makes thing.ck the public suffix
+        "www.ck",        # the exception beats the wildcard
+        "",              # a bare label has no registrable part
+    ]
+    # extra_suffixes composes as additional normal rules
+    one = spark.createDataFrame(
+        [("https://x.y.custom.zz/",)], "u string"
+    ).select(
+        urls.registered_domain(
+            F.col("u"),
+            psl_rules=urls.PSL_BUILTIN_MINI,
+            extra_suffixes=("custom.zz",),
+        ).alias("d")
+    ).first()
+    assert one["d"] == "y.custom.zz"
+
+
+def test_load_psl_rules_parses_published_format(spark):
+    """The loader takes the published ``public_suffix_list.dat``
+    shape: comments, blanks, wildcard and exception lines."""
+    lines = [
+        "// ===BEGIN ICANN DOMAINS===",
+        "",
+        "com",
+        "uk",
+        "co.uk",
+        "// Cook Islands",
+        "*.ck",
+        "!www.ck",
+        "  JP  ",
+        "co.jp",
+    ]
+    rules = urls.load_psl_rules(lines)
+    assert rules == ("com", "uk", "co.uk", "*.ck", "!www.ck", "jp", "co.jp")
+    got = spark.createDataFrame(
+        [("https://a.bbc.co.uk/",), ("https://b.co.jp/",)], "u string"
+    ).select(
+        urls.registered_domain(F.col("u"), psl_rules=rules).alias("d")
+    ).collect()
+    assert [r["d"] for r in got] == ["bbc.co.uk", "b.co.jp"]
+
+
+def test_url_blocklist_psl_rules_gate(spark, tmp_path):
+    """The ingest blocklist accepts ``url_psl_rules``: a ccTLD site is
+    blockable by its true registered domain with the PSL path on, and
+    the unrelated sibling under the same public suffix passes."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    batch = spark.createDataFrame(
+        [
+            (1, "doc one body", "https://news.bbc.co.uk/a"),
+            (2, "doc two body", "https://other.co.uk/b"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    r = incremental_ingest(
+        spark, batch, str(tmp_path / "lake_psl"),
+        url_blocklist=("bbc.co.uk",),
+        url_psl_rules=urls.PSL_BUILTIN_MINI,
+    )
+    assert r["domain_blocked"] == 1 and r["admitted"] == 1

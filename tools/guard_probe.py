@@ -225,6 +225,42 @@ def compact_main(n_rows: int, n_files: int = 2_048) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _plan_files(df) -> int:
+    """Files actually OPENED by the last execution of ``df``'s plan,
+    from Spark's own ``numFiles`` scan metric (r16, verdict #4) —
+    walks the executed physical plan through AQE / query-stage /
+    reused-exchange wrappers and sums every file scan's metric. This
+    is the request-count proxy for object stores: every parquet file
+    a plan opens is >=1 GET (footer) + >=1 GET per row-group read,
+    priced per request on S3/GCS — the cost dimension local-fs
+    wall-clock can't see. Call AFTER an action on ``df``."""
+    acc = []
+
+    def walk(node):
+        cn = node.getClass().getSimpleName()
+        if cn == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cn.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cn == "ReusedExchangeExec":
+            walk(node.child())
+            return
+        try:
+            m = node.metrics()
+            if m.contains("numFiles"):
+                acc.append(int(m.apply("numFiles").value()))
+        except Exception:
+            pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return sum(acc)
+
+
 def bloom_mode_main(n_rows: int, hex_chars: int = 7) -> None:
     """url_bloom fastpath measurement (r15): a NOVEL batch against a
     bloom-fronted url guard skips the sidecar scan (probe-only,
@@ -300,10 +336,92 @@ def bloom_mode_main(n_rows: int, hex_chars: int = 7) -> None:
         print("|---|---|---|")
         for nm in probes:
             print(f"| {nm} | {best[nm]:.2f} | {hits[nm]} |")
+
+        # ------- request-count proxy (r16, verdict #4) -------------
+        # The r15 local-fs wall-clock NEGATIVE measured the wrong
+        # currency for the knob's target regime: object stores price
+        # per REQUEST, and the filter's value is the files a batch
+        # never opens. Count files actually opened per arm (Spark's
+        # own numFiles scan metric), in the PRODUCTION shape — the
+        # filter read from its parquet layer per batch, like
+        # incremental_ingest does — against (a) the freshly written
+        # compacted sidecar and (b) the same sidecar fragmented into
+        # 512 files, i.e. a few hundred per-batch appends since the
+        # last maintain_lake sweep (the steady state the compaction
+        # threshold allows). LIST requests add 1 per layer per batch
+        # on both arms — constant, omitted.
+        ublm.coalesce(8).write.mode("overwrite").parquet(
+            f"{work}/url_bloom"
+        )
+        hist.repartition(512).write.mode("overwrite").parquet(
+            f"{work}/url_keys_frag"
+        )
+        # AQE OFF for the (untimed) counting pass only: its
+        # empty-relation propagation REPLACES already-executed stages
+        # in the final tree (a zero-match join collapses to
+        # EmptyRelationExec), hiding the scan that did open the files
+        # — the static plan's numFiles equals the actual opens
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        def _scan_files(side, batch):
+            df = (
+                side.select("canonical_url")
+                .join(F.broadcast(batch), "canonical_url")
+                .select("doc_id")
+                .distinct()
+            )
+            # collect, not count: Dataset.count() runs its OWN
+            # QueryExecution (an internal groupBy), leaving this
+            # plan's numFiles metric unset; results are batch-bounded
+            df.collect()
+            return _plan_files(df)
+
+        def _bloom_files(side, batch):
+            filt = spark.read.parquet(f"{work}/url_bloom")
+            probed = bloom_ops.bloom_probe(
+                batch, filt, "canonical_url", hex_chars=hex_chars
+            )
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            n_maybe = len(maybe.collect())  # collect: see _scan_files
+            # the executed maybe-plan CONTAINS the filter scan — its
+            # numFiles sum is exactly what this batch's probe opened
+            opened = _plan_files(maybe)
+            if n_maybe == 0:
+                return opened
+            # production materializes the probe result before the
+            # confirm join (one probe read total); the checkpoint's
+            # re-execution here is an instrumentation artifact and is
+            # deliberately not counted
+            return opened + _scan_files(side, maybe.localCheckpoint())
+
+        layouts = {
+            "compacted": hist,
+            "fragmented_512": spark.read.parquet(
+                f"{work}/url_keys_frag"
+            ),
+        }
+        freq = {}
+        print("\n| arm | files opened (compacted) | (fragmented 512) |")
+        print("|---|---|---|")
+        for nm, arm in (
+            ("novel_plain_scan", _scan_files),
+            ("novel_bloom_skip", _bloom_files),
+            ("dup_plain_scan", _scan_files),
+            ("dup_bloom_confirm", _bloom_files),
+        ):
+            batch = novel if nm.startswith("novel") else dup
+            freq[nm] = {
+                lay: arm(side, batch) for lay, side in layouts.items()
+            }
+            print(
+                f"| {nm} | {freq[nm]['compacted']} "
+                f"| {freq[nm]['fragmented_512']} |"
+            )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
         print()
         print(json.dumps({
             "mode": "bloom", "rows": n_rows, "hex_chars": hex_chars,
-            "timings": best, "hits": hits,
+            "timings": best, "hits": hits, "files_opened": freq,
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
