@@ -2690,6 +2690,14 @@ def maintain_lake(
     (``__compact`` present, live missing) is swept regardless of the
     threshold so the entry repair in :func:`compact_layer` finishes
     the swap. Default ``None`` keeps the pre-r15 bloom-only behavior.
+    The sweep is also the RE-SYNC point for the ``compact_due``
+    append accounting (r16): swept layers reset to 0 (via
+    :func:`compact_layer`), examined-but-under-threshold layers are
+    set to their MEASURED file count — the per-batch counter is a
+    write-time upper bound (empty appends count 1, write 0), and
+    without the re-sync an overcounted never-swept layer would keep
+    ``compact_due`` nonzero forever. The listing is free here: this
+    function just paid it to evaluate the threshold.
 
     The url Bloom lineage (r15 — ``incremental_ingest(url_bloom=
     True)``) gets the same treatment when its layer exists: fill
@@ -2707,6 +2715,7 @@ def maintain_lake(
     if compact_above_files is not None:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
+        resync: dict[str, int] = {}
         for layer in _APPEND_LAYERS:
             path = f"{out_root}/{layer}"
             n_files = _data_file_count(spark, path)
@@ -2714,6 +2723,17 @@ def maintain_lake(
                 spark, path + "__compact"
             )
             if n_files <= int(compact_above_files) and not crashed:
+                # layer examined, under threshold: RE-SYNC its append
+                # accounting to the measured file count (r16). The
+                # per-batch counter is a write-time upper bound —
+                # empty appends (a media sidecar on a batch with no
+                # media rows) count 1 but write 0 files — and without
+                # this re-sync an overcounted never-swept layer keeps
+                # `compact_due` nonzero forever. maintain_lake just
+                # PAID the listing, so the measurement is free here;
+                # the ingest path never lists (the marker's point).
+                if _exists(spark, path):
+                    resync[layer] = n_files
                 # a crash after the swap's step 4 (live in place, old
                 # copy not yet deleted) leaves a stale `__old` dir
                 # that only a future recompaction of the SAME layer
@@ -2733,6 +2753,18 @@ def maintain_lake(
             compacted_layers += 1
             files_before += res["files_before"]
             files_after += res["files_after"]
+        if resync:
+            st = _read_lake_stats(spark, f"{out_root}/_lake_stats")
+            if st is not None and any(
+                st[3].get(k) != v for k, v in resync.items()
+            ):
+                merged_files = dict(st[3])
+                merged_files.update(resync)
+                _write_lake_stats(
+                    spark, f"{out_root}/_lake_stats",
+                    st[0], st[1], st[2], files=merged_files,
+                )
+
     def _maintain_filter(layer: str, max_fill: float) -> dict[str, int]:
         hex_cur = _discover_bloom_geometry(spark, out_root, layer=layer)
         if hex_cur is None:

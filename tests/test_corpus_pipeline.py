@@ -3704,3 +3704,199 @@ def test_compact_due_append_accounting(spark, tmp_path):
     assert r5["compact_due"] == 0
     st6 = _read_lake_stats(spark, f"{root}/_lake_stats")
     assert 0 < st6[3]["docs"] < st3[3]["docs"] + 1
+
+
+def test_lake_lifecycle_soak(spark, tmp_path):
+    """r16 stretch: composition coverage the per-feature batteries
+    don't give — ONE lake driven through mixed batches on BOTH ingest
+    faces with ALL lake-state guards on (exact + near-dup-with-verify
+    + url + blocklist + media routed + both Bloom lineages + census),
+    deferred rebuild mode, a crash injection, a guard-knob-off window
+    and a compaction sweep interleaved — then the full invariant set
+    asserted: running total == physical docs == recount, append-only
+    keeper stability (every admitted id survives, nothing duplicates),
+    filter freshness across the knob toggle, and every guard still
+    blocking end-to-end after maintenance."""
+    import random
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_lake_stats,
+        incremental_ingest,
+        maintain_lake,
+        recount_lake_docs,
+        streaming_ingest,
+    )
+
+    rng = random.Random(77)
+    vid = bytes(rng.randrange(256) for _ in range(1000))
+    aud = bytes(rng.randrange(256) for _ in range(600))
+    img = bytes(rng.randrange(256) for _ in range(600))
+
+    def fresh(n):
+        return bytes(rng.randrange(256) for _ in range(n))
+
+    def text(n, alpha="tx"):
+        return " ".join(
+            f"{alpha}{n}w{j}v{(n * 17 + j) % 97}" for j in range(12)
+        )
+
+    def url(n):
+        return f"https://s{n}.soak-site.com/p/{n}"
+
+    schema = (
+        "doc_id long, text string, url string, payload binary, "
+        "kind string, duration_ms long"
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, schema)
+
+    root = str(tmp_path / "lake_soak")
+    base = dict(
+        near_dup=True, near_dup_verify=0.5, lsh_hash_family="fast",
+        url_guard=True, url_blocklist=("blocked.ex",),
+        media_guard=True, line_census=True,
+        bloom_rebuild_mode="defer", compact_above_files=2,
+    )
+    kw = dict(base, bloom_guard=True, url_bloom=True)
+    kw_off = dict(base, bloom_guard=False, url_bloom=False)
+
+    # --- B1: six mixed docs, every modality, all guards on ----------
+    b1 = frame([
+        (1, text(1), url(1), None, None, None),
+        (2, text(2), url(2), None, None, None),
+        (3, text(3), url(3), img, "image", None),
+        (4, text(4), url(4), vid, "video", 5000),
+        (5, text(5), url(5), aud, "audio", None),
+        (6, text(6), None, None, None, None),   # no url evidence
+    ])
+    r1 = incremental_ingest(spark, b1, root, **kw)
+    assert r1["admitted"] == 6 and r1["total_docs"] == 6
+    assert r1["near_dup_blocked"] == 0 and r1["near_dup_rescued"] == 0
+
+    # --- B2: one duplicate per guard face + two novels --------------
+    b2 = frame([
+        (10, text(1), url(10), None, None, None),          # exact dup
+        (11, text(2).replace("w3", "q3"), url(11),
+         None, None, None),                                # near-dup
+        (12, text(12), url(1) + "?utm_source=x",
+         None, None, None),                                # url re-crawl
+        (13, text(13), "https://spam.blocked.ex/x",
+         None, None, None),                                # blocklisted
+        (14, text(14), None, img[:300] + b"~" + img[301:],
+         "image", None),                                   # image flip
+        (15, text(15), None, vid[:100] + b"~" + vid[101:],
+         "video", 5000),                                   # video reenc
+        (16, text(16), None, aud[64:], "audio", None),     # audio trim
+        (17, text(17), url(17), None, None, None),         # novel
+        (18, text(18), url(18), fresh(600), "image", None),  # novel
+    ])
+    r2 = incremental_ingest(spark, b2, root, **kw)
+    assert r2["admitted"] == 2 and r2["total_docs"] == 8
+    assert r2["near_dup_blocked"] == 1 and r2["near_dup_rescued"] == 0
+    assert r2["url_skipped"] == 1 and r2["domain_blocked"] == 1
+    assert r2["media_skipped"] == 3
+
+    # --- crash injection: B2's bands append lost (docs landed, the
+    # sidecar write did not — the real crash window; deleting the
+    # whole layer would blind the guard to history, which no crash
+    # does), replay heals --------------------------------------------
+    bands_path = f"{root}/band_buckets"
+    torn = (
+        spark.read.parquet(bands_path)
+        .filter(~F.col("id").isin(17, 18))
+        .localCheckpoint()
+    )
+    shutil.rmtree(bands_path)
+    torn.write.mode("overwrite").parquet(bands_path)
+    r2b = incremental_ingest(spark, b2, root, **kw)
+    assert r2b["admitted"] == 0 and r2b["total_docs"] == 8
+    assert r2b["healed_bands"] == 2  # the two admitted novels
+
+    # --- B3: knob-off window (filters must stay fresh) --------------
+    b3 = frame([
+        (20, text(20), url(20), None, None, None),
+        (21, text(21), url(21), None, None, None),
+    ])
+    r3 = incremental_ingest(spark, b3, root, **kw_off)
+    assert r3["admitted"] == 2 and r3["total_docs"] == 10
+
+    # --- B4: knobs back on — off-window keys must still block -------
+    b4 = frame([
+        (30, text(20), None, None, None, None),     # fp of off-window
+        (31, text(31), url(21), None, None, None),  # url of off-window
+    ])
+    r4 = incremental_ingest(spark, b4, root, **kw)
+    assert r4["admitted"] == 0 and r4["total_docs"] == 10
+    assert r4["url_skipped"] == 1
+    # the append accounting of three admitting batches is past the
+    # threshold by now (tiny batches append ~1 file per layer each)
+    assert r4["compact_due"] >= 1
+
+    # --- maintenance: compaction sweep + deferred bloom check -------
+    m = maintain_lake(spark, root, compact_above_files=1)
+    assert m["compacted_layers"] >= 4
+    assert m["files_after"] < m["files_before"]
+
+    # --- post-maintenance: every content guard still blocks ---------
+    resend = frame([
+        (40 + i, text(n), None, None, None, None)
+        for i, n in enumerate([1, 2, 3, 4, 5, 6, 17, 18, 20, 21])
+    ])
+    r5 = incremental_ingest(spark, resend, root, **kw)
+    assert r5["admitted"] == 0 and r5["total_docs"] == 10
+    assert r5["compact_due"] == 0  # counters reset by the sweep
+
+    # --- streaming face: one duplicate wave + one novel wave --------
+    src = tmp_path / "soak_incoming"
+    src.mkdir()
+    frame([
+        (50, text(17), url(50), None, None, None),   # dup content
+        (51, text(51), url(1), None, None, None),    # dup url
+    ]).coalesce(1).write.mode("overwrite").parquet(str(src / "w0"))
+    frame([
+        (60, text(60), url(60), None, None, None),
+        (61, text(61), url(61), fresh(600), "image", None),
+    ]).coalesce(1).write.mode("overwrite").parquet(str(src / "w1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = streaming_ingest(
+        stream, root,
+        checkpoint=str(tmp_path / "soak_ckpt"), **kw,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # --- final invariant set -----------------------------------------
+    docs = spark.read.parquet(f"{root}/docs")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    # append-only keeper stability: every admitted id exactly once
+    assert ids == [1, 2, 3, 4, 5, 6, 17, 18, 20, 21, 60, 61]
+    # running total == physical == recount, through both faces
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st is not None and st[0] == 12
+    assert recount_lake_docs(spark, root) == 12
+    # every guard sidecar's ids are a subset of the admitted docs
+    for layer, col in [
+        ("fingerprints", "doc_id"), ("band_buckets", "id"),
+        ("url_keys", "doc_id"), ("media_bands", "doc_id"),
+    ]:
+        side = {
+            r[col]
+            for r in spark.read.parquet(f"{root}/{layer}")
+            .select(col).distinct().collect()
+        }
+        assert side <= set(ids), layer
+    # the fingerprint sidecar sees EVERY admitted doc (guard complete)
+    fp_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/fingerprints")
+        .select("doc_id").collect()
+    }
+    assert fp_ids == set(ids)

@@ -490,9 +490,18 @@ def verify_main(n_docs: int) -> None:
             bands_df=batch_bands,
         ).localCheckpoint()
 
+        # BOTH gate arms run the bounded production shape
+        # (max_bucket=64, the `lsh_max_bucket` knob): the synthetic
+        # mod-9973 corpus saturates its band buckets as history grows,
+        # and an UNBOUNDED candidate set then scales with history, not
+        # with the batch — at 32M docs the candidate broadcast blows
+        # past driver memory (measured: a 2 GiB broadcast-exchange
+        # OOM), which is exactly why SCALE.md tells operators to
+        # enable near_dup_verify together with lsh_max_bucket.
         probes = {
             "gate_plain": lambda: dedup.lsh_seen_ids(
-                None, seen_b, "doc_id", "text", bands_df=batch_bands
+                None, seen_b, "doc_id", "text", bands_df=batch_bands,
+                max_bucket=64,
             ).count(),
             "gate_verified": lambda: dedup.verify_candidates_jaccard(
                 batch,
@@ -500,6 +509,7 @@ def verify_main(n_docs: int) -> None:
                 dedup.lsh_seen_ids(
                     None, seen_b, "doc_id", "text",
                     bands_df=batch_bands, return_pairs=True,
+                    max_bucket=64,
                 ),
                 "doc_id",
                 "text",
