@@ -431,12 +431,23 @@ def _doc_text(idc, prefix: str = "w") -> F.Column:
     # `prefix` separates doc families: at 1M+ docs the per-slot value
     # space (mod 9973) saturates, so any same-prefix doc shares most
     # of its shingle skeleton with SOME history doc — genuinely fresh
-    # docs need a disjoint word alphabet, not just fresh ids
+    # docs need a disjoint word alphabet, not just fresh ids.
+    # r16 sweep fix (the verdict-#3 "fresh-alphabet corpus"): the
+    # alphabet is additionally scoped per 250k-id BLOCK, so growing
+    # history adds DISJOINT content (how a real crawl grows) instead
+    # of ever-denser near-copies of the same 9973-value skeletons —
+    # without this, band-bucket sizes grow WITH history and the
+    # candidate set measures corpus degeneracy, not the verify cost
+    # (at 32M docs the unbounded candidate broadcast OOMed the
+    # driver; production bounds it with lsh_max_bucket).
+    blk = (idc.cast("long") / F.lit(250_000)).cast("long").cast("string")
     parts = []
     for j in range(14):
         parts.append(
             F.concat(
-                F.lit(f"{prefix}{j}t"),
+                F.lit(f"{prefix}{j}b"),
+                blk,
+                F.lit("t"),
                 ((idc * (j * 2 + 3)) % 9_973).cast("string"),
             )
         )
@@ -490,18 +501,9 @@ def verify_main(n_docs: int) -> None:
             bands_df=batch_bands,
         ).localCheckpoint()
 
-        # BOTH gate arms run the bounded production shape
-        # (max_bucket=64, the `lsh_max_bucket` knob): the synthetic
-        # mod-9973 corpus saturates its band buckets as history grows,
-        # and an UNBOUNDED candidate set then scales with history, not
-        # with the batch — at 32M docs the candidate broadcast blows
-        # past driver memory (measured: a 2 GiB broadcast-exchange
-        # OOM), which is exactly why SCALE.md tells operators to
-        # enable near_dup_verify together with lsh_max_bucket.
         probes = {
             "gate_plain": lambda: dedup.lsh_seen_ids(
-                None, seen_b, "doc_id", "text", bands_df=batch_bands,
-                max_bucket=64,
+                None, seen_b, "doc_id", "text", bands_df=batch_bands
             ).count(),
             "gate_verified": lambda: dedup.verify_candidates_jaccard(
                 batch,
@@ -509,7 +511,6 @@ def verify_main(n_docs: int) -> None:
                 dedup.lsh_seen_ids(
                     None, seen_b, "doc_id", "text",
                     bands_df=batch_bands, return_pairs=True,
-                    max_bucket=64,
                 ),
                 "doc_id",
                 "text",
