@@ -3125,6 +3125,7 @@ def streaming_ingest(
     url_bloom: bool = False,
     url_bloom_max_fill: float = 0.1,
     compact_above_files: int | None = None,
+    on_report=None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -3163,10 +3164,23 @@ def streaming_ingest(
     out-of-band :func:`maintain_lake` run; ``media_guard`` (r12)
     forwards the perceptual media admission guard (constant-width
     hash sidecar + id-absence heal, so at-least-once replay composes
-    the same way)."""
+    the same way).
+
+    ``on_report`` (r16): optional ``(batch_id, report_dict)`` callback
+    invoked after every micro-batch with the SAME counter dict the
+    batch face returns. Without it the streaming face silently
+    discards every report — including the maintenance TRIGGERS
+    (``bloom_rebuild_due``, ``compact_due``) that a deferred-mode
+    streaming lake exists to consume — leaving the operator blind on
+    exactly the face that needs them. Runs inside ``foreachBatch`` on
+    the driver: keep it cheap and non-throwing (an exception fails
+    the micro-batch, which Structured Streaming then retries — safe,
+    since a replayed batch admits nothing, but noisy). A delivery
+    mechanism like ``checkpoint``, not a pipeline knob, so it is
+    excluded from the two faces' knob-parity contract."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        incremental_ingest(
+        rep = incremental_ingest(
             batch_df.sparkSession,
             batch_df,
             out_root,
@@ -3209,6 +3223,8 @@ def streaming_ingest(
             url_bloom_max_fill=url_bloom_max_fill,
             compact_above_files=compact_above_files,
         )
+        if on_report is not None:
+            on_report(batch_id, rep)
 
     return (
         stream_df.writeStream.foreachBatch(_ingest)

@@ -2359,7 +2359,9 @@ def test_streaming_ingest_exposes_full_batch_knob_surface():
     stream_knobs = {
         n: p.default
         for n, p in stream.items()
-        if n not in ("stream_df", "checkpoint")
+        # stream_df/checkpoint/on_report are the streaming face's
+        # source + delivery mechanisms, not pipeline knobs
+        if n not in ("stream_df", "checkpoint", "on_report")
     }
     assert batch_knobs == stream_knobs
 
@@ -3900,3 +3902,59 @@ def test_lake_lifecycle_soak(spark, tmp_path):
         .select("doc_id").collect()
     }
     assert fp_ids == set(ids)
+
+
+def test_streaming_ingest_on_report_delivers_batch_counters(
+    spark, tmp_path
+):
+    """r16: the streaming face stops discarding its per-batch
+    reports — ``on_report`` receives, per micro-batch, the same
+    counter dict the batch face returns, so a deferred-mode streaming
+    lake can actually consume the maintenance triggers
+    (``bloom_rebuild_due``, ``compact_due``) it was built around."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "rep_incoming"
+    src.mkdir()
+
+    def wave(name, lo, n):
+        spark.createDataFrame(
+            [(lo + i,
+              " ".join(f"rp{lo + i}w{j}" for j in range(10)))
+             for i in range(n)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    wave("w0", 0, 3)
+    wave("w1", 0, 3)    # pure replay of w0's content under same ids
+    wave("w2", 100, 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got = []
+    q = streaming_ingest(
+        stream,
+        str(tmp_path / "lake_rep"),
+        checkpoint=str(tmp_path / "rep_ckpt"),
+        bloom_guard=True,
+        compact_above_files=10 ** 6,
+        on_report=lambda bid, rep: got.append((bid, rep)),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == 3
+    # every report carries the full batch-face counter surface,
+    # including the maintenance triggers
+    for _, rep in got:
+        assert {"arrived", "admitted", "total_docs",
+                "bloom_rebuild_due", "compact_due"} <= set(rep)
+    admitted = sorted(rep["admitted"] for _, rep in got)
+    assert admitted == [0, 2, 3]  # the replay wave admits nothing
+    assert max(rep["total_docs"] for _, rep in got) == 5
