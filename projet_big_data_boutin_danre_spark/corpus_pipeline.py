@@ -2659,6 +2659,7 @@ def maintain_lake(
     compact_above_files: int | None = None,
     compact_target_file_mb: int = 128,
     url_bloom_max_fill: float = 0.1,
+    trust_marker: bool = False,
 ) -> dict[str, int]:
     """Out-of-band lake maintenance (r13, verdict #5): the entry point
     a ``bloom_rebuild_mode="defer"`` ingest defers its saturation work
@@ -2699,6 +2700,14 @@ def maintain_lake(
     ``compact_due`` nonzero forever. The listing is free here: this
     function just paid it to evaluate the threshold.
 
+    ``trust_marker=True`` (r16) inverts that bargain for object-store
+    lakes: layers whose marker accounting sits under the threshold are
+    SKIPPED without any listing (two point existence probes replace
+    the recursive LIST — the dominant cost of a no-op maintenance run
+    at 100 TB), flagged layers are still listed before sweeping, and
+    a lake or layer with no marker entry falls back to the listing
+    path, so a legacy lake is never silently unmaintained.
+
     The url Bloom lineage (r15 — ``incremental_ingest(url_bloom=
     True)``) gets the same treatment when its layer exists: fill
     check, fill-sized rebuild from the ``url_keys`` sidecar, stale
@@ -2716,8 +2725,36 @@ def maintain_lake(
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
         resync: dict[str, int] = {}
+        # trust_marker (r16): skip the recursive listing for layers
+        # whose append accounting sits under the threshold — on an
+        # object store the per-layer LIST is the dominant cost of a
+        # no-op maintenance run (a 100 TB docs layer is ~10^6 keys),
+        # and the marker is exactly the no-listing growth signal the
+        # ingest faces maintain for this purpose. Semantics stay safe
+        # in both directions: the counter is an UPPER bound on
+        # appended files (skipping a layer it says is small is sound,
+        # up to the heal-on-zero-admission undercount, which is
+        # bounded by crash count), and a layer the marker flags is
+        # still LISTED before sweeping, so an overcount costs one
+        # listing, never a wrong rewrite. A lake with no marker (or a
+        # marker with no entry for a layer that exists) falls back to
+        # listing that layer — a legacy lake is never silently
+        # unmaintained. The crashed-swap repair check degrades to two
+        # point existence probes (HEAD-shaped), not listings.
+        marker_files: dict[str, int] | None = None
+        if trust_marker:
+            st_m = _read_lake_stats(spark, f"{out_root}/_lake_stats")
+            marker_files = st_m[3] if st_m is not None else None
         for layer in _APPEND_LAYERS:
             path = f"{out_root}/{layer}"
+            if (
+                marker_files is not None
+                and layer in marker_files
+                and marker_files[layer] <= int(compact_above_files)
+                and _exists(spark, path)
+                and not _exists(spark, path + "__compact")
+            ):
+                continue
             n_files = _data_file_count(spark, path)
             crashed = not _exists(spark, path) and _data_file_count(
                 spark, path + "__compact"

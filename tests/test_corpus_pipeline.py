@@ -3958,3 +3958,89 @@ def test_streaming_ingest_on_report_delivers_batch_counters(
     admitted = sorted(rep["admitted"] for _, rep in got)
     assert admitted == [0, 2, 3]  # the replay wave admits nothing
     assert max(rep["total_docs"] for _, rep in got) == 5
+
+
+def test_maintain_lake_trust_marker_skips_listings(
+    spark, tmp_path, monkeypatch
+):
+    """r16: with ``trust_marker=True`` the sweep consults the
+    ``_lake_stats`` append accounting instead of LISTING every layer —
+    under-threshold layers are skipped with no file-count call, a
+    flagged layer is still listed (and swept, and reset), and a layer
+    with no marker entry falls back to the listing path."""
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+
+    root = str(tmp_path / "lake_trust")
+
+    def docs(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, " ".join(f"tm{lo + i}w{j}" for j in range(10)))
+             for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    for b in range(4):
+        cp.incremental_ingest(spark, docs(b * 10, 3), root)
+
+    listed = []
+    real_count = cp._data_file_count
+
+    def counting(spark_, path):
+        listed.append(path)
+        return real_count(spark_, path)
+
+    monkeypatch.setattr(cp, "_data_file_count", counting)
+
+    def data_layers_listed():
+        # layers the lake actually CARRIES (absent layers fall back to
+        # _data_file_count, which for a missing path is a point
+        # existence probe, not a listing)
+        return {
+            p.split("/")[-1]
+            for p in listed
+            if p.split("/")[-1] in ("docs", "fingerprints")
+        }
+
+    # high threshold: every marker entry is under it -> the existing
+    # layers are never listed
+    m0 = cp.maintain_lake(
+        spark, root, compact_above_files=10 ** 6, trust_marker=True
+    )
+    assert m0["compacted_layers"] == 0
+    assert data_layers_listed() == set()
+
+    # low threshold: docs + fingerprints are flagged by the marker,
+    # get listed, swept, and their accounting reset; layers absent
+    # from the marker (this lake has no guards) are never listed
+    # because they do not exist... except via the fallback, which
+    # lists only what the marker cannot vouch for
+    listed.clear()
+    m1 = cp.maintain_lake(
+        spark, root, compact_above_files=2, trust_marker=True
+    )
+    assert m1["compacted_layers"] == 2
+    assert {p.split("/")[-1] for p in listed if not p.endswith("__compact")} >= {
+        "docs", "fingerprints"
+    }
+    st = cp._read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st[3]["docs"] == 0 and st[3]["fingerprints"] == 0
+
+    # next run: freshly reset accounting -> the data layers are not
+    # listed again
+    listed.clear()
+    m2 = cp.maintain_lake(
+        spark, root, compact_above_files=2, trust_marker=True
+    )
+    assert m2["compacted_layers"] == 0
+    assert data_layers_listed() == set()
+
+    # a lake with NO marker falls back to full listing mode
+    import shutil
+
+    shutil.rmtree(f"{root}/_lake_stats")
+    listed.clear()
+    m3 = cp.maintain_lake(
+        spark, root, compact_above_files=10 ** 6, trust_marker=True
+    )
+    assert m3["compacted_layers"] == 0
+    assert any(p.endswith("/docs") for p in listed)
