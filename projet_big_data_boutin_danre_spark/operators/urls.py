@@ -125,10 +125,26 @@ def _psl_match(host: Column, rules: tuple[str, ...]) -> Column:
     """Registered domain of ``host`` under PSL semantics (longest
     matching rule wins; ``*.`` wildcards; ``!`` exceptions; unmatched
     TLDs default to the implicit ``*`` rule) as pure Column algebra:
-    per-depth anchored suffix extracts tested against plan-time
-    literal sets — Catalyst compiles each ``isin`` to an O(1) InSet
-    hash probe, so even the full ~9k-rule PSL costs a handful of
-    hash lookups per row, no join, no UDF."""
+    per-depth label tails (``substring_index`` — cheap string ops, no
+    regex, no array materialization) tested against plan-time literal
+    sets — Catalyst compiles each ``isin`` to an O(1) InSet hash
+    probe, so the rule-set SIZE barely matters. Measured at 1M rows,
+    local[4]: ~2.5 s with the full-size ~9k-rule set (vs ~1.2 s for
+    the two-label default), but ONLY with ``host`` bound to a cheap
+    reference first — :func:`registered_domain` binds it through a
+    single-element lambda. Plan-shape lessons from the first cuts,
+    kept because each looked innocent: this expression references its
+    host ~2x per depth, conditional branches are excluded from
+    common-subexpression elimination, and ``url_host`` is three
+    regexes — unbound, every variant ran 20-29 s/1M regardless of
+    whether the tails came from anchored ``regexp_extract``, from
+    ``split``+``slice``+``exists`` higher-order functions, or from
+    ``substring_index`` (it was never the tail op; it was the host
+    re-evaluation).
+
+    Malformed hosts — empty labels (``a..b``), leading/trailing dot —
+    carry no domain evidence and yield ``''``: a public-suffix split
+    of a non-host is meaningless."""
     exceptions = {r[1:] for r in rules if r.startswith("!")}
     wild_bases = {r[2:] for r in rules if r.startswith("*.")}
     normal = {
@@ -144,47 +160,54 @@ def _psl_match(host: Column, rules: tuple[str, ...]) -> Column:
         + [depth(e) for e in exceptions]
         + [1]
     )
-    # lastk[k] = the last k labels of host ('' when host is shallower)
-    lastk: dict[int, Column] = {}
-    for k in range(1, max_suffix_depth + 2):
-        pat = "([^.]+" + "[.][^.]+" * (k - 1) + ")$"
-        lastk[k] = F.regexp_extract(host, pat, 1)
+    # number of labels, from two length() calls — no split array
+    nl = F.when(host == "", F.lit(0)).otherwise(
+        F.length(host) - F.length(F.translate(host, ".", "")) + 1
+    )
+    malformed = (
+        (host == "")
+        | host.startswith(".")
+        | host.endswith(".")
+        | host.contains("..")
+    )
+
+    def last(k: int) -> Column:
+        # the last k labels; '' when the host is shallower than k
+        # (substring_index would return the WHOLE host there)
+        return F.when(
+            nl >= k, F.substring_index(host, ".", -k)
+        ).otherwise(F.lit(""))
 
     def in_set(col: Column, values: set[str]) -> Column:
         return col.isin(sorted(values)) if values else F.lit(False)
 
-    # public-suffix depth: ascending k so each deeper match wraps (and
-    # therefore overrides) shallower ones — longest match wins, with
-    # the implicit ``*`` rule (depth 1) as the floor
-    expr = F.lit(1)
+    # registered domain = matched public suffix + one label, built as
+    # ONE ascending when-chain (each deeper match wraps — and thereby
+    # overrides — shallower ones: longest rule wins), floored by the
+    # implicit ``*`` rule (public suffix = the TLD, registered =
+    # last 2). A host that IS a public suffix yields '' naturally
+    # (last(k+1) masks to '' when the host has only k labels).
+    out = last(2)
     for k in range(1, max_suffix_depth + 1):
         norm_k = {r for r in normal if depth(r) == k}
         wild_k = {b for b in wild_bases if depth(b) == k - 1}
         cond = None
         if norm_k:
-            cond = in_set(lastk[k], norm_k)
+            cond = in_set(last(k), norm_k)
         if wild_k:
-            w = in_set(lastk[k - 1], wild_k) & (lastk[k] != "")
+            w = in_set(last(k - 1), wild_k) & (last(k) != "")
             cond = w if cond is None else (cond | w)
         if cond is not None:
-            expr = F.when(cond, F.lit(k)).otherwise(expr)
+            out = F.when(cond, last(k + 1)).otherwise(out)
     # exceptions LAST: per the PSL algorithm an exception rule beats
     # every other matching rule regardless of length — the public
-    # suffix is the exception minus its leftmost label (depth e-1)
+    # suffix is the exception minus its leftmost label, so the
+    # registered domain is the exception match itself
     for k in range(1, max_suffix_depth + 1):
         exc_k = {e for e in exceptions if depth(e) == k}
         if exc_k:
-            expr = F.when(
-                in_set(lastk[k], exc_k), F.lit(k - 1)
-            ).otherwise(expr)
-    # registered domain = public suffix + one label; '' when the host
-    # IS a public suffix (no registrable part — no domain evidence).
-    # Depth 0 (a depth-1 exception rule) degrades to the full last
-    # label — unseen in the published list, handled for totality.
-    out = F.lit("")
-    for k in range(0, max_suffix_depth + 1):
-        out = F.when(expr == F.lit(k), lastk[k + 1]).otherwise(out)
-    return out
+            out = F.when(in_set(last(k), exc_k), last(k)).otherwise(out)
+    return F.when(malformed, F.lit("")).otherwise(out)
 
 
 def registered_domain(
@@ -223,7 +246,17 @@ def registered_domain(
         rules = tuple(psl_rules) + tuple(
             s.lower() for s in extra_suffixes
         )
-        return _psl_match(host, rules)
+        # bind the (3-regex) host expression ONCE per row via a
+        # single-element lambda: _psl_match references its host ~2x
+        # per depth, and conditional branches are excluded from
+        # common-subexpression elimination, so an unbound host
+        # re-runs its regexes at every reference — measured 22 s/1M
+        # rows unbound vs 2.5 s bound with the full-size rule set
+        # (the lambda moves the expression to interpreted mode, which
+        # is the cheaper side of that trade by ~9x)
+        return F.transform(
+            F.array(host), lambda h: _psl_match(h, rules)
+        )[0]
     last2 = F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
     if not extra_suffixes:
         return last2
