@@ -205,6 +205,20 @@ def _exists(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Point existence probe (one ``FileSystem.exists`` — HEAD-shaped
+    on object stores), unlike :func:`_exists`, whose
+    ``read.parquet(...).schema`` pays a recursive leaf listing plus a
+    footer read. Use this where only PRESENCE matters and the caller
+    is specifically avoiding listings (the ``trust_marker``
+    maintenance path); ``_exists`` stays the right probe where
+    "present but unreadable" must also count as absent."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def apply_ngram_caps(
     docs: DataFrame,
     id_col: str,
@@ -1963,54 +1977,88 @@ def incremental_ingest(
     if stats is not None:
         base_total, last_digest, last_n, files_acc = stats
     else:
-        base_total = (
-            spark.read.parquet(docs_path).count()
-            if _exists(spark, docs_path)
-            else 0
-        )
-        last_digest, last_n, files_acc = None, None, {}
+        # missing/torn marker: ONE authoritative recount — of the
+        # total AND of the per-layer file counts (restarting the
+        # append accounting at {} would be an undercount in the
+        # UNSAFE direction: a lake already past threshold would stop
+        # signaling compact_due, and trust_marker would then skip the
+        # very listing that could correct it). Rare path, priced like
+        # the total recount it already shares.
+        last_digest, last_n = None, None
+        if _exists(spark, docs_path):
+            base_total = spark.read.parquet(docs_path).count()
+            files_acc = {}
+            for _layer in _APPEND_LAYERS:
+                _n = _data_file_count(spark, f"{out_root}/{_layer}")
+                if _n:
+                    files_acc[_layer] = _n
+        else:
+            base_total = 0
+            files_acc = {}
     n_total_docs = base_total
     if n_admitted:
         # Append accounting for the compaction trigger (r16, verdict
         # #1): per-layer files-appended-since-compaction rides the
         # SAME digest-guarded 1-row marker write as the running total
         # — known at write time, never a listing (the marker's whole
-        # point). The per-append increment is the checkpointed batch
-        # frame's partition count: the writer launches one task per
-        # partition, so this is the planned file count — an upper
-        # bound when AQE coalesces or partitions come up empty, which
-        # errs toward compacting EARLY (the safe direction;
-        # :func:`compact_layer` resets the entry to ground truth).
-        # Replay semantics inherit the digest guard: a replayed batch
-        # whose marker write landed before the crash skips the
-        # increment while its appends land once — counted once,
-        # appended once. Uncounted residual: heal backfills on
+        # point). Each layer's increment is an UPPER bound on the
+        # files its append can write, derived from ITS OWN source
+        # frame (the writer launches one task per partition): narrow
+        # writes (docs, fingerprints, the heal backfills) bound by
+        # the checkpointed frame's partition count exactly; the
+        # guard-sidecar semi-joins bound by max(stream-side
+        # partitions, shuffle partitions) — the stream side if the
+        # join broadcasts, the exchange width if it doesn't, so the
+        # bound holds under either strategy. (The first cut used
+        # admitted's partition count for every layer — on a dup-heavy
+        # batch `admitted` coalesces to 1 partition while the
+        # batch-sized band frame writes dozens of files, an UNDER
+        # count in the unsafe direction.) AQE coalescing / empty
+        # partitions write fewer — erring toward compacting EARLY,
+        # the safe direction; :func:`maintain_lake` re-syncs to
+        # measured counts. Replay semantics inherit the digest guard:
+        # a replayed batch whose marker write landed before the crash
+        # skips the increment while its appends land once — counted
+        # once, appended once. Uncounted residual: heal backfills on
         # zero-admission replays (no marker write happens) — bounded
         # by crash count, not batch count. Bucketed catalog sidecars
         # are excluded, mirroring the ``maintain_lake`` sweep (a
         # repartition would destroy their bucketing).
-        n_write_parts = admitted.rdd.getNumPartitions()
-        appended_layers = ["docs"]
+        p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        def _parts(df) -> int:
+            # checkpointed frames only — .rdd is metadata there
+            return df.rdd.getNumPartitions()
+
+        adm_p = _parts(admitted)
+        layer_inc = {"docs": adm_p}
         if not bucketed:
-            appended_layers.append("fingerprints")
+            layer_inc["fingerprints"] = adm_p
         if near_dup:
-            appended_layers.append("band_buckets")
+            layer_inc["band_buckets"] = max(_parts(batch_bands), p_shuffle)
         if media_guard:
-            appended_layers.append("media_bands")
+            layer_inc["media_bands"] = max(
+                _parts(batch_mhashes), p_shuffle
+            )
             if media_routed:
-                appended_layers.append("media_vframes")
-                appended_layers.append("media_awins")
+                layer_inc["media_vframes"] = max(
+                    _parts(batch_vside), p_shuffle
+                )
+                layer_inc["media_awins"] = max(
+                    _parts(batch_awins), p_shuffle
+                )
         if url_guard:
-            appended_layers.append("url_keys")
+            layer_inc["url_keys"] = max(_parts(batch_urls), p_shuffle)
         if line_census:
-            appended_layers.append("line_census")
+            # the census append is an aggregate — exchange-width bound
+            layer_inc["line_census"] = p_shuffle
         heal_appends = {
-            "band_buckets": n_healed_bands,
-            "media_bands": n_healed_media,
-            "media_vframes": n_healed_video,
-            "media_awins": n_healed_audio,
-            "url_keys": n_healed_urls,
-            "fingerprints": 0 if bucketed else n_healed,
+            "band_buckets": (n_healed_bands, healable_bands),
+            "media_bands": (n_healed_media, healable_media),
+            "media_vframes": (n_healed_video, healable_video),
+            "media_awins": (n_healed_audio, healable_audio),
+            "url_keys": (n_healed_urls, healable_urls),
+            "fingerprints": (0 if bucketed else n_healed, healable),
         }
         adm_digest = _lake_docs_digest(admitted, id_col)
         if adm_digest == last_digest and n_admitted == last_n:
@@ -2018,12 +2066,12 @@ def incremental_ingest(
             pass
         else:
             files_acc = dict(files_acc)
-            for layer in appended_layers:
-                files_acc[layer] = files_acc.get(layer, 0) + n_write_parts
-            for layer, healed in heal_appends.items():
-                if healed:
+            for layer, inc in layer_inc.items():
+                files_acc[layer] = files_acc.get(layer, 0) + inc
+            for layer, (healed, hframe) in heal_appends.items():
+                if healed and hframe is not None:
                     files_acc[layer] = (
-                        files_acc.get(layer, 0) + n_write_parts
+                        files_acc.get(layer, 0) + _parts(hframe)
                     )
             n_total_docs = base_total + n_admitted
             _write_lake_stats(
@@ -2032,9 +2080,11 @@ def incremental_ingest(
             )
     elif stats is None and _exists(spark, docs_path):
         # migration write for a pre-marker lake: persist the one-time
-        # recount so the next batch reads 1 row instead of listing
-        # the corpus
-        _write_lake_stats(spark, stats_path, base_total, None, None)
+        # recount (total AND measured file counts) so the next batch
+        # reads 1 row instead of listing the corpus
+        _write_lake_stats(
+            spark, stats_path, base_total, None, None, files=files_acc
+        )
     n_census_lines = 0
     if n_admitted:
         # FILTER FRESHNESS RULE (r15 — found by the url-bloom review,
@@ -2457,13 +2507,22 @@ def recount_lake_docs(spark: SparkSession, out_root: str) -> int:
         if _exists(spark, docs_path)
         else 0
     )
-    # the recount re-syncs total_docs only; the files-appended
-    # accounting is orthogonal (it tracks appends-since-compaction,
-    # not rows) and is carried over unchanged
+    # the recount re-syncs total_docs; the files-appended accounting
+    # is orthogonal (appends-since-compaction, not rows) and carries
+    # over unchanged — except when the marker itself is gone/torn, in
+    # which case it is re-measured rather than zeroed (restarting at
+    # {} would silence compact_due on an already-overgrown lake)
     prior = _read_lake_stats(spark, f"{out_root}/_lake_stats")
+    if prior is not None:
+        files = prior[3]
+    else:
+        files = {}
+        for layer in _APPEND_LAYERS:
+            nf = _data_file_count(spark, f"{out_root}/{layer}")
+            if nf:
+                files[layer] = nf
     _write_lake_stats(
-        spark, f"{out_root}/_lake_stats", n, None, None,
-        files=prior[3] if prior is not None else None,
+        spark, f"{out_root}/_lake_stats", n, None, None, files=files
     )
     return n
 
@@ -2751,8 +2810,8 @@ def maintain_lake(
                 marker_files is not None
                 and layer in marker_files
                 and marker_files[layer] <= int(compact_above_files)
-                and _exists(spark, path)
-                and not _exists(spark, path + "__compact")
+                and _dir_exists(spark, path)
+                and not _dir_exists(spark, path + "__compact")
             ):
                 continue
             n_files = _data_file_count(spark, path)

@@ -243,8 +243,13 @@ def registered_domain(
     so every oracle twin is untouched."""
     host = url_host(url)
     if psl_rules is not None:
-        rules = tuple(psl_rules) + tuple(
-            s.lower() for s in extra_suffixes
+        # lowercase ALL rules, not just extra_suffixes: the host side
+        # is lowercased by url_host, so an uppercase rule passed
+        # directly (bypassing load_psl_rules) would silently never
+        # match and every site under it would degrade to the
+        # two-label fallback
+        rules = tuple(r.strip().lower() for r in psl_rules) + tuple(
+            s.strip().lower() for s in extra_suffixes
         )
         # bind the (3-regex) host expression ONCE per row via a
         # single-element lambda: _psl_match references its host ~2x

@@ -4044,3 +4044,59 @@ def test_maintain_lake_trust_marker_skips_listings(
     )
     assert m3["compacted_layers"] == 0
     assert any(p.endswith("/docs") for p in listed)
+
+
+def test_compact_accounting_survives_torn_marker_and_tracks_layers(
+    spark, tmp_path
+):
+    """r16 review finds: (a) a torn ``_lake_stats`` marker must NOT
+    restart the append accounting at zero — that silences
+    ``compact_due`` on an already-overgrown lake, the unsafe
+    direction; recovery re-MEASURES the per-layer file counts (the
+    same one-authoritative-recount contract as the total). (b) each
+    layer's increment is bound by ITS OWN write's source frame — a
+    batch-sized guard sidecar must not be undercounted with the
+    (possibly 1-partition) admitted frame's width."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        _read_lake_stats,
+        incremental_ingest,
+        recount_lake_docs,
+    )
+
+    root = str(tmp_path / "lake_torn")
+
+    def docs(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, " ".join(f"tn{lo + i}w{j}" for j in range(10)))
+             for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    kw = dict(near_dup=True, lsh_hash_family="fast")
+    for b in range(3):
+        incremental_ingest(spark, docs(b * 10, 3), root, **kw)
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    # (b): the bands sidecar is written from the batch-sized band
+    # frame (>= the shuffle width), never from the admitted frame's
+    # possibly-collapsed partitioning
+    p_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert st[3]["band_buckets"] >= 3 * p_shuffle
+    assert st[3]["docs"] >= 3
+
+    # (a): torn marker -> next admitting batch re-measures instead of
+    # zeroing; the recovered counts are at least the physical reality
+    shutil.rmtree(f"{root}/_lake_stats")
+    phys_docs = _data_file_count(spark, f"{root}/docs")
+    phys_bands = _data_file_count(spark, f"{root}/band_buckets")
+    incremental_ingest(spark, docs(100, 2), root, **kw)
+    st2 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st2[3]["docs"] >= phys_docs  # measured base + new batch
+    assert st2[3]["band_buckets"] >= phys_bands
+    # recount_lake_docs on a torn marker re-measures too
+    shutil.rmtree(f"{root}/_lake_stats")
+    recount_lake_docs(spark, root)
+    st3 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st3[3].get("docs", 0) >= phys_docs

@@ -292,3 +292,19 @@ def test_url_blocklist_psl_rules_gate(spark, tmp_path):
         url_psl_rules=urls.PSL_BUILTIN_MINI,
     )
     assert r["domain_blocked"] == 1 and r["admitted"] == 1
+
+
+def test_registered_domain_psl_rules_are_case_insensitive(spark):
+    """r16 review find: rules passed directly (bypassing
+    ``load_psl_rules``) with uppercase would silently never match the
+    lowercased host — every site under them degrading to the
+    two-label fallback. All rules are lowercased on entry."""
+    got = spark.createDataFrame(
+        [("https://news.bbc.co.uk/",), ("https://a.b.thing.ck/",)],
+        "u string",
+    ).select(
+        urls.registered_domain(
+            F.col("u"), psl_rules=("CO.UK", "*.CK", " !WWW.CK ")
+        ).alias("d")
+    ).collect()
+    assert [r["d"] for r in got] == ["bbc.co.uk", "b.thing.ck"]
