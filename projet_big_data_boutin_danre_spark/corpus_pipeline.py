@@ -717,6 +717,21 @@ def incremental_ingest(
     it (``healed_bands``, same id-absence proof as the fingerprint
     heal).
 
+    A lake carrying a TEXT INDEX (r16 — ``text_index_b{N}``, built
+    once by :func:`build_text_index`) upgrades the verify stage's
+    history read from that per-candidate-batch docs scan to a
+    bucket-PRUNED read: candidate ids map to ≤ |candidates| of the
+    index's N partitions, and only those directories are opened.
+    Presence-driven like the filter-freshness rule — no knob; every
+    admitting batch appends its (id, text) to a discovered index
+    (whether or not verification is on, so the index stays complete
+    across knob windows), a crash window is healed by the id-absence
+    backfill (from the DOCS layer, so index content stays exactly
+    equal to docs content), and any id the index is missing at probe
+    time falls back to the docs scan for exactly those ids — a stale
+    or torn index costs speed, never a wrong admission. Opt out =
+    delete the layer.
+
     ``line_census=True`` maintains the lake's boilerplate census
     alongside the guard sidecars: each ADMITTED batch's qualifying
     lines land in ``<root>/line_census`` via
@@ -984,6 +999,16 @@ def incremental_ingest(
         )
     url_bloom_path = _bloom_layer_path(
         out_root, url_bloom_hex, layer="url_bloom"
+    )
+    # text index (r16): presence-driven, like the filter-freshness
+    # rule — a discovered index is maintained by every admitting batch
+    # and read by the verify stage; no knob, opt out = delete the
+    # layer. One shallow listStatus of the lake root per batch.
+    text_idx_n = _discover_text_index(spark, out_root)
+    text_idx_path = (
+        _text_index_path(out_root, text_idx_n)
+        if text_idx_n is not None
+        else None
     )
     bucketed = catalog_prefix is not None
     fp_table = f"{catalog_prefix}_fingerprints" if bucketed else None
@@ -1645,11 +1670,23 @@ def incremental_ingest(
             if cand_pairs.first() is None:
                 near_hits = cand_pairs.select(F.col(id_col))
             else:
+                # history texts through the bucket-pruned text index
+                # when the lake carries one (r16) — candidate buckets
+                # only, with an exact per-id fallback to the docs scan
+                # for anything the index is missing; an indexless lake
+                # keeps the (id, text)-pruned full scan
+                if text_idx_n is not None:
+                    verify_hist = _indexed_verify_history(
+                        spark, docs_path, text_idx_path, text_idx_n,
+                        cand_pairs, id_col, text_col,
+                    )
+                else:
+                    verify_hist = spark.read.parquet(docs_path).select(
+                        id_col, text_col
+                    )
                 near_hits = dedup.verify_candidates_jaccard(
                     batch,
-                    spark.read.parquet(docs_path).select(
-                        id_col, text_col
-                    ),
+                    verify_hist,
                     cand_pairs,
                     id_col,
                     text_col,
@@ -1936,6 +1973,101 @@ def incremental_ingest(
     )
     if n_healed_urls:
         healable_urls.write.mode("append").parquet(url_keys_path)
+    # text-index heal (r16): same id-absence proof, one more sidecar —
+    # a doc row landed but its index append did not, leaving the text
+    # invisible to the verify stage's pruned read until backfilled.
+    # Two refinements over the sibling heals, both enabled by the
+    # index being a CACHE of the docs layer: (1) the absence check is
+    # PRUNED to the heal candidates' buckets (bounded driver collect
+    # of their bucket values; a healthy batch has zero candidates and
+    # never touches the index here), and (2) the backfilled TEXT comes
+    # from the authoritative docs layer, not the replayed batch — so
+    # unlike the fingerprint heal's re-crawl residual, index content
+    # stays exactly equal to docs content even when a replay carries
+    # changed text for a crash-window id.
+    healable_text = None
+    if text_idx_n is not None and prior_ids is not None:
+        # candidates from the PRE-guard batch ids (like the bands
+        # heal): a replay after a crash between the docs and index
+        # appends is usually caught by the FINGERPRINT guard and
+        # never reaches the id guard's flag-join, so sourcing from
+        # `flagged` would miss exactly the rows this heal exists for
+        ht_ids = (
+            batch.select(id_col)
+            .join(prior_ids.dropDuplicates(), id_col, "left_semi")
+            .dropDuplicates()
+            .withColumn(
+                "tb",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(text_idx_n)),
+            )
+            .localCheckpoint()
+        )
+        hbks = [int(r["tb"]) for r in ht_ids.select("tb").distinct().collect()]
+        if hbks:
+            # explicit candidate-bucket paths, not an isin filter on
+            # the layer root — the root read would LIST all N
+            # partition dirs per batch (see _indexed_verify_history)
+            jvm_h = spark._jvm
+            hpath_h = jvm_h.org.apache.hadoop.fs.Path
+            fs_h = hpath_h(text_idx_path).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            live_hb = [
+                p
+                for p in (f"{text_idx_path}/tb={b}" for b in hbks)
+                if fs_h.exists(hpath_h(p))
+            ]
+            if live_hb:
+                try:
+                    idx_ids = (
+                        spark.read.parquet(*live_hb)
+                        .select(id_col)
+                        .dropDuplicates()
+                    )
+                    missing_ids = ht_ids.join(
+                        idx_ids, id_col, "left_anti"
+                    ).localCheckpoint()
+                except Exception:
+                    # present-but-unreadable buckets: treat every
+                    # candidate as missing — the backfill below
+                    # restores their rows from the docs layer
+                    missing_ids = ht_ids
+            else:
+                # no candidate bucket written yet (torn layer or an
+                # index younger than these docs): all missing
+                missing_ids = ht_ids
+            # gate the docs scan on an actual gap: prior-id rows are
+            # routine (every replay, every re-crawled id), missing
+            # index rows are crash residue — without this first()
+            # every such batch would plan the corpus-sized backfill
+            # read just to semi-join it against an empty set
+            if missing_ids.first() is not None:
+                healable_text = (
+                    spark.read.parquet(docs_path)
+                    .select(id_col, text_col)
+                    .join(
+                        F.broadcast(missing_ids.select(id_col)),
+                        id_col,
+                        "left_semi",
+                    )
+                    .withColumn(
+                        "tb",
+                        F.pmod(
+                            F.xxhash64(F.col(id_col)), F.lit(text_idx_n)
+                        ),
+                    )
+                    .localCheckpoint()
+                )
+    n_healed_text = (
+        healable_text.count() if healable_text is not None else 0
+    )
+    if n_healed_text:
+        (
+            healable_text.repartition(F.col("tb"))
+            .write.mode("append")
+            .partitionBy("tb")
+            .parquet(text_idx_path)
+        )
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
         if bucketed:
@@ -2052,6 +2184,17 @@ def incremental_ingest(
         if line_census:
             # the census append is an aggregate — exchange-width bound
             layer_inc["line_census"] = p_shuffle
+        if text_idx_n is not None:
+            # partitioned append after repartition("tb"): one file per
+            # non-empty bucket, so the exact upper bound is
+            # min(buckets, rows) for the batch append and the heal
+            # backfill alike (the generic _parts bound below would be
+            # wrong for a partitionBy write — a 1-partition frame can
+            # still write N bucket files)
+            tkey = f"text_index_b{text_idx_n}"
+            layer_inc[tkey] = min(text_idx_n, n_admitted)
+            if n_healed_text:
+                layer_inc[tkey] += min(text_idx_n, n_healed_text)
         heal_appends = {
             "band_buckets": (n_healed_bands, healable_bands),
             "media_bands": (n_healed_media, healable_media),
@@ -2277,6 +2420,27 @@ def incremental_ingest(
             batch_urls.join(
                 admitted.select(id_col), id_col, "left_semi"
             ).write.mode("append").parquet(url_keys_path)
+        if text_idx_n is not None:
+            # maintain-if-present (the filter-freshness rule): a lake
+            # that carries a text index gets this batch's (id, text)
+            # appended whether or not near_dup_verify is on, so the
+            # verify stage's pruned read stays complete. Crash before
+            # this lands → the id-absence heal above backfills from
+            # the docs layer on replay; in the interim the verify
+            # fallback covers the gap exactly. repartition("tb")
+            # before partitionBy keeps the append at one file per
+            # touched bucket instead of per (task × bucket).
+            (
+                admitted.select(id_col, text_col)
+                .withColumn(
+                    "tb",
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(text_idx_n)),
+                )
+                .repartition(F.col("tb"))
+                .write.mode("append")
+                .partitionBy("tb")
+                .parquet(text_idx_path)
+            )
     n_bloom_fill_pct = 0
     n_bloom_rebuilt_hex = 0
     n_bloom_rebuild_due = 0
@@ -2531,6 +2695,255 @@ def _bloom_layer_path(
     out_root: str, hex_chars: int, layer: str = "bloom"
 ) -> str:
     return f"{out_root}/{layer}_k{bloom_ops.K_DEFAULT}h{hex_chars}"
+
+
+def _text_index_path(out_root: str, buckets: int) -> str:
+    # bucket count in the path, like the Bloom geometry: rows bucketed
+    # under a different N are simply absent under this name, so an N
+    # change can never silently mis-route a lookup
+    return f"{out_root}/text_index_b{int(buckets)}"
+
+
+def _discover_text_index(spark: SparkSession, out_root: str) -> int | None:
+    """Largest ``buckets`` for which a ``text_index_b{N}`` layer exists
+    under the lake root, or None. Presence of the layer IS the knob
+    (the filter-freshness convention): every admitting batch maintains
+    a discovered index and the verify stage reads through it; opting
+    out = delete the layer. Unlike the Bloom geometry, a transient
+    listing failure here may safely fall back to None — a missing
+    index only routes the verify stage to the docs-layer scan (the
+    indexless plan), never to a wrong admission — but we keep the
+    loud re-raise discipline anyway so a flaky store shows up in the
+    batch error rather than as a silent performance cliff."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(out_root)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    prefix = "text_index_b"
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        try:
+            b = int(name[len(prefix):])
+        except ValueError:
+            continue
+        best = b if best is None else max(best, b)
+    return best
+
+
+def _bucket_sliced(df: DataFrame, partition_by: str, n_out: int) -> DataFrame:
+    """Repartition ``df`` for a ``partitionBy(partition_by)`` write so
+    the file count stays sane in BOTH directions: every partition
+    value is held whole by as few tasks as possible (a naive
+    ``repartition(n)`` before a partitioned write makes up to
+    n × |values| files — every task opens one file per value it
+    holds), while values larger than the target file size are split
+    into ``ceil(n_out / n_values)`` content-hashed slices so one
+    bucket never becomes one giant file."""
+    nb = max(int(df.select(partition_by).distinct().count()), 1)
+    slices = max(1, (int(n_out) + nb - 1) // nb)
+    if slices == 1:
+        return df.repartition(F.col(partition_by))
+    return df.repartition(
+        nb * slices,
+        F.col(partition_by),
+        F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(slices)),
+    )
+
+
+def build_text_index(
+    spark: SparkSession,
+    out_root: str,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_file_mb: int = 128,
+    drop_others: bool = True,
+) -> dict[str, int]:
+    """Build (or rebuild) the lake's ``text_index_b{N}`` layer: a
+    bucket-partitioned (id, text) CACHE of the docs layer, bucketed by
+    ``pmod(xxhash64(id), N)`` and written with ``partitionBy`` so a
+    reader filtering on the ``tb`` partition column prunes to the
+    matching directories. The ``near_dup_verify`` stage of
+    :func:`incremental_ingest` is the consumer: its exact-Jaccard
+    rescore needs the TEXTS of the candidate history ids, and without
+    an index that is a full (id, text)-pruned scan of the corpus per
+    candidate-carrying batch — measured at ~18 s/batch at the 32M-row
+    probe scale (SCALE.md §r16 verify) and growing with exponent
+    ~0.74 of corpus size. With the index, the probe reads only the
+    candidate ids' buckets: ~|candidates|/N of the corpus.
+
+    Safety contract (why a cache is enough): index rows are only ever
+    a SUBSET-or-equal copy of the docs layer's (id, text) — ids are
+    unique post-admission and the heal path backfills from the docs
+    layer itself, so the index can hold stale-MISSING rows but never
+    wrong ones. Every consumer anti-joins for missing candidate ids
+    and falls back to the docs scan for exactly those ids, so a torn
+    build, a crash between the docs and index appends, or an index
+    created mid-lake-life can only cost speed, never admit a
+    duplicate. That is also why this build needs no rename swap (cf.
+    :func:`compact_layer`): a reader racing the overwrite sees
+    missing rows at worst.
+
+    Storage: the index duplicates the text column (~the corpus's
+    dominant column). That is the deliberate trade — at 100 TB,
+    object storage for a second text copy is cheap next to a
+    per-batch corpus scan; lakes that never enable
+    ``near_dup_verify`` should simply not build one.
+
+    Returns ``{"rows": ..., "buckets": N, "files": ...}``."""
+    docs_path = f"{out_root}/docs"
+    if not _exists(spark, docs_path):
+        raise ValueError(
+            f"{out_root} has no readable docs layer to index"
+        )
+    path = _text_index_path(out_root, buckets)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(out_root).getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(hpath(docs_path)).getLength()
+    n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
+    df = (
+        spark.read.parquet(docs_path)
+        .select(id_col, text_col)
+        .withColumn(
+            "tb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(buckets)))
+        )
+    )
+    (
+        _bucket_sliced(df, "tb", n_out)
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    rows = spark.read.parquet(path).count()
+    files = _data_file_count(spark, path)
+    if drop_others:
+        # sweep stale layers built at other bucket counts — discovery
+        # follows the largest N, so a stale SMALLER layer is inert,
+        # but a stale LARGER one would shadow this build
+        for st in fs.listStatus(hpath(out_root)):
+            name = st.getPath().getName()
+            if (
+                name.startswith("text_index_b")
+                and name != f"text_index_b{int(buckets)}"
+            ):
+                fs.delete(st.getPath(), True)
+    # seed/reset the append accounting for the new layer (and drop
+    # entries for swept stale layers) so compact_due starts clean
+    stats = _read_lake_stats(spark, f"{out_root}/_lake_stats")
+    if stats is not None:
+        facc = {
+            k: v
+            for k, v in stats[3].items()
+            if not k.startswith("text_index_b")
+        }
+        facc[f"text_index_b{int(buckets)}"] = files
+        _write_lake_stats(
+            spark, f"{out_root}/_lake_stats",
+            stats[0], stats[1], stats[2], files=facc,
+        )
+    return {"rows": rows, "buckets": int(buckets), "files": files}
+
+
+def _indexed_verify_history(
+    spark: SparkSession,
+    docs_path: str,
+    idx_path: str,
+    n_buckets: int,
+    cand_pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, text) history frame for
+    :func:`operators.dedup.verify_candidates_jaccard`, read through
+    the bucket-partitioned text index instead of scanning the docs
+    layer. The candidate seen-ids (batch × ``lsh_max_bucket``
+    bounded) map to ≤ |candidates| bucket values — a bounded driver
+    collect, like the capped-histogram sites — and the read is built
+    from the candidate buckets' EXPLICIT directory paths, gated by
+    per-path existence probes (HEAD-shaped). The obvious alternative
+    — one read of the layer root with an ``isin`` partition filter —
+    prunes what is READ but still LISTS every one of the N partition
+    directories on every probe (InMemoryFileIndex enumerates the
+    table before pruning), which measured ~8 s/probe at N=4096 on a
+    warm local fs and is per-request money on object stores; the
+    explicit-paths shape pays |candidate-buckets| existence probes
+    and lists only those directories. Exactness does not depend on
+    the index being complete: ids the pruned read does not return
+    (crash residue between the docs and index appends, an index
+    built mid-lake-life before a backfill, a torn build, an empty
+    never-written bucket) are detected by an anti-join and fetched
+    from the authoritative docs layer — the pre-index plan,
+    restricted to the missing ids."""
+    hist_ids = cand_pairs.select("seen_id").distinct().localCheckpoint()
+    buckets = [
+        int(r["b"])
+        for r in hist_ids.select(
+            F.pmod(F.xxhash64(F.col("seen_id")), F.lit(int(n_buckets))).alias(
+                "b"
+            )
+        )
+        .distinct()
+        .collect()
+    ]
+    if len(buckets) * 4 >= int(n_buckets):
+        # adaptive fallback, decided BEFORE paying the per-bucket
+        # existence probes: a degenerate candidate set (unbounded
+        # lsh_seen_ids on a skewed corpus) can touch most buckets, and
+        # reading ~the whole index through per-directory opens costs
+        # MORE than the docs layer's sequential (id, text) scan —
+        # measured 13.4 s indexed vs 2.1 s scanned at 1M rows with
+        # 96% bucket coverage. The quarter threshold leaves margin
+        # for the per-directory overhead; bounded candidate sets (the
+        # lsh_max_bucket regime this knob documents) sit far below it.
+        return spark.read.parquet(docs_path).select(id_col, text_col)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(idx_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live = [
+        p
+        for p in (f"{idx_path}/tb={b}" for b in buckets)
+        if fs.exists(hpath(p))
+    ]
+    if not live:
+        # nothing indexed for any candidate bucket (torn layer, index
+        # younger than these docs): the cache answers nothing — use
+        # the pre-index docs-scan plan wholesale
+        return spark.read.parquet(docs_path).select(id_col, text_col)
+    try:
+        idx = spark.read.parquet(*live)
+    except Exception:
+        # present-but-unreadable bucket dirs degrade the same way
+        return spark.read.parquet(docs_path).select(id_col, text_col)
+    found = (
+        idx.select(id_col, text_col)
+        .join(
+            F.broadcast(hist_ids.withColumnRenamed("seen_id", id_col)),
+            id_col,
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
+    missing = hist_ids.join(
+        found.select(F.col(id_col).alias("seen_id")), "seen_id", "left_anti"
+    )
+    if missing.first() is None:
+        return found
+    fallback = (
+        spark.read.parquet(docs_path)
+        .select(id_col, text_col)
+        .join(
+            F.broadcast(missing.withColumnRenamed("seen_id", id_col)),
+            id_col,
+            "left_semi",
+        )
+    )
+    return found.unionByName(fallback)
 
 
 def _discover_bloom_geometry(
@@ -2804,7 +3217,32 @@ def maintain_lake(
         if trust_marker:
             st_m = _read_lake_stats(spark, f"{out_root}/_lake_stats")
             marker_files = st_m[3] if st_m is not None else None
-        for layer in _APPEND_LAYERS:
+        # the text index (r16) joins the sweep when the lake carries
+        # one — discovered by name like its ingest-side maintenance,
+        # compacted partition-preserving (a plain repartition would
+        # strip the bucket layout its pruned reads depend on)
+        sweep: list[tuple[str, str | None]] = [
+            (layer, None) for layer in _APPEND_LAYERS
+        ]
+        tix = _discover_text_index(spark, out_root)
+        if tix is not None:
+            sweep.append((f"text_index_b{tix}", "tb"))
+        else:
+            # a compaction crash between the swap's renames leaves no
+            # live index dir — only ``__compact`` — and name discovery
+            # then returns None; find the orphan explicitly so the
+            # entry repair in compact_layer can finish the swap (the
+            # static layers get this for free from _APPEND_LAYERS)
+            root_p = hpath(out_root)
+            fs_r = root_p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs_r.exists(root_p):
+                for st in fs_r.listStatus(root_p):
+                    nm = st.getPath().getName()
+                    if nm.startswith("text_index_b") and nm.endswith(
+                        "__compact"
+                    ):
+                        sweep.append((nm[: -len("__compact")], "tb"))
+        for layer, layer_pby in sweep:
             path = f"{out_root}/{layer}"
             if (
                 marker_files is not None
@@ -2844,7 +3282,8 @@ def maintain_lake(
                         fs.delete(old, True)
                 continue
             res = compact_layer(
-                spark, path, target_file_mb=compact_target_file_mb
+                spark, path, target_file_mb=compact_target_file_mb,
+                partition_by=layer_pby,
             )
             compacted_layers += 1
             files_before += res["files_before"]
@@ -2936,6 +3375,7 @@ def compact_layer(
     spark: SparkSession,
     path: str,
     target_file_mb: int = 128,
+    partition_by: str | None = None,
 ) -> dict[str, int]:
     """Small-files maintenance for an append-mode lake layer: rewrite
     the layer into ~``target_file_mb`` files and swap it in with a
@@ -2956,6 +3396,11 @@ def compact_layer(
     3. rename live → ``<path>__old``;
     4. rename ``__compact`` → live;
     5. delete ``__old``.
+
+    ``partition_by`` (r16): for a directory-partitioned layer (the
+    text index), rewrite bucket-aligned and re-stamp ``partitionBy``
+    so the swapped-in layer prunes identically — the default plain
+    ``repartition(n)`` would silently strip the partition layout.
 
     Crash between 3–4 leaves no live dir: the entry repair finishes
     the swap iff ``__compact`` carries ``_SUCCESS``. Crash after 4
@@ -3019,9 +3464,22 @@ def compact_layer(
     n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
     df = spark.read.parquet(path)
     rows = df.count()
-    df.repartition(n_out).write.mode("overwrite").parquet(
-        path + "__compact"
-    )
+    if partition_by is None:
+        df.repartition(n_out).write.mode("overwrite").parquet(
+            path + "__compact"
+        )
+    else:
+        # directory-partitioned layer (the text index): a plain
+        # repartition(n) would strip the partition layout the pruned
+        # reads depend on — rewrite bucket-aligned, split oversized
+        # buckets toward the target file size, and re-stamp
+        # partitionBy so the swapped-in layer prunes identically
+        (
+            _bucket_sliced(df, partition_by, n_out)
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(path + "__compact")
+        )
     got = spark.read.parquet(path + "__compact").count()
     if got != rows:
         fs.delete(compacted, True)

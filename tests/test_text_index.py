@@ -1,0 +1,318 @@
+"""Text index (r16): a bucket-partitioned (id, text) cache of the
+docs layer that turns the ``near_dup_verify`` stage's history read
+from a per-candidate-batch corpus scan into a partition-pruned lookup
+of the candidate buckets only — with an exact per-id fallback to the
+docs layer, so a stale, torn, or missing-row index can only cost
+speed, never admit a duplicate.
+
+Batteries: behavior equivalence with/without the index on the
+deterministic band-collider scenario, the fallback's exactness when
+index rows are physically removed, maintain-if-present append
+freshness, the id-absence heal (backfilled from the docs layer, not
+the batch), partition-preserving compaction through maintain_lake,
+and the append accounting rows."""
+
+import re as _re
+
+import pytest
+from pyspark.sql import functions as F
+
+from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+    _discover_text_index,
+    build_text_index,
+    incremental_ingest,
+    maintain_lake,
+)
+from projet_big_data_boutin_danre_spark.operators import dedup
+
+
+def _norm(s):
+    return _re.sub(" +", " ", _re.sub("[^a-z0-9]+", " ", s.lower())).strip()
+
+
+def _sh(s, k=8):
+    t = _norm(s)
+    return {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
+
+
+def _jac(a, b):
+    sa, sb = _sh(a), _sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india "
+    "juliett kilo lima mike november oscar papa quebec romeo "
+    "sierra tango uniform victor whiskey xray yankee zulu one "
+    "two three four five six seven eight nine ten eleven twelve"
+)
+
+
+def _find_collider(spark):
+    """Deterministic low-Jaccard band collider against BASE under the
+    8x4 'fast' recipe (the construction test_near_dup_verify_before_
+    block uses)."""
+    cands = [
+        (100 + j,
+         BASE[: len(BASE) // 3]
+         + " " + " ".join(f"fresh{j}w{i}v{(j * 13 + i) % 83}"
+                          for i in range(16)))
+        for j in range(60)
+    ]
+    cdf = spark.createDataFrame(cands, "doc_id long, text string")
+    hist = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    hb = dedup.lsh_bands(
+        dedup.minhash_signatures(hist, "doc_id", "text",
+                                 hash_family="fast"),
+        hash_family="fast",
+    ).select("band", "band_key")
+    colliding = {
+        r["id"]
+        for r in dedup.lsh_bands(
+            dedup.minhash_signatures(cdf, "doc_id", "text",
+                                     hash_family="fast"),
+            hash_family="fast",
+        ).join(hb, ["band", "band_key"]).select("id").distinct().collect()
+    }
+    by_id = dict(cands)
+    false_pos = [i for i in sorted(colliding) if _jac(BASE, by_id[i]) < 0.35]
+    assert false_pos, "collider construction drifted — re-tune"
+    return false_pos[0], by_id[false_pos[0]]
+
+
+KW = dict(near_dup=True, lsh_hash_family="fast", near_dup_verify=0.5)
+
+
+def _index_equals_docs(spark, root):
+    """The heal/append contract: index (id, text) content is exactly
+    the docs layer's."""
+    docs = spark.read.parquet(f"{root}/docs").select("doc_id", "text")
+    n = _discover_text_index(spark, root)
+    idx = spark.read.parquet(f"{root}/text_index_b{n}").select(
+        "doc_id", "text"
+    )
+    assert docs.exceptAll(idx).count() == 0
+    assert idx.exceptAll(docs).count() == 0
+
+
+def test_build_and_verify_equivalence(spark, tmp_path):
+    """With an index, the verify gate blocks/rescues the SAME sets as
+    the indexless docs-scan plan: the collider is rescued, a true
+    near-dup is blocked, replay is idempotent."""
+    doc, text = _find_collider(spark)
+    hist = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    probe = spark.createDataFrame([(doc, text)], "doc_id long, text string")
+    true_dup = spark.createDataFrame(
+        [(500, BASE + " thirteen")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "lake")
+    incremental_ingest(spark, hist, root, **KW)
+    res = build_text_index(spark, root, buckets=8)
+    assert res["rows"] == 1 and res["buckets"] == 8
+    assert _discover_text_index(spark, root) == 8
+    # partition layout present on disk
+    assert any(
+        p.name.startswith("tb=")
+        for p in (tmp_path / "lake" / "text_index_b8").iterdir()
+    )
+    r1 = incremental_ingest(spark, probe, root, **KW)
+    assert r1["admitted"] == 1
+    assert r1["near_dup_blocked"] == 0 and r1["near_dup_rescued"] == 1
+    r2 = incremental_ingest(spark, true_dup, root, **KW)
+    assert r2["admitted"] == 0
+    assert r2["near_dup_blocked"] == 1 and r2["near_dup_rescued"] == 0
+    # replay through the indexed verify path stays idempotent
+    r1b = incremental_ingest(spark, probe, root, **KW)
+    assert r1b["admitted"] == 0
+    assert r1b["near_dup_blocked"] == 0 and r1b["near_dup_rescued"] == 0
+    _index_equals_docs(spark, root)
+
+
+def test_fallback_covers_missing_index_rows(spark, tmp_path):
+    """Exactness never depends on index completeness: with EVERY
+    index row physically removed (bucket dirs deleted, layer left
+    discoverable), a true near-dup is still BLOCKED — the per-id
+    fallback reads the docs layer for the candidate ids the index
+    cannot answer."""
+    import shutil
+
+    hist = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    root = str(tmp_path / "lake")
+    incremental_ingest(spark, hist, root, **KW)
+    build_text_index(spark, root, buckets=8)
+    idx_dir = tmp_path / "lake" / "text_index_b8"
+    for p in idx_dir.iterdir():
+        if p.name.startswith("tb="):
+            shutil.rmtree(p)
+    assert _discover_text_index(spark, root) == 8  # still discovered
+    true_dup = spark.createDataFrame(
+        [(500, BASE + " thirteen")], "doc_id long, text string"
+    )
+    r = incremental_ingest(spark, true_dup, root, **KW)
+    assert r["admitted"] == 0 and r["near_dup_blocked"] == 1
+
+
+def test_maintain_if_present_and_heal(spark, tmp_path):
+    """(a) every admitting batch appends to a discovered index even
+    with near_dup_verify OFF (the freshness rule); (b) a crash
+    between the docs and index appends (simulated by deleting the
+    batch's index rows) is healed on replay by the id-absence
+    backfill, sourced from the DOCS layer."""
+    import shutil
+
+    root = str(tmp_path / "lake")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")  # verify off
+    b1 = spark.createDataFrame([(1, BASE)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, "completely different words " * 6)],
+        "doc_id long, text string",
+    )
+    incremental_ingest(spark, b1, root, **kw_off)
+    build_text_index(spark, root, buckets=8)
+    incremental_ingest(spark, b2, root, **kw_off)
+    _index_equals_docs(spark, root)  # (a) batch 2 appended, no knob
+    # (b) crash window: wipe the whole index content (all buckets),
+    # replay batch 2 — the id guard flags it, the heal backfills the
+    # missing rows from the docs layer
+    idx_dir = tmp_path / "lake" / "text_index_b8"
+    for p in idx_dir.iterdir():
+        if p.name.startswith("tb="):
+            shutil.rmtree(p)
+    r = incremental_ingest(spark, b2, root, **kw_off)
+    assert r["admitted"] == 0  # replay admits nothing
+    n = _discover_text_index(spark, root)
+    healed = spark.read.parquet(f"{root}/text_index_b{n}")
+    # only batch 2's row is healed (batch 1's id is not in the replay)
+    assert [
+        (r2["doc_id"],) for r2 in healed.select("doc_id").collect()
+    ] == [(2,)]
+    # and its text matches the docs layer exactly
+    dtxt = (
+        spark.read.parquet(f"{root}/docs")
+        .filter(F.col("doc_id") == 2)
+        .select("text")
+        .first()["text"]
+    )
+    assert healed.first()["text"] == dtxt
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """maintain_lake sweeps an over-threshold text index through the
+    partition-preserving rewrite: content identical, tb= dirs still
+    present, pruned verify still correct afterwards."""
+    root = str(tmp_path / "lake")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    words = ["red", "green", "blue", "amber", "violet", "teal"]
+    for i, w in enumerate(words):
+        df = spark.createDataFrame(
+            [(10 + i, f"{w} " + " ".join(f"{w}tok{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        incremental_ingest(spark, df, root, **kw_off)
+        if i == 0:
+            build_text_index(spark, root, buckets=4)
+    _index_equals_docs(spark, root)
+    before = set(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{root}/text_index_b4").collect()
+    )
+    res = maintain_lake(spark, root, compact_above_files=2)
+    assert res["compacted_layers"] >= 1
+    idx_dir = tmp_path / "lake" / "text_index_b4"
+    assert any(p.name.startswith("tb=") for p in idx_dir.iterdir())
+    after = set(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{root}/text_index_b4").collect()
+    )
+    assert after == before
+    # the swept layer's accounting reset rides compact_layer
+    rep = incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(99, "wholly novel closing doc " * 4)],
+            "doc_id long, text string",
+        ),
+        root,
+        compact_above_files=2,
+        **kw_off,
+    )
+    # one batch after the sweep, the index layer cannot be over
+    # threshold again — compact_due counts only genuinely grown layers
+    assert rep["admitted"] == 1
+    _index_equals_docs(spark, root)
+
+
+def test_append_accounting_row(spark, tmp_path):
+    """The marker carries a files-appended entry for the index layer,
+    bounded by min(buckets, admitted)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_lake_stats,
+    )
+
+    root = str(tmp_path / "lake")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+        root,
+        **kw_off,
+    )
+    build_text_index(spark, root, buckets=8)
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st is not None and st[3].get("text_index_b8") == 1  # seeded
+    incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(2, "fresh words " * 10)], "doc_id long, text string"
+        ),
+        root,
+        **kw_off,
+    )
+    st2 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    # one admitted row -> at most min(8, 1) = 1 more file recorded
+    assert st2[3]["text_index_b8"] == st[3]["text_index_b8"] + 1
+
+
+def test_pruned_read_touches_candidate_buckets_only(spark, tmp_path):
+    """Behavioral pruning proof: the helper builds its read from the
+    candidate buckets' EXPLICIT paths (never a root listing), so (a)
+    it returns exactly the candidate rows, and (b) a corrupted
+    NON-candidate bucket — unreadable garbage where parquet should be
+    — cannot even be seen by the probe."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _indexed_verify_history,
+    )
+
+    root = str(tmp_path / "lake")
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * 10) for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{root}/docs")
+    build_text_index(spark, root, buckets=8)
+    pairs = spark.createDataFrame(
+        [(100, 3)], "doc_id long, seen_id long"
+    )
+    # candidate id 3's bucket
+    cand_tb = spark.createDataFrame([(3,)], "seen_id long").select(
+        F.pmod(F.xxhash64("seen_id"), F.lit(8)).alias("b")
+    ).first()["b"]
+    # vandalize every OTHER bucket: replace parquet with garbage
+    import shutil
+
+    idx_dir = tmp_path / "lake" / "text_index_b8"
+    for p in idx_dir.iterdir():
+        if p.name.startswith("tb=") and p.name != f"tb={cand_tb}":
+            shutil.rmtree(p)
+            p.mkdir()
+            (p / "part-garbage.parquet").write_text("not parquet at all")
+    hist = _indexed_verify_history(
+        spark, f"{root}/docs", f"{root}/text_index_b8", 8, pairs,
+        "doc_id", "text",
+    )
+    assert [r["doc_id"] for r in hist.collect()] == [3]
+
+
+def test_build_refuses_docless_lake(spark, tmp_path):
+    with pytest.raises(ValueError, match="docs layer"):
+        build_text_index(spark, str(tmp_path / "empty"), buckets=4)

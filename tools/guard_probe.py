@@ -454,7 +454,7 @@ def _doc_text(idc, prefix: str = "w") -> F.Column:
     return F.concat_ws(" ", *parts)
 
 
-def verify_main(n_docs: int) -> None:
+def verify_main(n_docs: int, buckets: int = 4096) -> None:
     spark = get_spark("guard_probe_verify")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="guard_probe_verify_")
@@ -501,7 +501,41 @@ def verify_main(n_docs: int) -> None:
             bands_df=batch_bands,
         ).localCheckpoint()
 
+        # r16 text index: one-time build (reported separately — it is
+        # maintenance, not per-batch cost), then two arms sharing ONE
+        # pre-checkpointed candidate-pair set so their delta isolates
+        # the HISTORY-READ cost the index removes (the legacy
+        # gate_verified arm keeps its original shape for continuity
+        # with the r16 SCALE.md table)
+        from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+            _indexed_verify_history,
+            build_text_index,
+        )
+
+        t0 = time.time()
+        bres = build_text_index(
+            spark, work, buckets=buckets, id_col="doc_id"
+        )
+        t_build = time.time() - t0
+        cand_ck = dedup.lsh_seen_ids(
+            None, seen_b, "doc_id", "text",
+            bands_df=batch_bands, return_pairs=True,
+        ).localCheckpoint()
+
         probes = {
+            "gate_verified_ck_scan": lambda: dedup.verify_candidates_jaccard(
+                batch, hist_docs, cand_ck, "doc_id", "text",
+                min_jaccard=0.5,
+            ).count(),
+            "gate_verified_ck_index": lambda: dedup.verify_candidates_jaccard(
+                batch,
+                _indexed_verify_history(
+                    spark, f"{work}/docs",
+                    f"{work}/text_index_b{buckets}",
+                    buckets, cand_ck, "doc_id", "text",
+                ),
+                cand_ck, "doc_id", "text", min_jaccard=0.5,
+            ).count(),
             "gate_plain": lambda: dedup.lsh_seen_ids(
                 None, seen_b, "doc_id", "text", bands_df=batch_bands
             ).count(),
@@ -530,13 +564,141 @@ def verify_main(n_docs: int) -> None:
         print("|---|---|---|")
         for nm in probes:
             print(f"| {nm} | {best[nm]:.2f} | {hits[nm]} |")
-        print()
+        print(f"\nindex build (one-time): {t_build:.2f}s, "
+              f"{bres['files']} files")
         print(json.dumps({
-            "mode": "verify", "n_docs": n_docs, "timings": best,
-            "hits": hits,
+            "mode": "verify", "n_docs": n_docs, "buckets": buckets,
+            "timings": best,
+            "hits": hits, "index_build_s": round(t_build, 2),
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _doc_text_unique(idc, prefix: str = "u") -> F.Column:
+    # fully id-scoped tokens: no two docs share ANY shingle material,
+    # so the only LSH candidates are deliberate true near-dups — the
+    # bounded-candidate regime `near_dup_verify` is documented for
+    # (the `_doc_text` skeleton corpus measures the DEGENERATE regime:
+    # unbounded collisions, where the index's adaptive fallback
+    # routes to the docs scan)
+    parts = [
+        F.concat(
+            F.lit(f"{prefix}{j}q"), idc.cast("string"), F.lit(f"z{j}")
+        )
+        for j in range(14)
+    ]
+    return F.concat_ws(" ", *parts)
+
+
+def verify_index_main(n_max: int, buckets: int = 4096) -> None:
+    """Sweep the verify stage's HISTORY-READ arms 1x→32x of history
+    size on a bounded-candidate corpus (unique texts; the only
+    candidates are 250 planted true near-dups): the docs-layer scan
+    (the pre-r16 plan) grows with the corpus, the text-index read
+    grows only with the candidate buckets — the 100 TB argument for
+    build_text_index, measured."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _indexed_verify_history,
+        build_text_index,
+    )
+
+    spark = get_spark("guard_probe_verify_index")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_vindex_")
+    ks = [1, 4, 16, 32]
+    base_n = max(n_max // 32, 1)
+    results: dict[str, dict[int, float]] = {}
+    builds: dict[int, float] = {}
+    cands: dict[int, int] = {}
+    try:
+        for k in ks:
+            n = base_n * k
+            kd = f"{work}/k{k}"
+            docs = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                _doc_text_unique(F.col("id")).alias("text"),
+            )
+            docs.write.mode("overwrite").parquet(f"{kd}/docs")
+            dedup.lsh_bands(
+                dedup.minhash_signatures(
+                    docs, "doc_id", "text", hash_family="fast"
+                ),
+                hash_family="fast",
+            ).write.mode("overwrite").parquet(f"{kd}/band_buckets")
+            hist_docs = spark.read.parquet(f"{kd}/docs")
+            seen_b = spark.read.parquet(f"{kd}/band_buckets")
+            t0 = time.time()
+            build_text_index(spark, kd, buckets=buckets, id_col="doc_id")
+            builds[k] = round(time.time() - t0, 2)
+            # 250 true near-dups of scattered history docs + 250
+            # genuinely fresh docs (fresh ids, fresh alphabet)
+            nd = spark.range(250).select(
+                (F.col("id") * F.lit(max(n // 250, 1))).alias("src")
+            ).select(
+                (F.col("src") + F.lit(10 * n)).alias("doc_id"),
+                F.concat(
+                    _doc_text_unique(F.col("src")), F.lit(" zz9qq7")
+                ).alias("text"),
+            )
+            fresh = spark.range(250).select(
+                (F.col("id") + F.lit(20 * n)).alias("doc_id"),
+                _doc_text_unique(F.col("id"), prefix="zf").alias("text"),
+            )
+            batch = nd.unionByName(fresh).localCheckpoint()
+            bb = dedup.lsh_bands(
+                dedup.minhash_signatures(
+                    batch, "doc_id", "text", hash_family="fast"
+                ),
+                hash_family="fast",
+            ).localCheckpoint()
+            cand = dedup.lsh_seen_ids(
+                None, seen_b, "doc_id", "text",
+                bands_df=bb, return_pairs=True,
+            ).localCheckpoint()
+            cands[k] = cand.select("seen_id").distinct().count()
+            probes = {
+                "verify_docs_scan": lambda: dedup.verify_candidates_jaccard(
+                    batch, hist_docs, cand, "doc_id", "text",
+                    min_jaccard=0.5,
+                ).count(),
+                "verify_text_index": lambda: dedup.verify_candidates_jaccard(
+                    batch,
+                    _indexed_verify_history(
+                        spark, f"{kd}/docs",
+                        f"{kd}/text_index_b{buckets}",
+                        buckets, cand, "doc_id", "text",
+                    ),
+                    cand, "doc_id", "text", min_jaccard=0.5,
+                ).count(),
+            }
+            best = interleaved_min(probes)
+            for name, t in best.items():
+                results.setdefault(name, {})[k] = t
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\n| arm | " + " | ".join(f"{k}x" for k in ks) + " | exponent |")
+    print("|---" * (len(ks) + 2) + "|")
+    exps = {}
+    for name, ts in results.items():
+        exp = math.log(
+            max(ts[ks[-1]], 1e-3) / max(ts[ks[0]], 1e-3)
+        ) / math.log(ks[-1] / ks[0])
+        exps[name] = round(exp, 2)
+        print(
+            f"| {name} | "
+            + " | ".join(f"{ts[k]:.2f}" for k in ks)
+            + f" | {exps[name]} |"
+        )
+    print(f"\nindex builds (one-time, s): {builds}")
+    print(f"distinct candidate ids per sweep point: {cands}")
+    print()
+    print(json.dumps({
+        "mode": "verify_index", "base_rows": base_n, "ks": ks,
+        "buckets": buckets, "timings": results, "exponents": exps,
+        "index_build_s": builds, "cand_ids": cands,
+    }))
 
 
 def main() -> None:
@@ -547,12 +709,20 @@ def main() -> None:
     elif mode == "compact":
         compact_main(n if len(sys.argv) > 2 else 4_000_000)
     elif mode == "verify":
-        verify_main(n if len(sys.argv) > 2 else 1_000_000)
+        verify_main(
+            n if len(sys.argv) > 2 else 1_000_000,
+            buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+        )
+    elif mode == "verify_index":
+        verify_index_main(
+            n if len(sys.argv) > 2 else 8_000_000,
+            buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+        )
     elif mode == "bloom":
         bloom_mode_main(n if len(sys.argv) > 2 else 4_000_000)
     else:
         raise SystemExit(
-            f"unknown mode {mode!r} (url|compact|verify|bloom)"
+            f"unknown mode {mode!r} (url|compact|verify|verify_index|bloom)"
         )
 
 
