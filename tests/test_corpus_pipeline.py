@@ -3724,6 +3724,7 @@ def test_lake_lifecycle_soak(spark, tmp_path):
 
     from projet_big_data_boutin_danre_spark.corpus_pipeline import (
         _read_lake_stats,
+        build_text_index,
         incremental_ingest,
         maintain_lake,
         recount_lake_docs,
@@ -3776,6 +3777,12 @@ def test_lake_lifecycle_soak(spark, tmp_path):
     r1 = incremental_ingest(spark, b1, root, **kw)
     assert r1["admitted"] == 6 and r1["total_docs"] == 6
     assert r1["near_dup_blocked"] == 0 and r1["near_dup_rescued"] == 0
+
+    # text index joins the soak from here (r16): every later batch on
+    # either face must maintain it, the verify stage reads through it,
+    # maintenance compacts it partition-preserving, and the final
+    # invariant asserts index content == docs content exactly
+    build_text_index(spark, root, buckets=8)
 
     # --- B2: one duplicate per guard face + two novels --------------
     b2 = frame([
@@ -3902,6 +3909,20 @@ def test_lake_lifecycle_soak(spark, tmp_path):
         .select("doc_id").collect()
     }
     assert fp_ids == set(ids)
+    # text index content == docs content EXACTLY, through both faces,
+    # the crash replay, the knob-off window and the compaction sweep
+    # (the heal sources text from the docs layer, so even a replayed
+    # changed text cannot diverge them); partition layout survived
+    idx = spark.read.parquet(f"{root}/text_index_b8").select(
+        "doc_id", "text"
+    )
+    d2 = docs.select("doc_id", "text")
+    assert idx.exceptAll(d2).count() == 0
+    assert d2.exceptAll(idx).count() == 0
+    assert any(
+        p.name.startswith("tb=")
+        for p in (tmp_path / "lake_soak" / "text_index_b8").iterdir()
+    )
 
 
 def test_streaming_ingest_on_report_delivers_batch_counters(

@@ -21,14 +21,26 @@ Modes:
   ``compact_layer`` — the number that justifies scheduling
   compaction inside ``maintain_lake``.
 
-- ``verify N`` — the verdict-#2 admission-cost delta: the text gate's
-  history probe with and without ``near_dup_verify`` (candidate
-  pairs + exact char-shingle Jaccard against the docs layer) on the
-  same batch/history, isolating what verification adds per batch.
+- ``verify N [buckets]`` — the verdict-#2 admission-cost delta: the
+  text gate's history probe with and without ``near_dup_verify``
+  (candidate pairs + exact char-shingle Jaccard against the docs
+  layer) on the same batch/history, isolating what verification adds
+  per batch; plus the r16 ``gate_verified_ck_{scan,index}`` pair
+  sharing one checkpointed candidate set. NOTE: this corpus is the
+  DEGENERATE regime (skeleton texts, unbounded candidates) — the
+  text index adaptively falls back to the docs scan there.
+
+- ``verify_index N [buckets]`` — the r16 text-index measurement on
+  the BOUNDED-candidate regime (hex-token texts; candidates = 250
+  planted true near-dups): the docs-scan vs text-index history reads
+  swept 1x→32x of history, in wall-clock AND in the files-opened /
+  MB-read proxies object stores charge for (the url_bloom
+  request-proxy precedent — local page cache flattens the wall-clock
+  axis at probe scale).
 
 Bench-side measurement only — never a correctness input.
 
-Usage: python tools/guard_probe.py url|compact|verify [N]
+Usage: python tools/guard_probe.py url|compact|verify|verify_index [N]
 """
 
 from __future__ import annotations
@@ -225,15 +237,10 @@ def compact_main(n_rows: int, n_files: int = 2_048) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _plan_files(df) -> int:
-    """Files actually OPENED by the last execution of ``df``'s plan,
-    from Spark's own ``numFiles`` scan metric (r16, verdict #4) —
-    walks the executed physical plan through AQE / query-stage /
-    reused-exchange wrappers and sums every file scan's metric. This
-    is the request-count proxy for object stores: every parquet file
-    a plan opens is >=1 GET (footer) + >=1 GET per row-group read,
-    priced per request on S3/GCS — the cost dimension local-fs
-    wall-clock can't see. Call AFTER an action on ``df``."""
+def _plan_metric(df, key: str) -> int:
+    """Sum a named scan metric over ``df``'s executed physical plan,
+    walking through AQE / query-stage / reused-exchange wrappers.
+    Call AFTER an action on ``df``."""
     acc = []
 
     def walk(node):
@@ -249,8 +256,8 @@ def _plan_files(df) -> int:
             return
         try:
             m = node.metrics()
-            if m.contains("numFiles"):
-                acc.append(int(m.apply("numFiles").value()))
+            if m.contains(key):
+                acc.append(int(m.apply(key).value()))
         except Exception:
             pass
         ch = node.children()
@@ -259,6 +266,24 @@ def _plan_files(df) -> int:
 
     walk(df._jdf.queryExecution().executedPlan())
     return sum(acc)
+
+
+def _plan_files(df) -> int:
+    """Files actually OPENED by the last execution of ``df``'s plan,
+    from Spark's own ``numFiles`` scan metric (r16, verdict #4). This
+    is the request-count proxy for object stores: every parquet file
+    a plan opens is >=1 GET (footer) + >=1 GET per row-group read,
+    priced per request on S3/GCS — the cost dimension local-fs
+    wall-clock can't see. Call AFTER an action on ``df``."""
+    return _plan_metric(df, "numFiles")
+
+
+def _plan_read_mb(df) -> float:
+    """Bytes of parquet files read (``filesSize`` scan metric, MB) —
+    the GET-volume proxy: on an object store every byte scanned is
+    transferred; the page cache that flattens local-fs wall-clock
+    does not exist there."""
+    return round(_plan_metric(df, "filesSize") / 1e6, 1)
 
 
 def bloom_mode_main(n_rows: int, hex_chars: int = 7) -> None:
@@ -576,15 +601,22 @@ def verify_main(n_docs: int, buckets: int = 4096) -> None:
 
 
 def _doc_text_unique(idc, prefix: str = "u") -> F.Column:
-    # fully id-scoped tokens: no two docs share ANY shingle material,
-    # so the only LSH candidates are deliberate true near-dups — the
+    # genuinely disjoint shingle material: tokens are md5 hex of
+    # (prefix, id, j), so no two docs share CHAR 8-grams beyond
+    # chance — the first cut used `u{j}q{id}z{j}` tokens, whose
+    # digit-pattern 8-grams overlap heavily across ids (the gate
+    # shingles CHARACTERS, not tokens) and band-collided ~everything
+    # into an unbounded pair set at 250k docs. With hex tokens the
+    # only LSH candidates are deliberate true near-dups — the
     # bounded-candidate regime `near_dup_verify` is documented for
-    # (the `_doc_text` skeleton corpus measures the DEGENERATE regime:
-    # unbounded collisions, where the index's adaptive fallback
-    # routes to the docs scan)
+    # (the `_doc_text` skeleton corpus measures the DEGENERATE
+    # regime, where the index's adaptive fallback routes to the
+    # docs scan).
     parts = [
-        F.concat(
-            F.lit(f"{prefix}{j}q"), idc.cast("string"), F.lit(f"z{j}")
+        F.md5(
+            F.concat_ws(
+                "_", F.lit(prefix), idc.cast("string"), F.lit(str(j))
+            )
         )
         for j in range(14)
     ]
@@ -611,6 +643,7 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
     results: dict[str, dict[int, float]] = {}
     builds: dict[int, float] = {}
     cands: dict[int, int] = {}
+    proxies: dict[str, dict[int, float]] = {}
     try:
         for k in ks:
             n = base_n * k
@@ -675,6 +708,60 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
             best = interleaved_min(probes)
             for name, t in best.items():
                 results.setdefault(name, {})[k] = t
+            # request/volume proxy (the url_bloom precedent): local-fs
+            # wall-clock hides the corpus read behind the page cache,
+            # so also count the files OPENED and MB READ by each arm's
+            # history read — the dimensions object stores charge for.
+            # AQE off so empty-relation propagation can't hide an
+            # executed scan; collect, not count (count runs its own
+            # QueryExecution, leaving these metrics unset).
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            hist_ids = (
+                cand.select("seen_id").distinct()
+                .withColumnRenamed("seen_id", "doc_id")
+                .localCheckpoint()
+            )
+            scan_read = hist_docs.select("doc_id", "text").join(
+                F.broadcast(hist_ids), "doc_id", "left_semi"
+            )
+            scan_read.collect()
+            proxies.setdefault("scan_files", {})[k] = _plan_files(
+                scan_read
+            )
+            proxies.setdefault("scan_mb", {})[k] = _plan_read_mb(
+                scan_read
+            )
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path
+            fs = hp(kd).getFileSystem(spark._jsc.hadoopConfiguration())
+            bks = [
+                int(r["b"])
+                for r in hist_ids.select(
+                    F.pmod(
+                        F.xxhash64(F.col("doc_id")), F.lit(buckets)
+                    ).alias("b")
+                ).distinct().collect()
+            ]
+            live = [
+                p
+                for p in (
+                    f"{kd}/text_index_b{buckets}/tb={b}" for b in bks
+                )
+                if fs.exists(hp(p))
+            ]
+            idx_read = (
+                spark.read.parquet(*live)
+                .select("doc_id", "text")
+                .join(F.broadcast(hist_ids), "doc_id", "left_semi")
+            )
+            idx_read.collect()
+            proxies.setdefault("index_files", {})[k] = _plan_files(
+                idx_read
+            )
+            proxies.setdefault("index_mb", {})[k] = _plan_read_mb(
+                idx_read
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
             shutil.rmtree(kd, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -691,12 +778,20 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
             + " | ".join(f"{ts[k]:.2f}" for k in ks)
             + f" | {exps[name]} |"
         )
+    print("\n| history-read proxy | "
+          + " | ".join(f"{k}x" for k in ks) + " |")
+    print("|---" * (len(ks) + 1) + "|")
+    for name, vs in proxies.items():
+        print(
+            f"| {name} | " + " | ".join(str(vs[k]) for k in ks) + " |"
+        )
     print(f"\nindex builds (one-time, s): {builds}")
     print(f"distinct candidate ids per sweep point: {cands}")
     print()
     print(json.dumps({
         "mode": "verify_index", "base_rows": base_n, "ks": ks,
         "buckets": buckets, "timings": results, "exponents": exps,
+        "proxies": proxies,
         "index_build_s": builds, "cand_ids": cands,
     }))
 
