@@ -1784,6 +1784,7 @@ def incremental_ingest(
     # crash-replay guard: ids already admitted are never re-appended
     # even if their fingerprint append didn't land
     prior_ids = None
+    prior_batch_ids = None
     if bucketed and spark.catalog.tableExists(id_table):
         prior_ids = spark.table(id_table).select(id_col)
     elif not bucketed and _exists(spark, docs_path):
@@ -1795,14 +1796,40 @@ def incremental_ingest(
                 "incremental_ingest reserves the column name "
                 "'__prior' for its id guard — rename it in the input"
             )
+        # ONE corpus-id scan per batch (r16 review #7): the id guard
+        # and every sidecar heal need only "which BATCH ids are
+        # prior" — intersect the pre-guard batch ids with the prior
+        # set once into a batch-bounded checkpointed frame, and let
+        # the flag-join and all six heals consume the BROADCAST tiny
+        # frame instead of each re-materializing a semi-join against
+        # the corpus-sized id column (previously one docs/id-table
+        # scan per heal site per batch). Derived from the post-gate,
+        # post-within-batch-dedup `batch`: an IDENTICAL replay keeps
+        # the same rows here (gates and keeper selection are
+        # deterministic — the keeper contract), so heal coverage is
+        # unchanged; a replay whose changed content gates or
+        # keeper-drops a row differently was outside heal coverage
+        # before this refactor too (the documented re-crawl
+        # residual).
+        prior_batch_ids = (
+            batch.select(id_col)
+            .dropDuplicates()
+            .join(prior_ids, id_col, "left_semi")
+            .localCheckpoint()
+        )
         # id guard as ONE flag-join (not a semi + anti pair, which
         # would run the dedup + fingerprint-guard subplan twice):
         # rows with a prior id split into the two outcomes below.
         # - no prior id → genuinely new, admit;
         # - prior id present → skip the doc (already admitted), and
         #   CHECK it for the fingerprint-sidecar backfill below.
+        # (the deduped intersection frame also removes the old
+        # fan-out case — a prior id appearing twice in the corpus no
+        # longer duplicates the flagged row)
         flagged = admitted.join(
-            prior_ids.withColumn("__prior", F.lit(True)),
+            F.broadcast(
+                prior_batch_ids.withColumn("__prior", F.lit(True))
+            ),
             id_col,
             "left",
         ).localCheckpoint()
@@ -1817,9 +1844,9 @@ def incremental_ingest(
         # (original) fingerprint row there. So heal = __prior rows
         # anti-joined against the sidecar ids — empty on every
         # healthy batch, and exact for partial fingerprint appends.
-        # dropDuplicates: a prior id appearing twice (same-id
-        # different-content rows admitted in one past batch) fans the
-        # left join out; the copies are identical rows.
+        # dropDuplicates: the same id can arrive twice in ONE batch
+        # with different content (exact_dedup keys on content, not
+        # id); both rows are legitimate heal candidates.
         fp_ids = None
         if bucketed and spark.catalog.tableExists(fp_table):
             fp_ids = spark.table(fp_table).select(id_col)
@@ -1855,7 +1882,7 @@ def incremental_ingest(
     healable_bands = None
     if near_dup and prior_ids is not None:
         hb = batch_bands.join(
-            prior_ids.withColumnRenamed(id_col, "id").dropDuplicates(),
+            F.broadcast(prior_batch_ids.withColumnRenamed(id_col, "id")),
             "id",
             "left_semi",
         )
@@ -1883,7 +1910,7 @@ def incremental_ingest(
     healable_media = None
     if media_guard and prior_ids is not None:
         hm = batch_mhashes.filter(F.col("band0").isNotNull()).join(
-            prior_ids.dropDuplicates(), id_col, "left_semi"
+            F.broadcast(prior_batch_ids), id_col, "left_semi"
         )
         if _exists(spark, media_bands_path):
             hm = hm.join(
@@ -1912,7 +1939,7 @@ def incremental_ingest(
         # writes (media_max_bucket) — a healed batch must not smuggle
         # the over-common hashes past the append-time cap
         hv = batch_vside_app.join(
-            prior_ids.dropDuplicates(), id_col, "left_semi"
+            F.broadcast(prior_batch_ids), id_col, "left_semi"
         )
         if _exists(spark, media_vframes_path):
             hv = hv.join(
@@ -1924,7 +1951,7 @@ def incremental_ingest(
             )
         healable_video = hv.localCheckpoint()
         ha = batch_awins_app.join(
-            prior_ids.dropDuplicates(), id_col, "left_semi"
+            F.broadcast(prior_batch_ids), id_col, "left_semi"
         )
         if _exists(spark, media_awins_path):
             ha = ha.join(
@@ -1955,7 +1982,7 @@ def incremental_ingest(
     healable_urls = None
     if url_guard and prior_ids is not None:
         hu = batch_urls.join(
-            prior_ids.dropDuplicates(), id_col, "left_semi"
+            F.broadcast(prior_batch_ids), id_col, "left_semi"
         )
         if _exists(spark, url_keys_path):
             hu = hu.join(
@@ -1985,6 +2012,19 @@ def incremental_ingest(
     # unlike the fingerprint heal's re-crawl residual, index content
     # stays exactly equal to docs content even when a replay carries
     # changed text for a crash-window id.
+    # Known residual (r16 review #2, adjudicated): in the BUCKETED
+    # lake's docs→ids crash window, a re-crawl replay with CHANGED
+    # text re-admits under the same id — docs then physically holds
+    # old+new rows while the index holds only the new one, and the
+    # id-granular completeness check cannot see the ghost row. The
+    # ghost's content is invisible to EVERY guard the same way (its
+    # fingerprint and bands appends also never landed, so it can
+    # never source a band candidate by itself); the only divergence
+    # from the pre-index docs-scan plan is a candidate pair whose
+    # NEW-text banding collides while only the OLD text clears the
+    # Jaccard bar — the same at-least-once window the bucketed
+    # append order already documents, healed downstream by
+    # exact-dedup and re-synced by the next build_text_index.
     healable_text = None
     if text_idx_n is not None and prior_ids is not None:
         # candidates from the PRE-guard batch ids (like the bands
@@ -1992,31 +2032,16 @@ def incremental_ingest(
         # appends is usually caught by the FINGERPRINT guard and
         # never reaches the id guard's flag-join, so sourcing from
         # `flagged` would miss exactly the rows this heal exists for
-        ht_ids = (
-            batch.select(id_col)
-            .join(prior_ids.dropDuplicates(), id_col, "left_semi")
-            .dropDuplicates()
-            .withColumn(
-                "tb",
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(text_idx_n)),
-            )
-            .localCheckpoint()
+        ht_ids = prior_batch_ids.withColumn(
+            "tb",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(text_idx_n)),
         )
         hbks = [int(r["tb"]) for r in ht_ids.select("tb").distinct().collect()]
         if hbks:
             # explicit candidate-bucket paths, not an isin filter on
             # the layer root — the root read would LIST all N
             # partition dirs per batch (see _indexed_verify_history)
-            jvm_h = spark._jvm
-            hpath_h = jvm_h.org.apache.hadoop.fs.Path
-            fs_h = hpath_h(text_idx_path).getFileSystem(
-                spark._jsc.hadoopConfiguration()
-            )
-            live_hb = [
-                p
-                for p in (f"{text_idx_path}/tb={b}" for b in hbks)
-                if fs_h.exists(hpath_h(p))
-            ]
+            live_hb = _live_bucket_paths(spark, text_idx_path, hbks)
             if live_hb:
                 try:
                     idx_ids = (
@@ -2120,7 +2145,15 @@ def incremental_ingest(
         if _exists(spark, docs_path):
             base_total = spark.read.parquet(docs_path).count()
             files_acc = {}
-            for _layer in _APPEND_LAYERS:
+            # the discovered text index is an append layer too (r16
+            # review #1): leaving it out would restart its accounting
+            # at 0 — the undercount direction this recount exists to
+            # prevent (trust_marker would then skip the listing that
+            # could correct it)
+            _recount_layers = list(_APPEND_LAYERS)
+            if text_idx_n is not None:
+                _recount_layers.append(f"text_index_b{text_idx_n}")
+            for _layer in _recount_layers:
                 _n = _data_file_count(spark, f"{out_root}/{_layer}")
                 if _n:
                     files_acc[_layer] = _n
@@ -2681,7 +2714,12 @@ def recount_lake_docs(spark: SparkSession, out_root: str) -> int:
         files = prior[3]
     else:
         files = {}
-        for layer in _APPEND_LAYERS:
+        layers = list(_APPEND_LAYERS)
+        tix = _discover_text_index(spark, out_root)
+        if tix is not None:
+            # the text index is an append layer too (r16 review #1)
+            layers.append(f"text_index_b{tix}")
+        for layer in layers:
             nf = _data_file_count(spark, f"{out_root}/{layer}")
             if nf:
                 files[layer] = nf
@@ -2731,11 +2769,18 @@ def _discover_text_index(spark: SparkSession, out_root: str) -> int | None:
             b = int(name[len(prefix):])
         except ValueError:
             continue
+        if b < 1:
+            continue  # a malformed/zero-bucket dir must never probe
         best = b if best is None else max(best, b)
     return best
 
 
-def _bucket_sliced(df: DataFrame, partition_by: str, n_out: int) -> DataFrame:
+def _bucket_sliced(
+    df: DataFrame,
+    partition_by: str,
+    n_out: int,
+    n_values: int | None = None,
+) -> DataFrame:
     """Repartition ``df`` for a ``partitionBy(partition_by)`` write so
     the file count stays sane in BOTH directions: every partition
     value is held whole by as few tasks as possible (a naive
@@ -2743,8 +2788,17 @@ def _bucket_sliced(df: DataFrame, partition_by: str, n_out: int) -> DataFrame:
     n × |values| files — every task opens one file per value it
     holds), while values larger than the target file size are split
     into ``ceil(n_out / n_values)`` content-hashed slices so one
-    bucket never becomes one giant file."""
-    nb = max(int(df.select(partition_by).distinct().count()), 1)
+    bucket never becomes one giant file. Pass ``n_values`` when the
+    caller already knows the value count (the bucket count is in the
+    layer name) — the distinct-count fallback is an extra full pass
+    over the input, one corpus-sized read per build/compaction at
+    lake scale (r16 review #6); an upper bound is fine (empty buckets
+    only make the slice estimate conservative)."""
+    nb = (
+        max(int(n_values), 1)
+        if n_values is not None
+        else max(int(df.select(partition_by).distinct().count()), 1)
+    )
     slices = max(1, (int(n_out) + nb - 1) // nb)
     if slices == 1:
         return df.repartition(F.col(partition_by))
@@ -2796,6 +2850,11 @@ def build_text_index(
     ``near_dup_verify`` should simply not build one.
 
     Returns ``{"rows": ..., "buckets": N, "files": ...}``."""
+    if int(buckets) < 1:
+        # pmod(x, 0) is NULL: a zero-bucket layer would write every
+        # row under __HIVE_DEFAULT_PARTITION__ and then crash every
+        # later candidate-carrying ingest on int(None)
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     docs_path = f"{out_root}/docs"
     if not _exists(spark, docs_path):
         raise ValueError(
@@ -2815,7 +2874,7 @@ def build_text_index(
         )
     )
     (
-        _bucket_sliced(df, "tb", n_out)
+        _bucket_sliced(df, "tb", n_out, n_values=int(buckets))
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(path)
@@ -2848,6 +2907,35 @@ def build_text_index(
             stats[0], stats[1], stats[2], files=facc,
         )
     return {"rows": rows, "buckets": int(buckets), "files": files}
+
+
+def _live_bucket_paths(
+    spark: SparkSession, idx_path: str, bucket_ids: list[int]
+) -> list[str]:
+    """Explicit ``tb=`` directory paths for the candidate buckets
+    that EXIST, resolved with ONE shallow ``listStatus`` of the layer
+    root (r16 review #4): per-bucket ``fs.exists`` probes are
+    |candidates| sequential HEAD round-trips per batch on an object
+    store, while a shallow list of the layer root returns every live
+    partition name in O(N/page) LIST calls — and is NOT the
+    recursive InMemoryFileIndex listing the explicit-path read
+    avoids (that one enumerates the FILES inside every partition
+    dir; this enumerates dir NAMES once). A missing layer root
+    returns [] — the torn-layer case callers degrade on."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(idx_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    live = set()
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("tb="):
+            live.add(name)
+    return [
+        f"{idx_path}/tb={b}" for b in bucket_ids if f"tb={b}" in live
+    ]
 
 
 def _indexed_verify_history(
@@ -2902,14 +2990,7 @@ def _indexed_verify_history(
         # for the per-directory overhead; bounded candidate sets (the
         # lsh_max_bucket regime this knob documents) sit far below it.
         return spark.read.parquet(docs_path).select(id_col, text_col)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(idx_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    live = [
-        p
-        for p in (f"{idx_path}/tb={b}" for b in buckets)
-        if fs.exists(hpath(p))
-    ]
+    live = _live_bucket_paths(spark, idx_path, buckets)
     if not live:
         # nothing indexed for any candidate bucket (torn layer, index
         # younger than these docs): the cache answers nothing — use
@@ -3284,6 +3365,9 @@ def maintain_lake(
             res = compact_layer(
                 spark, path, target_file_mb=compact_target_file_mb,
                 partition_by=layer_pby,
+                partition_values=(
+                    int(layer.rpartition("_b")[2]) if layer_pby else None
+                ),
             )
             compacted_layers += 1
             files_before += res["files_before"]
@@ -3376,6 +3460,7 @@ def compact_layer(
     path: str,
     target_file_mb: int = 128,
     partition_by: str | None = None,
+    partition_values: int | None = None,
 ) -> dict[str, int]:
     """Small-files maintenance for an append-mode lake layer: rewrite
     the layer into ~``target_file_mb`` files and swap it in with a
@@ -3475,7 +3560,9 @@ def compact_layer(
         # buckets toward the target file size, and re-stamp
         # partitionBy so the swapped-in layer prunes identically
         (
-            _bucket_sliced(df, partition_by, n_out)
+            _bucket_sliced(
+                df, partition_by, n_out, n_values=partition_values
+            )
             .write.mode("overwrite")
             .partitionBy(partition_by)
             .parquet(path + "__compact")

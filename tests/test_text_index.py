@@ -316,3 +316,77 @@ def test_pruned_read_touches_candidate_buckets_only(spark, tmp_path):
 def test_build_refuses_docless_lake(spark, tmp_path):
     with pytest.raises(ValueError, match="docs layer"):
         build_text_index(spark, str(tmp_path / "empty"), buckets=4)
+
+
+def test_torn_marker_recount_includes_index(spark, tmp_path):
+    """r16 review #1: the authoritative recount after a lost/torn
+    marker must re-measure the text index layer too — restarting its
+    accounting at 0 is the undercount direction (compact_due goes
+    silent and trust_marker then skips the very listing that could
+    correct it)."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        _read_lake_stats,
+        recount_lake_docs,
+    )
+
+    root = str(tmp_path / "lake")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+        root,
+        **kw_off,
+    )
+    build_text_index(spark, root, buckets=8)
+    incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(2, "other words " * 8)], "doc_id long, text string"
+        ),
+        root,
+        **kw_off,
+    )
+    measured = _data_file_count(spark, f"{root}/text_index_b8")
+    assert measured >= 2  # build + one append
+    # torn marker: the next admitting batch recounts, and the recount
+    # must carry a measured (nonzero) index entry
+    shutil.rmtree(tmp_path / "lake" / "_lake_stats")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(3, "third novel words " * 8)], "doc_id long, text string"
+        ),
+        root,
+        **kw_off,
+    )
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st is not None
+    # measured-at-recount + this batch's upper-bound increment
+    assert st[3].get("text_index_b8", 0) >= measured
+    # the explicit re-sync entry point measures it too
+    shutil.rmtree(tmp_path / "lake" / "_lake_stats")
+    recount_lake_docs(spark, root)
+    st2 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st2[3].get("text_index_b8", 0) >= measured
+
+
+def test_build_refuses_zero_buckets(spark, tmp_path):
+    """r16 review #3: pmod(x, 0) is NULL — a zero-bucket layer would
+    crash every later candidate-carrying ingest, so the build refuses
+    up front (and discovery ignores a malformed b0 dir)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _discover_text_index,
+    )
+
+    root = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "abc")], "doc_id long, text string"
+    ).write.parquet(f"{root}/docs")
+    with pytest.raises(ValueError, match="buckets"):
+        build_text_index(spark, root, buckets=0)
+    # a hand-made malformed dir is ignored by discovery
+    (tmp_path / "lake" / "text_index_b0").mkdir()
+    assert _discover_text_index(spark, root) is None

@@ -632,6 +632,7 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
     build_text_index, measured."""
     from projet_big_data_boutin_danre_spark.corpus_pipeline import (
         _indexed_verify_history,
+        _live_bucket_paths,
         build_text_index,
     )
 
@@ -731,9 +732,6 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
             proxies.setdefault("scan_mb", {})[k] = _plan_read_mb(
                 scan_read
             )
-            jvm = spark._jvm
-            hp = jvm.org.apache.hadoop.fs.Path
-            fs = hp(kd).getFileSystem(spark._jsc.hadoopConfiguration())
             bks = [
                 int(r["b"])
                 for r in hist_ids.select(
@@ -742,13 +740,9 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
                     ).alias("b")
                 ).distinct().collect()
             ]
-            live = [
-                p
-                for p in (
-                    f"{kd}/text_index_b{buckets}/tb={b}" for b in bks
-                )
-                if fs.exists(hp(p))
-            ]
+            live = _live_bucket_paths(
+                spark, f"{kd}/text_index_b{buckets}", bks
+            )
             idx_read = (
                 spark.read.parquet(*live)
                 .select("doc_id", "text")
