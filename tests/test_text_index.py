@@ -390,3 +390,48 @@ def test_build_refuses_zero_buckets(spark, tmp_path):
     # a hand-made malformed dir is ignored by discovery
     (tmp_path / "lake" / "text_index_b0").mkdir()
     assert _discover_text_index(spark, root) is None
+
+
+def test_maintain_lake_provisions_index(spark, tmp_path):
+    """maintain_lake(text_index_buckets=N) builds the index when the
+    lake has none (the deferred-Bloom contract: pay the corpus
+    rewrite out-of-band), never rebuilds an existing one, and the
+    next ingest discovers + maintains it."""
+    root = str(tmp_path / "lake")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame([(1, BASE)], "doc_id long, text string"),
+        root,
+        **kw_off,
+    )
+    m = maintain_lake(spark, root, text_index_buckets=8)
+    assert m["text_index_built"] == 8
+    assert _discover_text_index(spark, root) == 8
+    # second run: existing index is left alone (no rebuild)
+    import os
+
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in map(
+            str, (tmp_path / "lake" / "text_index_b8").rglob("*.parquet")
+        )
+    }
+    m2 = maintain_lake(spark, root, text_index_buckets=8)
+    assert m2["text_index_built"] == 0
+    assert {
+        p: os.path.getmtime(p)
+        for p in map(
+            str, (tmp_path / "lake" / "text_index_b8").rglob("*.parquet")
+        )
+    } == mtimes
+    # the next admitting batch maintains the provisioned index
+    incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(2, "more novel words " * 8)], "doc_id long, text string"
+        ),
+        root,
+        **kw_off,
+    )
+    _index_equals_docs(spark, root)
