@@ -435,3 +435,39 @@ def test_maintain_lake_provisions_index(spark, tmp_path):
         **kw_off,
     )
     _index_equals_docs(spark, root)
+
+
+def test_bucket_sliced_splits_oversized_buckets(spark, tmp_path):
+    """The slices>1 branch: when the target file count exceeds the
+    bucket count, each bucket splits into content-hashed slices —
+    multiple files per tb= dir — while every row still lands under
+    its own bucket dir (partition correctness is never traded for
+    file sizing)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _bucket_sliced,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).alias("tb"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "sliced")
+    (
+        _bucket_sliced(df, "tb", 8, n_values=2)
+        .write.partitionBy("tb")
+        .parquet(out)
+    )
+    import pathlib
+
+    for b in (0, 1):
+        files = list(
+            (pathlib.Path(out) / f"tb={b}").glob("part-*.parquet")
+        )
+        assert len(files) >= 2, f"bucket {b} was not sliced: {files}"
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # rows landed in their own bucket dirs
+    assert (
+        back.filter(F.col("tb") != (F.col("doc_id") % 2)).count() == 0
+    )
