@@ -471,3 +471,38 @@ def test_bucket_sliced_splits_oversized_buckets(spark, tmp_path):
     assert (
         back.filter(F.col("tb") != (F.col("doc_id") % 2)).count() == 0
     )
+
+
+def test_trust_marker_maintenance_covers_index(spark, tmp_path):
+    """trust_marker=True composes with the index layer: an
+    under-threshold index is skipped off its marker entry (no sweep),
+    an over-threshold one is still listed and swept
+    partition-preserving."""
+    root = str(tmp_path / "lake")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    for i in range(4):
+        incremental_ingest(
+            spark,
+            spark.createDataFrame(
+                [(10 + i, f"tmx doc {i} " + " ".join(
+                    f"w{i}t{j}" for j in range(20)))],
+                "doc_id long, text string",
+            ),
+            root,
+            **kw_off,
+        )
+        if i == 0:
+            build_text_index(spark, root, buckets=4)
+    # under threshold: nothing swept, layer untouched
+    m1 = maintain_lake(
+        spark, root, compact_above_files=1000, trust_marker=True
+    )
+    assert m1["compacted_layers"] == 0
+    # over threshold: the index is swept too, layout preserved
+    m2 = maintain_lake(
+        spark, root, compact_above_files=1, trust_marker=True
+    )
+    assert m2["compacted_layers"] >= 1
+    idx_dir = tmp_path / "lake" / "text_index_b4"
+    assert any(p.name.startswith("tb=") for p in idx_dir.iterdir())
+    _index_equals_docs(spark, root)
