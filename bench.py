@@ -47,6 +47,110 @@ HEADLINE = [
 ]
 
 
+def env_canary_probe(size_mb: int = 256) -> dict[str, float]:
+    """Environment canaries (r17, verdict #1) — machine-readable host
+    attribution shipped inside every BENCH JSON, excluded from the
+    headline total. Pure-Python (no Spark) so they measure the HOST,
+    not the session.
+
+    Why: r16's graded total inflated 1.5x uniformly because the host's
+    page cache was capped at ~1 GiB (BASELINE.md §r16-late band);
+    attributing that took prose anchors, ``free`` forensics, and a
+    judge re-run. These three numbers make the attribution mechanical:
+
+    - ``env_disk_mb_s``: sequential read MB/s of a freshly written
+      file AFTER ``posix_fadvise(DONTNEED)`` evicts it — the raw
+      device read band, comparable across any cache state.
+    - ``env_disk_write_mb_s``: fsync'd sequential write MB/s of the
+      same file — the band every shuffle write / spill / sink in the
+      headline queries pays. (Measured while building this probe:
+      the r16-late host reads back UNCACHED at ~25 MB/s — a number
+      that makes the uniform per-slot inflation arithmetic directly,
+      since even sub-second slots write shuffle files.)
+    - ``env_cached_mb_s``: immediate re-read of the same file WITHOUT
+      eviction — page-cache effectiveness. Healthy host: several GB/s
+      (RAM). A cache-evicting host collapses toward
+      ``env_disk_mb_s``; cached/disk ≈ 1 IS a cache-starved band, in
+      one number.
+    - ``env_page_cache_mb``: ``Cached`` from /proc/meminfo at probe
+      time — the same forensic the r16 adjudication pulled from
+      ``free`` by hand (healthy band: tens of GiB after a bench run;
+      r16-late band: pinned ~1.3 GiB).
+    - ``env_cpu_sec``: fixed-work hash loop (sha256 over 32 MiB × 16,
+      C-speed, single-thread) — moves only with CPU contention or a
+      slower machine, never with cache or disk state.
+
+    Band policy (BASELINE.md): a round-over-round total shift with
+    ``env_cpu_sec`` stable and the disk/cache canaries shifted is an
+    environment band, not a code regression; all canaries stable +
+    total moved = look at the code. Values are -1.0 on failure —
+    canaries must never kill the graded numbers."""
+    import hashlib
+    import tempfile
+
+    out = {
+        "env_disk_mb_s": -1.0,
+        "env_disk_write_mb_s": -1.0,
+        "env_cached_mb_s": -1.0,
+        "env_page_cache_mb": -1.0,
+        "env_cpu_sec": -1.0,
+    }
+    chunk = os.urandom(1 << 20)  # 1 MiB, reused — RAM-cheap
+    fd, path = tempfile.mkstemp(prefix="bench_env_canary_")
+    try:
+        t0 = time.time()
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(size_mb):
+                f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+        dt = time.time() - t0
+        out["env_disk_write_mb_s"] = (
+            round(size_mb / dt, 1) if dt > 0 else -1.0
+        )
+
+        def _read_mb_s(drop_cache: bool) -> float:
+            with open(path, "rb", buffering=0) as f:
+                if drop_cache and hasattr(os, "posix_fadvise"):
+                    os.posix_fadvise(
+                        f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED
+                    )
+                t0 = time.time()
+                while f.read(1 << 23):  # 8 MiB sequential chunks
+                    pass
+                dt = time.time() - t0
+            return round(size_mb / dt, 1) if dt > 0 else -1.0
+
+        out["env_disk_mb_s"] = _read_mb_s(drop_cache=True)
+        out["env_cached_mb_s"] = _read_mb_s(drop_cache=False)
+    except Exception:
+        pass
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("Cached:"):
+                    out["env_page_cache_mb"] = round(
+                        int(ln.split()[1]) / 1024.0, 1
+                    )
+                    break
+    except Exception:
+        pass
+    try:
+        buf = chunk * 32  # 32 MiB
+        t0 = time.time()
+        for _ in range(16):
+            hashlib.sha256(buf).digest()
+        out["env_cpu_sec"] = round(time.time() - t0, 3)
+    except Exception:
+        pass
+    return out
+
+
 def skew_probe(spark, sf_dir: str) -> dict[str, float]:
     """Deliberately skewed-key join (one key = ~50% of lineitem rows)
     vs the same join with uniform keys — records whether AQE skew-join
@@ -508,14 +612,21 @@ def main() -> None:
     # convergence rounds + levenshtein prefix-cap hits — carried in
     # the round series so regressions surface between rounds
     timings.update(observability_probe(spark, sf_dir))
+    # host-attribution canaries (r17): uncached disk MB/s, page-cache
+    # MB/s, fixed-work CPU sec — ship in BOTH lines so the graded
+    # artifact self-attributes environment bands (see probe docstring)
+    env = env_canary_probe()
+    timings.update(env)
 
     for line in emit_lines(
-        names, timings, warm_timings, total, total_warm, sf
+        names, timings, warm_timings, total, total_warm, sf, env=env
     ):
         print(line)
 
 
-def emit_lines(names, timings, warm_timings, total, total_warm, sf):
+def emit_lines(
+    names, timings, warm_timings, total, total_warm, sf, env=None
+):
     """Build the two stdout JSON lines.
 
     Full-detail line first (cold + warm maps + every probe) for
@@ -524,7 +635,10 @@ def emit_lines(names, timings, warm_timings, total, total_warm, sf):
     capture (BENCH_r10.json had parsed:null because the single
     ~4.4 KB detail line was front-truncated). The compact line
     carries the totals + the graded slots only (no bench-only
-    probes), 2-decimal precision, with a hard length guard.
+    probes), 2-decimal precision, with a hard length guard. The
+    ``env`` canary dict (r17) rides in BOTH lines — it is ~70 chars
+    and is the host-attribution record the grading protocol keys on,
+    so it is dropped only at the very last length-guard resort.
     """
     detail = json.dumps(
         {
@@ -552,6 +666,8 @@ def emit_lines(names, timings, warm_timings, total, total_warm, sf):
         },
         "sf": sf,
     }
+    if env:
+        compact["env"] = env
     line = json.dumps(compact)
     # Totals must survive the driver's 2,000-char tail window.
     # Degrade gradually: 1-decimal precision, then shed the
@@ -570,6 +686,9 @@ def emit_lines(names, timings, warm_timings, total, total_warm, sf):
     if len(line) > 1800:
         compact.pop("queries", None)
         compact.pop("queries_dropped", None)
+        line = json.dumps(compact)
+    if len(line) > 1800:
+        compact.pop("env", None)  # last resort: totals alone
         line = json.dumps(compact)
     return [detail, line]
 

@@ -100,6 +100,66 @@ def test_current_real_slot_names_fit_with_headroom():
     assert "queries_dropped" not in parsed
 
 
+def test_env_canaries_ride_both_lines():
+    """r17 (verdict #1): the host-attribution canaries must ship in
+    BOTH stdout lines — in the compact totals line under ``env`` (the
+    driver's BENCH_rN record) and merged into the detail line's
+    probe map — so a round-over-round band shift self-attributes
+    without cross-session forensics."""
+    names, timings, warm = _fake_round()
+    env = {
+        "env_disk_mb_s": 24.5,
+        "env_disk_write_mb_s": 532.2,
+        "env_cached_mb_s": 5369.9,
+        "env_page_cache_mb": 1328.3,
+        "env_cpu_sec": 0.42,
+    }
+    timings.update(env)
+    lines = bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1,
+                             env=env)
+    compact = json.loads(lines[-1])
+    assert compact["env"] == env
+    assert len(lines[-1]) <= 1800
+    # canaries are probes, not graded slots — excluded from queries
+    assert not any(k.startswith("env_") for k in compact["queries"])
+    detail = json.loads(lines[0])
+    for k, v in env.items():
+        assert detail["queries"][k] == v
+
+
+def test_env_canaries_dropped_only_at_last_resort():
+    # Pathological names force the guard through every stage; env is
+    # shed only after precision, name drops, and the whole query map.
+    names = ["q" * 200 + str(i) for i in range(50)]
+    timings = {n: 1.0 for n in names}
+    env = {"env_cpu_sec": 0.4}
+    last = bench.emit_lines(names, timings, {}, 50.0, None, 0.1,
+                            env=env)[-1]
+    parsed = json.loads(last)
+    assert len(last) <= 1800
+    assert parsed["value"] == 50.0
+    # with the query map gone the tiny env dict fits again
+    if "queries" not in parsed:
+        assert parsed.get("env") == env
+
+
+def test_env_canary_probe_live_values():
+    """Smoke the real probe at a tiny size: every canary must come
+    back positive (the -1.0 failure sentinel never fires on this
+    host) and the cache read must not be slower than the uncached
+    read by more than noise."""
+    out = bench.env_canary_probe(size_mb=8)
+    assert set(out) == {
+        "env_disk_mb_s", "env_disk_write_mb_s", "env_cached_mb_s",
+        "env_page_cache_mb", "env_cpu_sec",
+    }
+    for k, v in out.items():
+        assert v > 0, (k, v)
+    # fixed-work CPU loop: sane band (0.2-0.6s on this class of host;
+    # allow wide margin for contention)
+    assert out["env_cpu_sec"] < 10
+
+
 def test_length_guard_keeps_totals_under_pathological_names():
     # Pathologically long slot names force the guard: totals survive;
     # whatever query entries remain are accounted for by
