@@ -640,6 +640,7 @@ def verify_candidates_jaccard(
     text_col: str,
     shingle_k: int = 8,
     min_jaccard: float = 0.5,
+    max_broadcast_chars: int | None = 20_000_000,
 ) -> DataFrame:
     """Verify-before-block for the cross-corpus LSH gate (r15,
     verdict #2): rescore the candidate pairs from
@@ -664,13 +665,48 @@ def verify_candidates_jaccard(
     NULL/empty texts never reach this verifier on the ingest path —
     they share a fingerprint (sentinel / md5 of ""), so the EXACT
     guard blocks them first; called directly, a NULL text matches
-    only another NULL (degenerate, like-for-like)."""
+    only another NULL (degenerate, like-for-like).
+
+    Broadcast guard (r17, verdict #1): the broadcast frame carries
+    SHINGLE ARRAYS — ~24 bytes per candidate-text char, and each
+    batch id's array is replicated once per pair row — so an
+    UNBOUNDED candidate set (``lsh_max_bucket=None`` on a
+    band-saturated corpus) OOMs the 8 GB driver long before the pair
+    COUNT looks alarming (measured: ~2 GiB broadcast at 32M docs,
+    SCALE.md §r16). Pre-flight, one batch-bounded agg estimates the
+    replicated payload as Σ_pairs length(batch text); above
+    ``max_broadcast_chars`` (default 20M chars ≈ 500 MB worst-case
+    broadcast) every broadcast hint in this plan is dropped and the
+    SAME joins run as shuffle joins — correct, spill-backed, slower;
+    history (id, text) gets shuffled once instead of streamed. That
+    is the right degrade for an unattended ingest loop: the
+    crash-by-OOM regime becomes a slow batch plus the standing
+    advice to set ``lsh_max_bucket``. ``None`` disables the guard
+    (always broadcast, the pre-r17 behavior)."""
     from ..functions.hashing import normalize_text
+
+    use_bcast = True
+    if max_broadcast_chars is not None:
+        est = (
+            pairs.join(
+                batch.select(
+                    F.col(id_col), F.length(text_col).alias("__vl")
+                ),
+                id_col,
+            )
+            .agg(F.sum("__vl"))
+            .first()[0]
+            or 0
+        )
+        use_bcast = est <= int(max_broadcast_chars)
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df
 
     hist_ids = pairs.select("seen_id").distinct()
     left = (
         batch.join(
-            F.broadcast(pairs.select(F.col(id_col)).distinct()),
+            _hint(pairs.select(F.col(id_col)).distinct()),
             id_col,
             "left_semi",
         )
@@ -682,17 +718,18 @@ def verify_candidates_jaccard(
             F.col(id_col).alias("seen_id"),
             normalize_text(text_col).alias("__nt"),
         )
-        .join(F.broadcast(hist_ids), "seen_id", "left_semi")
+        .join(_hint(hist_ids), "seen_id", "left_semi")
         .select("seen_id", _shingle_set(F.col("__nt"), shingle_k).alias("__sb"))
     )
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
-    # history side stays the streamed probe side end-to-end: the
-    # (pairs ⋈ batch shingles) frame is batch-bounded and BROADCAST,
-    # so the history text scan is read map-side exactly once
+    # history side stays the streamed probe side end-to-end when the
+    # guard admits broadcast: the (pairs ⋈ batch shingles) frame is
+    # batch-bounded and BROADCAST, so the history text scan is read
+    # map-side exactly once; above the guard the same join shuffles
     cand = pairs.join(left, id_col)
     return (
-        right.join(F.broadcast(cand), "seen_id")
+        right.join(_hint(cand), "seen_id")
         .filter(union > 0)
         .filter((inter / union) >= F.lit(float(min_jaccard)))
         .select(F.col(id_col))

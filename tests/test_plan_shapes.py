@@ -594,3 +594,75 @@ def test_c4_dedup_rank_shuffle_is_narrow(spark, sf0001):
     # partition clause sneaks a global sort in
     for m in re.finditer(r"windowspecdefinition\(([^,]*),", plan):
         assert "__id" in m.group(1) or "__k" in m.group(1), m.group(0)
+
+
+def test_verify_candidate_broadcast_guard_switches_to_shuffle(
+    spark, tmp_path
+):
+    """r17 (verdict #1): the near-dup verify stage's candidate frame
+    carries per-pair-replicated shingle arrays, and WITHOUT
+    ``lsh_max_bucket`` a band-saturated corpus grows it past driver
+    memory — the measured 32M-doc broadcast OOM (SCALE.md §r16).
+    ``verify_candidates_jaccard`` now pre-flights the replicated
+    payload (Σ_pairs length(batch text)) and above
+    ``max_broadcast_chars`` drops every broadcast hint so the SAME
+    joins run shuffle-side: correct and spill-backed instead of
+    crash-by-OOM. Pin both halves: (a) under the threshold the plan
+    broadcasts (the 100 TB fast path intact), (b) over it the plan
+    contains NO broadcast exchange and the verified id set is
+    IDENTICAL."""
+    from pyspark.sql import functions as F
+
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc number {i} with some repeated body text")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    layer = str(tmp_path / "band_layer_vg")
+    dedup.lsh_bands(
+        dedup.minhash_signatures(hist, "doc_id", "text",
+                                 hash_family="fast"),
+        hash_family="fast",
+    ).write.parquet(layer)
+    batch = spark.createDataFrame(
+        [(100 + i,
+          f"history doc number {i} with some repeated body text"
+          if i % 3 == 0
+          else f"completely fresh unseen payload variant {i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_seen_ids(
+        batch, spark.read.parquet(layer), "doc_id", "text",
+        hash_family="fast", return_pairs=True,
+    ).localCheckpoint()
+    assert pairs.first() is not None  # real candidates to verify
+
+    fast = dedup.verify_candidates_jaccard(
+        batch, hist, pairs, "doc_id", "text", min_jaccard=0.5,
+    )
+    plan_fast = _plan(fast)
+    assert "BroadcastHashJoin" in plan_fast
+    want = {r["doc_id"] for r in fast.collect()}
+    assert want  # near-identical texts must verify
+
+    # Force the over-threshold regime; kill auto-broadcast so the
+    # assertion sees the HINTS' absence, not Catalyst re-adding
+    # broadcast for these tiny test frames on size estimates.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        slow = dedup.verify_candidates_jaccard(
+            batch, hist, pairs, "doc_id", "text", min_jaccard=0.5,
+            max_broadcast_chars=1,
+        )
+        plan_slow = _plan(slow)
+        assert "BroadcastHashJoin" not in plan_slow
+        assert "BroadcastExchange" not in plan_slow
+        assert ("SortMergeJoin" in plan_slow
+                or "ShuffledHashJoin" in plan_slow)
+        assert {r["doc_id"] for r in slow.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
