@@ -102,23 +102,110 @@ PSL_BUILTIN_MINI: tuple[str, ...] = (
 )
 
 
+#: canonical source of the published list (not fetched automatically —
+#: see :func:`fetch_psl`)
+PSL_URL = "https://publicsuffix.org/list/public_suffix_list.dat"
+
+
+def _idna_twin(rule: str) -> str | None:
+    """Other-IDN-form twin of one PSL rule — punycode for a unicode
+    rule, unicode for a punycode rule — or None when the rule is
+    plain ASCII / the codec refuses it. Wildcard (``*.``) and
+    exception (``!``) markers are preserved outside the encoded
+    body. Driver-side, plan-time only: Python's ``idna`` codec
+    (IDNA2003 — fine for the PSL's label inventory; anything it
+    rejects simply gets no twin)."""
+    prefix, body = "", rule
+    if body.startswith("!"):
+        prefix, body = "!", body[1:]
+    elif body.startswith("*."):
+        prefix, body = "*.", body[2:]
+    try:
+        if any(ord(c) > 127 for c in body):
+            twin = body.encode("idna").decode("ascii")
+        elif "xn--" in body:
+            twin = body.encode("ascii").decode("idna")
+        else:
+            return None
+    except (UnicodeError, ValueError):
+        return None
+    twin = twin.lower()
+    return prefix + twin if twin and twin != body else None
+
+
 def load_psl_rules(lines) -> tuple[str, ...]:
     """Parse Public Suffix List file content (an iterable of lines —
-    e.g. ``open('public_suffix_list.dat')`` after the operator
-    downloads the published list) into the rule tuple
+    e.g. ``open('public_suffix_list.dat')``, or :func:`load_psl_file`
+    / :func:`fetch_psl` which wrap this) into the rule tuple
     :func:`registered_domain` consumes: comments (``//``) and blanks
     dropped, rules lowercased, wildcard (``*.``) and exception
-    (``!``) markers kept. ASCII/punycode form only — the published
-    ``.dat`` carries punycode alongside unicode; hosts compared
-    against these rules must be punycode too (out of scope here: the
-    canonicalizer passes hosts through byte-lowercased)."""
+    (``!``) markers kept.
+
+    IDN handling (r17, verdict #5): every non-ASCII rule also emits
+    its punycode twin, and every ``xn--`` rule its unicode twin
+    (:func:`_idna_twin` — driver-side at parse time, nothing added to
+    the per-row plan), so a host arriving in EITHER form matches the
+    rule set — the published ``.dat`` carries unicode rules with
+    punycode only in comments, while canonicalized hosts from real
+    crawls are usually punycode. What this does NOT do is normalize
+    the OUTPUT form: ``registered_domain`` returns the domain in the
+    host's own form (``example.中国`` vs ``example.xn--fiqs8s`` are
+    different strings), so blocklists should list both forms of a
+    domain they care about — or blocklist by the form their
+    canonicalizer emits."""
     rules = []
     for ln in lines:
         s = ln.strip().lower()
         if not s or s.startswith("//"):
             continue
         rules.append(s)
+        twin = _idna_twin(s)
+        if twin is not None:
+            rules.append(twin)
     return tuple(rules)
+
+
+def load_psl_file(path: str) -> tuple[str, ...]:
+    """:func:`load_psl_rules` over a snapshot file on local disk —
+    the production entry point once :func:`fetch_psl` (or any
+    out-of-band download) has persisted the published ``.dat``."""
+    with open(path, encoding="utf-8") as f:
+        return load_psl_rules(f)
+
+
+def fetch_psl(
+    dest_path: str, url: str = PSL_URL, timeout: float = 30.0
+) -> tuple[str, ...]:
+    """Download the published Public Suffix List to ``dest_path``
+    (atomic: temp file + rename, so a torn download never becomes the
+    active snapshot), then parse it with :func:`load_psl_rules` —
+    removing the last caller-side plumbing step between the published
+    list and ``registered_domain(psl_rules=...)`` (r17, verdict #6).
+    The snapshot is the persistent artifact: pipelines should fetch
+    on a deliberate cadence (the PSL changes a few times a month) and
+    run from the snapshot via :func:`load_psl_file`, not re-fetch per
+    job — rule changes alter domain keys, so a snapshot pin is part
+    of a lake's identity the same way the LSH recipe is."""
+    import os
+    import tempfile
+    import urllib.request
+
+    dest_dir = os.path.dirname(os.path.abspath(dest_path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=dest_dir, prefix=".psl_fetch_")
+    os.close(fd)
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            data = resp.read()
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, dest_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return load_psl_file(dest_path)
 
 
 def _psl_match(host: Column, rules: tuple[str, ...]) -> Column:
@@ -240,7 +327,21 @@ def registered_domain(
     join the rule set as normal rules. Still pure Column algebra —
     per-depth anchored extracts against InSet literal sets, no UDF,
     no join; the two-label DEFAULT stays byte-identical to r14/r15
-    so every oracle twin is untouched."""
+    so every oracle twin is untouched.
+
+    IDN hosts (r17, verdict #5): the rule set from
+    :func:`load_psl_rules` carries BOTH forms of every IDN rule
+    (unicode + punycode twins), so ``example.中国`` and
+    ``example.xn--fiqs8s`` each match their suffix and yield the
+    registrable domain — in the HOST'S OWN form; no cross-form
+    normalization happens per row (a Column-side punycode codec
+    would be an iterative per-label algorithm — disproportionate).
+    Consequences, test-locked in ``test_urls.py``: (a) the returned
+    domain string is form-sensitive — blocklist both forms or the
+    one your canonicalizer emits; (b) a unicode host under a suffix
+    with NO PSL rule (``bücher.example``) falls to the implicit
+    ``*`` rule exactly like its ASCII sibling — last two labels,
+    unicode preserved."""
     host = url_host(url)
     if psl_rules is not None:
         # lowercase ALL rules, not just extra_suffixes: the host side

@@ -308,3 +308,71 @@ def test_registered_domain_psl_rules_are_case_insensitive(spark):
         ).alias("d")
     ).collect()
     assert [r["d"] for r in got] == ["bbc.co.uk", "b.thing.ck"]
+
+
+def test_psl_idn_rules_match_both_host_forms(spark):
+    """r17 (verdict #5): ``load_psl_rules`` emits unicode+punycode
+    twins for every IDN rule at parse time, so hosts arriving in
+    EITHER form match — with the registered domain returned in the
+    host's own form (no per-row re-encoding)."""
+    rules = urls.load_psl_file("tests/fixtures/public_suffix_snippet.dat")
+    assert "中国" in rules and "xn--fiqs8s" in rules  # the twin pair
+    got = spark.createDataFrame(
+        [
+            ("https://shop.example.中国/a",),
+            ("https://shop.example.xn--fiqs8s/a",),
+            ("https://news.bbc.co.uk/",),
+        ],
+        "u string",
+    ).select(
+        urls.registered_domain(F.col("u"), psl_rules=rules).alias("d")
+    ).collect()
+    assert [r["d"] for r in got] == [
+        "example.中国", "example.xn--fiqs8s", "bbc.co.uk",
+    ]
+
+
+def test_psl_unicode_host_degrade_is_locked(spark):
+    """r17 (verdict #5, the documented degrade): a unicode host under
+    a suffix with NO PSL rule falls to the implicit ``*`` rule — last
+    two labels, unicode preserved, case-folded like any host — on
+    both the PSL path and the two-label default. No silent empty/null
+    surprises."""
+    rules = urls.load_psl_file("tests/fixtures/public_suffix_snippet.dat")
+    df = spark.createDataFrame(
+        [("https://www.BÜCHER.example/kat",)], "u string"
+    )
+    got_psl = df.select(
+        urls.registered_domain(F.col("u"), psl_rules=rules).alias("d")
+    ).first()["d"]
+    got_default = df.select(
+        urls.registered_domain(F.col("u")).alias("d")
+    ).first()["d"]
+    assert got_psl == "bücher.example"
+    assert got_default == "bücher.example"
+
+
+def test_psl_snapshot_helpers(spark, tmp_path):
+    """r17 (verdict #6): ``load_psl_file`` reads a persisted snapshot;
+    ``fetch_psl`` downloads (here via a file:// URL — same urllib
+    path), persists ATOMICALLY, and returns the parsed rules; a
+    failed fetch never touches an existing snapshot."""
+    import pathlib
+
+    src = pathlib.Path("tests/fixtures/public_suffix_snippet.dat")
+    dest = tmp_path / "psl" / "snapshot.dat"
+    dest.parent.mkdir()
+    rules = urls.fetch_psl(str(dest), url=src.resolve().as_uri())
+    assert dest.read_bytes() == src.read_bytes()
+    assert rules == urls.load_psl_file(str(dest))
+    assert "co.uk" in rules and "xn--fiqs8s" in rules
+    # torn/failed fetch: snapshot untouched, no temp litter
+    import pytest as _pytest
+
+    before = dest.read_bytes()
+    with _pytest.raises(Exception):
+        urls.fetch_psl(
+            str(dest), url=(tmp_path / "absent.dat").resolve().as_uri()
+        )
+    assert dest.read_bytes() == before
+    assert [p.name for p in dest.parent.iterdir()] == ["snapshot.dat"]

@@ -38,9 +38,18 @@ Modes:
   request-proxy precedent — local page cache flattens the wall-clock
   axis at probe scale).
 
+- ``index_ingest N [buckets]`` — the r17 ingest-side companion to
+  ``verify_index``: real ``incremental_ingest`` calls on copies of a
+  1x→32x base lake, isolating the per-admitting-batch index append
+  (novel batch, with vs without index), the replay completeness
+  probe in BOTH regimes (bucket-pruned under N/4 coverage, one root
+  read above it), and the index files added per batch (the
+  between-compactions growth ``compact_due`` schedules against).
+
 Bench-side measurement only — never a correctness input.
 
-Usage: python tools/guard_probe.py url|compact|verify|verify_index [N]
+Usage: python tools/guard_probe.py \
+    url|compact|verify|verify_index|index_ingest|bloom [N]
 """
 
 from __future__ import annotations
@@ -790,6 +799,129 @@ def verify_index_main(n_max: int, buckets: int = 4096) -> None:
     }))
 
 
+def index_ingest_main(n_max: int, buckets: int = 4096) -> None:
+    """r17 (verdict #3): the text index's INGEST-side overhead —
+    SCALE.md quantifies the read side (verify_index mode) but every
+    admitting batch now also pays an index append, and replay batches
+    pay a bucket-pruned completeness probe. Sweep history 1x→32x and
+    time real ``incremental_ingest`` calls on copies of one base
+    lake:
+
+    - ``novel_{no,with}_index``: a 5k fresh-doc batch — the delta is
+      the per-admitting-batch index append (plus discovery listing).
+      A fully-novel batch's heal probe is ALREADY gated for free:
+      prior_batch_ids is empty, so the bucket collect returns [] and
+      no existence probe or index read runs.
+    - ``replay500_with_index`` / ``replay5k_with_index``: pure
+      replays (admitted=0) against the indexed lake — 500 prior ids
+      keep bucket coverage under N/4 (per-bucket probes + pruned
+      read), 5k prior ids cross it (the r17 quarter fallback: one
+      root read). ``replay*_no_index`` are the same batches on the
+      unindexed copy (fingerprint guard only — the floor).
+    - ``index_files_added``: parquet files added to the index layer
+      by the novel batch — the between-compactions growth the
+      ``compact_due`` accounting schedules against (the append
+      repartitions by ``tb``, so this ≈ buckets touched by 5k ids).
+
+    Replays don't mutate the lake (nothing admitted, nothing healed),
+    so both replay arms share one copy; the novel arm mutates and
+    runs LAST on its copy. One cold run per arm (ingest includes
+    writes; the numbers to read are within-copy deltas)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        build_text_index,
+        incremental_ingest,
+    )
+
+    spark = get_spark("guard_probe_index_ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_iingest_")
+    ks = [1, 4, 16, 32]
+    base_n = max(n_max // 32, 1)
+    kw = dict(near_dup=True, lsh_hash_family="fast")
+    results: dict[str, dict[int, float]] = {}
+    builds: dict[int, float] = {}
+    fadds: dict[int, int] = {}
+
+    def _count_files(root: str) -> int:
+        total = 0
+        for _dir, _sub, files in os.walk(root):
+            total += sum(f.endswith(".parquet") for f in files)
+        return total
+
+    try:
+        for k in ks:
+            n = base_n * k
+            kd = f"{work}/k{k}"
+            hist = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                _doc_text_unique(F.col("id")).alias("text"),
+            )
+            incremental_ingest(spark, hist, f"{kd}/base", **kw)
+            # replays must be ⊆ history — cap at n for tiny smoke runs
+            replay500 = spark.range(min(500, n)).select(
+                F.col("id").alias("doc_id"),
+                _doc_text_unique(F.col("id")).alias("text"),
+            ).localCheckpoint()
+            replay5k = spark.range(min(5_000, n)).select(
+                F.col("id").alias("doc_id"),
+                _doc_text_unique(F.col("id")).alias("text"),
+            ).localCheckpoint()
+            novel = spark.range(5_000).select(
+                (F.col("id") + F.lit(10 * n)).alias("doc_id"),
+                _doc_text_unique(F.col("id") + F.lit(10 * n),
+                                 prefix="nv").alias("text"),
+            ).localCheckpoint()
+
+            def _arm(root: str, batch, name: str) -> None:
+                t0 = time.time()
+                r = incremental_ingest(spark, batch, root, **kw)
+                results.setdefault(name, {})[k] = round(
+                    time.time() - t0, 2
+                )
+                if name.startswith("replay"):
+                    assert r["admitted"] == 0, (name, r)
+
+            plain = f"{kd}/plain"
+            shutil.copytree(f"{kd}/base", plain)
+            _arm(plain, replay500, "replay500_no_index")
+            _arm(plain, replay5k, "replay5k_no_index")
+            _arm(plain, novel, "novel_no_index")
+            idx = f"{kd}/indexed"
+            shutil.copytree(f"{kd}/base", idx)
+            t0 = time.time()
+            build_text_index(spark, idx, buckets=buckets,
+                             id_col="doc_id")
+            builds[k] = round(time.time() - t0, 2)
+            _arm(idx, replay500, "replay500_with_index")
+            _arm(idx, replay5k, "replay5k_with_index")
+            before = _count_files(f"{idx}/text_index_b{buckets}")
+            _arm(idx, novel, "novel_with_index")
+            fadds[k] = _count_files(
+                f"{idx}/text_index_b{buckets}"
+            ) - before
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\n| arm | " + " | ".join(f"{k}x" for k in ks) + " |")
+    print("|---" * (len(ks) + 1) + "|")
+    for name in (
+        "replay500_no_index", "replay500_with_index",
+        "replay5k_no_index", "replay5k_with_index",
+        "novel_no_index", "novel_with_index",
+    ):
+        ts = results[name]
+        print(f"| {name} | "
+              + " | ".join(f"{ts[k]:.2f}" for k in ks) + " |")
+    print(f"\nindex builds (one-time, s): {builds}")
+    print(f"index files added by the 5k novel batch: {fadds}")
+    print()
+    print(json.dumps({
+        "mode": "index_ingest", "base_rows": base_n, "ks": ks,
+        "buckets": buckets, "timings": results,
+        "index_build_s": builds, "index_files_added": fadds,
+    }))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "url"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
@@ -807,11 +939,17 @@ def main() -> None:
             n if len(sys.argv) > 2 else 8_000_000,
             buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
         )
+    elif mode == "index_ingest":
+        index_ingest_main(
+            n if len(sys.argv) > 2 else 1_000_000,
+            buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+        )
     elif mode == "bloom":
         bloom_mode_main(n if len(sys.argv) > 2 else 4_000_000)
     else:
         raise SystemExit(
-            f"unknown mode {mode!r} (url|compact|verify|verify_index|bloom)"
+            f"unknown mode {mode!r} "
+            "(url|compact|verify|verify_index|index_ingest|bloom)"
         )
 
 
