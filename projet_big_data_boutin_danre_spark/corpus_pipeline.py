@@ -1246,6 +1246,17 @@ def incremental_ingest(
 
     n_url_skipped = 0
     batch_urls = None
+    # heal-coverage base (r17, ADVICE medium): id frames computed
+    # BEFORE each within-batch keeper drop, accumulated so
+    # prior_batch_ids below can cover batch-composition-dependent
+    # LOSERS too — a prior id whose sidecar append crashed can
+    # re-arrive with UNCHANGED content and lose keeper selection to a
+    # different doc in THIS batch (keeper choice depends on batch
+    # composition, not content); deriving the heal base from the
+    # post-drop batch alone would drop it from every sidecar heal
+    # forever. Each frame is already checkpointed by its own block,
+    # so these are cheap column re-reads, not new jobs.
+    pre_keeper_id_frames: list[DataFrame] = []
     if url_guard:
         # RefinedWeb URL dedup at ADMISSION — the cheapest guard, run
         # before any content hashing: one canonical-url window over
@@ -1280,6 +1291,9 @@ def incremental_ingest(
                 _W.partitionBy("__curl").orderBy(F.col(id_col).asc())
             ),
         ).localCheckpoint()
+        # url-candidate ids INCLUDING losers — the url-drop slice of
+        # the heal-coverage base
+        pre_keeper_id_frames.append(ranked.select(F.col(id_col)))
         losers = ranked.filter(F.col("__rn_url") > 1).select(id_col)
         n_url_losers = losers.count()
         if n_url_losers:
@@ -1321,6 +1335,11 @@ def incremental_ingest(
             ),
             lsh_num_hashes, lsh_bands, lsh_hash_family,
         ).localCheckpoint()
+        # band-bearing ids pre-near-dup-drop: covers near-dup losers
+        # in the heal base (bandless NULL-text docs can't lose)
+        pre_keeper_id_frames.append(
+            batch_bands.select(F.col("id").alias(id_col)).distinct()
+        )
         # within-batch near-dedup: two near-dup copies arriving in the
         # same batch admit one keeper (the same contract the exact
         # guard gives exact copies) — pairs → components → anti-join,
@@ -1508,6 +1527,18 @@ def incremental_ingest(
                 payload_col=media_col,
                 kinds=(),
             ).localCheckpoint()
+        # media-hash-bearing ids pre-media-drop: covers media losers
+        # in the heal base (hashless docs can't lose media selection)
+        pre_keeper_id_frames.append(
+            batch_mhashes.select(F.col(id_col)).distinct()
+        )
+        if media_routed:
+            pre_keeper_id_frames.append(
+                batch_vside.select(F.col(id_col)).distinct()
+            )
+            pre_keeper_id_frames.append(
+                batch_awins.select(F.col(id_col)).distinct()
+            )
         # within-batch perceptual dedup: two near-identical media
         # arriving together admit one keeper — each modality's pairs
         # union into ONE components pass (kind-disjoint ids, so no
@@ -1798,21 +1829,26 @@ def incremental_ingest(
             )
         # ONE corpus-id scan per batch (r16 review #7): the id guard
         # and every sidecar heal need only "which BATCH ids are
-        # prior" — intersect the pre-guard batch ids with the prior
-        # set once into a batch-bounded checkpointed frame, and let
-        # the flag-join and all six heals consume the BROADCAST tiny
+        # prior" — intersect the batch ids with the prior set once
+        # into a batch-bounded checkpointed frame, and let the
+        # flag-join and all six heals consume the BROADCAST tiny
         # frame instead of each re-materializing a semi-join against
         # the corpus-sized id column (previously one docs/id-table
-        # scan per heal site per batch). Derived from the post-gate,
-        # post-within-batch-dedup `batch`: an IDENTICAL replay keeps
-        # the same rows here (gates and keeper selection are
-        # deterministic — the keeper contract), so heal coverage is
-        # unchanged; a replay whose changed content gates or
-        # keeper-drops a row differently was outside heal coverage
-        # before this refactor too (the documented re-crawl
-        # residual).
+        # scan per heal site per batch). The base is the post-drop
+        # batch UNIONED with the pre-keeper-drop id frames collected
+        # above (r17, ADVICE medium): keeper selection depends on
+        # batch COMPOSITION, so a prior id with unchanged content can
+        # lose the url/near-dup/media keeper race in a later,
+        # non-identical batch — without the union its crashed sidecar
+        # appends would never be healed (the pre-r16 full-prior-ids
+        # joins covered this case). A replay whose CHANGED content
+        # gates or keeper-drops differently remains outside heal
+        # coverage, as before (the documented re-crawl residual).
+        heal_base = batch.select(id_col)
+        for extra in pre_keeper_id_frames:
+            heal_base = heal_base.unionByName(extra)
         prior_batch_ids = (
-            batch.select(id_col)
+            heal_base
             .dropDuplicates()
             .join(prior_ids, id_col, "left_semi")
             .localCheckpoint()
@@ -2038,14 +2074,20 @@ def incremental_ingest(
         )
         hbks = [int(r["tb"]) for r in ht_ids.select("tb").distinct().collect()]
         if hbks:
-            # explicit candidate-bucket paths, not an isin filter on
-            # the layer root — the root read would LIST all N
-            # partition dirs per batch (see _indexed_verify_history)
-            live_hb = _live_bucket_paths(spark, text_idx_path, hbks)
-            if live_hb:
+            if len(hbks) * 4 >= int(text_idx_n):
+                # adaptive fallback (r17, ADVICE low — the
+                # _indexed_verify_history quarter threshold applied
+                # to the heal): a corpus-wide replay (all batch ids
+                # prior) covers most buckets, and the per-bucket
+                # existence probes below would pay up to N sequential
+                # driver round-trips (HEADs on object stores) before
+                # concluding nothing is missing. Above quarter
+                # coverage, ONE read of the layer root (a single
+                # listing) answers the id-absence check for every
+                # candidate at once.
                 try:
                     idx_ids = (
-                        spark.read.parquet(*live_hb)
+                        spark.read.parquet(text_idx_path)
                         .select(id_col)
                         .dropDuplicates()
                     )
@@ -2053,14 +2095,34 @@ def incremental_ingest(
                         idx_ids, id_col, "left_anti"
                     ).localCheckpoint()
                 except Exception:
-                    # present-but-unreadable buckets: treat every
-                    # candidate as missing — the backfill below
-                    # restores their rows from the docs layer
+                    # unreadable/absent layer: every candidate
+                    # missing — the backfill restores them
                     missing_ids = ht_ids
             else:
-                # no candidate bucket written yet (torn layer or an
-                # index younger than these docs): all missing
-                missing_ids = ht_ids
+                # explicit candidate-bucket paths, not an isin filter
+                # on the layer root — the root read would LIST all N
+                # partition dirs per batch (see
+                # _indexed_verify_history)
+                live_hb = _live_bucket_paths(spark, text_idx_path, hbks)
+                if live_hb:
+                    try:
+                        idx_ids = (
+                            spark.read.parquet(*live_hb)
+                            .select(id_col)
+                            .dropDuplicates()
+                        )
+                        missing_ids = ht_ids.join(
+                            idx_ids, id_col, "left_anti"
+                        ).localCheckpoint()
+                    except Exception:
+                        # present-but-unreadable buckets: treat every
+                        # candidate as missing — the backfill below
+                        # restores their rows from the docs layer
+                        missing_ids = ht_ids
+                else:
+                    # no candidate bucket written yet (torn layer or
+                    # an index younger than these docs): all missing
+                    missing_ids = ht_ids
             # gate the docs scan on an actual gap: prior-id rows are
             # routine (every replay, every re-crawled id), missing
             # index rows are crash residue — without this first()
@@ -2913,28 +2975,26 @@ def _live_bucket_paths(
     spark: SparkSession, idx_path: str, bucket_ids: list[int]
 ) -> list[str]:
     """Explicit ``tb=`` directory paths for the candidate buckets
-    that EXIST, resolved with ONE shallow ``listStatus`` of the layer
-    root (r16 review #4): per-bucket ``fs.exists`` probes are
-    |candidates| sequential HEAD round-trips per batch on an object
-    store, while a shallow list of the layer root returns every live
-    partition name in O(N/page) LIST calls — and is NOT the
-    recursive InMemoryFileIndex listing the explicit-path read
-    avoids (that one enumerates the FILES inside every partition
-    dir; this enumerates dir NAMES once). A missing layer root
-    returns [] — the torn-layer case callers degrade on.
+    that EXIST, resolved by one ``fs.exists`` probe per candidate
+    bucket (HEAD-shaped; |candidates| sequential driver round-trips,
+    bounded to ≤ N/4 by the adaptive fallback upstream). A missing
+    layer root returns [] — the torn-layer case callers degrade on.
 
-    Shape note (r16 review #4, MEASURED BOTH WAYS): the reviewer's
-    one-shallow-listStatus alternative is the right call for a JVM
-    driver, but in PySpark the FileStatus array marshals through
-    py4j at ~3 driver round-trips per entry — at N=4096 that is
-    ~12k calls, +1.8 s per probe, WORSE than this loop (246 exists
-    probes ≈ 0.06 s locally); py4j also refuses the Object[]
-    overloads (Arrays.deepToString, commons StringUtils.join) that
-    would stringify the listing in one call. So the per-bucket
-    exists loop stays, bounded by the adaptive fallback upstream to
-    ≤ N/4 probes; on request-priced stores that is ≤ min(|cands|,
-    N/4) HEADs per candidate-carrying batch — the same order as the
-    probe's GETs themselves."""
+    Shape note (r16 review #4, MEASURED BOTH WAYS — why NOT one
+    shallow ``listStatus`` of the layer root): a single shallow list
+    returns every live partition name in O(N/page) LIST calls and is
+    the right call for a JVM driver, but in PySpark the FileStatus
+    array marshals through py4j at ~3 driver round-trips per entry —
+    at N=4096 that is ~12k calls, +1.8 s per probe, WORSE than this
+    loop (246 exists probes ≈ 0.06 s locally); py4j also refuses the
+    Object[] overloads (Arrays.deepToString, commons
+    StringUtils.join) that would stringify the listing in one call.
+    (Neither shape is the recursive InMemoryFileIndex listing the
+    explicit-path READ avoids — that one enumerates the FILES inside
+    every partition dir.) So the per-bucket exists loop stays; on
+    request-priced stores that is ≤ min(|cands|, N/4) HEADs per
+    candidate-carrying batch — the same order as the probe's GETs
+    themselves."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = hpath(idx_path)
@@ -3805,6 +3865,7 @@ def streaming_ingest(
     url_bloom_max_fill: float = 0.1,
     compact_above_files: int | None = None,
     on_report=None,
+    maintain_due: int | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -3856,7 +3917,27 @@ def streaming_ingest(
     the micro-batch, which Structured Streaming then retries — safe,
     since a replayed batch admits nothing, but noisy). A delivery
     mechanism like ``checkpoint``, not a pipeline knob, so it is
-    excluded from the two faces' knob-parity contract."""
+    excluded from the two faces' knob-parity contract.
+
+    ``maintain_due`` (r17, verdict #4) closes the maintenance loop
+    the r16 signals opened: when the batch report's due counters
+    (``compact_due`` + ``bloom_rebuild_due`` + ``url_bloom_rebuild_
+    due``) sum to at least ``maintain_due``, the micro-batch invokes
+    :func:`maintain_lake` itself (``trust_marker=True`` — under-
+    threshold layers cost two point probes, never a listing),
+    forwarding the stream's compaction/fill knobs — so an unattended
+    streaming lake stays compacted and its filters fresh with zero
+    external orchestration. The maintenance runs INSIDE
+    ``foreachBatch``, so that one micro-batch absorbs the sweep
+    latency; the signals it acts on reset on completion (compaction
+    zeroes the append accounting, rebuilds restore fill), so the
+    policy self-throttles to "when work is actually owed".
+    ``maintain_due=1`` = act on any signal; higher values batch more
+    debt per sweep. Operators that need true out-of-band maintenance
+    (a separate cluster/queue) keep using ``on_report`` + their own
+    scheduler instead. The maintenance result rides the report to
+    ``on_report`` under ``maintain_*`` keys. A delivery-side policy
+    like ``on_report``, excluded from knob parity the same way."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         rep = incremental_ingest(
@@ -3902,6 +3983,24 @@ def streaming_ingest(
             url_bloom_max_fill=url_bloom_max_fill,
             compact_above_files=compact_above_files,
         )
+        if maintain_due is not None:
+            due = (
+                rep.get("compact_due", 0)
+                + rep.get("bloom_rebuild_due", 0)
+                + rep.get("url_bloom_rebuild_due", 0)
+            )
+            if due >= int(maintain_due):
+                mres = maintain_lake(
+                    batch_df.sparkSession,
+                    out_root,
+                    catalog_prefix=catalog_prefix,
+                    bloom_max_fill=bloom_max_fill,
+                    compact_above_files=compact_above_files,
+                    url_bloom_max_fill=url_bloom_max_fill,
+                    trust_marker=True,
+                )
+                for mk, mv in mres.items():
+                    rep[f"maintain_{mk}"] = mv
         if on_report is not None:
             on_report(batch_id, rep)
 

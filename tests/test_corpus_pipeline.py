@@ -1132,6 +1132,55 @@ def test_near_dup_ingest_heals_missing_bands_on_replay(spark, tmp_path):
     assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
 
 
+def test_bands_heal_covers_within_batch_keeper_losers(spark, tmp_path):
+    """r17 (ADVICE medium): a prior id whose bands append crashed can
+    re-arrive with UNCHANGED content in a later, NON-identical batch
+    and lose within-batch near-dup keeper selection to a smaller-id
+    near-dup arriving alongside it — keeper choice depends on batch
+    composition, not content. The heal base must therefore include
+    pre-keeper-drop ids: deriving it from the post-drop batch alone
+    leaves the doc invisible to the near-dup guard forever (its bands
+    are never backfilled), which is exactly what this scenario pinned
+    before the fix (healed_bands was 0)."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+    )
+
+    root = str(tmp_path / "lake_nd_loser_heal")
+    incremental_ingest(
+        spark, _near_docs(spark, [(5, _BASE)]), root, near_dup=True
+    )
+    # crash window: docs + fingerprints landed, bands append did not
+    shutil.rmtree(f"{root}/band_buckets")
+    # replay batch: the prior doc (id 5, unchanged) arrives WITH a
+    # near-dup under a smaller id — within-batch clustering keeps
+    # id 1 and drops id 5 before the id guard ever sees it. The
+    # guard is blind (bands lost), so the near-dup IS admitted —
+    # the documented blindness cost the heal exists to end.
+    r = incremental_ingest(
+        spark,
+        _near_docs(
+            spark, [(1, _BASE.replace("fox", "wolf")), (5, _BASE)]
+        ),
+        root,
+        near_dup=True,
+    )
+    assert r["admitted"] == 1  # the wolf near-dup, via the blind window
+    assert r["near_dup_skipped"] == 1  # id 5 lost keeper selection
+    assert r["healed_bands"] == 1  # id 5 bands backfilled anyway
+    # sight restored: a third perturbation is blocked by the healed
+    # layer (id 5 bands) without needing the id-1 bands to match
+    r2 = incremental_ingest(
+        spark,
+        _near_docs(spark, [(9, _BASE.replace("fox", "cat"))]),
+        root,
+        near_dup=True,
+    )
+    assert r2["admitted"] == 0 and r2["near_dup_skipped"] == 1
+
+
 def _media_docs(spark, rows):
     return spark.createDataFrame(
         rows, "doc_id long, text string, payload binary"
@@ -3979,6 +4028,71 @@ def test_streaming_ingest_on_report_delivers_batch_counters(
     admitted = sorted(rep["admitted"] for _, rep in got)
     assert admitted == [0, 2, 3]  # the replay wave admits nothing
     assert max(rep["total_docs"] for _, rep in got) == 5
+
+
+def test_streaming_ingest_maintain_due_self_maintains(spark, tmp_path):
+    """r17 (verdict #4): the signals the r16 round added
+    (``compact_due`` / ``bloom_rebuild_due`` / ``on_report``) now
+    close the loop — with ``maintain_due=1`` the streaming face
+    invokes :func:`maintain_lake` ITSELF whenever a due counter is
+    nonzero, so an unattended lake stays compacted across N
+    micro-batches with ZERO manual maintenance calls. Asserts the
+    policy fired in-stream (``maintain_*`` keys ride the report), the
+    sweep actually compacted (files_after < files_before), the
+    accounting reset (a later batch re-accumulates from zero rather
+    than staying due forever), and the lake content stayed exact."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "am_incoming"
+    src.mkdir()
+    n_waves, per_wave = 6, 3
+    for w in range(n_waves):
+        spark.createDataFrame(
+            [(w * per_wave + i,
+              " ".join(f"am{w * per_wave + i}w{j}" for j in range(10)))
+             for i in range(per_wave)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"w{w}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    got = []
+    q = streaming_ingest(
+        stream,
+        str(tmp_path / "lake_am"),
+        checkpoint=str(tmp_path / "am_ckpt"),
+        bloom_guard=True,
+        compact_above_files=2,
+        maintain_due=1,
+        on_report=lambda bid, rep: got.append((bid, rep)),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == n_waves
+    maintained = [rep for _, rep in got if "maintain_compacted_layers" in rep]
+    assert maintained, "maintain_due never fired across 6 due batches"
+    fired = [rep for rep in maintained
+             if rep["maintain_compacted_layers"] > 0]
+    assert fired, "policy fired but never compacted a layer"
+    assert all(
+        rep["maintain_files_after"] <= rep["maintain_files_before"]
+        for rep in fired
+    )
+    # accounting reset: not every batch re-triggers — after a sweep
+    # the next batches accumulate from zero until the threshold
+    # crosses again (self-throttling, not once-due-always-due)
+    assert len(maintained) < n_waves
+    # zero manual maintain_lake calls, content still exact
+    docs = spark.read.parquet(str(tmp_path / "lake_am" / "docs"))
+    assert docs.count() == n_waves * per_wave
+    assert docs.select("doc_id").distinct().count() == n_waves * per_wave
 
 
 def test_maintain_lake_trust_marker_skips_listings(

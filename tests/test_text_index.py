@@ -506,3 +506,44 @@ def test_trust_marker_maintenance_covers_index(spark, tmp_path):
     idx_dir = tmp_path / "lake" / "text_index_b4"
     assert any(p.name.startswith("tb=") for p in idx_dir.iterdir())
     _index_equals_docs(spark, root)
+
+
+def test_heal_quarter_coverage_skips_per_bucket_probes(
+    spark, tmp_path, monkeypatch
+):
+    """r17 (ADVICE low): a corpus-wide replay (every batch id prior)
+    maps to candidate buckets covering >= N/4 of the index — the heal
+    must answer the id-absence check with ONE read of the layer root
+    instead of up to N sequential per-bucket existence probes (HEADs
+    on object stores). Pin it by poisoning _live_bucket_paths: at
+    quarter coverage the heal must never call it, and the backfill
+    must still restore every missing row from the docs layer."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+
+    root = str(tmp_path / "lake_qc")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    b1 = spark.createDataFrame(
+        [(i, f"{BASE} tail marker {i} " + "pad words " * 3)
+         for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    incremental_ingest(spark, b1, root, **kw_off)
+    build_text_index(spark, root, buckets=4)
+    # crash window: the whole index content lost
+    idx_dir = tmp_path / "lake_qc" / "text_index_b4"
+    for p in idx_dir.iterdir():
+        if p.name.startswith("tb="):
+            shutil.rmtree(p)
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "per-bucket existence probes must not run at quarter "
+            "coverage — the heal should read the layer root once"
+        )
+
+    monkeypatch.setattr(cp, "_live_bucket_paths", _boom)
+    r = incremental_ingest(spark, b1, root, **kw_off)
+    assert r["admitted"] == 0  # pure replay
+    _index_equals_docs(spark, root)  # all 8 rows healed from docs
