@@ -725,12 +725,14 @@ def incremental_ingest(
     Presence-driven like the filter-freshness rule — no knob; every
     admitting batch appends its (id, text) to a discovered index
     (whether or not verification is on, so the index stays complete
-    across knob windows), a crash window is healed by the id-absence
-    backfill (from the DOCS layer, so index content stays exactly
-    equal to docs content), and any id the index is missing at probe
-    time falls back to the docs scan for exactly those ids — a stale
-    or torn index costs speed, never a wrong admission. Opt out =
-    delete the layer.
+    across knob windows — the append goes to the layer's unpartitioned
+    TAIL sidecar, r17, folded into the buckets by
+    :func:`maintain_lake`; readers union base ∪ tail), a crash window
+    is healed by the id-absence backfill (from the DOCS layer, so
+    index content stays exactly equal to docs content), and any id
+    the index is missing at probe time falls back to the docs scan
+    for exactly those ids — a stale or torn index costs speed, never
+    a wrong admission. Opt out = delete the layer.
 
     ``line_census=True`` maintains the lake's boilerplate census
     alongside the guard sidecars: each ADMITTED batch's qualifying
@@ -1007,6 +1009,11 @@ def incremental_ingest(
     text_idx_n = _discover_text_index(spark, out_root)
     text_idx_path = (
         _text_index_path(out_root, text_idx_n)
+        if text_idx_n is not None
+        else None
+    )
+    text_idx_tail = (
+        _text_index_tail_path(out_root, text_idx_n)
         if text_idx_n is not None
         else None
     )
@@ -2085,44 +2092,61 @@ def incremental_ingest(
                 # coverage, ONE read of the layer root (a single
                 # listing) answers the id-absence check for every
                 # candidate at once.
+                id_sources = []
                 try:
-                    idx_ids = (
-                        spark.read.parquet(text_idx_path)
-                        .select(id_col)
-                        .dropDuplicates()
+                    id_sources.append(
+                        spark.read.parquet(text_idx_path).select(
+                            F.col(id_col)
+                        )
                     )
-                    missing_ids = ht_ids.join(
-                        idx_ids, id_col, "left_anti"
-                    ).localCheckpoint()
                 except Exception:
-                    # unreadable/absent layer: every candidate
-                    # missing — the backfill restores them
-                    missing_ids = ht_ids
+                    # unreadable/absent base: the tail below (if any)
+                    # still answers; otherwise every candidate is
+                    # missing and the backfill restores them
+                    pass
             else:
                 # explicit candidate-bucket paths, not an isin filter
                 # on the layer root — the root read would LIST all N
                 # partition dirs per batch (see
                 # _indexed_verify_history)
+                id_sources = []
                 live_hb = _live_bucket_paths(spark, text_idx_path, hbks)
                 if live_hb:
                     try:
-                        idx_ids = (
-                            spark.read.parquet(*live_hb)
-                            .select(id_col)
-                            .dropDuplicates()
+                        id_sources.append(
+                            spark.read.parquet(*live_hb).select(
+                                F.col(id_col)
+                            )
                         )
-                        missing_ids = ht_ids.join(
-                            idx_ids, id_col, "left_anti"
-                        ).localCheckpoint()
                     except Exception:
-                        # present-but-unreadable buckets: treat every
-                        # candidate as missing — the backfill below
-                        # restores their rows from the docs layer
-                        missing_ids = ht_ids
-                else:
-                    # no candidate bucket written yet (torn layer or
-                    # an index younger than these docs): all missing
-                    missing_ids = ht_ids
+                        # present-but-unreadable buckets: fall through
+                        # to the tail / all-missing handling below
+                        pass
+            # the append TAIL is part of the index's content (r17):
+            # without unioning its ids here, every replay would
+            # re-detect tail-resident rows as "missing" and re-append
+            # them — the heal must be idempotent against its own
+            # backfills
+            if _exists(spark, text_idx_tail):
+                try:
+                    id_sources.append(
+                        spark.read.parquet(text_idx_tail).select(
+                            F.col(id_col)
+                        )
+                    )
+                except Exception:
+                    pass
+            if id_sources:
+                idx_ids = id_sources[0]
+                for extra_src in id_sources[1:]:
+                    idx_ids = idx_ids.unionByName(extra_src)
+                missing_ids = ht_ids.join(
+                    idx_ids.dropDuplicates(), id_col, "left_anti"
+                ).localCheckpoint()
+            else:
+                # nothing readable anywhere (torn layer, index younger
+                # than these docs): all candidates missing
+                missing_ids = ht_ids
             # gate the docs scan on an actual gap: prior-id rows are
             # routine (every replay, every re-crawled id), missing
             # index rows are crash residue — without this first()
@@ -2137,23 +2161,21 @@ def incremental_ingest(
                         id_col,
                         "left_semi",
                     )
-                    .withColumn(
-                        "tb",
-                        F.pmod(
-                            F.xxhash64(F.col(id_col)), F.lit(text_idx_n)
-                        ),
-                    )
                     .localCheckpoint()
                 )
     n_healed_text = (
         healable_text.count() if healable_text is not None else 0
     )
     if n_healed_text:
+        # heal rows take the same tail path as the batch append (r17)
+        # — a backfill is just a late append, and the partitioned
+        # write's one-file-per-bucket cost is exactly what the tail
+        # exists to avoid
         (
-            healable_text.repartition(F.col("tb"))
+            healable_text.select(id_col, text_col)
+            .coalesce(8)
             .write.mode("append")
-            .partitionBy("tb")
-            .parquet(text_idx_path)
+            .parquet(text_idx_tail)
         )
     n_healed = healable.count() if healable is not None else 0
     if n_healed:
@@ -2217,6 +2239,13 @@ def incremental_ingest(
                 _recount_layers.append(f"text_index_b{text_idx_n}")
             for _layer in _recount_layers:
                 _n = _data_file_count(spark, f"{out_root}/{_layer}")
+                if _layer.startswith("text_index_b"):
+                    # the append tail's files count under the base
+                    # layer's key (r17) — the threshold check and the
+                    # fold treat them as one layer
+                    _n += _data_file_count(
+                        spark, f"{out_root}/{_layer}_tail"
+                    )
                 if _n:
                     files_acc[_layer] = _n
         else:
@@ -2280,16 +2309,18 @@ def incremental_ingest(
             # the census append is an aggregate — exchange-width bound
             layer_inc["line_census"] = p_shuffle
         if text_idx_n is not None:
-            # partitioned append after repartition("tb"): one file per
-            # non-empty bucket, so the exact upper bound is
-            # min(buckets, rows) for the batch append and the heal
-            # backfill alike (the generic _parts bound below would be
-            # wrong for a partitionBy write — a 1-partition frame can
-            # still write N bucket files)
+            # tail appends (r17): both the batch append and the heal
+            # backfill are coalesce(8) writes to the unpartitioned
+            # tail sidecar, so 8 is the exact upper bound per write —
+            # the pre-r17 partitionBy append was bounded by
+            # min(buckets, rows) ≈ thousands of files per batch,
+            # which is precisely what the tail removes. The tail's
+            # files count under the BASE layer's key: maintain_lake's
+            # threshold check sums base+tail and the fold resets both.
             tkey = f"text_index_b{text_idx_n}"
-            layer_inc[tkey] = min(text_idx_n, n_admitted)
+            layer_inc[tkey] = min(8, max(n_admitted, 1))
             if n_healed_text:
-                layer_inc[tkey] += min(text_idx_n, n_healed_text)
+                layer_inc[tkey] += min(8, n_healed_text)
         heal_appends = {
             "band_buckets": (n_healed_bands, healable_bands),
             "media_bands": (n_healed_media, healable_media),
@@ -2522,19 +2553,19 @@ def incremental_ingest(
             # verify stage's pruned read stays complete. Crash before
             # this lands → the id-absence heal above backfills from
             # the docs layer on replay; in the interim the verify
-            # fallback covers the gap exactly. repartition("tb")
-            # before partitionBy keeps the append at one file per
-            # touched bucket instead of per (task × bucket).
+            # fallback covers the gap exactly. The append goes to the
+            # UNPARTITIONED TAIL sidecar (r17): the first cut's
+            # partitionBy("tb") append wrote one file per touched
+            # bucket — ~2.9k files and +20-50 s PER 5k-doc admitting
+            # batch (SCALE.md §r17, guard_probe index_ingest) — while
+            # the tail write is sidecar-shaped (≤8 files); readers
+            # union base ∪ tail, maintain_lake folds the tail into
+            # the bucketed base inside the layer's compaction.
             (
                 admitted.select(id_col, text_col)
-                .withColumn(
-                    "tb",
-                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(text_idx_n)),
-                )
-                .repartition(F.col("tb"))
+                .coalesce(8)
                 .write.mode("append")
-                .partitionBy("tb")
-                .parquet(text_idx_path)
+                .parquet(text_idx_tail)
             )
     n_bloom_fill_pct = 0
     n_bloom_rebuilt_hex = 0
@@ -2783,6 +2814,9 @@ def recount_lake_docs(spark: SparkSession, out_root: str) -> int:
             layers.append(f"text_index_b{tix}")
         for layer in layers:
             nf = _data_file_count(spark, f"{out_root}/{layer}")
+            if layer.startswith("text_index_b"):
+                # tail files count under the base layer's key (r17)
+                nf += _data_file_count(spark, f"{out_root}/{layer}_tail")
             if nf:
                 files[layer] = nf
     _write_lake_stats(
@@ -2795,6 +2829,61 @@ def _bloom_layer_path(
     out_root: str, hex_chars: int, layer: str = "bloom"
 ) -> str:
     return f"{out_root}/{layer}_k{bloom_ops.K_DEFAULT}h{hex_chars}"
+
+
+def _text_index_tail_path(out_root: str, buckets: int) -> str:
+    """The index's APPEND TAIL sidecar (r17): per-batch (id, text)
+    appends land here as a handful of plain files instead of one file
+    per touched ``tb=`` partition — measured (SCALE.md §r17): the
+    partitioned append wrote ~2.9k files per 5k-doc batch and cost
+    the admitting batch 20-50 s over the index-less baseline; the
+    tail write is sidecar-shaped (≤8 files). Readers union
+    base ∪ tail (the tail is small between maintenance runs);
+    :func:`maintain_lake` folds the tail into the bucketed base
+    inside the index layer's compaction rewrite. The ``_tail`` suffix
+    never parses as an ``int`` so :func:`_discover_text_index`
+    ignores it."""
+    return f"{out_root}/text_index_b{int(buckets)}_tail"
+
+
+def read_text_index(
+    spark: SparkSession, out_root: str, buckets: int,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """The index's full (id, text) content: bucketed base ∪ append
+    tail. Crash residue (a fold interrupted between swap and tail
+    delete) can leave identical rows in both — tolerated by every
+    consumer (verify dedups output ids; heals dedup id sets) and
+    removed by the next fold's full-row dropDuplicates."""
+    parts = []
+    try:
+        parts.append(
+            spark.read.parquet(
+                _text_index_path(out_root, buckets)
+            ).select(id_col, text_col)
+        )
+    except Exception:
+        # gutted/unreadable base (crash residue): the tail below may
+        # still answer — consumers treat missing rows as heal work,
+        # never as absence of content
+        pass
+    tail_p = _text_index_tail_path(out_root, buckets)
+    if _exists(spark, tail_p):
+        try:
+            parts.append(
+                spark.read.parquet(tail_p).select(id_col, text_col)
+            )
+        except Exception:
+            pass
+    if not parts:
+        raise ValueError(
+            f"text index b{buckets} under {out_root} has no readable "
+            "content (base and tail both absent/unreadable)"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _text_index_path(out_root: str, buckets: int) -> str:
@@ -2911,6 +3000,15 @@ def build_text_index(
     per-batch corpus scan; lakes that never enable
     ``near_dup_verify`` should simply not build one.
 
+    Append tail (r17): between builds/folds, per-batch appends live
+    in the sibling ``text_index_b{N}_tail`` sidecar
+    (:func:`_text_index_tail_path` — the LSM pattern; a partitioned
+    per-batch append measured ~one file per touched bucket, ~2.9k
+    files and +20-50 s per 5k-doc batch). This build reads the
+    AUTHORITATIVE docs layer, so it supersedes and deletes the tail;
+    :func:`maintain_lake` folds a live tail into the base during the
+    layer's compaction; :func:`read_text_index` is the union read.
+
     Returns ``{"rows": ..., "buckets": N, "files": ...}``."""
     if int(buckets) < 1:
         # pmod(x, 0) is NULL: a zero-bucket layer would write every
@@ -2943,6 +3041,13 @@ def build_text_index(
     )
     rows = spark.read.parquet(path).count()
     files = _data_file_count(spark, path)
+    # the fresh build read the AUTHORITATIVE docs layer, so the append
+    # tail's content (r17) is superseded — delete it after the base
+    # landed (a crash in between leaves exact-duplicate rows, which
+    # readers tolerate and the next fold removes; never loss)
+    tail_p = hpath(_text_index_tail_path(out_root, buckets))
+    if fs.exists(tail_p):
+        fs.delete(tail_p, True)
     if drop_others:
         # sweep stale layers built at other bucket counts — discovery
         # follows the largest N, so a stale SMALLER layer is inert,
@@ -3067,13 +3172,27 @@ def _indexed_verify_history(
         # the pre-index docs-scan plan wholesale
         return spark.read.parquet(docs_path).select(id_col, text_col)
     try:
-        idx = spark.read.parquet(*live)
+        idx = spark.read.parquet(*live).select(id_col, text_col)
     except Exception:
         # present-but-unreadable bucket dirs degrade the same way
         return spark.read.parquet(docs_path).select(id_col, text_col)
+    # append TAIL (r17): per-batch index appends land in the sibling
+    # unpartitioned tail until maintain_lake folds them into the
+    # buckets — it is small between folds and read WHOLE, so
+    # candidate texts appended since the last fold are found here
+    # instead of each falling to the per-id docs fallback below.
+    # (Crash-residue duplicate rows between base and tail are
+    # tolerated: verify output ids are distinct-ed.)
+    tail_p = idx_path + "_tail"
+    if _exists(spark, tail_p):
+        try:
+            idx = idx.unionByName(
+                spark.read.parquet(tail_p).select(id_col, text_col)
+            )
+        except Exception:
+            pass
     found = (
-        idx.select(id_col, text_col)
-        .join(
+        idx.join(
             F.broadcast(hist_ids.withColumnRenamed("seen_id", id_col)),
             id_col,
             "left_semi",
@@ -3404,6 +3523,17 @@ def maintain_lake(
                         sweep.append((nm[: -len("__compact")], "tb"))
         for layer, layer_pby in sweep:
             path = f"{out_root}/{layer}"
+            # the text index's append tail (r17) counts toward ITS
+            # layer's threshold and is folded into the base by the
+            # same rewrite — resolved here so both the listing and
+            # the trust_marker branch see one layer, not two
+            tail_path = (
+                _text_index_tail_path(
+                    out_root, int(layer.rpartition("_b")[2])
+                )
+                if layer_pby
+                else None
+            )
             if (
                 marker_files is not None
                 and layer in marker_files
@@ -3413,6 +3543,8 @@ def maintain_lake(
             ):
                 continue
             n_files = _data_file_count(spark, path)
+            if tail_path is not None:
+                n_files += _data_file_count(spark, tail_path)
             crashed = not _exists(spark, path) and _data_file_count(
                 spark, path + "__compact"
             )
@@ -3441,12 +3573,37 @@ def maintain_lake(
                     if fs.exists(old):
                         fs.delete(old, True)
                 continue
+            fold_df = None
+            fold_path = None
+            if (
+                tail_path is not None
+                and _exists(spark, tail_path)
+                and _exists(spark, path)
+            ):
+                # fold the tail into the bucketed base inside the
+                # compaction rewrite (the r17 LSM-tail design):
+                # recompute the partition column for tail rows — the
+                # tail stores plain (id, text) so per-batch appends
+                # stay a handful of files
+                nb = int(layer.rpartition("_b")[2])
+                tail_df = spark.read.parquet(tail_path)
+                # the tail schema is exactly (id, text) in write
+                # order — the id column is first whatever its name
+                fold_df = tail_df.withColumn(
+                    "tb",
+                    F.pmod(
+                        F.xxhash64(F.col(tail_df.columns[0])), F.lit(nb)
+                    ),
+                )
+                fold_path = tail_path
             res = compact_layer(
                 spark, path, target_file_mb=compact_target_file_mb,
                 partition_by=layer_pby,
                 partition_values=(
                     int(layer.rpartition("_b")[2]) if layer_pby else None
                 ),
+                fold_df=fold_df,
+                fold_path=fold_path,
             )
             compacted_layers += 1
             files_before += res["files_before"]
@@ -3559,6 +3716,8 @@ def compact_layer(
     target_file_mb: int = 128,
     partition_by: str | None = None,
     partition_values: int | None = None,
+    fold_df: DataFrame | None = None,
+    fold_path: str | None = None,
 ) -> dict[str, int]:
     """Small-files maintenance for an append-mode lake layer: rewrite
     the layer into ~``target_file_mb`` files and swap it in with a
@@ -3584,6 +3743,17 @@ def compact_layer(
     text index), rewrite bucket-aligned and re-stamp ``partitionBy``
     so the swapped-in layer prunes identically — the default plain
     ``repartition(n)`` would silently strip the partition layout.
+
+    ``fold_df`` / ``fold_path`` (r17 — the LSM-tail fold): a sidecar
+    of per-batch appends is UNIONED into the rewrite (``fold_df``,
+    already carrying the partition column when ``partition_by`` is
+    set) with a full-row ``dropDuplicates`` (crash residue from a
+    prior fold interrupted between swap and tail delete is an exact
+    duplicate row by construction — this is the one path where
+    "content identical" means the deduplicated union, not the raw
+    live bytes), and ``fold_path`` is deleted AFTER the swap lands —
+    a crash between the two leaves duplicates, never loss. The row
+    verification in step 2 checks against the unioned deduped count.
 
     Crash between 3–4 leaves no live dir: the entry repair finishes
     the swap iff ``__compact`` carries ``_SUCCESS``. Crash after 4
@@ -3644,8 +3814,20 @@ def compact_layer(
 
     files_before = _files(live)
     size = fs.getContentSummary(live).getLength()
-    n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
     df = spark.read.parquet(path)
+    if fold_df is not None:
+        files_before += (
+            _files(hpath(fold_path))
+            if fold_path is not None and fs.exists(hpath(fold_path))
+            else 0
+        )
+        size += (
+            fs.getContentSummary(hpath(fold_path)).getLength()
+            if fold_path is not None and fs.exists(hpath(fold_path))
+            else 0
+        )
+        df = df.unionByName(fold_df).dropDuplicates()
+    n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
     rows = df.count()
     if partition_by is None:
         df.repartition(n_out).write.mode("overwrite").parquet(
@@ -3681,6 +3863,12 @@ def compact_layer(
         fs.rename(old, live)
         raise
     fs.delete(old, True)
+    if fold_path is not None and fs.exists(hpath(fold_path)):
+        # tail folded into the swapped-in layer: delete it LAST — a
+        # crash before this line leaves exact-duplicate rows (readers
+        # tolerate them; the next fold's dropDuplicates removes them),
+        # never data loss
+        fs.delete(hpath(fold_path), True)
     # reset the layer's files-appended-since-compaction accounting in
     # the sibling ``_lake_stats`` marker (r16, verdict #1) — the
     # compaction IS the event the counter measures distance from. A

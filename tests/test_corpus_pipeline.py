@@ -2409,8 +2409,12 @@ def test_streaming_ingest_exposes_full_batch_knob_surface():
         n: p.default
         for n, p in stream.items()
         # stream_df/checkpoint/on_report are the streaming face's
-        # source + delivery mechanisms, not pipeline knobs
-        if n not in ("stream_df", "checkpoint", "on_report")
+        # source + delivery mechanisms, not pipeline knobs;
+        # maintain_due (r17) is the on_report-side maintenance
+        # POLICY — it changes when maintain_lake runs, never what any
+        # batch admits, so it is delivery-side by the same rule
+        if n not in ("stream_df", "checkpoint", "on_report",
+                     "maintain_due")
     }
     assert batch_knobs == stream_knobs
 
@@ -3961,10 +3965,14 @@ def test_lake_lifecycle_soak(spark, tmp_path):
     # text index content == docs content EXACTLY, through both faces,
     # the crash replay, the knob-off window and the compaction sweep
     # (the heal sources text from the docs layer, so even a replayed
-    # changed text cannot diverge them); partition layout survived
-    idx = spark.read.parquet(f"{root}/text_index_b8").select(
-        "doc_id", "text"
+    # changed text cannot diverge them); partition layout survived.
+    # r17: content = bucketed base ∪ append tail (distinct — a fold
+    # interrupted between swap and tail delete may leave exact dups)
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        read_text_index,
     )
+
+    idx = read_text_index(spark, root, 8).distinct()
     d2 = docs.select("doc_id", "text")
     assert idx.exceptAll(d2).count() == 0
     assert d2.exceptAll(idx).count() == 0

@@ -84,13 +84,17 @@ KW = dict(near_dup=True, lsh_hash_family="fast", near_dup_verify=0.5)
 
 
 def _index_equals_docs(spark, root):
-    """The heal/append contract: index (id, text) content is exactly
-    the docs layer's."""
+    """The heal/append contract: index (id, text) content — bucketed
+    base ∪ append tail (r17) — is exactly the docs layer's. distinct
+    on the index side: a fold interrupted between swap and tail
+    delete legitimately leaves exact-duplicate rows."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        read_text_index,
+    )
+
     docs = spark.read.parquet(f"{root}/docs").select("doc_id", "text")
     n = _discover_text_index(spark, root)
-    idx = spark.read.parquet(f"{root}/text_index_b{n}").select(
-        "doc_id", "text"
-    )
+    idx = read_text_index(spark, root, n).distinct()
     assert docs.exceptAll(idx).count() == 0
     assert idx.exceptAll(docs).count() == 0
 
@@ -178,10 +182,20 @@ def test_maintain_if_present_and_heal(spark, tmp_path):
     for p in idx_dir.iterdir():
         if p.name.startswith("tb="):
             shutil.rmtree(p)
+    # batch 2's append lives in the TAIL (r17) — the crash window
+    # this test simulates must lose it too, or there is nothing to
+    # heal (the tail would still answer the completeness probe)
+    tail_dir = tmp_path / "lake" / "text_index_b8_tail"
+    if tail_dir.exists():
+        shutil.rmtree(tail_dir)
     r = incremental_ingest(spark, b2, root, **kw_off)
     assert r["admitted"] == 0  # replay admits nothing
     n = _discover_text_index(spark, root)
-    healed = spark.read.parquet(f"{root}/text_index_b{n}")
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        read_text_index,
+    )
+
+    healed = read_text_index(spark, root, n)
     # only batch 2's row is healed (batch 1's id is not in the replay)
     assert [
         (r2["doc_id"],) for r2 in healed.select("doc_id").collect()
@@ -212,14 +226,20 @@ def test_compaction_preserves_partition_layout(spark, tmp_path):
         if i == 0:
             build_text_index(spark, root, buckets=4)
     _index_equals_docs(spark, root)
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        read_text_index,
+    )
+
     before = set(
         (r["doc_id"], r["text"])
-        for r in spark.read.parquet(f"{root}/text_index_b4").collect()
+        for r in read_text_index(spark, root, 4).collect()
     )
     res = maintain_lake(spark, root, compact_above_files=2)
     assert res["compacted_layers"] >= 1
     idx_dir = tmp_path / "lake" / "text_index_b4"
     assert any(p.name.startswith("tb=") for p in idx_dir.iterdir())
+    # the fold consumed the tail: every row is in the bucketed base
+    assert not (tmp_path / "lake" / "text_index_b4_tail").exists()
     after = set(
         (r["doc_id"], r["text"])
         for r in spark.read.parquet(f"{root}/text_index_b4").collect()
@@ -349,8 +369,10 @@ def test_torn_marker_recount_includes_index(spark, tmp_path):
         root,
         **kw_off,
     )
-    measured = _data_file_count(spark, f"{root}/text_index_b8")
-    assert measured >= 2  # build + one append
+    measured = _data_file_count(
+        spark, f"{root}/text_index_b8"
+    ) + _data_file_count(spark, f"{root}/text_index_b8_tail")
+    assert measured >= 2  # build (base) + one append (tail)
     # torn marker: the next admitting batch recounts, and the recount
     # must carry a measured (nonzero) index entry
     shutil.rmtree(tmp_path / "lake" / "_lake_stats")
@@ -547,3 +569,43 @@ def test_heal_quarter_coverage_skips_per_bucket_probes(
     r = incremental_ingest(spark, b1, root, **kw_off)
     assert r["admitted"] == 0  # pure replay
     _index_equals_docs(spark, root)  # all 8 rows healed from docs
+
+
+def test_tail_append_is_sidecar_shaped(spark, tmp_path):
+    """r17 (the index_ingest measurement): the per-batch index append
+    must be a handful of tail files, NOT one file per touched bucket
+    — the pre-r17 partitionBy append wrote ~min(buckets, rows) files
+    per admitting batch (~2.9k at N=4096, +20-50 s/batch, SCALE.md
+    §r17). Pin: after a 200-doc novel batch against a 512-bucket
+    index, the base layer's data files are untouched and the tail
+    holds the batch in ≤ 8 files; a second batch appends ≤ 8 more."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        read_text_index,
+    )
+
+    root = str(tmp_path / "lake_tail")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+
+    def batch(lo, n):
+        return spark.createDataFrame(
+            [(lo + i, " ".join(f"tl{lo + i}w{j}" for j in range(12)))
+             for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    incremental_ingest(spark, batch(0, 50), root, **kw_off)
+    build_text_index(spark, root, buckets=512)
+    base_files = _data_file_count(spark, f"{root}/text_index_b512")
+    incremental_ingest(spark, batch(1000, 200), root, **kw_off)
+    assert _data_file_count(spark, f"{root}/text_index_b512") == base_files
+    t1 = _data_file_count(spark, f"{root}/text_index_b512_tail")
+    assert 1 <= t1 <= 8
+    incremental_ingest(spark, batch(2000, 200), root, **kw_off)
+    t2 = _data_file_count(spark, f"{root}/text_index_b512_tail")
+    assert t1 < t2 <= t1 + 8
+    # content exact through the union read (== docs; some batch rows
+    # are within-batch near-dup losers, so no fixed-count claim)
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    assert read_text_index(spark, root, 512).distinct().count() == n_docs
+    _index_equals_docs(spark, root)

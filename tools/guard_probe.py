@@ -894,11 +894,17 @@ def index_ingest_main(n_max: int, buckets: int = 4096) -> None:
             builds[k] = round(time.time() - t0, 2)
             _arm(idx, replay500, "replay500_with_index")
             _arm(idx, replay5k, "replay5k_with_index")
-            before = _count_files(f"{idx}/text_index_b{buckets}")
-            _arm(idx, novel, "novel_with_index")
-            fadds[k] = _count_files(
+            # files added = base layer + its append tail (r17: the
+            # batch append lands in text_index_b{N}_tail)
+            before = _count_files(
                 f"{idx}/text_index_b{buckets}"
-            ) - before
+            ) + _count_files(f"{idx}/text_index_b{buckets}_tail")
+            _arm(idx, novel, "novel_with_index")
+            fadds[k] = (
+                _count_files(f"{idx}/text_index_b{buckets}")
+                + _count_files(f"{idx}/text_index_b{buckets}_tail")
+                - before
+            )
             shutil.rmtree(kd, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
