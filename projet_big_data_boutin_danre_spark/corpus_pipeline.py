@@ -2079,6 +2079,26 @@ def incremental_ingest(
             "tb",
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(text_idx_n)),
         )
+        # TAIL FIRST (r17): recent appends — exactly the rows a
+        # crash-replay window re-arrives over — live in the small
+        # unpartitioned tail until the next fold. Anti-joining it
+        # first (a) makes the heal idempotent against its own
+        # backfills and (b) usually empties the candidate set
+        # entirely, so the common replay pays ONE small-tail read
+        # instead of bucket existence probes or the quarter-coverage
+        # root read; only ids the tail cannot answer proceed to the
+        # base-layer check below.
+        if _exists(spark, text_idx_tail):
+            try:
+                ht_ids = ht_ids.join(
+                    spark.read.parquet(text_idx_tail).select(
+                        F.col(id_col)
+                    ),
+                    id_col,
+                    "left_anti",
+                ).localCheckpoint()
+            except Exception:
+                pass
         hbks = [int(r["tb"]) for r in ht_ids.select("tb").distinct().collect()]
         if hbks:
             if len(hbks) * 4 >= int(text_idx_n):
@@ -2100,8 +2120,8 @@ def incremental_ingest(
                         )
                     )
                 except Exception:
-                    # unreadable/absent base: the tail below (if any)
-                    # still answers; otherwise every candidate is
+                    # unreadable/absent base: every remaining
+                    # candidate (tail already consulted above) is
                     # missing and the backfill restores them
                     pass
             else:
@@ -2122,20 +2142,8 @@ def incremental_ingest(
                         # present-but-unreadable buckets: fall through
                         # to the tail / all-missing handling below
                         pass
-            # the append TAIL is part of the index's content (r17):
-            # without unioning its ids here, every replay would
-            # re-detect tail-resident rows as "missing" and re-append
-            # them — the heal must be idempotent against its own
-            # backfills
-            if _exists(spark, text_idx_tail):
-                try:
-                    id_sources.append(
-                        spark.read.parquet(text_idx_tail).select(
-                            F.col(id_col)
-                        )
-                    )
-                except Exception:
-                    pass
+            # (tail ids were already anti-joined out of ht_ids above,
+            # so id_sources here carry only the bucketed base)
             if id_sources:
                 idx_ids = id_sources[0]
                 for extra_src in id_sources[1:]:
