@@ -609,3 +609,53 @@ def test_tail_append_is_sidecar_shaped(spark, tmp_path):
     n_docs = spark.read.parquet(f"{root}/docs").count()
     assert read_text_index(spark, root, 512).distinct().count() == n_docs
     _index_equals_docs(spark, root)
+
+
+def test_fold_crash_residue_deduped_on_next_fold(spark, tmp_path):
+    """r17: a fold interrupted between the swap and the tail delete
+    leaves the folded rows in BOTH base and tail — exact duplicates
+    by construction. Readers tolerate them (distinct-ed consumers);
+    the NEXT fold's full-row dropDuplicates must remove them so
+    residue never accumulates. Simulated physically: re-create the
+    tail with rows the previous fold already moved into the base."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        read_text_index,
+    )
+
+    root = str(tmp_path / "lake_fold")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    b1 = spark.createDataFrame(
+        [(i, " ".join(f"fd{i}w{j}" for j in range(12)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    incremental_ingest(spark, b1, root, **kw_off)
+    build_text_index(spark, root, buckets=4)
+    b2 = spark.createDataFrame(
+        [(100 + i, " ".join(f"fe{100 + i}w{j}" for j in range(12)))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    incremental_ingest(spark, b2, root, **kw_off)
+    maintain_lake(spark, root, compact_above_files=1)  # first fold
+    assert not (tmp_path / "lake_fold" / "text_index_b4_tail").exists()
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    base = spark.read.parquet(f"{root}/text_index_b4")
+    assert base.count() == n_docs
+    # crash residue: the tail reappears with rows the base already has
+    base.filter(F.col("doc_id") >= 100).select(
+        "doc_id", "text"
+    ).coalesce(1).write.parquet(f"{root}/text_index_b4_tail")
+    dup_read = read_text_index(spark, root, 4)
+    assert dup_read.count() > n_docs  # duplicates visible pre-fold
+    # the duplicate rows also must not be "healed" again on replay
+    r = incremental_ingest(spark, b2, root, **kw_off)
+    assert r["admitted"] == 0
+    # second fold: residue gone, content exact, no distinct needed
+    assert _data_file_count(spark, f"{root}/text_index_b4_tail") >= 1
+    maintain_lake(spark, root, compact_above_files=1)
+    assert not (tmp_path / "lake_fold" / "text_index_b4_tail").exists()
+    after = spark.read.parquet(f"{root}/text_index_b4")
+    assert after.count() == n_docs
+    assert after.select("doc_id").distinct().count() == n_docs

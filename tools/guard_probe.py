@@ -905,6 +905,13 @@ def index_ingest_main(n_max: int, buckets: int = 4096) -> None:
                 + _count_files(f"{idx}/text_index_b{buckets}_tail")
                 - before
             )
+            # tail-resident replay (r17 tail-first heal): replaying
+            # the batch JUST ingested — its index rows still live in
+            # the tail — must empty the completeness probe with one
+            # small-tail read (no bucket probes, no root read); the
+            # delta vs replay5k_with_index is the fastpath's value
+            # on the ACTUAL crash-replay window
+            _arm(idx, novel, "replay_tail_with_index")
             shutil.rmtree(kd, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -914,6 +921,7 @@ def index_ingest_main(n_max: int, buckets: int = 4096) -> None:
         "replay500_no_index", "replay500_with_index",
         "replay5k_no_index", "replay5k_with_index",
         "novel_no_index", "novel_with_index",
+        "replay_tail_with_index",
     ):
         ts = results[name]
         print(f"| {name} | "
