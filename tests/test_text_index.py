@@ -659,3 +659,62 @@ def test_fold_crash_residue_deduped_on_next_fold(spark, tmp_path):
     after = spark.read.parquet(f"{root}/text_index_b4")
     assert after.count() == n_docs
     assert after.select("doc_id").distinct().count() == n_docs
+
+
+def test_streaming_maintain_due_folds_tail_in_stream(spark, tmp_path):
+    """r17 composition: an unattended STREAMING lake that carries a
+    text index must fold the index tail with zero manual maintenance
+    calls — `maintain_due` acts on `compact_due` (tail files count
+    under the base layer's key), the in-stream `maintain_lake` run
+    folds tail → buckets, and the index content stays exactly equal
+    to docs through the whole run."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "sf_incoming"
+    src.mkdir()
+    n_waves, per_wave = 5, 4
+    for w in range(n_waves):
+        spark.createDataFrame(
+            [(w * per_wave + i,
+              " ".join(f"sm{w * per_wave + i}w{j}" for j in range(12)))
+             for i in range(per_wave)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"w{w}"))
+    root = str(tmp_path / "lake_sf")
+    # seed the lake + index from wave 0's content, then stream
+    incremental_ingest(
+        spark,
+        spark.read.parquet(str(src / "w0")),
+        root,
+        near_dup=True,
+        lsh_hash_family="fast",
+    )
+    build_text_index(spark, root, buckets=8)
+    got = []
+    q = streaming_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*")),
+        root,
+        checkpoint=str(tmp_path / "sf_ckpt"),
+        near_dup=True,
+        lsh_hash_family="fast",
+        compact_above_files=3,
+        maintain_due=1,
+        on_report=lambda bid, rep: got.append(rep),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == n_waves
+    folded = [r for r in got if r.get("maintain_compacted_layers", 0) > 0]
+    assert folded, "maintain_due never folded in-stream"
+    # after at least one in-stream fold the tail was consumed at that
+    # point; content stayed exact through appends after the fold too
+    _index_equals_docs(spark, root)
+    docs_n = spark.read.parquet(f"{root}/docs").count()
+    assert docs_n == n_waves * per_wave
