@@ -3583,10 +3583,16 @@ def maintain_lake(
                 continue
             fold_df = None
             fold_path = None
+            # presence probes, not readability (_exists): a GUTTED
+            # base (dir present, data files lost to crash residue)
+            # must still fold — compact_layer rebuilds it from the
+            # tail (its read-failure handling covers unreadable-with-
+            # fold); an unreadable TAIL surfaces loudly in the fold
+            # read rather than being silently dropped
             if (
                 tail_path is not None
-                and _exists(spark, tail_path)
-                and _exists(spark, path)
+                and _dir_exists(spark, tail_path)
+                and _dir_exists(spark, path)
             ):
                 # fold the tail into the bucketed base inside the
                 # compaction rewrite (the r17 LSM-tail design):
@@ -3822,7 +3828,20 @@ def compact_layer(
 
     files_before = _files(live)
     size = fs.getContentSummary(live).getLength()
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # a layer left data-less by out-of-band surgery or crash
+        # residue (dir present, no readable files) only has content
+        # to rewrite when a fold tail exists — without one, keep the
+        # loud failure (a plain compaction of nothing is a caller
+        # bug); with one, the fold REBUILDS a readable base from the
+        # tail so unattended maintenance can't wedge in a failing
+        # loop (missing older rows are the heal/fallback paths'
+        # responsibility — the cache contract)
+        if fold_df is None:
+            raise
+        df = None
     if fold_df is not None:
         files_before += (
             _files(hpath(fold_path))
@@ -3834,7 +3853,8 @@ def compact_layer(
             if fold_path is not None and fs.exists(hpath(fold_path))
             else 0
         )
-        df = df.unionByName(fold_df).dropDuplicates()
+        df = fold_df if df is None else df.unionByName(fold_df)
+        df = df.dropDuplicates()
     n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
     rows = df.count()
     if partition_by is None:

@@ -718,3 +718,64 @@ def test_streaming_maintain_due_folds_tail_in_stream(spark, tmp_path):
     _index_equals_docs(spark, root)
     docs_n = spark.read.parquet(f"{root}/docs").count()
     assert docs_n == n_waves * per_wave
+
+
+def test_fold_rebuilds_gutted_base_from_tail(spark, tmp_path):
+    """r17 edge: crash residue can leave the base dir present but
+    data-less (tb= dirs gone) while the tail holds recent appends —
+    an unattended maintain_lake must FOLD anyway (rebuilding a
+    readable, partitioned base from the tail) instead of wedging in
+    a failing read loop; older rows stay the heal/fallback paths'
+    job (the cache contract). A plain compaction of a data-less
+    layer WITHOUT a tail still fails loudly."""
+    import shutil
+
+    import pytest as _pytest
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        compact_layer,
+    )
+
+    root = str(tmp_path / "lake_gut")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(
+        spark,
+        spark.createDataFrame(
+            [(i, " ".join(f"gb{i}w{j}" for j in range(12)))
+             for i in range(6)],
+            "doc_id long, text string",
+        ),
+        root,
+        **kw_off,
+    )
+    build_text_index(spark, root, buckets=4)
+    for lo in (100, 200):  # two appends -> >= 2 tail files
+        incremental_ingest(
+            spark,
+            spark.createDataFrame(
+                [(lo + i, " ".join(f"gc{lo + i}w{j}" for j in range(12)))
+                 for i in range(4)],
+                "doc_id long, text string",
+            ),
+            root,
+            **kw_off,
+        )
+    # gut the base, keep the tail
+    idx_dir = tmp_path / "lake_gut" / "text_index_b4"
+    for p in idx_dir.iterdir():
+        if p.name.startswith("tb="):
+            shutil.rmtree(p)
+    assert (tmp_path / "lake_gut" / "text_index_b4_tail").exists()
+    res = maintain_lake(spark, root, compact_above_files=1)
+    assert res["compacted_layers"] >= 1
+    assert not (tmp_path / "lake_gut" / "text_index_b4_tail").exists()
+    rebuilt = spark.read.parquet(f"{root}/text_index_b4")
+    got = {r["doc_id"] for r in rebuilt.select("doc_id").collect()}
+    assert got == {100, 101, 102, 103, 200, 201, 202, 203}
+    assert any(p.name.startswith("tb=") for p in idx_dir.iterdir())
+    # data-less layer with NO tail: still a loud failure
+    bare = tmp_path / "bare_layer"
+    bare.mkdir()
+    (bare / "_SUCCESS").touch()
+    with _pytest.raises(Exception):
+        compact_layer(spark, str(bare))
