@@ -682,7 +682,10 @@ def verify_candidates_jaccard(
     is the right degrade for an unattended ingest loop: the
     crash-by-OOM regime becomes a slow batch plus the standing
     advice to set ``lsh_max_bucket``. ``None`` disables the guard
-    (always broadcast, the pre-r17 behavior)."""
+    (always broadcast, the pre-r17 behavior). The pre-flight agg
+    re-executes the ``pairs`` plan once — checkpoint it first (the
+    ingest call site does; ``lsh_seen_ids(return_pairs=True)``
+    output is checkpointed before reaching here)."""
     from ..functions.hashing import normalize_text
 
     use_bcast = True
