@@ -89,14 +89,25 @@ def test_current_real_slot_names_fit_with_headroom():
     assert len(names) <= 50
     timings = {n: 123.456 for n in names}
     warm = {n: 99.999 for n in names}
-    lines = bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1)
+    # realistic-width env canaries ride the line too (r17)
+    env = {
+        "env_disk_mb_s": 1968.7,
+        "env_disk_write_mb_s": 438.4,
+        "env_cached_mb_s": 6132.7,
+        "env_page_cache_mb": 1385.4,
+        "env_cpu_sec": 0.522,
+    }
+    lines = bench.emit_lines(names, timings, warm, 321.5, 280.25, 0.1,
+                             env=env)
     last = lines[-1]
-    assert len(last) <= 1600, (
+    assert len(last) <= 1700, (
         f"compact totals line at {len(last)} chars with current slot "
-        "names — approaching the driver's 2,000-char tail window"
+        "names + env canaries — approaching the driver's 2,000-char "
+        "tail window"
     )
     parsed = json.loads(last)
     assert len(parsed["queries"]) == len(names)
+    assert parsed["env"] == env
     assert "queries_dropped" not in parsed
 
 
