@@ -596,6 +596,7 @@ def incremental_ingest(
     lsh_hash_family: str = "fast",
     lsh_max_bucket: int | None = None,
     near_dup_verify: float | None = None,
+    verify_max_broadcast_chars: int | None = 20_000_000,
     line_census: bool = False,
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
@@ -704,8 +705,17 @@ def incremental_ingest(
     pruned to (id, text) and semi-joined against the BROADCAST
     candidate ids (history text read for candidate rows only, never
     shuffled; the within-batch verify is pair-set-sized) — bound the
-    candidate set with ``lsh_max_bucket`` when enabling this. A
-    tuning knob, not lake identity: verification only narrows the
+    candidate set with ``lsh_max_bucket`` when enabling this.
+    ``verify_max_broadcast_chars`` (r18, verdict #2) forwards the
+    verifier's broadcast guard
+    (:func:`operators.dedup.verify_candidates_jaccard` —
+    pre-flighted Σ candidate-text chars above which every broadcast
+    hint drops and the same joins run shuffle-side): raise it on a
+    big-driver cluster to keep the broadcast fastpath for larger
+    candidate sets, lower it on a small driver, ``None`` disables
+    the guard (always broadcast — the pre-r17 crash-by-OOM regime).
+    Both verify knobs are tuning knobs, not lake identity:
+    verification only narrows the
     gate and the sidecar layout is unchanged. The LSH recipe is
     stamped
     into the ``_lake_mode`` marker, so every batch provably uses the
@@ -1730,6 +1740,7 @@ def incremental_ingest(
                     text_col,
                     shingle_k=lsh_shingle_k,
                     min_jaccard=near_dup_verify,
+                    max_broadcast_chars=verify_max_broadcast_chars,
                 ).localCheckpoint()
                 # rescued accounting (r16, verdict #2): band-collision
                 # candidates that verify CLEARED — without the knob
@@ -2109,21 +2120,72 @@ def incremental_ingest(
                 # existence probes below would pay up to N sequential
                 # driver round-trips (HEADs on object stores) before
                 # concluding nothing is missing. Above quarter
-                # coverage, ONE read of the layer root (a single
-                # listing) answers the id-absence check for every
-                # candidate at once.
+                # coverage, the ID-PRESENCE sidecar (r18, verdict #2
+                # — ids-only, ~1-2% of the index's bytes, regenerated
+                # at build/full-compaction and appended at cheap
+                # folds) answers the id-absence check for every
+                # candidate in one small read; a lake without one
+                # (pre-r18, or sidecar unreadable) pays the pre-r18
+                # cost instead: ONE read of the text-bearing layer
+                # root, id-column-pruned. Sidecar coverage is exact
+                # for base-resident ids (tail-resident ids were
+                # anti-joined above; crash windows leave the tail in
+                # place, so its ids are never only-in-base), and a
+                # stale-PRESENT row is impossible short of
+                # out-of-band base gutting — where the verify
+                # stage's per-id docs fallback still covers
+                # correctness.
                 id_sources = []
-                try:
-                    id_sources.append(
-                        spark.read.parquet(text_idx_path).select(
-                            F.col(id_col)
+                ids_p = _text_index_ids_path(out_root, text_idx_n)
+                # the sidecar is a cache of the BASE's id set, so it
+                # over-states when the base was gutted out-of-band
+                # AFTER the sidecar was written (the r17 full-gut
+                # crash test) — sample ≤4 candidate bucket dirs (HEAD
+                # probes): if NONE exists the base is treated as
+                # gutted and the heal takes the authoritative root
+                # read instead (which then answers "nothing present"
+                # and the backfill restores everything). A PARTIAL
+                # gut that keeps some sampled dirs is the documented
+                # residual: those ids stay un-backfilled until the
+                # next build/full compaction regenerates the sidecar,
+                # with the verify stage's per-id docs fallback
+                # covering correctness in the interim.
+                sample = sorted(
+                    {
+                        hbks[0],
+                        hbks[len(hbks) // 3],
+                        hbks[(2 * len(hbks)) // 3],
+                        hbks[-1],
+                    }
+                )
+                base_alive = any(
+                    _dir_exists(spark, f"{text_idx_path}/tb={b}")
+                    for b in sample
+                )
+                if base_alive and _dir_exists(spark, ids_p):
+                    try:
+                        _sdf = spark.read.parquet(ids_p)
+                        id_sources.append(
+                            _sdf.select(
+                                F.col(_sdf.columns[0]).alias(id_col)
+                            )
                         )
-                    )
-                except Exception:
-                    # unreadable/absent base: every remaining
-                    # candidate (tail already consulted above) is
-                    # missing and the backfill restores them
-                    pass
+                    except Exception:
+                        # unreadable sidecar: fall through to the
+                        # root read — absence degrades, never lies
+                        pass
+                if not id_sources:
+                    try:
+                        id_sources.append(
+                            spark.read.parquet(text_idx_path).select(
+                                F.col(id_col)
+                            )
+                        )
+                    except Exception:
+                        # unreadable/absent base: every remaining
+                        # candidate (tail already consulted above) is
+                        # missing and the backfill restores them
+                        pass
             else:
                 # explicit candidate-bucket paths, not an isin filter
                 # on the layer root — the root read would LIST all N
@@ -2854,6 +2916,106 @@ def _text_index_tail_path(out_root: str, buckets: int) -> str:
     return f"{out_root}/text_index_b{int(buckets)}_tail"
 
 
+def _text_index_ids_path(out_root: str, buckets: int) -> str:
+    """The index's ID-PRESENCE sidecar (r18, verdict #2): an ids-only
+    projection of the bucketed BASE, so the heal's quarter-coverage
+    fallback (a corpus-wide cold-archive replay touching most
+    buckets) answers "which candidate ids does the index already
+    hold" at ~1-2% of the bytes of the text-bearing root read it
+    replaces — measured ~10 s/batch at the 32x probe scale
+    (SCALE.md §r17 replay5k arm). Lifecycle mirrors the base it
+    shadows: :func:`build_text_index` and the full compaction
+    rewrite regenerate it wholesale from the fresh base; the cheap
+    tail fold (r18, verdict #1) APPENDS the folded tail's ids (≤8
+    small files per fold, never a sidecar rewrite). It is a presence
+    MULTISET, advisory in both directions: duplicate rows are
+    tolerated (consumers dropDuplicates before their anti-join),
+    absence or unreadability falls back to the root read, and a
+    false PRESENT (only possible when the base is gutted out-of-band
+    after the sidecar was written) merely skips a heal — the verify
+    stage's per-id docs fallback still covers those ids, so it costs
+    speed, never a wrong admission. The ``_ids`` suffix never parses
+    as an ``int`` so :func:`_discover_text_index` ignores it."""
+    return f"{out_root}/text_index_b{int(buckets)}_ids"
+
+
+def _fold_tail_append(
+    spark: SparkSession, path: str, tail_path: str, ids_path: str,
+    nb: int,
+) -> dict[str, int]:
+    """CHEAP tail fold (r18, verdict #1): partitioned-APPEND the
+    index tail's rows into the live ``tb=`` bucket dirs instead of
+    rewriting the corpus-sized base. The r17 fold handed
+    :func:`compact_layer` the base ∪ tail union — a full rewrite of
+    the lake's biggest layer (the index stores a complete (id, text)
+    copy of corpus text) every time the tail's own ≤8-files-per-batch
+    feed tripped the file threshold; at 100 TB that is a corpus-scale
+    rewrite every ~N batches, caused by the tail itself. This fold's
+    cost scales with the TAIL: one shuffle of tail rows into bucket
+    layout plus ~one file per TOUCHED bucket — exactly the
+    per-partition append cost the r17 measurement banned per-BATCH
+    (~2.9k files, +20-54 s), acceptable once per FOLD because it
+    amortizes over every batch since the last fold. The full rewrite
+    remains :func:`maintain_lake`'s move when the BASE's own file
+    count is genuinely over threshold (it also clears crash-residue
+    duplicates via its full-row dropDuplicates).
+
+    Crash order (same invariants as the r17 fold): (1) append tail
+    rows to the base buckets; (2) append tail ids to the presence
+    sidecar (:func:`_text_index_ids_path`); (3) delete the tail. A
+    crash between any two steps leaves the un-deleted tail to re-fold
+    — exact-duplicate rows in base and/or sidecar, which every
+    consumer tolerates and the next FULL rewrite removes; never
+    loss. A gutted base (dir present, data files lost) needs no
+    special case here: the append itself re-creates readable bucket
+    dirs holding the tail's rows, and older rows stay the
+    heal/fallback paths' job (the cache contract).
+
+    Returns ``{"files_before", "files_after", "rows"}`` with the same
+    meaning as :func:`compact_layer` (before includes the tail's
+    files; after is the live base post-append)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    files_before = _data_file_count(spark, path) + _data_file_count(
+        spark, tail_path
+    )
+    tail_df = spark.read.parquet(tail_path)
+    # the tail schema is exactly (id, text) in write order — the id
+    # column is first whatever its name (the r17 fold's convention)
+    idc = tail_df.columns[0]
+    rows = tail_df.count()
+    fold_df = tail_df.withColumn(
+        "tb", F.pmod(F.xxhash64(F.col(idc)), F.lit(int(nb)))
+    )
+    # repartition BY tb before the partitioned write: each bucket
+    # value lands whole in one task → ~one file per touched bucket
+    # total, not one per (task, bucket) pair
+    (
+        fold_df.repartition(F.col("tb"))
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(path)
+    )
+    # presence sidecar: APPEND the folded ids (≤8 small files per
+    # fold) — never a rewrite; the next build/full compaction
+    # regenerates it wholesale and resets its file count. Appended
+    # only when the sidecar exists: a lake that has never built one
+    # keeps the root-read fallback until the next full regen creates
+    # it (an absent sidecar must stay absent — a partial one seeded
+    # here would claim completeness it doesn't have).
+    if _dir_exists(spark, ids_path):
+        tail_df.select(idc).coalesce(8).write.mode("append").parquet(
+            ids_path
+        )
+    fs.delete(hpath(tail_path), True)
+    return {
+        "files_before": files_before,
+        "files_after": _data_file_count(spark, path),
+        "rows": rows,
+    }
+
+
 def read_text_index(
     spark: SparkSession, out_root: str, buckets: int,
     id_col: str = "doc_id", text_col: str = "text",
@@ -3059,7 +3221,9 @@ def build_text_index(
     if drop_others:
         # sweep stale layers built at other bucket counts — discovery
         # follows the largest N, so a stale SMALLER layer is inert,
-        # but a stale LARGER one would shadow this build
+        # but a stale LARGER one would shadow this build (their
+        # _tail/_ids sidecars sweep with them; this build's own are
+        # re-created below)
         for st in fs.listStatus(hpath(out_root)):
             name = st.getPath().getName()
             if (
@@ -3067,6 +3231,20 @@ def build_text_index(
                 and name != f"text_index_b{int(buckets)}"
             ):
                 fs.delete(st.getPath(), True)
+    # id-presence sidecar (r18, verdict #2): ids-only projection of
+    # the fresh base so the heal's quarter-coverage path never reads
+    # the text-bearing root — regenerated wholesale here and at every
+    # full compaction; cheap folds only APPEND to it. Reads the base
+    # (never itself), so direct overwrite is safe; a crash leaves a
+    # partial sidecar that only UNDER-states presence (extra heals,
+    # never a wrong admission).
+    base_df = spark.read.parquet(path)
+    (
+        base_df.select(base_df.columns[0])
+        .coalesce(max(1, files // 32))
+        .write.mode("overwrite")
+        .parquet(_text_index_ids_path(out_root, int(buckets)))
+    )
     # seed/reset the append accounting for the new layer (and drop
     # entries for swept stale layers) so compact_due starts clean
     stats = _read_lake_stats(spark, f"{out_root}/_lake_stats")
@@ -3411,6 +3589,7 @@ def maintain_lake(
     url_bloom_max_fill: float = 0.1,
     trust_marker: bool = False,
     text_index_buckets: int | None = None,
+    max_layers: int | None = None,
 ) -> dict[str, int]:
     """Out-of-band lake maintenance (r13, verdict #5): the entry point
     a ``bloom_rebuild_mode="defer"`` ingest defers its saturation work
@@ -3471,15 +3650,48 @@ def maintain_lake(
     maintain it per batch. An existing index is never rebuilt here
     (resizing is an explicit build_text_index call).
 
+    Text-index fold routing (r18, verdict #1): when the index layer
+    trips the file threshold but its BASE's own file count is still
+    under it — i.e. the tail's per-batch feed is what tripped it —
+    the tail is folded by :func:`_fold_tail_append` (partitioned
+    append of JUST the tail rows into the live bucket dirs; cost
+    scales with the tail), and the full :func:`compact_layer` rewrite
+    of the corpus-sized base is reserved for when the base itself is
+    genuinely over threshold (cheap-fold appends grow it ~one file
+    per touched bucket per fold, so the rewrite still happens —
+    amortized over many folds, each amortizing many batches). The
+    full rewrite also regenerates the id-presence sidecar
+    (:func:`_text_index_ids_path`) and clears cheap-fold crash
+    residue (``dedup_rows``).
+
+    ``max_layers`` (r18, verdict #3): cap on maintenance UNITS this
+    call performs — each swept/folded layer is one unit, each filter
+    lineage's rebuild pass is one unit, the one-time index build is
+    one unit. Work over the cap is DEFERRED, not dropped: the signals
+    it acts on (append accounting, filter fill) only reset when the
+    work completes, so the next call (or the next due micro-batch,
+    via ``streaming_ingest(maintain_max_layers_per_batch=...)``)
+    picks up exactly the remainder — bounding one invocation's
+    latency on a lake where everything comes due at once. ``None``
+    (default) = unbounded, the pre-r18 behavior. Deferred unit count
+    is returned as ``deferred_units``.
+
     Returns ``{"bloom_rebuilt_hex": <new geometry or 0>,
     "bloom_fill_pct": <final>, "bloom_steps": <rebuilds paid>,
     "url_bloom_rebuilt_hex", "url_bloom_fill_pct", "url_bloom_steps",
-    "compacted_layers": <layers swept>, "files_before": <their data
-    files before>, "files_after": <after>,
-    "text_index_built": <buckets or 0>}``."""
+    "compacted_layers": <layers swept, cheap folds included>,
+    "folded_tails": <of those, cheap tail folds>,
+    "files_before": <their data files before>, "files_after":
+    <after>, "text_index_built": <buckets or 0>,
+    "deferred_units": <work skipped under max_layers>}``."""
     compacted_layers = 0
+    folded_tails = 0
     files_before = 0
     files_after = 0
+    units_left = (
+        float("inf") if max_layers is None else max(0, int(max_layers))
+    )
+    deferred_units = 0
     if compact_above_files is not None:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path
@@ -3550,9 +3762,13 @@ def maintain_lake(
                 and not _dir_exists(spark, path + "__compact")
             ):
                 continue
-            n_files = _data_file_count(spark, path)
-            if tail_path is not None:
-                n_files += _data_file_count(spark, tail_path)
+            n_files_base = _data_file_count(spark, path)
+            tail_files = (
+                _data_file_count(spark, tail_path)
+                if tail_path is not None
+                else 0
+            )
+            n_files = n_files_base + tail_files
             crashed = not _exists(spark, path) and _data_file_count(
                 spark, path + "__compact"
             )
@@ -3581,6 +3797,45 @@ def maintain_lake(
                     if fs.exists(old):
                         fs.delete(old, True)
                 continue
+            # work is due on this layer: one maintenance unit,
+            # deferred (not dropped) past the max_layers budget —
+            # the accounting that flagged it only resets when the
+            # work completes, so the next call resumes here
+            if units_left < 1:
+                deferred_units += 1
+                continue
+            nb = int(layer.rpartition("_b")[2]) if layer_pby else None
+            if (
+                layer_pby
+                and tail_files
+                and n_files_base <= int(compact_above_files)
+                and not crashed
+            ):
+                # CHEAP fold (r18, verdict #1): the TAIL's file feed
+                # is what tripped the threshold — the base's own file
+                # count is still under it — so partitioned-append
+                # just the tail rows into the live bucket dirs
+                # instead of rewriting the corpus-sized base. A
+                # gutted/missing base needs no special case: the
+                # append re-creates readable bucket dirs from the
+                # tail (the r17 rebuild outcome, without the rewrite)
+                res = _fold_tail_append(
+                    spark, path, tail_path,
+                    _text_index_ids_path(out_root, nb), nb,
+                )
+                folded_tails += 1
+                compacted_layers += 1
+                files_before += res["files_before"]
+                files_after += res["files_after"]
+                # re-sync the append accounting to the measured
+                # post-fold base count (NOT zero — the fold's
+                # ~one-file-per-touched-bucket appends are real
+                # growth the genuine full rewrite must eventually
+                # see; compact_layer's own reset stays the full
+                # rewrite's accounting)
+                resync[layer] = res["files_after"]
+                units_left -= 1
+                continue
             fold_df = None
             fold_path = None
             # presence probes, not readability (_exists): a GUTTED
@@ -3599,7 +3854,6 @@ def maintain_lake(
                 # recompute the partition column for tail rows — the
                 # tail stores plain (id, text) so per-batch appends
                 # stay a handful of files
-                nb = int(layer.rpartition("_b")[2])
                 tail_df = spark.read.parquet(tail_path)
                 # the tail schema is exactly (id, text) in write
                 # order — the id column is first whatever its name
@@ -3613,15 +3867,32 @@ def maintain_lake(
             res = compact_layer(
                 spark, path, target_file_mb=compact_target_file_mb,
                 partition_by=layer_pby,
-                partition_values=(
-                    int(layer.rpartition("_b")[2]) if layer_pby else None
-                ),
+                partition_values=nb,
                 fold_df=fold_df,
                 fold_path=fold_path,
+                dedup_rows=bool(layer_pby),
             )
             compacted_layers += 1
             files_before += res["files_before"]
             files_after += res["files_after"]
+            units_left -= 1
+            if layer_pby:
+                # full rewrite of the index base: regenerate the
+                # id-presence sidecar wholesale from the fresh base
+                # (the cheap fold only ever APPENDS to it — this is
+                # its compaction point, and the creation point for a
+                # lake that predates the sidecar). Direct overwrite
+                # is safe: the input is the base, never the sidecar;
+                # a crash mid-overwrite leaves a partial sidecar that
+                # can only UNDER-state presence — extra heals, never
+                # a wrong admission.
+                base_df = spark.read.parquet(path)
+                (
+                    base_df.select(base_df.columns[0])
+                    .coalesce(max(1, res["files_after"] // 32))
+                    .write.mode("overwrite")
+                    .parquet(_text_index_ids_path(out_root, nb))
+                )
         if resync:
             st = _read_lake_stats(spark, f"{out_root}/_lake_stats")
             if st is not None and any(
@@ -3635,6 +3906,7 @@ def maintain_lake(
                 )
 
     def _maintain_filter(layer: str, max_fill: float) -> dict[str, int]:
+        nonlocal units_left, deferred_units
         hex_cur = _discover_bloom_geometry(spark, out_root, layer=layer)
         if hex_cur is None:
             # no layer of this lineage: nothing to maintain (an
@@ -3646,6 +3918,34 @@ def maintain_lake(
         cur = _read_bloom_layer(
             spark, _bloom_layer_path(out_root, hex_cur, layer=layer)
         )
+        if cur is not None:
+            fill_probe = float(
+                bloom_ops.bloom_fill_stats(cur, hex_cur).first()[
+                    "fill_frac"
+                ]
+            )
+            if fill_probe <= max_fill:
+                # fresh filter: the check was the only cost
+                return {
+                    "rebuilt": 0,
+                    "fill_pct": int(round(fill_probe * 100)),
+                    "steps": 0,
+                }
+        # a rebuild pass is owed (missing layer or saturated filter):
+        # one maintenance unit — the fill CHECK above is always paid
+        # (MB-scale sidecar read), only the fingerprint-rescan
+        # rebuilds are budget-gated; deferral leaves the fill high so
+        # bloom_rebuild_due keeps signaling
+        if units_left < 1:
+            deferred_units += 1
+            return {
+                "rebuilt": 0,
+                "fill_pct": (
+                    int(round(fill_probe * 100)) if cur is not None else 0
+                ),
+                "steps": 0,
+            }
+        units_left -= 1
         if cur is None:
             res = bloom_rebuild(
                 spark, out_root, hex_cur,
@@ -3655,11 +3955,7 @@ def maintain_lake(
             rebuilt = hex_cur
             steps = 1
         else:
-            fill = float(
-                bloom_ops.bloom_fill_stats(cur, hex_cur).first()[
-                    "fill_frac"
-                ]
-            )
+            fill = fill_probe
         while fill > max_fill and steps < max_steps:
             hex_cur += _bloom_growth_steps(fill, max_fill)
             res = bloom_rebuild(
@@ -3693,8 +3989,14 @@ def maintain_lake(
         and _discover_text_index(spark, out_root) is None
         and _exists(spark, f"{out_root}/docs")
     ):
-        build_text_index(spark, out_root, buckets=text_index_buckets)
-        text_index_built = int(text_index_buckets)
+        if units_left < 1:
+            deferred_units += 1
+        else:
+            build_text_index(
+                spark, out_root, buckets=text_index_buckets
+            )
+            text_index_built = int(text_index_buckets)
+            units_left -= 1
     return {
         "bloom_rebuilt_hex": fp["rebuilt"],
         "bloom_fill_pct": fp["fill_pct"],
@@ -3703,9 +4005,11 @@ def maintain_lake(
         "url_bloom_fill_pct": ub["fill_pct"],
         "url_bloom_steps": ub["steps"],
         "compacted_layers": compacted_layers,
+        "folded_tails": folded_tails,
         "files_before": files_before,
         "files_after": files_after,
         "text_index_built": text_index_built,
+        "deferred_units": deferred_units,
     }
 
 
@@ -3732,6 +4036,7 @@ def compact_layer(
     partition_values: int | None = None,
     fold_df: DataFrame | None = None,
     fold_path: str | None = None,
+    dedup_rows: bool = False,
 ) -> dict[str, int]:
     """Small-files maintenance for an append-mode lake layer: rewrite
     the layer into ~``target_file_mb`` files and swap it in with a
@@ -3768,6 +4073,14 @@ def compact_layer(
     live bytes), and ``fold_path`` is deleted AFTER the swap lands —
     a crash between the two leaves duplicates, never loss. The row
     verification in step 2 checks against the unioned deduped count.
+
+    ``dedup_rows`` (r18): full-row ``dropDuplicates`` on the rewrite
+    even WITHOUT a fold — for layers whose exact-duplicate rows are
+    semantically redundant (the text index: a cache of (id, text)
+    where dupes are crash residue from an interrupted CHEAP fold,
+    :func:`_fold_tail_append`). Never set for the append layers:
+    their content contract is byte-identity, and their consumers own
+    any set semantics.
 
     Crash between 3–4 leaves no live dir: the entry repair finishes
     the swap iff ``__compact`` carries ``_SUCCESS``. Crash after 4
@@ -3854,6 +4167,10 @@ def compact_layer(
             else 0
         )
         df = fold_df if df is None else df.unionByName(fold_df)
+        df = df.dropDuplicates()
+    elif dedup_rows and df is not None:
+        # no tail to fold, but the layer tolerates (and wants rid of)
+        # exact-duplicate rows — cheap-fold crash residue (r18)
         df = df.dropDuplicates()
     n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
     rows = df.count()
@@ -4052,6 +4369,7 @@ def streaming_ingest(
     lsh_hash_family: str = "fast",
     lsh_max_bucket: int | None = None,
     near_dup_verify: float | None = None,
+    verify_max_broadcast_chars: int | None = 20_000_000,
     line_census: bool = False,
     line_census_min_len: int = 15,
     decontaminate_probes: DataFrame | None = None,
@@ -4082,6 +4400,7 @@ def streaming_ingest(
     compact_above_files: int | None = None,
     on_report=None,
     maintain_due: int | None = None,
+    maintain_max_layers_per_batch: int | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -4153,7 +4472,18 @@ def streaming_ingest(
     (a separate cluster/queue) keep using ``on_report`` + their own
     scheduler instead. The maintenance result rides the report to
     ``on_report`` under ``maintain_*`` keys. A delivery-side policy
-    like ``on_report``, excluded from knob parity the same way."""
+    like ``on_report``, excluded from knob parity the same way.
+
+    ``maintain_max_layers_per_batch`` (r18, verdict #3) staggers that
+    in-stream sweep: forwarded as :func:`maintain_lake`'s
+    ``max_layers``, it caps how many maintenance UNITS (layer sweeps
+    + filter rebuild passes) one micro-batch absorbs; deferred work
+    stays due (the signals it acts on only reset on completion), so
+    consecutive batches drain the backlog one slice at a time and
+    converge to the same lake state as one big sweep — bounding the
+    worst-case micro-batch stall on a lake where every layer comes
+    due at once. Delivery-side like ``maintain_due``, excluded from
+    knob parity the same way."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         rep = incremental_ingest(
@@ -4170,6 +4500,7 @@ def streaming_ingest(
             lsh_hash_family=lsh_hash_family,
             lsh_max_bucket=lsh_max_bucket,
             near_dup_verify=near_dup_verify,
+            verify_max_broadcast_chars=verify_max_broadcast_chars,
             line_census=line_census,
             line_census_min_len=line_census_min_len,
             decontaminate_probes=decontaminate_probes,
@@ -4214,6 +4545,7 @@ def streaming_ingest(
                     compact_above_files=compact_above_files,
                     url_bloom_max_fill=url_bloom_max_fill,
                     trust_marker=True,
+                    max_layers=maintain_max_layers_per_batch,
                 )
                 for mk, mv in mres.items():
                     rep[f"maintain_{mk}"] = mv

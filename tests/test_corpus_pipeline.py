@@ -2410,11 +2410,12 @@ def test_streaming_ingest_exposes_full_batch_knob_surface():
         for n, p in stream.items()
         # stream_df/checkpoint/on_report are the streaming face's
         # source + delivery mechanisms, not pipeline knobs;
-        # maintain_due (r17) is the on_report-side maintenance
-        # POLICY — it changes when maintain_lake runs, never what any
-        # batch admits, so it is delivery-side by the same rule
+        # maintain_due (r17) / maintain_max_layers_per_batch (r18)
+        # are the on_report-side maintenance POLICY — they change
+        # when (and how much of) maintain_lake runs, never what any
+        # batch admits, so they are delivery-side by the same rule
         if n not in ("stream_df", "checkpoint", "on_report",
-                     "maintain_due")
+                     "maintain_due", "maintain_max_layers_per_batch")
     }
     assert batch_knobs == stream_knobs
 
@@ -4243,3 +4244,124 @@ def test_compact_accounting_survives_torn_marker_and_tracks_layers(
     recount_lake_docs(spark, root)
     st3 = _read_lake_stats(spark, f"{root}/_lake_stats")
     assert st3[3].get("docs", 0) >= phys_docs
+
+
+def test_verify_max_broadcast_chars_forwards_through_faces(
+    spark, tmp_path, monkeypatch
+):
+    """r18 (verdict #4): the verify stage's broadcast guard threshold
+    must be reachable through the ingest faces — a big-driver lake
+    raises it, a paranoid one lowers it, nobody monkey-patches. Pin
+    the forward by intercepting verify_candidates_jaccard at the
+    call site and capturing the kwarg; the knob-parity signature
+    test covers the streaming face carrying the same kwarg+default."""
+    import inspect
+
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        incremental_ingest,
+        streaming_ingest,
+    )
+    from projet_big_data_boutin_danre_spark.operators import dedup
+
+    # default matches the operator's own default (one source of truth
+    # would be better, but a drift here is exactly what to catch)
+    assert (
+        inspect.signature(incremental_ingest)
+        .parameters["verify_max_broadcast_chars"]
+        .default
+        == inspect.signature(dedup.verify_candidates_jaccard)
+        .parameters["max_broadcast_chars"]
+        .default
+    )
+    assert (
+        inspect.signature(streaming_ingest)
+        .parameters["verify_max_broadcast_chars"]
+        .default
+        == 20_000_000
+    )
+    captured = {}
+    real = dedup.verify_candidates_jaccard
+
+    def spy(*a, **k):
+        captured["max_broadcast_chars"] = k.get("max_broadcast_chars")
+        return real(*a, **k)
+
+    monkeypatch.setattr(
+        cp.dedup, "verify_candidates_jaccard", spy
+    )
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee zulu"
+    )
+    hist = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    # a guaranteed candidate: a true near-duplicate of history
+    probe = spark.createDataFrame(
+        [(2, base + " thirteen")], "doc_id long, text string"
+    )
+    kw = dict(
+        near_dup=True, lsh_hash_family="fast", near_dup_verify=0.5,
+        verify_max_broadcast_chars=123_456,
+    )
+    root = str(tmp_path / "lake_bc")
+    incremental_ingest(spark, hist, root, **kw)
+    r = incremental_ingest(spark, probe, root, **kw)
+    assert r["near_dup_skipped"] == 1  # the verify stage really ran
+    assert captured["max_broadcast_chars"] == 123_456
+
+
+def test_maintain_max_layers_staggers_and_converges(spark, tmp_path):
+    """r18 (verdict #3): ``maintain_lake(max_layers=N)`` performs at
+    most N maintenance units per call and DEFERS the rest — the
+    signals only reset on completion, so repeated staggered calls
+    drain the backlog and converge to the same lake state as one
+    unbounded sweep. Pinned on two identically-built lakes."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _APPEND_LAYERS,
+        _data_file_count,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    roots = [str(tmp_path / "lake_big"), str(tmp_path / "lake_stag")]
+    for root in roots:
+        for w in range(3):
+            incremental_ingest(
+                spark,
+                spark.createDataFrame(
+                    [(w * 10 + i,
+                      " ".join(f"mx{w * 10 + i}w{j}" for j in range(12)))
+                     for i in range(4)],
+                    "doc_id long, text string",
+                ),
+                root,
+                near_dup=True,
+                lsh_hash_family="fast",
+            )
+    # max_layers=0: everything due is deferred, nothing moves
+    r0 = maintain_lake(spark, roots[1], compact_above_files=1,
+                       max_layers=0)
+    assert r0["compacted_layers"] == 0 and r0["deferred_units"] >= 3
+    # one unbounded sweep vs. staggered 1-unit sweeps
+    big = maintain_lake(spark, roots[0], compact_above_files=1)
+    assert big["compacted_layers"] >= 3 and big["deferred_units"] == 0
+    steps = 0
+    while True:
+        r = maintain_lake(spark, roots[1], compact_above_files=1,
+                          max_layers=1)
+        assert r["compacted_layers"] <= 1
+        steps += 1
+        assert steps < 20, "staggered maintenance never converged"
+        if r["deferred_units"] == 0 and r["compacted_layers"] == 0:
+            break
+    assert steps >= big["compacted_layers"]
+    # converged to the same physical state as the unbounded sweep
+    for layer in _APPEND_LAYERS:
+        a = _data_file_count(spark, f"{roots[0]}/{layer}")
+        b = _data_file_count(spark, f"{roots[1]}/{layer}")
+        assert a == b, (layer, a, b)
+    da = spark.read.parquet(f"{roots[0]}/docs")
+    db = spark.read.parquet(f"{roots[1]}/docs")
+    assert da.count() == db.count() == 12
+    assert da.exceptAll(db).count() == 0

@@ -779,3 +779,236 @@ def test_fold_rebuilds_gutted_base_from_tail(spark, tmp_path):
     (bare / "_SUCCESS").touch()
     with _pytest.raises(Exception):
         compact_layer(spark, str(bare))
+
+
+def _batch(spark, lo, n, pfx="cf"):
+    return spark.createDataFrame(
+        [(lo + i, " ".join(f"{pfx}{lo + i}w{j}" for j in range(12)))
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def _data_files(root_dir):
+    import os
+
+    out = []
+    for d, _s, files in os.walk(root_dir):
+        out.extend(
+            os.path.join(d, f)
+            for f in files
+            if not f.startswith("_") and not f.startswith(".")
+        )
+    return sorted(out)
+
+
+def test_cheap_fold_appends_tail_into_buckets(spark, tmp_path):
+    """r18 (verdict #1): when the index layer trips the file
+    threshold but the BASE's own file count is still under it — the
+    tail's per-batch feed is what tripped it — maintain_lake must
+    fold by partitioned-APPENDING just the tail rows into the live
+    bucket dirs, NOT by rewriting the corpus-sized base. Pinned
+    physically: every pre-fold base data file survives byte-for-byte
+    under its original path (an rewrite would replace them all), the
+    tail is consumed, content stays exact, and the id-presence
+    sidecar gains the folded ids by APPEND (its pre-fold files also
+    survive)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+    )
+
+    root = str(tmp_path / "lake_cheap")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 20), root, **kw_off)
+    build_text_index(spark, root, buckets=4)
+    ids_dir = tmp_path / "lake_cheap" / "text_index_b4_ids"
+    assert ids_dir.exists()  # the build created the presence sidecar
+    ids_files_before = _data_files(ids_dir)
+    incremental_ingest(spark, _batch(spark, 100, 10), root, **kw_off)
+    base_dir = tmp_path / "lake_cheap" / "text_index_b4"
+    base_files = _data_file_count(spark, str(base_dir))
+    tail_files = _data_file_count(
+        spark, f"{root}/text_index_b4_tail"
+    )
+    assert tail_files >= 1
+    base_paths_before = _data_files(base_dir)
+    # total > T but base alone <= T: exactly the cheap-fold regime
+    t = base_files + tail_files - 1
+    res = maintain_lake(spark, root, compact_above_files=t)
+    assert res["folded_tails"] == 1
+    assert not (tmp_path / "lake_cheap" / "text_index_b4_tail").exists()
+    # no rewrite: every pre-fold base file survives in place
+    assert set(base_paths_before) <= set(_data_files(base_dir))
+    assert len(_data_files(base_dir)) > len(base_paths_before)
+    _index_equals_docs(spark, root)
+    # sidecar: appended, not rewritten — old files survive, and the
+    # id set now covers the whole base
+    assert set(ids_files_before) <= set(_data_files(ids_dir))
+    docs_n = spark.read.parquet(f"{root}/docs").count()
+    sc = spark.read.parquet(str(ids_dir))
+    assert sc.distinct().count() == docs_n
+    # the fold re-synced the layer's append accounting to the
+    # measured post-fold base count: an immediate re-run with the
+    # same threshold finds no tail and (base grew by <= 4 files)
+    # must not fold again
+    res2 = maintain_lake(spark, root, compact_above_files=t + 4)
+    assert res2["folded_tails"] == 0
+
+
+def test_full_rewrite_when_base_over_threshold(spark, tmp_path):
+    """r18 (verdict #1, the other arm): when the BASE's own file
+    count is genuinely over the threshold, the fold stays the r17
+    full compaction rewrite — which also clears cheap-fold crash
+    residue (exact-duplicate rows INSIDE the base, dedup_rows) and
+    regenerates the id-presence sidecar wholesale from the fresh
+    base."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        read_text_index,
+    )
+
+    root = str(tmp_path / "lake_full")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 12, "ff"), root, **kw_off)
+    build_text_index(spark, root, buckets=4)
+    incremental_ingest(spark, _batch(spark, 100, 6, "fg"), root, **kw_off)
+    # simulate cheap-fold crash residue: duplicate rows INSIDE the
+    # base (append then re-append of the same tail rows) —
+    # materialized driver-side first so the append never reads the
+    # path it writes to
+    base_n = spark.read.parquet(f"{root}/text_index_b4").count()
+    dup_rows = (
+        spark.read.parquet(f"{root}/text_index_b4")
+        .filter(F.col("doc_id") < 3)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(dup_rows) == 3
+    spark.createDataFrame(
+        dup_rows, "doc_id long, text string"
+    ).withColumn(
+        "tb", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4))
+    ).repartition(F.col("tb")).write.mode("append").partitionBy(
+        "tb"
+    ).parquet(f"{root}/text_index_b4")
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    assert (
+        spark.read.parquet(f"{root}/text_index_b4").count()
+        == base_n + 3
+    )
+    res = maintain_lake(spark, root, compact_above_files=1)
+    assert res["folded_tails"] == 0 and res["compacted_layers"] >= 1
+    after = spark.read.parquet(f"{root}/text_index_b4")
+    # residue gone without any distinct on the read side
+    assert after.count() == n_docs
+    assert read_text_index(spark, root, 4).count() == n_docs
+    # sidecar regenerated wholesale: exactly the base's id set,
+    # duplicate-free
+    sc = spark.read.parquet(f"{root}/text_index_b4_ids")
+    assert sc.count() == n_docs and sc.distinct().count() == n_docs
+    _index_equals_docs(spark, root)
+
+
+def test_quarter_coverage_heal_reads_ids_sidecar_not_root(
+    spark, tmp_path
+):
+    """r18 (verdict #2): with the id-presence sidecar in place, the
+    heal's quarter-coverage path must answer id-absence from the
+    SIDECAR, never from the text-bearing index root. Pinned
+    physically: the base's parquet files are replaced with garbage
+    bytes (directories intact, so the sampled liveness probe passes)
+    — a root read would throw, be swallowed, declare every id
+    missing, and re-heal the whole batch into a fresh tail; the
+    sidecar path heals nothing and leaves no tail."""
+    root = str(tmp_path / "lake_sc")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    b1 = _batch(spark, 0, 8, "sc")
+    incremental_ingest(spark, b1, root, **kw_off)
+    build_text_index(spark, root, buckets=4)
+    base_dir = tmp_path / "lake_sc" / "text_index_b4"
+    for f in _data_files(base_dir):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+    r = incremental_ingest(spark, b1, root, **kw_off)
+    assert r["admitted"] == 0  # pure replay
+    # 8 prior ids over 4 buckets = full coverage -> the quarter path
+    # ran; the sidecar answered "all present" so nothing was healed
+    assert not (tmp_path / "lake_sc" / "text_index_b4_tail").exists()
+
+
+def test_streaming_maintain_stagger_bounds_per_batch_work(
+    spark, tmp_path
+):
+    """r18 (verdict #3) composition: an unattended streaming lake
+    with ``maintain_max_layers_per_batch=1`` absorbs at most ONE
+    maintenance unit per micro-batch — the stall bound — while the
+    deferred signals keep re-firing on later batches, so the lake
+    still converges: by end of stream the backlog drains under the
+    cap and index content stays exact."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        maintain_lake,
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "sg_incoming"
+    src.mkdir()
+    n_waves, per_wave = 6, 4
+    for w in range(n_waves):
+        spark.createDataFrame(
+            [(w * per_wave + i,
+              " ".join(f"sg{w * per_wave + i}w{j}" for j in range(12)))
+             for i in range(per_wave)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"w{w}"))
+    root = str(tmp_path / "lake_sg")
+    incremental_ingest(
+        spark,
+        spark.read.parquet(str(src / "w0")),
+        root,
+        near_dup=True,
+        lsh_hash_family="fast",
+    )
+    build_text_index(spark, root, buckets=8)
+    got = []
+    q = streaming_ingest(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*")),
+        root,
+        checkpoint=str(tmp_path / "sg_ckpt"),
+        near_dup=True,
+        lsh_hash_family="fast",
+        compact_above_files=3,
+        maintain_due=1,
+        maintain_max_layers_per_batch=1,
+        on_report=lambda bid, rep: got.append(rep),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == n_waves
+    swept = [r for r in got if "maintain_compacted_layers" in r]
+    assert swept, "maintain_due never fired in-stream"
+    # the stall bound: no micro-batch ever absorbed more than 1 unit
+    assert all(r["maintain_compacted_layers"] <= 1 for r in swept)
+    # the cap really bit at least once (several layers come due
+    # together at these thresholds)
+    assert any(r.get("maintain_deferred_units", 0) >= 1 for r in swept)
+    # convergence: content exact; finishing the drain out-of-band
+    # with the same 1-unit stagger terminates. trust_marker=True like
+    # the in-stream sweep: the LISTED file count of a bucketed layer
+    # never drops below one file per non-empty bucket, so only the
+    # marker accounting (reset by each compaction) can say "done"
+    _index_equals_docs(spark, root)
+    steps = 0
+    while True:
+        r = maintain_lake(spark, root, compact_above_files=3,
+                          max_layers=1, trust_marker=True)
+        steps += 1
+        assert steps < 20
+        if r["deferred_units"] == 0 and r["compacted_layers"] == 0:
+            break
+    _index_equals_docs(spark, root)
+    docs_n = spark.read.parquet(f"{root}/docs").count()
+    assert docs_n == n_waves * per_wave
