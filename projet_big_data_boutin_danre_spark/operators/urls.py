@@ -110,11 +110,24 @@ PSL_URL = "https://publicsuffix.org/list/public_suffix_list.dat"
 def _idna_twin(rule: str) -> str | None:
     """Other-IDN-form twin of one PSL rule — punycode for a unicode
     rule, unicode for a punycode rule — or None when the rule is
-    plain ASCII / the codec refuses it. Wildcard (``*.``) and
-    exception (``!``) markers are preserved outside the encoded
-    body. Driver-side, plan-time only: Python's ``idna`` codec
-    (IDNA2003 — fine for the PSL's label inventory; anything it
-    rejects simply gets no twin)."""
+    plain ASCII / the codec refuses it / the conversion is not
+    FAITHFUL. Wildcard (``*.``) and exception (``!``) markers are
+    preserved outside the encoded body. Driver-side, plan-time only:
+    Python's ``idna`` codec (IDNA2003; the PSL is maintained under
+    IDNA2008/UTS46 semantics).
+
+    Faithfulness gate (r18, verdict #5): the twin is emitted only
+    when it ROUND-TRIPS back to the source rule byte-exactly. The
+    IDNA2003 codec silently REMAPS some labels rather than encoding
+    them — ``ß``→``ss`` (so ``faß.de`` would twin to the unrelated
+    real domain ``fass.de`` — a wrong rule, not just a missing one),
+    final sigma ``ς``→``σ``, ZWJ/ZWNJ stripped (Sinhala/Persian
+    labels) — and a remapped twin can match hosts that were never
+    under the rule. Divergent labels therefore get NO twin (the
+    documented degrade: such a rule matches only the host form it
+    was published in); :func:`psl_idn_twin_coverage` counts them for
+    any snapshot so an operator can see exactly which rules run
+    single-form."""
     prefix, body = "", rule
     if body.startswith("!"):
         prefix, body = "!", body[1:]
@@ -123,14 +136,55 @@ def _idna_twin(rule: str) -> str | None:
     try:
         if any(ord(c) > 127 for c in body):
             twin = body.encode("idna").decode("ascii")
+            if twin.encode("ascii").decode("idna") != body:
+                return None
         elif "xn--" in body:
             twin = body.encode("ascii").decode("idna")
+            if twin.encode("idna").decode("ascii") != body:
+                return None
         else:
             return None
     except (UnicodeError, ValueError):
         return None
     twin = twin.lower()
     return prefix + twin if twin and twin != body else None
+
+
+def psl_idn_twin_coverage(lines) -> dict:
+    """Twin-coverage census over a PSL snapshot (r18, verdict #5):
+    how many rules carry a non-ASCII / ``xn--`` label, how many got
+    a faithful other-form twin from :func:`_idna_twin`, and WHICH
+    rules were rejected (IDNA2003-vs-UTS46 divergent labels — the
+    single-form residual an operator should know by name). Run it
+    over the fetched snapshot after :func:`fetch_psl`::
+
+        psl_idn_twin_coverage(open(path, encoding='utf-8'))
+
+    Returns ``{"rules", "idn_rules", "twinned", "rejected"}`` with
+    ``rejected`` the sorted list of divergent rules (empty = every
+    IDN rule matches both host forms)."""
+    total = idn = twinned = 0
+    rejected: list[str] = []
+    for ln in lines:
+        s = ln.strip().lower()
+        if not s or s.startswith("//"):
+            continue
+        total += 1
+        body = s.lstrip("!").removeprefix("*.")
+        is_idn = any(ord(c) > 127 for c in body) or "xn--" in body
+        if not is_idn:
+            continue
+        idn += 1
+        if _idna_twin(s) is not None:
+            twinned += 1
+        else:
+            rejected.append(s)
+    return {
+        "rules": total,
+        "idn_rules": idn,
+        "twinned": twinned,
+        "rejected": sorted(rejected),
+    }
 
 
 def load_psl_rules(lines) -> tuple[str, ...]:

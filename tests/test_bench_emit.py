@@ -161,10 +161,15 @@ def test_env_canary_probe_live_values():
     read by more than noise."""
     out = bench.env_canary_probe(size_mb=8)
     assert set(out) == {
-        "env_disk_mb_s", "env_disk_write_mb_s", "env_cached_mb_s",
-        "env_page_cache_mb", "env_cpu_sec",
+        "env_disk_mb_s", "env_disk_mb_s_spread", "env_disk_write_mb_s",
+        "env_cached_mb_s", "env_page_cache_mb", "env_cpu_sec",
     }
+    # the spread (r18, verdict #6: best-of-3 evicted passes) is a
+    # delta — legitimately 0.0 when the three passes agree
+    assert out["env_disk_mb_s_spread"] >= 0
     for k, v in out.items():
+        if k == "env_disk_mb_s_spread":
+            continue
         assert v > 0, (k, v)
     # fixed-work CPU loop: sane band (0.2-0.6s on this class of host;
     # allow wide margin for contention)

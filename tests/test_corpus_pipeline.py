@@ -4365,3 +4365,82 @@ def test_maintain_max_layers_staggers_and_converges(spark, tmp_path):
     db = spark.read.parquet(f"{roots[1]}/docs")
     assert da.count() == db.count() == 12
     assert da.exceptAll(db).count() == 0
+
+
+def test_stream_maintain_failure_replays_idempotently(
+    spark, tmp_path, monkeypatch
+):
+    """r18 (verdict #3, the retry shape): ``maintain_due`` runs
+    maintain_lake INSIDE foreachBatch, so a mid-sweep failure fails
+    that micro-batch and Structured Streaming surfaces it as a query
+    error; a RESTART from the same checkpoint replays the batch —
+    safe because admission is idempotent (the replay admits nothing
+    twice) and maintenance signals only reset on completion (the
+    retried sweep finds the same backlog). Pinned end-to-end with an
+    injected one-shot maintain_lake failure."""
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        streaming_ingest,
+    )
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "rt_incoming"
+    src.mkdir()
+    for w in range(3):
+        spark.createDataFrame(
+            [(w * 4 + i,
+              " ".join(f"rt{w * 4 + i}w{j}" for j in range(12)))
+             for i in range(4)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"w{w}"))
+    root = str(tmp_path / "lake_rt")
+    real = cp.maintain_lake
+    boom = {"armed": True}
+
+    def flaky(*a, **k):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected mid-sweep crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(cp, "maintain_lake", flaky)
+    kw = dict(
+        near_dup=True,
+        lsh_hash_family="fast",
+        compact_above_files=1,
+        maintain_due=1,
+        checkpoint=str(tmp_path / "rt_ckpt"),
+    )
+
+    def _start():
+        return streaming_ingest(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*")),
+            root,
+            **kw,
+        )
+
+    import pytest as _pt
+
+    q = _start()
+    with _pt.raises(Exception):
+        try:
+            q.processAllAvailable()
+            # surface the async failure deterministically
+            q.awaitTermination(5)
+            assert q.exception() is not None
+            raise q.exception()
+        finally:
+            q.stop()
+    # the failed micro-batch's ADMISSION already landed (maintenance
+    # runs after the appends); restart replays it: nothing admits
+    # twice, the sweep retries on the same still-standing signals
+    q2 = _start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    docs = spark.read.parquet(f"{root}/docs")
+    assert docs.count() == 12
+    assert docs.select("doc_id").distinct().count() == 12

@@ -376,3 +376,46 @@ def test_psl_snapshot_helpers(spark, tmp_path):
         )
     assert dest.read_bytes() == before
     assert [p.name for p in dest.parent.iterdir()] == ["snapshot.dat"]
+
+
+def test_psl_idn_twin_coverage_and_faithfulness_gate():
+    """r18 (verdict #5): (a) every IDN rule in the committed
+    published-format fixture gets a faithful twin (rejected == []);
+    (b) the IDNA2003-vs-UTS46 divergent classes are REJECTED by the
+    round-trip gate instead of emitting a remapped — potentially
+    WRONG — twin: ``ß`` collapses to ``ss`` (``faß.de`` would twin to
+    the unrelated real domain ``fass.de``), final sigma remaps, and
+    ZWJ/ZWNJ-bearing labels (Sinhala/Persian) lose the joiner; (c)
+    ``psl_idn_twin_coverage`` names exactly those rules, so the
+    operator running it over a fetched full snapshot (no network in
+    this environment — the documented residual) sees the single-form
+    rule list by name."""
+    with open(
+        "tests/fixtures/public_suffix_snippet.dat", encoding="utf-8"
+    ) as f:
+        cov = urls.psl_idn_twin_coverage(f)
+    assert cov["idn_rules"] == 1 and cov["twinned"] == 1
+    assert cov["rejected"] == []
+    # representative real-PSL unicode rules: all faithfully twinned
+    healthy = ["中国", "рф", "ελ", "香港", "новосибирск", "xn--p1ai"]
+    cov2 = urls.psl_idn_twin_coverage(healthy)
+    assert cov2["idn_rules"] == 6 and cov2["twinned"] == 6
+    assert cov2["rejected"] == []
+    # divergent classes: no twin, and named in the census
+    divergent = [
+        "faß.de",          # sharp s -> 'ss' (IDNA2003 mapping)
+        "βόλος.gr",        # final sigma remap
+        "ශ්‍රී.lk",          # ZWJ stripped (real PSL rule)
+        "نامه‌ای.example",  # ZWNJ stripped
+    ]
+    for r in divergent:
+        assert urls._idna_twin(r) is None, r
+    cov3 = urls.psl_idn_twin_coverage(divergent)
+    assert cov3["idn_rules"] == 4 and cov3["twinned"] == 0
+    assert cov3["rejected"] == sorted(divergent)
+    # the ß case specifically: the pre-r18 twin would have been the
+    # unrelated real domain fass.de — a wrong RULE, not a missing one
+    assert "fass.de" not in urls.load_psl_rules(["faß.de"])
+    # wildcard/exception markers survive the gate path
+    assert urls._idna_twin("*.中国") == "*.xn--fiqs8s"
+    assert urls._idna_twin("!www.中国") == "!www.xn--fiqs8s"

@@ -46,10 +46,18 @@ Modes:
   read above it), and the index files added per batch (the
   between-compactions growth ``compact_due`` schedules against).
 
+- ``fold N [buckets]`` — the r18 maintenance-cost trio: cheap tail
+  fold (partitioned append) vs the r17 full-rewrite fold with the
+  threshold one file apart on the same lake; the quarter-coverage
+  replay heal answered by the id-presence sidecar vs the pre-r18
+  index-root read; and the all-layers-due unattended sweep (the
+  ``maintain_due=1`` micro-batch stall) vs the same backlog drained
+  at ``max_layers=1``.
+
 Bench-side measurement only — never a correctness input.
 
 Usage: python tools/guard_probe.py \
-    url|compact|verify|verify_index|index_ingest|bloom [N]
+    url|compact|verify|verify_index|index_ingest|bloom|fold [N]
 """
 
 from __future__ import annotations
@@ -936,6 +944,167 @@ def index_ingest_main(n_max: int, buckets: int = 4096) -> None:
     }))
 
 
+def fold_main(n_max: int, buckets: int = 4096) -> None:
+    """r18 (verdict #1/#2/#3): the three maintenance-cost
+    measurements around the r17 LSM tail, swept 1x→32x of corpus
+    size with a FIXED 5k-doc tail — one cold run per arm on its own
+    lake copy (the index_ingest protocol; read within-copy deltas,
+    not absolute seconds):
+
+    - ``fold_cheap`` vs ``fold_full``: maintain_lake timed with the
+      threshold ONE file apart — at base_files the tail's own feed
+      trips it (cheap partitioned append, cost should be ~FLAT in
+      corpus size), at base_files-1 the base is over (the r17 full
+      rewrite, cost grows with corpus size). The delta is verdict
+      #1's number: what reserving the rewrite for genuine compaction
+      saves per fold.
+    - ``replay5k_sidecar`` vs ``replay5k_rootread``: a 5k-doc
+      PRE-BUILD-history replay (quarter-coverage heal) against the
+      folded lake with the id-presence sidecar present vs deleted —
+      verdict #2's number: the sidecar answers id-absence at ~1-2%
+      of the root read's bytes.
+    - ``stall_all_due`` vs ``stall_stagger``: one unattended
+      trust_marker sweep with EVERY layer due (threshold=1: docs +
+      all guard sidecars + the index full rewrite) — the micro-batch
+      stall ``maintain_due=1`` absorbs — vs the same backlog drained
+      at ``max_layers=1`` (per-call max + call count). Verdict #3's
+      number; note the stagger bounds UNITS per batch, so its
+      per-call max converges to the largest single unit (the index
+      rewrite), which only the cheap-fold routing shrinks.
+    """
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        build_text_index,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    spark = get_spark("guard_probe_fold")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_fold_")
+    ks = [1, 4, 16, 32]
+    base_n = max(n_max // 32, 1)
+    kw = dict(near_dup=True, lsh_hash_family="fast")
+    results: dict[str, dict[int, float]] = {}
+    meta: dict[str, dict[int, int]] = {}
+
+    def _rec(name: str, k: int, v: float) -> None:
+        results.setdefault(name, {})[k] = round(v, 2)
+
+    try:
+        for k in ks:
+            n = base_n * k
+            kd = f"{work}/k{k}"
+            src = f"{kd}/src"
+            hist = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                _doc_text_unique(F.col("id")).alias("text"),
+            )
+            incremental_ingest(spark, hist, src, **kw)
+            build_text_index(spark, src, buckets=buckets,
+                             id_col="doc_id")
+            novel = spark.range(5_000).select(
+                (F.col("id") + F.lit(10 * n)).alias("doc_id"),
+                _doc_text_unique(F.col("id") + F.lit(10 * n),
+                                 prefix="nv").alias("text"),
+            ).localCheckpoint()
+            incremental_ingest(spark, novel, src, **kw)
+            idx = f"text_index_b{buckets}"
+            base_files = _data_file_count(spark, f"{src}/{idx}")
+            meta.setdefault("base_files", {})[k] = base_files
+            replay5k = spark.range(min(5_000, n)).select(
+                F.col("id").alias("doc_id"),
+                _doc_text_unique(F.col("id")).alias("text"),
+            ).localCheckpoint()
+
+            # arm A: cheap fold, then the sidecar replay, then the
+            # staggered drain of the remaining backlog
+            a = f"{kd}/cheap"
+            shutil.copytree(src, a)
+            t0 = time.time()
+            ra = maintain_lake(
+                spark, a, compact_above_files=base_files,
+                trust_marker=True,
+            )
+            _rec("fold_cheap", k, time.time() - t0)
+            meta.setdefault("cheap_folded", {})[k] = ra["folded_tails"]
+            meta.setdefault("cheap_files_added", {})[k] = (
+                _data_file_count(spark, f"{a}/{idx}") - base_files
+            )
+            t0 = time.time()
+            rr = incremental_ingest(spark, replay5k, a, **kw)
+            _rec("replay5k_sidecar", k, time.time() - t0)
+            assert rr["admitted"] == 0, rr
+            stag_max, stag_calls = 0.0, 0
+            while True:
+                t0 = time.time()
+                rs = maintain_lake(
+                    spark, a, compact_above_files=1, max_layers=1,
+                    trust_marker=True,
+                )
+                stag_max = max(stag_max, time.time() - t0)
+                stag_calls += 1
+                if (
+                    rs["deferred_units"] == 0
+                    and rs["compacted_layers"] == 0
+                ) or stag_calls > 32:
+                    break
+            _rec("stall_stagger_max_call", k, stag_max)
+            meta.setdefault("stagger_calls", {})[k] = stag_calls
+            shutil.rmtree(a, ignore_errors=True)
+
+            # arm B: the r17 full-rewrite fold (threshold one file
+            # lower routes the SAME lake to the base rewrite)
+            b = f"{kd}/full"
+            shutil.copytree(src, b)
+            t0 = time.time()
+            rb = maintain_lake(
+                spark, b, compact_above_files=base_files - 1,
+                trust_marker=True,
+            )
+            _rec("fold_full", k, time.time() - t0)
+            meta.setdefault("full_folded", {})[k] = rb["folded_tails"]
+            shutil.rmtree(b, ignore_errors=True)
+
+            # arm C: sidecar deleted -> the replay's quarter-coverage
+            # heal pays the pre-r18 root read; then the all-due
+            # unattended sweep (every append layer + the index)
+            c = f"{kd}/root"
+            shutil.copytree(src, c)
+            shutil.rmtree(f"{c}/{idx}_ids")
+            t0 = time.time()
+            rc_ = incremental_ingest(spark, replay5k, c, **kw)
+            _rec("replay5k_rootread", k, time.time() - t0)
+            assert rc_["admitted"] == 0, rc_
+            t0 = time.time()
+            rall = maintain_lake(
+                spark, c, compact_above_files=1, trust_marker=True,
+            )
+            _rec("stall_all_due", k, time.time() - t0)
+            meta.setdefault("all_due_units", {})[k] = (
+                rall["compacted_layers"]
+            )
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\n| arm | " + " | ".join(f"{k}x" for k in ks) + " |")
+    print("|---" * (len(ks) + 1) + "|")
+    for name in (
+        "fold_cheap", "fold_full", "replay5k_sidecar",
+        "replay5k_rootread", "stall_all_due",
+        "stall_stagger_max_call",
+    ):
+        ts = results[name]
+        print(f"| {name} | "
+              + " | ".join(f"{ts[k]:.2f}" for k in ks) + " |")
+    print(f"\nmeta: {meta}")
+    print()
+    print(json.dumps({
+        "mode": "fold", "base_rows": base_n, "ks": ks,
+        "buckets": buckets, "timings": results, "meta": meta,
+    }))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "url"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
@@ -958,12 +1127,17 @@ def main() -> None:
             n if len(sys.argv) > 2 else 1_000_000,
             buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
         )
+    elif mode == "fold":
+        fold_main(
+            n if len(sys.argv) > 2 else 1_000_000,
+            buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+        )
     elif mode == "bloom":
         bloom_mode_main(n if len(sys.argv) > 2 else 4_000_000)
     else:
         raise SystemExit(
             f"unknown mode {mode!r} "
-            "(url|compact|verify|verify_index|index_ingest|bloom)"
+            "(url|compact|verify|verify_index|index_ingest|bloom|fold)"
         )
 
 
