@@ -54,6 +54,12 @@ Modes:
   ``maintain_due=1`` micro-batch stall) vs the same backlog drained
   at ``max_layers=1``.
 
+- ``fold_bytes N [buckets]`` — the r18 fold measurement on the BYTE
+  axis: long texts + few buckets so corpus bytes dominate the
+  file-create floor (which the 4096-bucket ``fold`` sweep showed
+  hides the full rewrite's corpus-sized read+write term at probe
+  scale); cheap vs full fold only, 1x→32x corpus size.
+
 Bench-side measurement only — never a correctness input.
 
 Usage: python tools/guard_probe.py \
@@ -1105,6 +1111,104 @@ def fold_main(n_max: int, buckets: int = 4096) -> None:
     }))
 
 
+def fold_bytes_main(n_max: int, buckets: int = 512) -> None:
+    """r18 (verdict #1, the BYTE axis): the 4096-bucket ``fold``
+    sweep is metadata-bound at probe scale — BOTH folds spend their
+    time on ~3-4k file creates while the corpus is only ~0.45 GB, so
+    the full rewrite's corpus-sized read+write term (the one that is
+    the whole story at 100 TB) is invisible there. This arm makes the
+    bytes dominate instead: ~1.3 KB texts (44 md5 tokens), few
+    buckets (512 → the file-create floor is small and IDENTICAL for
+    both arms), same fixed 5k-doc tail — then sweeps corpus size
+    1x→32x. Expected shape: ``fold_cheap`` flat (tail bytes + ≤512
+    creates), ``fold_full`` growing with corpus bytes (it reads,
+    dedup-shuffles, and rewrites the whole base)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        build_text_index,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    spark = get_spark("guard_probe_fold_bytes")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_foldb_")
+    ks = [1, 4, 16, 32]
+    base_n = max(n_max // 32, 1)
+    kw = dict(near_dup=True, lsh_hash_family="fast")
+
+    def _long_text(idc, prefix: str = "u") -> F.Column:
+        parts = [
+            F.md5(F.concat_ws("_", F.lit(prefix), idc.cast("string"),
+                              F.lit(str(j))))
+            for j in range(44)
+        ]
+        return F.concat_ws(" ", *parts)
+
+    results: dict[str, dict[int, float]] = {}
+    meta: dict[str, dict[int, int]] = {}
+    try:
+        for k in ks:
+            n = base_n * k
+            kd = f"{work}/k{k}"
+            src = f"{kd}/src"
+            hist = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                _long_text(F.col("id")).alias("text"),
+            )
+            incremental_ingest(spark, hist, src, **kw)
+            build_text_index(spark, src, buckets=buckets,
+                             id_col="doc_id")
+            novel = spark.range(5_000).select(
+                (F.col("id") + F.lit(10 * n)).alias("doc_id"),
+                _long_text(F.col("id") + F.lit(10 * n),
+                           prefix="nv").alias("text"),
+            ).localCheckpoint()
+            incremental_ingest(spark, novel, src, **kw)
+            idx = f"text_index_b{buckets}"
+            base_files = _data_file_count(spark, f"{src}/{idx}")
+            meta.setdefault("base_files", {})[k] = base_files
+            jvm = spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(f"{src}/{idx}")
+            fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+            meta.setdefault("base_mb", {})[k] = int(
+                fs.getContentSummary(hp).getLength() / (1 << 20)
+            )
+            for arm, thresh in (
+                ("fold_cheap", base_files),
+                ("fold_full", base_files - 1),
+            ):
+                c = f"{kd}/{arm}"
+                shutil.copytree(src, c)
+                t0 = time.time()
+                r = maintain_lake(
+                    spark, c, compact_above_files=thresh,
+                    trust_marker=True,
+                )
+                results.setdefault(arm, {})[k] = round(
+                    time.time() - t0, 2
+                )
+                meta.setdefault(f"{arm}_folded", {})[k] = (
+                    r["folded_tails"]
+                )
+                shutil.rmtree(c, ignore_errors=True)
+            shutil.rmtree(kd, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print("\n| arm | " + " | ".join(f"{k}x" for k in ks) + " |")
+    print("|---" * (len(ks) + 1) + "|")
+    for name in ("fold_cheap", "fold_full"):
+        ts = results[name]
+        print(f"| {name} | "
+              + " | ".join(f"{ts[k]:.2f}" for k in ks) + " |")
+    print(f"\nmeta: {meta}")
+    print()
+    print(json.dumps({
+        "mode": "fold_bytes", "base_rows": base_n, "ks": ks,
+        "buckets": buckets, "timings": results, "meta": meta,
+    }))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "url"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
@@ -1131,6 +1235,11 @@ def main() -> None:
         fold_main(
             n if len(sys.argv) > 2 else 1_000_000,
             buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
+        )
+    elif mode == "fold_bytes":
+        fold_bytes_main(
+            n if len(sys.argv) > 2 else 1_000_000,
+            buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 512,
         )
     elif mode == "bloom":
         bloom_mode_main(n if len(sys.argv) > 2 else 4_000_000)
