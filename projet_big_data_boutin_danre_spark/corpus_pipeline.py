@@ -3754,12 +3754,20 @@ def maintain_lake(
                 if layer_pby
                 else None
             )
+            # per-bucket swap residue (r18) must force the layer into
+            # the sweep the same way a crashed whole-layer swap does —
+            # two more point probes on the trust_marker skip path
+            bstage = layer_pby is not None and (
+                _dir_exists(spark, path + "__bcompact")
+                or _dir_exists(spark, path + "__bold")
+            )
             if (
                 marker_files is not None
                 and layer in marker_files
                 and marker_files[layer] <= int(compact_above_files)
                 and _dir_exists(spark, path)
                 and not _dir_exists(spark, path + "__compact")
+                and not bstage
             ):
                 continue
             n_files_base = _data_file_count(spark, path)
@@ -3772,7 +3780,11 @@ def maintain_lake(
             crashed = not _exists(spark, path) and _data_file_count(
                 spark, path + "__compact"
             )
-            if n_files <= int(compact_above_files) and not crashed:
+            if (
+                n_files <= int(compact_above_files)
+                and not crashed
+                and not bstage
+            ):
                 # layer examined, under threshold: RE-SYNC its append
                 # accounting to the measured file count (r16). The
                 # per-batch counter is a write-time upper bound —
@@ -3805,36 +3817,94 @@ def maintain_lake(
                 deferred_units += 1
                 continue
             nb = int(layer.rpartition("_b")[2]) if layer_pby else None
-            if (
-                layer_pby
-                and tail_files
-                and n_files_base <= int(compact_above_files)
-                and not crashed
-            ):
-                # CHEAP fold (r18, verdict #1): the TAIL's file feed
-                # is what tripped the threshold — the base's own file
-                # count is still under it — so partitioned-append
-                # just the tail rows into the live bucket dirs
-                # instead of rewriting the corpus-sized base. A
-                # gutted/missing base needs no special case: the
-                # append re-creates readable bucket dirs from the
-                # tail (the r17 rebuild outcome, without the rewrite)
-                res = _fold_tail_append(
-                    spark, path, tail_path,
-                    _text_index_ids_path(out_root, nb), nb,
-                )
-                folded_tails += 1
-                compacted_layers += 1
-                files_before += res["files_before"]
-                files_after += res["files_after"]
-                # re-sync the append accounting to the measured
-                # post-fold base count (NOT zero — the fold's
-                # ~one-file-per-touched-bucket appends are real
-                # growth the genuine full rewrite must eventually
-                # see; compact_layer's own reset stays the full
-                # rewrite's accounting)
-                resync[layer] = res["files_after"]
-                units_left -= 1
+            if layer_pby and not crashed:
+                # CHEAP fold first (r18, verdict #1): whatever else
+                # is due, the tail folds by partitioned-APPEND of
+                # just its rows into the live bucket dirs — never by
+                # rewriting the corpus-sized base. A gutted/missing
+                # base needs no special case: the append re-creates
+                # readable bucket dirs from the tail (the r17
+                # rebuild outcome, without the rewrite).
+                if tail_files:
+                    res = _fold_tail_append(
+                        spark, path, tail_path,
+                        _text_index_ids_path(out_root, nb), nb,
+                    )
+                    folded_tails += 1
+                    compacted_layers += 1
+                    files_before += res["files_before"]
+                    files_after += res["files_after"]
+                    n_files_base = res["files_after"]
+                    # re-sync to the measured post-fold base count
+                    # (NOT zero — fold appends are real growth the
+                    # bucket compaction below must eventually see)
+                    resync[layer] = n_files_base
+                    units_left -= 1
+                # then reclaim fold growth in BUCKET units (r18, the
+                # stall-floor fix): rewrite only overgrown tb= dirs —
+                # the largest single maintenance unit becomes
+                # ~max_buckets × corpus/N instead of the corpus. Runs
+                # when the base's own count is over threshold or a
+                # crashed per-bucket swap left repair residue.
+                if bstage or n_files_base > int(compact_above_files):
+                    if units_left < 1:
+                        deferred_units += 1
+                        continue
+                    resb = compact_index_buckets(
+                        spark, path, nb,
+                        files_above=max(
+                            1, int(compact_above_files) // int(nb)
+                        ),
+                        target_file_mb=compact_target_file_mb,
+                    )
+                    if resb["buckets_compacted"] or resb["repaired"]:
+                        compacted_layers += 1
+                        files_before += resb["files_before"]
+                        files_after += resb["files_after"]
+                        units_left -= 1
+                        resync[layer] = _data_file_count(spark, path)
+                        if resb["buckets_remaining"]:
+                            # more overgrown buckets than the
+                            # per-call cap: still due, next call
+                            # continues
+                            deferred_units += 1
+                        # sidecar hygiene rides the same unit: its
+                        # cheap-fold appends accumulate now that the
+                        # whole-layer regen is off the common path
+                        ids_p = _text_index_ids_path(out_root, nb)
+                        if _data_file_count(
+                            spark, ids_p
+                        ) > int(compact_above_files):
+                            _compact_ids_sidecar(spark, ids_p)
+                    elif n_files_base > int(compact_above_files):
+                        # layer over threshold but NO individual
+                        # bucket is over its allowance — T was sized
+                        # below the bucket count (one file per
+                        # non-empty bucket is the structural floor).
+                        # Fall back to the pre-r18 whole-layer
+                        # rewrite: dedups, regenerates the sidecar,
+                        # and resets the marker so the signal
+                        # terminates. Properly sized lakes
+                        # (compact_above_files ≥ buckets + slack)
+                        # never take this path.
+                        res = compact_layer(
+                            spark, path,
+                            target_file_mb=compact_target_file_mb,
+                            partition_by=layer_pby,
+                            partition_values=nb,
+                            dedup_rows=True,
+                        )
+                        compacted_layers += 1
+                        files_before += res["files_before"]
+                        files_after += res["files_after"]
+                        units_left -= 1
+                        base_df = spark.read.parquet(path)
+                        (
+                            base_df.select(base_df.columns[0])
+                            .coalesce(max(1, res["files_after"] // 32))
+                            .write.mode("overwrite")
+                            .parquet(_text_index_ids_path(out_root, nb))
+                        )
                 continue
             fold_df = None
             fold_path = None
@@ -4237,6 +4307,249 @@ def compact_layer(
         "files_after": _files(live),
         "rows": rows,
     }
+
+
+def compact_index_buckets(
+    spark: SparkSession,
+    path: str,
+    nb: int,
+    files_above: int = 1,
+    max_buckets: int | None = 256,
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """PER-BUCKET incremental compaction for the text index (r18 —
+    the stall-floor fix the `guard_probe.py fold` measurement
+    pointed at): rewrite only the ``tb=`` bucket dirs holding more
+    than ``files_above`` data files, at most ``max_buckets`` per
+    call, instead of :func:`compact_layer`'s whole-layer rewrite.
+    Cheap folds (:func:`_fold_tail_append`) grow the base ~one file
+    per touched bucket per fold; this reclaims exactly that growth in
+    units of ONE BUCKET (~corpus/N bytes — at 100 TB and N=4096,
+    ~25 GB per bucket instead of a 100 TB layer rewrite), so the
+    largest single maintenance unit is bounded by
+    ``max_buckets × corpus/N`` rather than the corpus. Buckets left
+    over the allowance (more overgrown buckets than the cap) stay
+    due — the caller's accounting re-fires and the next call
+    continues.
+
+    Duplicate-row hygiene rides along: exact duplicates of a row
+    share its id and therefore its bucket (``tb = pmod(xxhash64(id),
+    N)``), so a per-bucket ``dropDuplicates`` removes cheap-fold
+    crash residue exactly like the whole-layer rewrite's did.
+
+    Per-bucket swap protocol (all chosen buckets written and
+    verified in ONE Spark job first, then swapped dir-by-dir):
+
+    1. write all chosen buckets to ``<path>__bcompact/tb=X`` via one
+       ``partitionBy`` job;
+    2. verify per-bucket row counts vs the deduped expectation;
+       stamp ``_VERIFIED`` at the staging root (Spark's ``_SUCCESS``
+       is per-job, not per-bucket — the marker is what entry repair
+       trusts);
+    3. per bucket: rename live → ``<path>__bold/tb=X``, rename
+       staged → live, delete old.
+
+    A crash anywhere leaves at most one bucket in a torn state, and
+    entry repair (run first on every call) resolves every residue
+    shape: verified staged bucket with no live dir → finish the
+    rename; un-verified staging → delete it (and restore any live
+    bucket from ``__bold``); stale old copies → delete. Readers see
+    a missing bucket dir for the duration of two renames — the
+    index's cache contract (verify falls back to the docs layer for
+    exactly the missing ids) makes that a slowdown, never a wrong
+    admission.
+
+    Returns ``{"buckets_compacted", "buckets_remaining",
+    "files_before", "files_after", "rows", "repaired"}`` (counts for
+    the CHOSEN buckets only)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live_root = hpath(path)
+    stage_root = hpath(path + "__bcompact")
+    old_root = hpath(path + "__bold")
+
+    def _dir_files(p) -> int:
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            if not it.next().getPath().getName().startswith("_"):
+                n += 1
+        return n
+
+    # ---- entry repair of a crashed previous run ----
+    repaired = 0
+    if fs.exists(stage_root):
+        verified = fs.exists(hpath(path + "__bcompact/_VERIFIED"))
+        if verified:
+            for st in fs.listStatus(stage_root):
+                nm = st.getPath().getName()
+                if not nm.startswith("tb="):
+                    continue
+                live_b = hpath(f"{path}/{nm}")
+                if not fs.exists(live_b):
+                    # crash between rename-out and rename-in: the
+                    # staged copy is verified — finish the swap
+                    fs.rename(st.getPath(), live_b)
+                    repaired += 1
+        # whatever remains in staging is superseded or torn
+        fs.delete(stage_root, True)
+    if fs.exists(old_root):
+        for st in fs.listStatus(old_root):
+            nm = st.getPath().getName()
+            live_b = hpath(f"{path}/{nm}")
+            if not fs.exists(live_b):
+                # un-verified staging was deleted above and the live
+                # dir is gone: roll the old copy back
+                fs.rename(st.getPath(), live_b)
+                repaired += 1
+            else:
+                fs.delete(st.getPath(), True)
+        fs.delete(old_root, True)
+
+    # ---- selection: worst buckets first, bounded ----
+    over: list[tuple[int, str, int]] = []
+    if fs.exists(live_root):
+        for st in fs.listStatus(live_root):
+            nm = st.getPath().getName()
+            if not nm.startswith("tb="):
+                continue
+            n_f = _dir_files(st.getPath())
+            if n_f > int(files_above):
+                over.append((
+                    n_f, nm,
+                    int(fs.getContentSummary(st.getPath()).getLength()),
+                ))
+    over.sort(reverse=True)
+    chosen = over[: int(max_buckets)] if max_buckets else over
+    out = {
+        "buckets_compacted": 0,
+        "buckets_remaining": len(over) - len(chosen),
+        "files_before": sum(n for n, _nm, _s in chosen),
+        "files_after": 0,
+        "rows": 0,
+        "repaired": repaired,
+    }
+    if not chosen:
+        return out
+
+    # ---- one job: read chosen buckets (basePath keeps tb), dedup,
+    # write staged ----
+    live_dirs = [f"{path}/{nm}" for _n, nm, _s in chosen]
+    ded = (
+        spark.read.option("basePath", path)
+        .parquet(*live_dirs)
+        .dropDuplicates()
+    )
+    exp = {
+        int(r["tb"]): int(r["n"])
+        for r in ded.groupBy("tb").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    size = sum(s for _n, _nm, s in chosen)
+    n_out = max(1, int(size // (target_file_mb * 1024 * 1024)) + 1)
+    (
+        _bucket_sliced(ded, "tb", n_out, n_values=len(chosen))
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(path + "__bcompact")
+    )
+    got = {
+        int(r["tb"]): int(r["n"])
+        for r in spark.read.parquet(path + "__bcompact")
+        .groupBy("tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if got != exp:
+        fs.delete(stage_root, True)
+        raise ValueError(
+            f"per-bucket compaction of {path} wrote mismatched "
+            f"counts — swap refused, live layer untouched"
+        )
+    fs.create(hpath(path + "__bcompact/_VERIFIED")).close()
+
+    # ---- per-bucket swaps ----
+    fs.mkdirs(old_root)
+    for _n, nm, _s in chosen:
+        live_b = hpath(f"{path}/{nm}")
+        stage_b = hpath(f"{path}__bcompact/{nm}")
+        if not fs.exists(stage_b):
+            # a chosen bucket whose files held zero rows writes no
+            # staged dir; its live files are pure overhead — drop
+            fs.rename(live_b, hpath(f"{path}__bold/{nm}"))
+            continue
+        if not fs.rename(live_b, hpath(f"{path}__bold/{nm}")):
+            raise IOError(
+                f"bucket compaction of {path}/{nm}: rename-out "
+                "failed — bucket left as-is"
+            )
+        if not fs.rename(stage_b, live_b):
+            # roll back before surfacing
+            fs.rename(hpath(f"{path}__bold/{nm}"), live_b)
+            raise IOError(
+                f"bucket compaction of {path}/{nm}: rename-in "
+                "failed — bucket rolled back"
+            )
+        out["buckets_compacted"] += 1
+    fs.delete(old_root, True)
+    fs.delete(stage_root, True)
+    out["rows"] = sum(exp.values())
+    out["files_after"] = sum(
+        _dir_files(hpath(f"{path}/{nm}"))
+        for _n, nm, _s in chosen
+        if fs.exists(hpath(f"{path}/{nm}"))
+    )
+    return out
+
+
+def _compact_ids_sidecar(spark: SparkSession, ids_path: str) -> None:
+    """Rewrite the id-presence sidecar (dedup + coalesce) — its
+    cheap-fold appends (≤8 files each) accumulate now that the
+    whole-layer rewrite (whose regen used to reset it) is off the
+    common path. Ids-only bytes (~1-2% of the index), so a wholesale
+    rewrite is fine. Swap protocol (the sidecar reads itself, so a
+    direct overwrite would clobber its own input): write ``__swap``,
+    rename live → ``__old``, rename swap → live, delete old; entry
+    repair resolves each crash window, and a window that leaves the
+    sidecar absent only degrades the heal to the root read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(ids_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live, swap, old = (
+        hpath(ids_path),
+        hpath(ids_path + "__swap"),
+        hpath(ids_path + "__old"),
+    )
+    # entry repair
+    if not fs.exists(live):
+        if fs.exists(swap) and fs.exists(
+            hpath(ids_path + "__swap/_SUCCESS")
+        ):
+            fs.rename(swap, live)
+        elif fs.exists(old):
+            fs.rename(old, live)
+        else:
+            return  # nothing to compact (absence = root-read fallback)
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(swap):
+        fs.delete(swap, True)
+    try:
+        df = spark.read.parquet(ids_path)
+    except Exception:
+        return  # unreadable sidecar: leave for the next full regen
+    df.dropDuplicates().coalesce(8).write.mode("overwrite").parquet(
+        ids_path + "__swap"
+    )
+    if not fs.rename(live, old):
+        fs.delete(swap, True)
+        return
+    if not fs.rename(swap, live):
+        fs.rename(old, live)  # roll back
+        fs.delete(swap, True)
+        return
+    fs.delete(old, True)
 
 
 def update_line_census(

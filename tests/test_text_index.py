@@ -832,9 +832,13 @@ def test_cheap_fold_appends_tail_into_buckets(spark, tmp_path):
     )
     assert tail_files >= 1
     base_paths_before = _data_files(base_dir)
-    # total > T but base alone <= T: exactly the cheap-fold regime
+    # total > T but base alone <= T: exactly the cheap-fold regime.
+    # max_layers=1 isolates the FOLD: the follow-up per-bucket
+    # reclaim (r18, which rewrites fold-touched buckets) is deferred
+    # to a later call, so every pre-fold base file must survive here
     t = base_files + tail_files - 1
-    res = maintain_lake(spark, root, compact_above_files=t)
+    res = maintain_lake(spark, root, compact_above_files=t,
+                        max_layers=1)
     assert res["folded_tails"] == 1
     assert not (tmp_path / "lake_cheap" / "text_index_b4_tail").exists()
     # no rewrite: every pre-fold base file survives in place
@@ -855,13 +859,17 @@ def test_cheap_fold_appends_tail_into_buckets(spark, tmp_path):
     assert res2["folded_tails"] == 0
 
 
-def test_full_rewrite_when_base_over_threshold(spark, tmp_path):
-    """r18 (verdict #1, the other arm): when the BASE's own file
-    count is genuinely over the threshold, the fold stays the r17
-    full compaction rewrite — which also clears cheap-fold crash
-    residue (exact-duplicate rows INSIDE the base, dedup_rows) and
-    regenerates the id-presence sidecar wholesale from the fresh
-    base."""
+def test_bucket_compaction_clears_residue_and_sidecar_tracks(
+    spark, tmp_path
+):
+    """r18 (verdict #1, the reclaim arm): when the BASE's own file
+    count is over the threshold, maintain_lake folds the tail first
+    (cheap, always) and then reclaims growth with PER-BUCKET
+    compaction — duplicates share their id's bucket, so the
+    per-bucket dropDuplicates clears cheap-fold crash residue
+    (exact-duplicate rows INSIDE the base) exactly like the old
+    whole-layer rewrite did, at bucket-sized units; the id-presence
+    sidecar tracks through fold-append + hygiene."""
     from projet_big_data_boutin_danre_spark.corpus_pipeline import (
         read_text_index,
     )
@@ -896,13 +904,13 @@ def test_full_rewrite_when_base_over_threshold(spark, tmp_path):
         == base_n + 3
     )
     res = maintain_lake(spark, root, compact_above_files=1)
-    assert res["folded_tails"] == 0 and res["compacted_layers"] >= 1
+    assert res["folded_tails"] == 1 and res["compacted_layers"] >= 2
     after = spark.read.parquet(f"{root}/text_index_b4")
     # residue gone without any distinct on the read side
     assert after.count() == n_docs
     assert read_text_index(spark, root, 4).count() == n_docs
-    # sidecar regenerated wholesale: exactly the base's id set,
-    # duplicate-free
+    # sidecar = build ids + fold-appended tail ids, deduped by the
+    # hygiene pass: exactly the base's id set
     sc = spark.read.parquet(f"{root}/text_index_b4_ids")
     assert sc.count() == n_docs and sc.distinct().count() == n_docs
     _index_equals_docs(spark, root)
@@ -1012,3 +1020,180 @@ def test_streaming_maintain_stagger_bounds_per_batch_work(
     _index_equals_docs(spark, root)
     docs_n = spark.read.parquet(f"{root}/docs").count()
     assert docs_n == n_waves * per_wave
+
+
+def test_bucket_compaction_rewrites_only_overgrown_buckets(
+    spark, tmp_path
+):
+    """r18 (the stall-floor fix): per-bucket compaction must leave
+    buckets at their file allowance untouched IN PLACE and rewrite
+    only the overgrown ones — the largest maintenance unit becomes
+    bucket-sized, not corpus-sized. Built with 64 buckets so the
+    batch only touches a subset; pinned physically on surviving file
+    paths."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        compact_index_buckets,
+    )
+
+    root = str(tmp_path / "lake_pb")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 40, "pb"), root, **kw_off)
+    build_text_index(spark, root, buckets=64)
+    incremental_ingest(spark, _batch(spark, 500, 10, "pq"), root,
+                       **kw_off)
+    base_dir = tmp_path / "lake_pb" / "text_index_b64"
+    # fold the tail in (isolated via max_layers=1)
+    r = maintain_lake(
+        spark, root,
+        compact_above_files=_tail_plus_base_minus_one(spark, root, 64),
+        max_layers=1,
+    )
+    assert r["folded_tails"] == 1
+    # buckets touched by the folded batch now hold 2 files; the rest 1
+    per_bucket = {}
+    for p in base_dir.iterdir():
+        if p.name.startswith("tb="):
+            per_bucket[p.name] = sorted(
+                str(f) for f in p.iterdir()
+                if not f.name.startswith("_") and not f.name.startswith(".")
+            )
+    multi = {k for k, v in per_bucket.items() if len(v) > 1}
+    single = {k for k, v in per_bucket.items() if len(v) == 1}
+    assert multi and single  # both regimes present
+    res = compact_index_buckets(spark, str(base_dir), 64, files_above=1)
+    assert res["buckets_compacted"] == len(multi)
+    assert res["buckets_remaining"] == 0
+    after = {}
+    for p in base_dir.iterdir():
+        if p.name.startswith("tb="):
+            after[p.name] = sorted(
+                str(f) for f in p.iterdir()
+                if not f.name.startswith("_") and not f.name.startswith(".")
+            )
+    for k in single:  # untouched buckets: same files, same paths
+        assert after[k] == per_bucket[k], k
+    for k in multi:  # overgrown buckets: rewritten to one file
+        assert len(after[k]) == 1 and after[k] != per_bucket[k], k
+    assert not (tmp_path / "lake_pb" / "text_index_b64__bcompact").exists()
+    assert not (tmp_path / "lake_pb" / "text_index_b64__bold").exists()
+    _index_equals_docs(spark, root)
+    # bounded reclaim: max_buckets=1 compacts exactly one bucket per
+    # call and reports the remainder as still due
+    incremental_ingest(spark, _batch(spark, 900, 10, "pr"), root,
+                       **kw_off)
+    maintain_lake(
+        spark, root,
+        compact_above_files=_tail_plus_base_minus_one(spark, root, 64),
+        max_layers=1,
+    )  # fold only
+    multi2 = [
+        p.name for p in base_dir.iterdir()
+        if p.name.startswith("tb=")
+        and sum(
+            1 for f in p.iterdir()
+            if not f.name.startswith("_") and not f.name.startswith(".")
+        ) > 1
+    ]
+    assert len(multi2) >= 2
+    res1 = compact_index_buckets(
+        spark, str(base_dir), 64, files_above=1, max_buckets=1
+    )
+    assert res1["buckets_compacted"] == 1
+    assert res1["buckets_remaining"] == len(multi2) - 1
+    _index_equals_docs(spark, root)
+
+
+def _tail_plus_base_minus_one(spark, root, nb):
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+    )
+
+    return (
+        _data_file_count(spark, f"{root}/text_index_b{nb}")
+        + _data_file_count(spark, f"{root}/text_index_b{nb}_tail")
+        - 1
+    )
+
+
+def test_bucket_compaction_crash_repair(spark, tmp_path):
+    """r18: every per-bucket swap crash shape self-heals on the next
+    call — (a) verified staged bucket with live dir missing is
+    renamed in; (b) un-verified staging is discarded and a live
+    bucket missing its swap is restored from __bold; readers in the
+    window only degrade (cache contract)."""
+    import shutil
+
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        compact_index_buckets,
+    )
+
+    root = str(tmp_path / "lake_cr")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 30, "cr"), root, **kw_off)
+    build_text_index(spark, root, buckets=8)
+    incremental_ingest(spark, _batch(spark, 500, 10, "cs"), root,
+                       **kw_off)
+    maintain_lake(
+        spark, root,
+        compact_above_files=_tail_plus_base_minus_one(spark, root, 8),
+        max_layers=1,
+    )  # fold only
+    base_dir = tmp_path / "lake_cr" / "text_index_b8"
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    # (a) crash between rename-out and rename-in: simulate by moving
+    # a live bucket into a VERIFIED staging
+    victim = next(
+        p for p in base_dir.iterdir() if p.name.startswith("tb=")
+    )
+    stage = tmp_path / "lake_cr" / "text_index_b8__bcompact"
+    stage.mkdir()
+    shutil.move(str(victim), str(stage / victim.name))
+    (stage / "_VERIFIED").touch()
+    res = compact_index_buckets(spark, str(base_dir), 8, files_above=1)
+    assert res["repaired"] == 1
+    assert not stage.exists()
+    _index_equals_docs(spark, root)
+    # (b) un-verified staging + live bucket parked in __bold
+    victim2 = next(
+        p for p in base_dir.iterdir() if p.name.startswith("tb=")
+    )
+    oldd = tmp_path / "lake_cr" / "text_index_b8__bold"
+    oldd.mkdir()
+    shutil.move(str(victim2), str(oldd / victim2.name))
+    stage.mkdir()
+    (stage / victim2.name).mkdir()
+    (stage / victim2.name / "part-torn.parquet").write_bytes(b"torn")
+    res2 = compact_index_buckets(spark, str(base_dir), 8, files_above=1)
+    assert res2["repaired"] == 1
+    assert not stage.exists() and not oldd.exists()
+    assert spark.read.parquet(str(base_dir)).count() == n_docs
+    _index_equals_docs(spark, root)
+
+
+def test_bucket_floor_falls_back_to_full_rewrite(spark, tmp_path):
+    """r18 (the misconfiguration arm): a threshold sized BELOW the
+    bucket count can never be satisfied per-bucket (one file per
+    non-empty bucket is the structural floor) — when no individual
+    bucket is over its allowance but the layer total is over T,
+    maintain_lake falls back to the pre-r18 whole-layer rewrite,
+    which dedups, regenerates the sidecar wholesale, and resets the
+    marker so the signal terminates."""
+    root = str(tmp_path / "lake_fb")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 16, "fb"), root, **kw_off)
+    build_text_index(spark, root, buckets=4)
+    # no tail, every bucket at exactly 1 file, total 4 > T=2
+    res = maintain_lake(spark, root, compact_above_files=2)
+    assert res["folded_tails"] == 0
+    assert res["compacted_layers"] >= 1
+    n_docs = spark.read.parquet(f"{root}/docs").count()
+    base = spark.read.parquet(f"{root}/text_index_b4")
+    assert base.count() == n_docs
+    sc = spark.read.parquet(f"{root}/text_index_b4_ids")
+    assert sc.count() == n_docs and sc.distinct().count() == n_docs
+    # the rewrite reset the marker: a trust_marker re-run does not
+    # rewrite the index again
+    res2 = maintain_lake(spark, root, compact_above_files=2,
+                         trust_marker=True)
+    assert res2["folded_tails"] == 0
+    _index_equals_docs(spark, root)
