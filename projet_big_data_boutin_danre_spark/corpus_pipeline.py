@@ -4365,16 +4365,8 @@ def compact_index_buckets(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    live_root = hpath(path)
     stage_root = hpath(path + "__bcompact")
     old_root = hpath(path + "__bold")
-
-    def _dir_files(p) -> int:
-        it, n = fs.listFiles(p, True), 0
-        while it.hasNext():
-            if not it.next().getPath().getName().startswith("_"):
-                n += 1
-        return n
 
     # ---- entry repair of a crashed previous run ----
     repaired = 0
@@ -4406,21 +4398,42 @@ def compact_index_buckets(
                 fs.delete(st.getPath(), True)
         fs.delete(old_root, True)
 
-    # ---- selection: worst buckets first, bounded ----
-    over: list[tuple[int, str, int]] = []
-    if fs.exists(live_root):
-        for st in fs.listStatus(live_root):
-            nm = st.getPath().getName()
-            if not nm.startswith("tb="):
-                continue
-            n_f = _dir_files(st.getPath())
-            if n_f > int(files_above):
-                over.append((
-                    n_f, nm,
-                    int(fs.getContentSummary(st.getPath()).getLength()),
-                ))
-    over.sort(reverse=True)
-    chosen = over[: int(max_buckets)] if max_buckets else over
+    # ---- selection: worst buckets first, bounded. ONE
+    # ``inputFiles()`` pass instead of per-dir listings: py4j
+    # marshals the whole path array in a single driver call, where
+    # the listStatus/listFiles shape costs ~3 round trips PER
+    # FILE/entry (the `_live_bucket_paths` measurement) — the first
+    # `fold_unit` probe run showed exactly that chatter dominating
+    # the reclaim call at probe scale (SCALE.md §r18). Object-store
+    # translation: one LIST sweep of the layer, not one per dir.
+    def _per_bucket_files() -> dict[str, int]:
+        counts: dict[str, int] = {}
+        try:
+            for fpath in spark.read.parquet(path).inputFiles():
+                seg = fpath.rstrip("/").rsplit("/", 2)
+                if len(seg) == 3 and seg[1].startswith("tb="):
+                    counts[seg[1]] = counts.get(seg[1], 0) + 1
+        except Exception:
+            # unreadable/empty layer: nothing selectable (entry
+            # repair above already resolved crash residue)
+            return {}
+        return counts
+
+    per_bucket = _per_bucket_files()
+    over = sorted(
+        ((n_f, nm) for nm, n_f in per_bucket.items()
+         if n_f > int(files_above)),
+        reverse=True,
+    )
+    capped = over[: int(max_buckets)] if max_buckets else over
+    # sizes only for the CHOSEN dirs (≤ max_buckets point calls),
+    # never for every overgrown bucket
+    chosen = [
+        (n_f, nm, int(
+            fs.getContentSummary(hpath(f"{path}/{nm}")).getLength()
+        ))
+        for n_f, nm in capped
+    ]
     out = {
         "buckets_compacted": 0,
         "buckets_remaining": len(over) - len(chosen),
@@ -4495,10 +4508,9 @@ def compact_index_buckets(
     fs.delete(old_root, True)
     fs.delete(stage_root, True)
     out["rows"] = sum(exp.values())
+    after_counts = _per_bucket_files()
     out["files_after"] = sum(
-        _dir_files(hpath(f"{path}/{nm}"))
-        for _n, nm, _s in chosen
-        if fs.exists(hpath(f"{path}/{nm}"))
+        after_counts.get(nm, 0) for _n, nm, _s in chosen
     )
     return out
 

@@ -60,6 +60,12 @@ Modes:
   hides the full rewrite's corpus-sized read+write term at probe
   scale); cheap vs full fold only, 1x→32x corpus size.
 
+- ``fold_unit N [buckets]`` — the r18 stall-floor before/after on
+  one post-fold lake: the per-bucket reclaim unit
+  (``compact_index_buckets`` via a properly-sized threshold) vs the
+  pre-r18 whole-layer rewrite of the same base, plus how many
+  capped reclaim calls drain the backlog.
+
 Bench-side measurement only — never a correctness input.
 
 Usage: python tools/guard_probe.py \
@@ -1209,6 +1215,105 @@ def fold_bytes_main(n_max: int, buckets: int = 512) -> None:
     }))
 
 
+def fold_unit_main(n_rows: int, buckets: int = 4096) -> None:
+    """r18 (the stall-floor fix, measured): on ONE lake at ``n_rows``
+    docs, compare the LARGEST single maintenance unit before vs
+    after per-bucket reclaim. Arms, all on copies of the same
+    post-fold lake (base grown by ~one file per tail-touched
+    bucket):
+
+    - ``bucket_reclaim_unit``: one `maintain_lake` call with the
+      threshold sized FOR the bucketed layer (``buckets + 64`` — the
+      structural floor plus slack) — routes to
+      `compact_index_buckets` (≤256 worst buckets), the new unit.
+    - ``full_rewrite_unit``: `compact_layer` whole-layer rewrite of
+      the same base — the pre-r18 unit the stall floor used to be.
+    - ``reclaim_calls_to_drain``: how many capped reclaim calls
+      drain every overgrown bucket, and the max single call.
+    """
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _data_file_count,
+        build_text_index,
+        compact_layer,
+        incremental_ingest,
+        maintain_lake,
+    )
+
+    spark = get_spark("guard_probe_fold_unit")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="guard_probe_funit_")
+    kw = dict(near_dup=True, lsh_hash_family="fast")
+    out: dict[str, float] = {}
+    try:
+        src = f"{work}/src"
+        hist = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            _doc_text_unique(F.col("id")).alias("text"),
+        )
+        incremental_ingest(spark, hist, src, **kw)
+        build_text_index(spark, src, buckets=buckets, id_col="doc_id")
+        novel = spark.range(5_000).select(
+            (F.col("id") + F.lit(10 * n_rows)).alias("doc_id"),
+            _doc_text_unique(F.col("id") + F.lit(10 * n_rows),
+                             prefix="nv").alias("text"),
+        ).localCheckpoint()
+        incremental_ingest(spark, novel, src, **kw)
+        idx = f"text_index_b{buckets}"
+        # fold the tail so the base carries reclaimable growth
+        base_files0 = _data_file_count(spark, f"{src}/{idx}")
+        t0 = time.time()
+        r = maintain_lake(
+            spark, src, compact_above_files=base_files0,
+            max_layers=1, trust_marker=True,
+        )
+        out["fold_s"] = round(time.time() - t0, 2)
+        assert r["folded_tails"] == 1, r
+        thresh = buckets + 64
+
+        a = f"{work}/reclaim"
+        shutil.copytree(src, a)
+        t0 = time.time()
+        ra = maintain_lake(
+            spark, a, compact_above_files=thresh, trust_marker=True,
+        )
+        out["bucket_reclaim_unit_s"] = round(time.time() - t0, 2)
+        out["reclaim_deferred"] = ra["deferred_units"]
+        calls, max_call = 1, out["bucket_reclaim_unit_s"]
+        while ra["deferred_units"] or ra["compacted_layers"]:
+            t0 = time.time()
+            ra = maintain_lake(
+                spark, a, compact_above_files=thresh,
+                trust_marker=True,
+            )
+            max_call = max(max_call, round(time.time() - t0, 2))
+            calls += 1
+            if calls > 40:
+                break
+        out["reclaim_calls_to_drain"] = calls
+        out["reclaim_max_call_s"] = max_call
+        shutil.rmtree(a, ignore_errors=True)
+
+        b = f"{work}/full"
+        shutil.copytree(src, b)
+        t0 = time.time()
+        compact_layer(
+            spark, f"{b}/{idx}", partition_by="tb",
+            partition_values=buckets, dedup_rows=True,
+        )
+        out["full_rewrite_unit_s"] = round(time.time() - t0, 2)
+        shutil.rmtree(b, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    print()
+    for k, v in out.items():
+        print(f"{k}: {v}")
+    print()
+    print(json.dumps({
+        "mode": "fold_unit", "rows": n_rows, "buckets": buckets,
+        **out,
+    }))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "url"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32_000_000
@@ -1240,6 +1345,11 @@ def main() -> None:
         fold_bytes_main(
             n if len(sys.argv) > 2 else 1_000_000,
             buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 512,
+        )
+    elif mode == "fold_unit":
+        fold_unit_main(
+            n if len(sys.argv) > 2 else 500_000,
+            buckets=int(sys.argv[3]) if len(sys.argv) > 3 else 4096,
         )
     elif mode == "bloom":
         bloom_mode_main(n if len(sys.argv) > 2 else 4_000_000)
