@@ -3561,6 +3561,22 @@ _APPEND_LAYERS = (
 )
 
 
+def _spark_file_count(spark: SparkSession, path: str) -> int:
+    """File count via ONE Spark file-index listing — ``inputFiles()``
+    marshals the whole path array in a single py4j call, where the
+    :func:`_data_file_count` iterator shape costs ~3 driver round
+    trips PER FILE (the `_live_bucket_paths` measurement; reproduced
+    at maintenance scale by the first ``fold_unit`` probe run —
+    SCALE.md §r18). Use for layers that are parquet-readable and
+    LARGE (the text index base: ≥ one file per non-empty bucket);
+    unreadable/missing layers fall back to the iterator, which
+    handles them as point probes."""
+    try:
+        return len(spark.read.parquet(path).inputFiles())
+    except Exception:
+        return _data_file_count(spark, path)
+
+
 def _data_file_count(spark: SparkSession, path: str) -> int:
     """Count a layer's data files (recursive, underscore-prefixed
     bookkeeping like _SUCCESS excluded); 0 for a missing layer."""
@@ -3770,7 +3786,11 @@ def maintain_lake(
                 and not bstage
             ):
                 continue
-            n_files_base = _data_file_count(spark, path)
+            n_files_base = (
+                _spark_file_count(spark, path)
+                if layer_pby
+                else _data_file_count(spark, path)
+            )
             tail_files = (
                 _data_file_count(spark, tail_path)
                 if tail_path is not None
@@ -3862,7 +3882,7 @@ def maintain_lake(
                         files_before += resb["files_before"]
                         files_after += resb["files_after"]
                         units_left -= 1
-                        resync[layer] = _data_file_count(spark, path)
+                        resync[layer] = _spark_file_count(spark, path)
                         if resb["buckets_remaining"]:
                             # more overgrown buckets than the
                             # per-call cap: still due, next call
