@@ -137,12 +137,15 @@ def env_canary_probe(size_mb: int = 256) -> dict[str, float]:
         # evicts the GUEST page cache — a pass can still hit the
         # virtio host's cache at ~2 GB/s, and taking the best pass
         # would mask the degraded band this canary exists to flag;
-        # the median survives one outlier in either direction
+        # the median survives one outlier in either direction. The
+        # lower-median index (r19, advisor): with one failed pass the
+        # 2-element case must report the LOWER survivor — len//2
+        # picks the higher, the optimistic side this canary distrusts
         passes = sorted(p for p in (
             _read_mb_s(drop_cache=True) for _ in range(3)
         ) if p > 0)
         if passes:
-            out["env_disk_mb_s"] = passes[len(passes) // 2]
+            out["env_disk_mb_s"] = passes[(len(passes) - 1) // 2]
             out["env_disk_mb_s_spread"] = round(
                 passes[-1] - passes[0], 1
             )

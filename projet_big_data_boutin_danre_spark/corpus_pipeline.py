@@ -2145,11 +2145,13 @@ def incremental_ingest(
                 # gutted and the heal takes the authoritative root
                 # read instead (which then answers "nothing present"
                 # and the backfill restores everything). A PARTIAL
-                # gut that keeps some sampled dirs is the documented
-                # residual: those ids stay un-backfilled until the
-                # next build/full compaction regenerates the sidecar,
-                # with the verify stage's per-id docs fallback
-                # covering correctness in the interim.
+                # gut that keeps some sampled dirs leaves those ids
+                # un-backfilled only until the NEXT CHEAP FOLD: its
+                # sidecar↔base row-count cross-check (r19, verdict
+                # #4 — ids rows > base rows can only mean base rows
+                # left out-of-band) regenerates the sidecar from the
+                # live base, with the verify stage's per-id docs
+                # fallback covering correctness in the interim.
                 sample = sorted(
                     {
                         hbks[0],
@@ -2932,16 +2934,23 @@ def _text_index_ids_path(out_root: str, buckets: int) -> str:
     tolerated (consumers dropDuplicates before their anti-join),
     absence or unreadability falls back to the root read, and a
     false PRESENT (only possible when the base is gutted out-of-band
-    after the sidecar was written) merely skips a heal — the verify
-    stage's per-id docs fallback still covers those ids, so it costs
-    speed, never a wrong admission. The ``_ids`` suffix never parses
-    as an ``int`` so :func:`_discover_text_index` ignores it."""
+    after the sidecar was written — :func:`build_text_index` deletes
+    the sidecar BEFORE its in-place base overwrite, r19, so a torn
+    build leaves it absent, not stale) merely skips a heal — the
+    verify stage's per-id docs fallback still covers those ids, so
+    it costs speed, never a wrong admission; the fold-time
+    row-count cross-check (r19, verdict #4 — see
+    :func:`_fold_tail_append`) regenerates an over-stating sidecar
+    at the next cheap fold, bounding that window. The ``_ids``
+    suffix never parses as an ``int`` so
+    :func:`_discover_text_index` ignores it."""
     return f"{out_root}/text_index_b{int(buckets)}_ids"
 
 
 def _fold_tail_append(
     spark: SparkSession, path: str, tail_path: str, ids_path: str,
     nb: int,
+    base_files: int | None = None,
 ) -> dict[str, int]:
     """CHEAP tail fold (r18, verdict #1): partitioned-APPEND the
     index tail's rows into the live ``tb=`` bucket dirs instead of
@@ -2971,15 +2980,42 @@ def _fold_tail_append(
     dirs holding the tail's rows, and older rows stay the
     heal/fallback paths' job (the cache contract).
 
+    ``base_files`` (r19, advisor): the caller's pre-fold base file
+    count, when it already holds one — :func:`maintain_lake` just
+    paid a :func:`_spark_file_count` listing to route here, and
+    re-listing the large bucketed base through the
+    ~3-round-trips-per-file iterator twice per fold was exactly the
+    py4j chatter the r18 reclaim fix removed elsewhere. ``None``
+    (a direct caller) counts via the single-call listing itself.
+
+    Sidecar↔base cross-check (r19, verdict #4 — the partial-gut
+    staleness window): after the appends, one footer-only row count
+    on each side. The sidecar legitimately carries >= ids than the
+    base has rows only never — build and fold write them 1:1, crash
+    re-folds inflate BOTH, and the per-bucket reclaim's dedup can
+    only shrink the BASE — so ``ids_rows > base_rows`` proves rows
+    left the base out-of-band (or reclaim removed residue the
+    sidecar still carries): the sidecar OVER-states presence, the
+    one staleness direction whose cost (verify's per-id docs
+    fallback holds correctness) the r18 design deferred to the next
+    full regen. Mismatch → regenerate wholesale from the base right
+    here (ids-only bytes, direct overwrite is safe: the input is the
+    base, never the sidecar); an unreadable base → delete the
+    sidecar so heals take the root path. Under-statement
+    (``base_rows > ids_rows``) stays untouched — extra heals, never
+    a wrong admission.
+
     Returns ``{"files_before", "files_after", "rows"}`` with the same
     meaning as :func:`compact_layer` (before includes the tail's
     files; after is the live base post-append)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    files_before = _data_file_count(spark, path) + _data_file_count(
-        spark, tail_path
-    )
+    files_before = (
+        base_files
+        if base_files is not None
+        else _spark_file_count(spark, path)
+    ) + _data_file_count(spark, tail_path)
     tail_df = spark.read.parquet(tail_path)
     # the tail schema is exactly (id, text) in write order — the id
     # column is first whatever its name (the r17 fold's convention)
@@ -2997,6 +3033,7 @@ def _fold_tail_append(
         .partitionBy("tb")
         .parquet(path)
     )
+    files_after = _spark_file_count(spark, path)
     # presence sidecar: APPEND the folded ids (≤8 small files per
     # fold) — never a rewrite; the next build/full compaction
     # regenerates it wholesale and resets its file count. Appended
@@ -3008,10 +3045,31 @@ def _fold_tail_append(
         tail_df.select(idc).coalesce(8).write.mode("append").parquet(
             ids_path
         )
+        # cross-check (r19, verdict #4; contract in the docstring):
+        # two footer-only counts per fold; only the over-stating
+        # direction triggers work, and the regen it triggers is the
+        # same ids-only projection the full rewrite pays
+        try:
+            base_rows = spark.read.parquet(path).count()
+        except Exception:
+            base_rows = None
+        if base_rows is None:
+            # base appended-to yet unreadable (torn beyond the fold's
+            # repair): presence claims are unanchored — mark the
+            # sidecar dead so heals take the root path
+            fs.delete(hpath(ids_path), True)
+        elif spark.read.parquet(ids_path).count() > base_rows:
+            base_df = spark.read.parquet(path)
+            (
+                base_df.select(base_df.columns[0])
+                .coalesce(max(1, files_after // 32))
+                .write.mode("overwrite")
+                .parquet(ids_path)
+            )
     fs.delete(hpath(tail_path), True)
     return {
         "files_before": files_before,
-        "files_after": _data_file_count(spark, path),
+        "files_after": files_after,
         "rows": rows,
     }
 
@@ -3203,6 +3261,15 @@ def build_text_index(
             "tb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(buckets)))
         )
     )
+    # delete any existing id-presence sidecar BEFORE the in-place
+    # base overwrite (r19, advisor): a crash after the overwrite
+    # starts but before the sidecar regen below would otherwise
+    # leave the OLD sidecar over-stating presence against a
+    # torn/partial base — an in-band path to stale-PRESENT. Absent
+    # sidecar → heals take the root read: slower, never wrong.
+    ids_pre = hpath(_text_index_ids_path(out_root, int(buckets)))
+    if fs.exists(ids_pre):
+        fs.delete(ids_pre, True)
     (
         _bucket_sliced(df, "tb", n_out, n_values=int(buckets))
         .write.mode("overwrite")
@@ -3246,7 +3313,15 @@ def build_text_index(
         .parquet(_text_index_ids_path(out_root, int(buckets)))
     )
     # seed/reset the append accounting for the new layer (and drop
-    # entries for swept stale layers) so compact_due starts clean
+    # entries for swept stale layers) so compact_due starts clean.
+    # Seeded at 0, not the base file count (r19, verdict #1): the
+    # marker is files-appended-SINCE-COMPACTION and the build IS a
+    # compaction event — seeding the total (the r16 choice) put a
+    # bucketed layer's structural floor (≥ one file per non-empty
+    # bucket) into an accounting compared against thresholds that
+    # may sit below it, costing a guaranteed no-op maintenance
+    # cycle after every build (and pinning compact_due outright
+    # before the r19 reset semantics).
     stats = _read_lake_stats(spark, f"{out_root}/_lake_stats")
     if stats is not None:
         facc = {
@@ -3254,7 +3329,7 @@ def build_text_index(
             for k, v in stats[3].items()
             if not k.startswith("text_index_b")
         }
-        facc[f"text_index_b{int(buckets)}"] = files
+        facc[f"text_index_b{int(buckets)}"] = 0
         _write_lake_stats(
             spark, f"{out_root}/_lake_stats",
             stats[0], stats[1], stats[2], files=facc,
@@ -3606,6 +3681,7 @@ def maintain_lake(
     trust_marker: bool = False,
     text_index_buckets: int | None = None,
     max_layers: int | None = None,
+    index_compact_above_files: int | None = None,
 ) -> dict[str, int]:
     """Out-of-band lake maintenance (r13, verdict #5): the entry point
     a ``bloom_rebuild_mode="defer"`` ingest defers its saturation work
@@ -3666,19 +3742,47 @@ def maintain_lake(
     maintain it per batch. An existing index is never rebuilt here
     (resizing is an explicit build_text_index call).
 
-    Text-index fold routing (r18, verdict #1): when the index layer
-    trips the file threshold but its BASE's own file count is still
-    under it — i.e. the tail's per-batch feed is what tripped it —
-    the tail is folded by :func:`_fold_tail_append` (partitioned
-    append of JUST the tail rows into the live bucket dirs; cost
-    scales with the tail), and the full :func:`compact_layer` rewrite
-    of the corpus-sized base is reserved for when the base itself is
-    genuinely over threshold (cheap-fold appends grow it ~one file
-    per touched bucket per fold, so the rewrite still happens —
-    amortized over many folds, each amortizing many batches). The
-    full rewrite also regenerates the id-presence sidecar
-    (:func:`_text_index_ids_path`) and clears cheap-fold crash
-    residue (``dedup_rows``).
+    Text-index fold routing (r18, verdict #1; accounting r19): the
+    index layer has TWO trip wires with different natural scales, so
+    the one ``compact_above_files`` knob is split (r19, verdict #5):
+
+    - **tail trip** — the tail's per-batch feed counts on the layer
+      marker against ``compact_above_files``; a trip folds the tail
+      by :func:`_fold_tail_append` (partitioned append of JUST the
+      tail rows into the live bucket dirs; cost scales with the
+      tail, ~one new file per touched bucket).
+    - **base due** — the base's own listed file count against
+      ``index_compact_above_files``, defaulting (floor-aware) to
+      ``max(compact_above_files, 2 × buckets)``: one file per
+      non-empty bucket is the layer's structural FLOOR, so a
+      bucketed base can never list below ~``buckets`` files and a
+      shared threshold under that would fire base maintenance on
+      every fold; the ×2 slack lets every bucket absorb ~one fold's
+      growth before reclaim, amortizing per-bucket rewrites over
+      ~``buckets`` tail trips. A genuinely-due base is reclaimed in
+      BUCKET units (:func:`compact_index_buckets`, worst-first,
+      capped); the whole-layer :func:`compact_layer` rewrite
+      survives only as the repair arm for file shapes the bucket
+      view cannot account for (and for crashed whole-layer swaps) —
+      it is gated on the measured floor (``buckets_total`` from the
+      reclaim's own listing), so a layer merely AT its floor is
+      never rewritten.
+
+    Marker semantics on this layer (r19, verdict #1 — the r18
+    regression): the marker is files-appended-SINCE-COMPACTION, and
+    a COMPLETED fold+reclaim pass (no deferral, no
+    ``buckets_remaining``) IS the compaction event — the marker
+    resets to 0, exactly like :func:`compact_layer`'s reset. The r18
+    code resynced it to the TOTAL base file count instead, which on
+    any lake with ``compact_above_files`` < bucket count sits above
+    the threshold forever (the structural floor again), pinning
+    ``compact_due`` ≥ 1 → ``maintain_due`` streaming fired
+    maintenance every micro-batch. An INCOMPLETE pass (unit budget
+    exhausted, or overgrown buckets past the reclaim cap) leaves the
+    marker standing untouched so the signal re-fires and the next
+    call resumes the remainder — the deferred-units contract. Fold
+    growth needs no marker carry: the reclaim's selection reads its
+    own per-bucket counts from the listing each base-due pass.
 
     ``max_layers`` (r18, verdict #3): cap on maintenance UNITS this
     call performs — each swept/folded layer is one unit, each filter
@@ -3698,12 +3802,23 @@ def maintain_lake(
     "compacted_layers": <layers swept, cheap folds included>,
     "folded_tails": <of those, cheap tail folds>,
     "files_before": <their data files before>, "files_after":
-    <after>, "text_index_built": <buckets or 0>,
+    <after>, "fold_files_before"/"fold_files_after" and
+    "reclaim_files_before"/"reclaim_files_after" (r19, advisor: when
+    a cheap fold AND the per-bucket reclaim run in one call, the
+    aggregate before/after pair double-counts the fold-touched
+    buckets — the fold's ``after`` includes files the reclaim then
+    counts in its ``before``; the split keys are the
+    non-overlapping per-arm numbers),
+    "text_index_built": <buckets or 0>,
     "deferred_units": <work skipped under max_layers>}``."""
     compacted_layers = 0
     folded_tails = 0
     files_before = 0
     files_after = 0
+    fold_files_before = 0
+    fold_files_after = 0
+    reclaim_files_before = 0
+    reclaim_files_after = 0
     units_left = (
         float("inf") if max_layers is None else max(0, int(max_layers))
     )
@@ -3838,6 +3953,18 @@ def maintain_lake(
                 continue
             nb = int(layer.rpartition("_b")[2]) if layer_pby else None
             if layer_pby and not crashed:
+                # threshold split (r19, verdict #5) — see the
+                # docstring's routing section: the BASE-due decision
+                # gets its own threshold, floor-aware by default
+                base_thr = (
+                    int(index_compact_above_files)
+                    if index_compact_above_files is not None
+                    else max(int(compact_above_files), 2 * int(nb))
+                )
+                # whether this call finishes every unit the layer
+                # owes — only a COMPLETED pass is the compaction
+                # event that resets the marker (r19, verdict #1)
+                pass_done = True
                 # CHEAP fold first (r18, verdict #1): whatever else
                 # is due, the tail folds by partitioned-APPEND of
                 # just its rows into the live bucket dirs — never by
@@ -3849,45 +3976,48 @@ def maintain_lake(
                     res = _fold_tail_append(
                         spark, path, tail_path,
                         _text_index_ids_path(out_root, nb), nb,
+                        base_files=n_files_base,
                     )
                     folded_tails += 1
                     compacted_layers += 1
                     files_before += res["files_before"]
                     files_after += res["files_after"]
+                    fold_files_before += res["files_before"]
+                    fold_files_after += res["files_after"]
                     n_files_base = res["files_after"]
-                    # re-sync to the measured post-fold base count
-                    # (NOT zero — fold appends are real growth the
-                    # bucket compaction below must eventually see)
-                    resync[layer] = n_files_base
                     units_left -= 1
                 # then reclaim fold growth in BUCKET units (r18, the
                 # stall-floor fix): rewrite only overgrown tb= dirs —
                 # the largest single maintenance unit becomes
                 # ~max_buckets × corpus/N instead of the corpus. Runs
-                # when the base's own count is over threshold or a
-                # crashed per-bucket swap left repair residue.
-                if bstage or n_files_base > int(compact_above_files):
+                # when the base's own count is over ITS threshold or
+                # a crashed per-bucket swap left repair residue.
+                if bstage or n_files_base > base_thr:
                     if units_left < 1:
+                        # marker left standing (no resync): the
+                        # signal re-fires and the next call resumes
                         deferred_units += 1
                         continue
                     resb = compact_index_buckets(
                         spark, path, nb,
-                        files_above=max(
-                            1, int(compact_above_files) // int(nb)
-                        ),
+                        files_above=max(1, base_thr // int(nb)),
                         target_file_mb=compact_target_file_mb,
                     )
                     if resb["buckets_compacted"] or resb["repaired"]:
                         compacted_layers += 1
                         files_before += resb["files_before"]
                         files_after += resb["files_after"]
+                        reclaim_files_before += resb["files_before"]
+                        reclaim_files_after += resb["files_after"]
                         units_left -= 1
-                        resync[layer] = _spark_file_count(spark, path)
                         if resb["buckets_remaining"]:
                             # more overgrown buckets than the
-                            # per-call cap: still due, next call
-                            # continues
+                            # per-call cap: still due — defer, and
+                            # leave the marker standing so the
+                            # signal keeps firing until the
+                            # remainder drains
                             deferred_units += 1
+                            pass_done = False
                         # sidecar hygiene rides the same unit: its
                         # cheap-fold appends accumulate now that the
                         # whole-layer regen is off the common path
@@ -3896,17 +4026,23 @@ def maintain_lake(
                             spark, ids_p
                         ) > int(compact_above_files):
                             _compact_ids_sidecar(spark, ids_p)
-                    elif n_files_base > int(compact_above_files):
-                        # layer over threshold but NO individual
-                        # bucket is over its allowance — T was sized
-                        # below the bucket count (one file per
-                        # non-empty bucket is the structural floor).
-                        # Fall back to the pre-r18 whole-layer
-                        # rewrite: dedups, regenerates the sidecar,
-                        # and resets the marker so the signal
-                        # terminates. Properly sized lakes
-                        # (compact_above_files ≥ buckets + slack)
-                        # never take this path.
+                    elif n_files_base > max(
+                        base_thr, resb["buckets_total"]
+                    ):
+                        # nothing individually overgrown yet the
+                        # layer holds more files than BOTH its
+                        # threshold and its structural floor
+                        # (buckets_total = non-empty buckets from
+                        # the reclaim's own listing): file shapes
+                        # the bucket view cannot account for — the
+                        # whole-layer rewrite is the repair arm.
+                        # With files_above = base_thr // buckets the
+                        # per-bucket arm absorbs every normal shape
+                        # (buckets × allowance >= base_thr), so a
+                        # layer merely AT its floor never lands
+                        # here (r19, verdict #1 — the r18 fallback
+                        # fired exactly there, re-introducing the
+                        # corpus-scale rewrite every sweep).
                         res = compact_layer(
                             spark, path,
                             target_file_mb=compact_target_file_mb,
@@ -3917,6 +4053,8 @@ def maintain_lake(
                         compacted_layers += 1
                         files_before += res["files_before"]
                         files_after += res["files_after"]
+                        reclaim_files_before += res["files_before"]
+                        reclaim_files_after += res["files_after"]
                         units_left -= 1
                         base_df = spark.read.parquet(path)
                         (
@@ -3925,6 +4063,17 @@ def maintain_lake(
                             .write.mode("overwrite")
                             .parquet(_text_index_ids_path(out_root, nb))
                         )
+                if pass_done:
+                    # the completed pass IS the compaction event the
+                    # marker measures distance from: reset to 0,
+                    # exactly like compact_layer's reset (r19,
+                    # verdict #1). Fold growth is NOT carried in the
+                    # marker — the base-due listing above re-measures
+                    # it on every trip, and carrying the base TOTAL
+                    # (the r18 bug) pinned compact_due above any
+                    # threshold under the bucket count, firing
+                    # maintenance every micro-batch forever.
+                    resync[layer] = 0
                 continue
             fold_df = None
             fold_path = None
@@ -4098,6 +4247,10 @@ def maintain_lake(
         "folded_tails": folded_tails,
         "files_before": files_before,
         "files_after": files_after,
+        "fold_files_before": fold_files_before,
+        "fold_files_after": fold_files_after,
+        "reclaim_files_before": reclaim_files_before,
+        "reclaim_files_after": reclaim_files_after,
         "text_index_built": text_index_built,
         "deferred_units": deferred_units,
     }
@@ -4381,7 +4534,12 @@ def compact_index_buckets(
 
     Returns ``{"buckets_compacted", "buckets_remaining",
     "files_before", "files_after", "rows", "repaired"}`` (counts for
-    the CHOSEN buckets only)."""
+    the CHOSEN buckets only), plus the selection listing's whole-layer
+    view (r19): ``buckets_total`` = non-empty bucket dirs — the
+    layer's structural FLOOR, which :func:`maintain_lake`'s
+    nothing-overgrown fallback compares against so a layer merely at
+    its floor is never whole-layer-rewritten — and ``files_total`` =
+    data files the bucket view accounts for."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -4461,6 +4619,8 @@ def compact_index_buckets(
         "files_after": 0,
         "rows": 0,
         "repaired": repaired,
+        "buckets_total": len(per_bucket),
+        "files_total": sum(per_bucket.values()),
     }
     if not chosen:
         return out
@@ -4746,6 +4906,7 @@ def streaming_ingest(
     on_report=None,
     maintain_due: int | None = None,
     maintain_max_layers_per_batch: int | None = None,
+    index_compact_above_files: int | None = None,
 ):
     """Continuous corpus ingestion: the Structured-Streaming face of
     :func:`incremental_ingest`. Each micro-batch runs the SAME
@@ -4828,7 +4989,15 @@ def streaming_ingest(
     converge to the same lake state as one big sweep — bounding the
     worst-case micro-batch stall on a lake where every layer comes
     due at once. Delivery-side like ``maintain_due``, excluded from
-    knob parity the same way."""
+    knob parity the same way.
+
+    ``index_compact_above_files`` (r19, verdict #5) forwards
+    :func:`maintain_lake`'s base-due threshold for the text-index
+    layer — the fold/reclaim threshold split; see that docstring.
+    It tunes WHEN the in-stream sweep reclaims index buckets, never
+    what any batch admits, so it is delivery-side maintenance POLICY
+    like ``maintain_max_layers_per_batch`` and excluded from knob
+    parity the same way."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         rep = incremental_ingest(
@@ -4891,6 +5060,7 @@ def streaming_ingest(
                     url_bloom_max_fill=url_bloom_max_fill,
                     trust_marker=True,
                     max_layers=maintain_max_layers_per_batch,
+                    index_compact_above_files=index_compact_above_files,
                 )
                 for mk, mv in mres.items():
                     rep[f"maintain_{mk}"] = mv

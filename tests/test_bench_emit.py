@@ -164,7 +164,7 @@ def test_env_canary_probe_live_values():
         "env_disk_mb_s", "env_disk_mb_s_spread", "env_disk_write_mb_s",
         "env_cached_mb_s", "env_page_cache_mb", "env_cpu_sec",
     }
-    # the spread (r18, verdict #6: best-of-3 evicted passes) is a
+    # the spread (r18, verdict #6: median-of-3 evicted passes) is a
     # delta — legitimately 0.0 when the three passes agree
     assert out["env_disk_mb_s_spread"] >= 0
     for k, v in out.items():

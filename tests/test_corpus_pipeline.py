@@ -2410,12 +2410,14 @@ def test_streaming_ingest_exposes_full_batch_knob_surface():
         for n, p in stream.items()
         # stream_df/checkpoint/on_report are the streaming face's
         # source + delivery mechanisms, not pipeline knobs;
-        # maintain_due (r17) / maintain_max_layers_per_batch (r18)
-        # are the on_report-side maintenance POLICY — they change
-        # when (and how much of) maintain_lake runs, never what any
-        # batch admits, so they are delivery-side by the same rule
+        # maintain_due (r17) / maintain_max_layers_per_batch (r18) /
+        # index_compact_above_files (r19) are the on_report-side
+        # maintenance POLICY — they change when (and how much of)
+        # maintain_lake runs, never what any batch admits, so they
+        # are delivery-side by the same rule
         if n not in ("stream_df", "checkpoint", "on_report",
-                     "maintain_due", "maintain_max_layers_per_batch")
+                     "maintain_due", "maintain_max_layers_per_batch",
+                     "index_compact_above_files")
     }
     assert batch_knobs == stream_knobs
 

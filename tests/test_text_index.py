@@ -279,7 +279,13 @@ def test_append_accounting_row(spark, tmp_path):
     )
     build_text_index(spark, root, buckets=8)
     st = _read_lake_stats(spark, f"{root}/_lake_stats")
-    assert st is not None and st[3].get("text_index_b8") == 1  # seeded
+    # seeded at 0 (r19): the marker is files-appended-SINCE-compaction
+    # and the build IS a compaction event — seeding the base total
+    # (the r16 choice) put the bucketed layer's structural floor into
+    # the accounting, guaranteeing a no-op maintenance cycle (or,
+    # pre-r19, a pinned compact_due) whenever the threshold sat below
+    # the bucket count
+    assert st is not None and st[3].get("text_index_b8") == 0
     incremental_ingest(
         spark,
         spark.createDataFrame(
@@ -851,10 +857,8 @@ def test_cheap_fold_appends_tail_into_buckets(spark, tmp_path):
     docs_n = spark.read.parquet(f"{root}/docs").count()
     sc = spark.read.parquet(str(ids_dir))
     assert sc.distinct().count() == docs_n
-    # the fold re-synced the layer's append accounting to the
-    # measured post-fold base count: an immediate re-run with the
-    # same threshold finds no tail and (base grew by <= 4 files)
-    # must not fold again
+    # the completed fold is the compaction event (r19): an immediate
+    # re-run finds no tail and must not fold again
     res2 = maintain_lake(spark, root, compact_above_files=t + 4)
     assert res2["folded_tails"] == 0
 
@@ -903,7 +907,14 @@ def test_bucket_compaction_clears_residue_and_sidecar_tracks(
         spark.read.parquet(f"{root}/text_index_b4").count()
         == base_n + 3
     )
-    res = maintain_lake(spark, root, compact_above_files=1)
+    # index_compact_above_files=1 (r19, verdict #5: the split knob)
+    # forces the base-due reclaim with a per-bucket allowance of 1 —
+    # under the derived floor-aware default (max(T, 2*buckets) = 8)
+    # this small base would not be due and the residue would ride
+    # until genuine growth; the explicit knob is the aggressive-
+    # hygiene setting this test wants
+    res = maintain_lake(spark, root, compact_above_files=1,
+                        index_compact_above_files=1)
     assert res["folded_tails"] == 1 and res["compacted_layers"] >= 2
     after = spark.read.parquet(f"{root}/text_index_b4")
     # residue gone without any distinct on the read side
@@ -1170,30 +1181,243 @@ def test_bucket_compaction_crash_repair(spark, tmp_path):
     _index_equals_docs(spark, root)
 
 
-def test_bucket_floor_falls_back_to_full_rewrite(spark, tmp_path):
-    """r18 (the misconfiguration arm): a threshold sized BELOW the
-    bucket count can never be satisfied per-bucket (one file per
-    non-empty bucket is the structural floor) — when no individual
-    bucket is over its allowance but the layer total is over T,
-    maintain_lake falls back to the pre-r18 whole-layer rewrite,
-    which dedups, regenerates the sidecar wholesale, and resets the
-    marker so the signal terminates."""
+def test_bucket_floor_never_rewritten_and_signal_terminates(
+    spark, tmp_path
+):
+    """r19 (verdict #1 — replaces the r18 misconfiguration-arm pin
+    this same scenario used to carry): one file per non-empty bucket
+    is the layer's structural FLOOR, so a threshold sized below the
+    bucket count can never be "satisfied" by any rewrite — the r18
+    code fell back to the whole-layer rewrite here and resynced the
+    marker to the base TOTAL, pinning compact_due ≥ 1 and firing the
+    corpus-scale rewrite every sweep (the soak regression). The r19
+    contract: a layer AT its floor performs NO maintenance unit, the
+    marker resets so the signal terminates, and even an EXPLICIT
+    index threshold below the floor cannot force a rewrite (the
+    fallback is gated on the measured non-empty-bucket floor)."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_lake_stats,
+    )
+
     root = str(tmp_path / "lake_fb")
     kw_off = dict(near_dup=True, lsh_hash_family="fast")
     incremental_ingest(spark, _batch(spark, 0, 16, "fb"), root, **kw_off)
     build_text_index(spark, root, buckets=4)
-    # no tail, every bucket at exactly 1 file, total 4 > T=2
+    base_dir = tmp_path / "lake_fb" / "text_index_b4"
+    base_files = sorted(_data_files(base_dir))
+    # no tail, every bucket at exactly 1 file, total 4 > T=2: due by
+    # the tail-trip wire, but the floor-aware base threshold
+    # (max(2, 2*4) = 8) owes nothing — no unit on the index layer,
+    # every base file survives byte-for-byte
     res = maintain_lake(spark, root, compact_above_files=2)
     assert res["folded_tails"] == 0
-    assert res["compacted_layers"] >= 1
+    assert sorted(_data_files(base_dir)) == base_files
+    # explicit misconfiguration (index threshold 2 < 4 buckets):
+    # nothing is individually overgrown and the layer is AT its
+    # floor — the repair-arm gate (n_files > max(thr, floor)) must
+    # refuse the whole-layer rewrite
+    res_mis = maintain_lake(spark, root, compact_above_files=2,
+                            index_compact_above_files=2)
+    assert res_mis["folded_tails"] == 0
+    assert res_mis["reclaim_files_before"] == 0
+    assert sorted(_data_files(base_dir)) == base_files
+    # the signal TERMINATED: marker reset to 0, so a trust_marker
+    # re-run skips the layer without even listing it
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st is not None and st[3].get("text_index_b4") == 0
+    res2 = maintain_lake(spark, root, compact_above_files=2,
+                         trust_marker=True)
+    assert res2["compacted_layers"] == 0
+    assert res2["folded_tails"] == 0
     n_docs = spark.read.parquet(f"{root}/docs").count()
     base = spark.read.parquet(f"{root}/text_index_b4")
     assert base.count() == n_docs
     sc = spark.read.parquet(f"{root}/text_index_b4_ids")
     assert sc.count() == n_docs and sc.distinct().count() == n_docs
-    # the rewrite reset the marker: a trust_marker re-run does not
-    # rewrite the index again
-    res2 = maintain_lake(spark, root, compact_above_files=2,
-                         trust_marker=True)
-    assert res2["folded_tails"] == 0
     _index_equals_docs(spark, root)
+
+
+def test_completed_maintain_resets_marker_and_due_terminates(
+    spark, tmp_path
+):
+    """r19 (verdict #1 — the prescribed regression pin): bucket count
+    ABOVE the compaction threshold, ingest feeds the tail, one
+    maintain_lake sweep — then the NEXT ingest must report
+    ``compact_due == 0`` and a second sweep must perform NO
+    maintenance unit on any layer. The r18 code resynced the index
+    marker to the base file TOTAL (>= one file per non-empty bucket,
+    so >= the bucket count), which pinned compact_due >= 1 forever
+    whenever the threshold sat below the bucket count — under
+    maintain_due streaming that fired maintenance (and the fallback's
+    whole-layer rewrite) on every micro-batch."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_lake_stats,
+    )
+
+    root = str(tmp_path / "lake_mr")
+    kw = dict(near_dup=True, lsh_hash_family="fast",
+              compact_above_files=2)
+    incremental_ingest(spark, _batch(spark, 0, 20, "mr"), root, **kw)
+    build_text_index(spark, root, buckets=8)  # buckets > threshold 2
+    incremental_ingest(spark, _batch(spark, 100, 6, "ms"), root, **kw)
+    incremental_ingest(spark, _batch(spark, 200, 6, "mt"), root, **kw)
+    r = incremental_ingest(spark, _batch(spark, 300, 6, "mu"), root,
+                           **kw)
+    assert r["compact_due"] >= 1  # the sweep is genuinely owed
+    m = maintain_lake(spark, root, compact_above_files=2)
+    assert m["folded_tails"] == 1
+    # completed pass == compaction event: the index marker is 0
+    st = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st is not None and st[3].get("text_index_b8") == 0
+    # a zero-admission resend reports the signal TERMINATED
+    r2 = incremental_ingest(spark, _batch(spark, 100, 6, "ms"), root,
+                            **kw)
+    assert r2["admitted"] == 0
+    assert r2["compact_due"] == 0
+    # and a second sweep performs NO maintenance unit at all
+    m2 = maintain_lake(spark, root, compact_above_files=2,
+                       trust_marker=True)
+    assert m2["compacted_layers"] == 0
+    assert m2["folded_tails"] == 0
+    assert m2["deferred_units"] == 0
+    _index_equals_docs(spark, root)
+
+
+def test_threshold_split_default_keeps_reclaim_off_small_base(
+    spark, tmp_path
+):
+    """r19 (verdict #5): the fold/compaction threshold pair is split.
+    Under the floor-aware derived default (max(compact_above_files,
+    2 x buckets)) a freshly-folded small base owes NO per-bucket
+    reclaim — every pre-fold base file survives the sweep — while an
+    explicit ``index_compact_above_files`` below the base's count
+    forces the reclaim in the same regime (the aggressive-hygiene
+    setting). Without the split, compact_above_files=1 would fire
+    per-bucket rewrites on every single fold."""
+    root = str(tmp_path / "lake_ts")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 20, "ts"), root,
+                       **kw_off)
+    build_text_index(spark, root, buckets=4)
+    incremental_ingest(spark, _batch(spark, 100, 8, "tu"), root,
+                       **kw_off)
+    base_dir = tmp_path / "lake_ts" / "text_index_b4"
+    base_paths_before = set(_data_files(base_dir))
+    res = maintain_lake(spark, root, compact_above_files=1)
+    assert res["folded_tails"] == 1
+    # derived default: base (~<= 8 files) is under max(1, 2*4) — the
+    # reclaim arm stayed off and the fold was append-only
+    assert res["reclaim_files_before"] == 0
+    assert base_paths_before <= set(_data_files(base_dir))
+    # explicit low index threshold: same lake shape, reclaim fires
+    # and returns the buckets to their floor
+    incremental_ingest(spark, _batch(spark, 200, 8, "tv"), root,
+                       **kw_off)
+    res2 = maintain_lake(spark, root, compact_above_files=1,
+                         index_compact_above_files=1)
+    assert res2["folded_tails"] == 1
+    assert res2["reclaim_files_before"] > 0
+    for p in base_dir.iterdir():
+        if p.name.startswith("tb="):
+            n = sum(
+                1 for f in p.iterdir()
+                if not f.name.startswith("_")
+                and not f.name.startswith(".")
+            )
+            assert n == 1, (p.name, n)
+    _index_equals_docs(spark, root)
+
+
+def test_fold_crosscheck_regenerates_overstating_sidecar(
+    spark, tmp_path
+):
+    """r19 (verdict #4 — the partial-gut staleness window): a base
+    bucket gutted OUT-OF-BAND after the sidecar was written leaves
+    the sidecar over-stating presence (the one direction whose cost
+    r18 deferred to the next full regen). The cheap fold's
+    sidecar<->base row-count cross-check must catch it (ids rows >
+    base rows is impossible in-band) and regenerate the sidecar from
+    the live base at fold time — the gutted ids disappear from the
+    sidecar, so the heal path stops skipping them."""
+    import shutil
+
+    root = str(tmp_path / "lake_cc")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 16, "cc"), root,
+                       **kw_off)
+    build_text_index(spark, root, buckets=4)
+    base_dir = tmp_path / "lake_cc" / "text_index_b4"
+    ids_path = f"{root}/text_index_b4_ids"
+    # out-of-band partial gut: one live bucket dir vanishes entirely
+    victim = next(
+        p for p in base_dir.iterdir() if p.name.startswith("tb=")
+    )
+    gutted_rows = spark.read.parquet(str(victim)).count()
+    assert gutted_rows >= 1
+    shutil.rmtree(victim)
+    # sidecar still claims the gutted ids
+    assert spark.read.parquet(ids_path).count() == 16
+    incremental_ingest(spark, _batch(spark, 100, 6, "cd"), root,
+                       **kw_off)
+    m = maintain_lake(spark, root, compact_above_files=2)
+    assert m["folded_tails"] == 1
+    base = spark.read.parquet(f"{root}/text_index_b4")
+    sc = spark.read.parquet(ids_path)
+    # regenerated: the sidecar is exactly the live base's id set —
+    # count-identical and set-identical (gutted ids gone)
+    assert sc.count() == base.count()
+    assert {r[0] for r in sc.collect()} == {
+        r["doc_id"] for r in base.select("doc_id").collect()
+    }
+    assert sc.count() < 16 + 6  # strictly smaller: the gut is visible
+
+
+def test_streaming_forwards_index_compact_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """r19 (verdict #5, streaming-face parity): the in-stream
+    maintain_due sweep forwards ``index_compact_above_files`` to
+    maintain_lake — a knob that only exists on the maintenance
+    policy surface (delivery-side, like maintain_max_layers_per_
+    batch) must still reach the sweep it tunes."""
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+
+    captured = []
+    real = cp.maintain_lake
+
+    def spy(*a, **k):
+        captured.append(dict(k))
+        return real(*a, **k)
+
+    monkeypatch.setattr(cp, "maintain_lake", spy)
+    schema = "doc_id long, text string"
+    src = tmp_path / "fw_incoming"
+    src.mkdir()
+    for w in range(3):
+        spark.createDataFrame(
+            [(w * 3 + i,
+              " ".join(f"fw{w * 3 + i}w{j}" for j in range(10)))
+             for i in range(3)],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"w{w}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = cp.streaming_ingest(
+        stream,
+        str(tmp_path / "lake_fw"),
+        checkpoint=str(tmp_path / "fw_ckpt"),
+        compact_above_files=1,
+        maintain_due=1,
+        index_compact_above_files=7,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert captured, "maintain_due never fired"
+    assert all(
+        k.get("index_compact_above_files") == 7 for k in captured
+    )

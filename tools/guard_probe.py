@@ -963,13 +963,17 @@ def fold_main(n_max: int, buckets: int = 4096) -> None:
     lake copy (the index_ingest protocol; read within-copy deltas,
     not absolute seconds):
 
-    - ``fold_cheap`` vs ``fold_full``: maintain_lake timed with the
-      threshold ONE file apart — at base_files the tail's own feed
-      trips it (cheap partitioned append, cost should be ~FLAT in
-      corpus size), at base_files-1 the base is over (the r17 full
-      rewrite, cost grows with corpus size). The delta is verdict
-      #1's number: what reserving the rewrite for genuine compaction
-      saves per fold.
+    - ``fold_cheap`` vs ``fold_full``: the cheap fold (maintain_lake
+      routed by the tail trip — partitioned append, cost should be
+      ~FLAT in corpus size) vs the pre-r18 whole-layer rewrite unit
+      (cost grows with corpus size). r19: the rewrite is forced
+      directly via ``compact_layer`` — the product routing no longer
+      reaches it on a healthy layer (floor-gated repair arm), and the
+      r19 marker accounting (build seeds 0; completed folds reset to
+      0) means trust_marker correctly skips these freshly-built
+      probe lakes, so the fold arms take the listing path. The delta
+      is verdict #1's number: what reserving the rewrite for genuine
+      compaction saves per fold.
     - ``replay5k_sidecar`` vs ``replay5k_rootread``: a 5k-doc
       PRE-BUILD-history replay (quarter-coverage heal) against the
       folded lake with the id-presence sidecar present vs deleted —
@@ -977,12 +981,12 @@ def fold_main(n_max: int, buckets: int = 4096) -> None:
       of the root read's bytes.
     - ``stall_all_due`` vs ``stall_stagger``: one unattended
       trust_marker sweep with EVERY layer due (threshold=1: docs +
-      all guard sidecars + the index full rewrite) — the micro-batch
-      stall ``maintain_due=1`` absorbs — vs the same backlog drained
-      at ``max_layers=1`` (per-call max + call count). Verdict #3's
-      number; note the stagger bounds UNITS per batch, so its
-      per-call max converges to the largest single unit (the index
-      rewrite), which only the cheap-fold routing shrinks.
+      all guard sidecars + the index cheap fold — r19: the index
+      marker counts only tail appends since the last completed
+      fold, so the all-due sweep folds, it never rewrites) — the
+      micro-batch stall ``maintain_due=1`` absorbs — vs the same
+      backlog drained at ``max_layers=1`` (per-call max + call
+      count). Verdict #3's number.
     """
     from projet_big_data_boutin_danre_spark.corpus_pipeline import (
         _data_file_count,
@@ -1034,9 +1038,11 @@ def fold_main(n_max: int, buckets: int = 4096) -> None:
             a = f"{kd}/cheap"
             shutil.copytree(src, a)
             t0 = time.time()
+            # r19: the build seeds the marker at 0, so trust_marker
+            # would skip the layer — both fold arms take the listing
+            # path (they share that cost, deltas stay within-run)
             ra = maintain_lake(
                 spark, a, compact_above_files=base_files,
-                trust_marker=True,
             )
             _rec("fold_cheap", k, time.time() - t0)
             meta.setdefault("cheap_folded", {})[k] = ra["folded_tails"]
@@ -1065,17 +1071,25 @@ def fold_main(n_max: int, buckets: int = 4096) -> None:
             meta.setdefault("stagger_calls", {})[k] = stag_calls
             shutil.rmtree(a, ignore_errors=True)
 
-            # arm B: the r17 full-rewrite fold (threshold one file
-            # lower routes the SAME lake to the base rewrite)
+            # arm B: the r17 full-rewrite fold unit. r19: the product
+            # routing can no longer reach a whole-layer rewrite on a
+            # healthy layer (the repair arm is floor-gated), so the
+            # historical unit is forced directly — cheap-fold the
+            # tail first (untimed), then time compact_layer on the
+            # whole base, the exact pre-r18 unit
+            from projet_big_data_boutin_danre_spark.corpus_pipeline \
+                import compact_layer as _compact_layer
+
             b = f"{kd}/full"
             shutil.copytree(src, b)
+            maintain_lake(spark, b, compact_above_files=base_files)
             t0 = time.time()
-            rb = maintain_lake(
-                spark, b, compact_above_files=base_files - 1,
-                trust_marker=True,
+            rb = _compact_layer(
+                spark, f"{b}/{idx}", partition_by="tb",
+                partition_values=buckets, dedup_rows=True,
             )
             _rec("fold_full", k, time.time() - t0)
-            meta.setdefault("full_folded", {})[k] = rb["folded_tails"]
+            meta.setdefault("full_rows", {})[k] = rb["rows"]
             shutil.rmtree(b, ignore_errors=True)
 
             # arm C: sidecar deleted -> the replay's quarter-coverage
@@ -1128,7 +1142,10 @@ def fold_bytes_main(n_max: int, buckets: int = 512) -> None:
     both arms), same fixed 5k-doc tail — then sweeps corpus size
     1x→32x. Expected shape: ``fold_cheap`` flat (tail bytes + ≤512
     creates), ``fold_full`` growing with corpus bytes (it reads,
-    dedup-shuffles, and rewrites the whole base)."""
+    dedup-shuffles, and rewrites the whole base). r19: the rewrite
+    arm is forced directly via ``compact_layer`` after an untimed
+    cheap fold — the product routing no longer reaches a whole-layer
+    rewrite on a healthy layer."""
     from projet_big_data_boutin_danre_spark.corpus_pipeline import (
         _data_file_count,
         build_text_index,
@@ -1180,24 +1197,39 @@ def fold_bytes_main(n_max: int, buckets: int = 512) -> None:
             meta.setdefault("base_mb", {})[k] = int(
                 fs.getContentSummary(hp).getLength() / (1 << 20)
             )
-            for arm, thresh in (
-                ("fold_cheap", base_files),
-                ("fold_full", base_files - 1),
-            ):
-                c = f"{kd}/{arm}"
-                shutil.copytree(src, c)
-                t0 = time.time()
-                r = maintain_lake(
-                    spark, c, compact_above_files=thresh,
-                    trust_marker=True,
-                )
-                results.setdefault(arm, {})[k] = round(
-                    time.time() - t0, 2
-                )
-                meta.setdefault(f"{arm}_folded", {})[k] = (
-                    r["folded_tails"]
-                )
-                shutil.rmtree(c, ignore_errors=True)
+            # r19 accounting: trust_marker correctly skips these
+            # freshly-built lakes (build seeds the marker at 0), so
+            # the cheap arm takes the listing path; the whole-layer
+            # rewrite is no longer reachable through routing on a
+            # healthy layer — forced directly via compact_layer
+            from projet_big_data_boutin_danre_spark.corpus_pipeline \
+                import compact_layer as _compact_layer
+
+            c = f"{kd}/fold_cheap"
+            shutil.copytree(src, c)
+            t0 = time.time()
+            r = maintain_lake(
+                spark, c, compact_above_files=base_files,
+            )
+            results.setdefault("fold_cheap", {})[k] = round(
+                time.time() - t0, 2
+            )
+            meta.setdefault("fold_cheap_folded", {})[k] = (
+                r["folded_tails"]
+            )
+            shutil.rmtree(c, ignore_errors=True)
+            d = f"{kd}/fold_full"
+            shutil.copytree(src, d)
+            maintain_lake(spark, d, compact_above_files=base_files)
+            t0 = time.time()
+            _compact_layer(
+                spark, f"{d}/{idx}", partition_by="tb",
+                partition_values=buckets, dedup_rows=True,
+            )
+            results.setdefault("fold_full", {})[k] = round(
+                time.time() - t0, 2
+            )
+            shutil.rmtree(d, ignore_errors=True)
             shutil.rmtree(kd, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1259,12 +1291,16 @@ def fold_unit_main(n_rows: int, buckets: int = 4096) -> None:
         ).localCheckpoint()
         incremental_ingest(spark, novel, src, **kw)
         idx = f"text_index_b{buckets}"
-        # fold the tail so the base carries reclaimable growth
+        # fold the tail so the base carries reclaimable growth.
+        # r19 accounting note: the build now seeds the layer marker
+        # at 0 (files-appended-SINCE-compaction), so trust_marker
+        # would skip the layer — the probe takes the listing path,
+        # which both fold arms share
         base_files0 = _data_file_count(spark, f"{src}/{idx}")
         t0 = time.time()
         r = maintain_lake(
             spark, src, compact_above_files=base_files0,
-            max_layers=1, trust_marker=True,
+            max_layers=1,
         )
         out["fold_s"] = round(time.time() - t0, 2)
         assert r["folded_tails"] == 1, r
@@ -1273,8 +1309,13 @@ def fold_unit_main(n_rows: int, buckets: int = 4096) -> None:
         a = f"{work}/reclaim"
         shutil.copytree(src, a)
         t0 = time.time()
+        # index_compact_above_files (r19 threshold split) is the
+        # base-due wire now — sized at floor + slack it yields a
+        # per-bucket allowance of 1, so every fold-touched bucket
+        # is reclaimable, capped at 256/call
         ra = maintain_lake(
-            spark, a, compact_above_files=thresh, trust_marker=True,
+            spark, a, compact_above_files=thresh,
+            index_compact_above_files=thresh,
         )
         out["bucket_reclaim_unit_s"] = round(time.time() - t0, 2)
         out["reclaim_deferred"] = ra["deferred_units"]
@@ -1283,7 +1324,7 @@ def fold_unit_main(n_rows: int, buckets: int = 4096) -> None:
             t0 = time.time()
             ra = maintain_lake(
                 spark, a, compact_above_files=thresh,
-                trust_marker=True,
+                index_compact_above_files=thresh,
             )
             max_call = max(max_call, round(time.time() - t0, 2))
             calls += 1
