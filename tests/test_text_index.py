@@ -1421,3 +1421,51 @@ def test_streaming_forwards_index_compact_threshold(
     assert all(
         k.get("index_compact_above_files") == 7 for k in captured
     )
+
+
+def test_deferred_reclaim_keeps_signal_standing_until_drained(
+    spark, tmp_path
+):
+    """r19 (verdict #1, the INCOMPLETE-pass arm): when the per-bucket
+    reclaim hits its per-call cap (256) with overgrown buckets left,
+    the pass is NOT the compaction event — the layer marker stays
+    standing (so compact_due keeps signaling and maintain_due
+    streaming re-fires) and only the call that drains the remainder
+    resets it to 0. Built at 512 buckets with a fold touching ~500,
+    so one capped call genuinely defers work."""
+    from projet_big_data_boutin_danre_spark.corpus_pipeline import (
+        _read_lake_stats,
+    )
+
+    root = str(tmp_path / "lake_dr")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 2000, "dr"), root,
+                       **kw_off)
+    build_text_index(spark, root, buckets=512)
+    incremental_ingest(spark, _batch(spark, 10000, 2000, "ds"), root,
+                       **kw_off)
+    st0 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    m0 = st0[3]["text_index_b512"]
+    assert m0 >= 1  # the tail feed's append accounting
+    r1 = maintain_lake(spark, root, compact_above_files=1,
+                       index_compact_above_files=256)
+    assert r1["folded_tails"] == 1
+    assert r1["deferred_units"] >= 1  # reclaim capped, work left
+    # marker STANDING, untouched: the signal must keep firing
+    st1 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st1[3]["text_index_b512"] == m0
+    # second call resumes exactly the remainder: no tail to fold,
+    # reclaim drains the rest, and the COMPLETED pass resets
+    r2 = maintain_lake(spark, root, compact_above_files=1,
+                       index_compact_above_files=256)
+    assert r2["folded_tails"] == 0
+    assert r2["reclaim_files_before"] > 0
+    assert r2["deferred_units"] == 0
+    st2 = _read_lake_stats(spark, f"{root}/_lake_stats")
+    assert st2[3]["text_index_b512"] == 0
+    # terminated: a trust_marker sweep now performs zero units
+    r3 = maintain_lake(spark, root, compact_above_files=1,
+                       index_compact_above_files=256,
+                       trust_marker=True)
+    assert r3["compacted_layers"] == 0
+    _index_equals_docs(spark, root)
