@@ -1469,3 +1469,77 @@ def test_deferred_reclaim_keeps_signal_standing_until_drained(
                        trust_marker=True)
     assert r3["compacted_layers"] == 0
     _index_equals_docs(spark, root)
+
+
+def test_fold_never_iterator_lists_the_base(spark, tmp_path, monkeypatch):
+    """r19 (advisor, medium): the cheap fold used to count the large
+    bucketed base TWICE per fold through the ~3-py4j-round-trips-
+    per-file iterator (`_data_file_count`) — at 4096 buckets that is
+    tens of thousands of driver round trips on the hot maintenance
+    path. Pin the fix shape: during maintain_lake's fold,
+    `_data_file_count` is never called on the BASE layer path (the
+    caller's `_spark_file_count` routing count is passed in; the
+    post-append count uses the single-call listing; the iterator
+    remains legitimate for the small tail/ids sidecars)."""
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+
+    root = str(tmp_path / "lake_nl")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 20, "nl"), root,
+                       **kw_off)
+    build_text_index(spark, root, buckets=4)
+    incremental_ingest(spark, _batch(spark, 100, 8, "nm"), root,
+                       **kw_off)
+    base_path = f"{root}/text_index_b4"
+    real = cp._data_file_count
+    base_iter_calls = []
+
+    def spy(spark_, path):
+        if path.rstrip("/") == base_path:
+            base_iter_calls.append(path)
+        return real(spark_, path)
+
+    monkeypatch.setattr(cp, "_data_file_count", spy)
+    res = maintain_lake(spark, root, compact_above_files=1)
+    assert res["folded_tails"] == 1
+    assert base_iter_calls == [], base_iter_calls
+
+
+def test_torn_build_leaves_sidecar_absent_not_stale(
+    spark, tmp_path, monkeypatch
+):
+    """r19 (advisor, low): build_text_index regenerated the _ids
+    sidecar only AFTER the in-place base overwrite — a crash in the
+    window left the OLD sidecar over-stating presence against a
+    torn base (in-band stale-PRESENT). Pin the fix ordering: crash
+    the build right after the point where the old base would start
+    being overwritten — the pre-existing sidecar must already be
+    GONE (absent degrades the heal to the root read; stale would
+    skip heals)."""
+    from projet_big_data_boutin_danre_spark import corpus_pipeline as cp
+
+    root = str(tmp_path / "lake_tb")
+    kw_off = dict(near_dup=True, lsh_hash_family="fast")
+    incremental_ingest(spark, _batch(spark, 0, 12, "tb"), root,
+                       **kw_off)
+    build_text_index(spark, root, buckets=4)
+    ids_dir = tmp_path / "lake_tb" / "text_index_b4_ids"
+    assert ids_dir.exists()
+    incremental_ingest(spark, _batch(spark, 100, 4, "tc"), root,
+                       **kw_off)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the base overwrite")
+
+    # _bucket_sliced is called to shape the overwrite job — crashing
+    # there is the earliest instant of the torn-build window
+    monkeypatch.setattr(cp, "_bucket_sliced", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        build_text_index(spark, root, buckets=4)
+    assert not ids_dir.exists()  # deleted BEFORE the window opened
+    # and admission still works end-to-end off the root-read path:
+    # a replay of already-admitted content admits nothing
+    monkeypatch.undo()
+    r = incremental_ingest(spark, _batch(spark, 0, 12, "tb"), root,
+                           **kw_off)
+    assert r["admitted"] == 0
