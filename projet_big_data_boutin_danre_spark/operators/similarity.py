@@ -833,6 +833,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     n_planes: int = 8,
     dim: int = 64,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space (semantic) dedup end-to-end: self-blocking LSH
     cosine near-dup pairs → connected components → keep one row per
@@ -844,12 +845,21 @@ def semantic_dedup(
     ``near_dup_pairs_cosine_lsh`` (hyperplane buckets bound the pair
     fan-out), ``dedup.connected_components`` (O(log²n) star
     contraction), ``dedup.drop_near_duplicates`` (one anti-join).
-    Returns ``df`` minus cluster non-keepers."""
+    Returns ``df`` minus cluster non-keepers.
+
+    ``pairs``: precomputed :func:`near_dup_pairs_cosine_lsh` output
+    for the SAME (df, threshold, n_planes, dim) — pass it (ideally
+    ``localCheckpoint``-ed) when another consumer already computed the
+    identical pair graph, so the bucket-assign + per-block scoring
+    kernel runs once per corpus instead of once per consumer (guide
+    §2.4 — the same share-the-subplan hook as ``minhash_lsh_pairs``'
+    ``bands_df``); the LSH knobs are then ignored."""
     from .dedup import connected_components, drop_near_duplicates
 
-    pairs = near_dup_pairs_cosine_lsh(
-        df, id_col, vec_col,
-        threshold=threshold, n_planes=n_planes, dim=dim,
-    )
+    if pairs is None:
+        pairs = near_dup_pairs_cosine_lsh(
+            df, id_col, vec_col,
+            threshold=threshold, n_planes=n_planes, dim=dim,
+        )
     members = connected_components(pairs)
     return drop_near_duplicates(df, id_col, members)

@@ -138,7 +138,9 @@ def test_connected_components_frees_superseded_round_checkpoints(spark):
         [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
     )
     st: dict = {}
-    out = dedup.connected_components(df, stats=st)
+    out = dedup.connected_components(
+        df, stats=st, small_graph_threshold=None
+    )
     assert out.count() == 60  # nodes 1..60
     assert st["rounds"] >= 3  # the chain actually iterated
     after = sc._jsc.sc().getPersistentRDDs().size()
@@ -153,7 +155,9 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(df, max_iter=1)
+        dedup.connected_components(
+            df, max_iter=1, small_graph_threshold=None
+        )
 
 
 def test_dedup_clusters_and_apply(spark, sf0001):
@@ -216,7 +220,7 @@ def test_connected_components_single_shuffle_rounds(spark):
     df = spark.createDataFrame(
         [(1, 2), (2, 3), (9, 8)], "id_a long, id_b long"
     )
-    out = dedup.connected_components(df)
+    out = dedup.connected_components(df, small_graph_threshold=None)
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().executedPlan().toString()
@@ -825,3 +829,42 @@ def test_connected_components_mixed_id_types_refused(spark):
     )
     with pytest.raises(TypeError, match="share one id type"):
         dedup.connected_components(df2)
+
+
+def test_connected_components_small_graph_path_matches_loop(spark):
+    """r19: the bounded driver-side union-find shortcut must be
+    row-identical to the distributed star loop (same (node, component)
+    mapping, component = min reachable id), report rounds=0 +
+    small_graph_edges, and defer to the loop when the edge count
+    exceeds the threshold."""
+    rng = random.Random(19)
+    edges = [
+        (rng.randrange(1, 400), rng.randrange(1, 400)) for _ in range(700)
+    ] + [(i, i + 1) for i in range(500, 560)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    st_small: dict = {}
+    small = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df, stats=st_small).collect()
+    }
+    st_loop: dict = {}
+    loop = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(
+            df, stats=st_loop, small_graph_threshold=None
+        ).collect()
+    }
+    assert small == loop
+    assert st_small["rounds"] == 0
+    assert st_small["small_graph_edges"] > 0
+    assert st_loop["rounds"] >= 1
+    # threshold below the edge count -> the loop runs (rounds >= 1)
+    st_forced: dict = {}
+    forced = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(
+            df, stats=st_forced, small_graph_threshold=5
+        ).collect()
+    }
+    assert forced == loop
+    assert st_forced["rounds"] >= 1
