@@ -638,12 +638,20 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # measured at sf0.1 flagged = 33% of 1.39M windows). hits is
     # checkpointed once; spans stay checkpointed too (consumed twice,
     # and the islands merge behind them is window-over-window work).
+    # eager checkpoints, deliberately (r19 measured): lazy
+    # (eager=False) checkpoints here let the three concurrent
+    # consumers race the first materialization inside the union job
+    # and re-run the count-window subplan per branch — warm 3.3 s →
+    # 6-16 s, unstable. Two serial jobs at construction is the
+    # cheaper side when the checkpointed frame has >1 consumer in the
+    # SAME downstream job (media_plans' lazy kernels work because CC
+    # materializes them before the union runs).
     hits = dedup.duplicate_window_hits(
         docs, "doc_id", "text", min_len=20
     ).localCheckpoint()
     spans_df = dedup.duplicate_spans(
         docs, "doc_id", "text", min_len=20, hits=hits
-    ).localCheckpoint()
+    )
     spans = spans_df.select(
         F.lit("span").alias("tag"),
         F.col("doc_id").cast("string").alias("key"),

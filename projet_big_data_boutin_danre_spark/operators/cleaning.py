@@ -353,14 +353,27 @@ def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
     keeps the old one-pass consistency AND the scale behavior."""
     spark = df.sparkSession
     stats_aggs, nd_aggs = _profile_aggs(df, max_distinct_cols, approx)
-    row = df.agg(*stats_aggs).collect()[0]
     if nd_aggs:
-        nd_row = df.agg(*nd_aggs).collect()[0]
+        # r19 (guide §2.6): the stats pass and the distinct pass are
+        # INDEPENDENT jobs over the same scan — submitting them from a
+        # 2-thread pool lets the second job's tasks back-fill the
+        # first's stragglers instead of running strictly after it
+        # (actions are only sequential because driver code calls them
+        # sequentially). Same two plans, same results; wall-clock is
+        # max(join) instead of sum.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stats = pool.submit(lambda: df.agg(*stats_aggs).collect()[0])
+            f_nd = pool.submit(lambda: df.agg(*nd_aggs).collect()[0])
+            row, nd_row = f_stats.result(), f_nd.result()
         merged = row.asDict()
         merged.update(nd_row.asDict())
         from pyspark.sql import Row
 
         row = Row(**merged)
+    else:
+        row = df.agg(*stats_aggs).collect()[0]
     out = []
     for i, f in enumerate(df.schema.fields):
         out.append(

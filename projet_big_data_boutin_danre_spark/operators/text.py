@@ -718,7 +718,7 @@ def ngram_contamination(
     ``n`` tokens."""
     from pyspark.sql.functions import broadcast
 
-    def _full_grams(df: DataFrame, i: str, t: str) -> DataFrame:
+    def _full_grams(df: DataFrame, i: str, t: str, dedup: bool) -> DataFrame:
         # tokenize in its OWN projection (inlining normalize+split
         # into the gram lambdas re-evaluates it per call site — the
         # word_ngrams lesson), but explode the gram expression
@@ -726,7 +726,7 @@ def ngram_contamination(
         # defeats generator fusion and materializes every window
         # array (measured ~17x slower on this scan). Explode of an
         # empty array emits no rows, so short docs drop for free.
-        return (
+        out = (
             df.select(
                 F.col(i).alias("id"),
                 F.split(normalize_text(t), " ").alias("__toks"),
@@ -737,13 +737,22 @@ def ngram_contamination(
                     full_window_grams(F.col("__toks"), n)
                 ).alias("gram"),
             )
-            .distinct()
         )
+        return out.distinct() if dedup else out
 
-    probe_grams = _full_grams(probes, probe_id_col, probe_text_col).select(
-        F.col("id").alias("probe_id"), "gram"
-    )
-    doc_grams = _full_grams(docs, id_col, text_col)
+    # probe side: distinct matters — it is what gets broadcast.
+    probe_grams = _full_grams(
+        probes, probe_id_col, probe_text_col, dedup=True
+    ).select(F.col("id").alias("probe_id"), "gram")
+    # corpus side (r19, guide §2.4): NO pre-distinct. The old
+    # ``.distinct()`` here was a full shuffle of every corpus gram
+    # string — the one corpus-wide exchange in the operator — and it
+    # was redundant: the broadcast join filters map-side either way,
+    # and the ``countDistinct`` rollup dedups per doc over the MATCHED
+    # rows only (bounded by contamination, exactly the rollup exchange
+    # the docstring promises). Results are identical; the corpus now
+    # genuinely never shuffles ungrouped gram rows.
+    doc_grams = _full_grams(docs, id_col, text_col, dedup=False)
     return (
         doc_grams.join(broadcast(probe_grams), "gram")
         .groupBy("id")
