@@ -46,7 +46,22 @@ def coerce_numeric(col: Column | str, fill: float = 0.0) -> Column:
     whichever way the engine parses them.
     """
     c = F.col(col) if isinstance(col, str) else col
-    v = c.try_cast("double")
+    # Control-char guard (r19 — hypothesis found '1\x1f'): Spark's
+    # string→double cast trims EVERY char <= 0x20 from both ends
+    # (UTF8String.trimAll), while the reference contract — pandas
+    # to_numeric and DuckDB TRY_CAST, verified char-by-char, they
+    # agree on all of 0x00-0x20 and 0xa0 — trims only real whitespace
+    # [\t\n\x0b\f\r ]. So '1\x1f' parsed to 1.0 here but 0.0 under
+    # the contract (and under the oracle). Strip the reference-allowed
+    # whitespace; any REMAINING boundary char <= 0x20 is unparseable.
+    ws = r"[\t\n\x0B\f\r ]"
+    t = F.regexp_replace(
+        F.regexp_replace(c, f"^{ws}+", ""), f"{ws}+$", ""
+    )
+    v = F.when(
+        t.rlike(r"^[\x00-\x20]") | t.rlike(r"[\x00-\x20]$"),
+        F.lit(None).cast("double"),
+    ).otherwise(t.try_cast("double"))
     return F.coalesce(
         F.nanvl(v, F.lit(None).cast("double")), F.lit(float(fill))
     )

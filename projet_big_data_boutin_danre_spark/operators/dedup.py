@@ -1244,9 +1244,16 @@ def connected_components(
             nodes = sorted(set(pdf["u"].tolist()) | set(pdf["v"].tolist()))
             spark = pairs.sparkSession
             _free_local_checkpoint(edges)
-            return spark.createDataFrame(
-                [(n, _find(n)) for n in nodes],
-                "node long, component long",
+            # broadcast mark: the mapping is bounded by construction
+            # (≤ 2·threshold rows, a few MB) but arrives as a
+            # stats-less parallelized relation, so downstream
+            # anti-joins (drop_near_duplicates) would otherwise plan
+            # a SortMergeJoin and shuffle the CORPUS side against it
+            return F.broadcast(
+                spark.createDataFrame(
+                    [(n, _find(n)) for n in nodes],
+                    "node long, component long",
+                )
             )
     # the round whose checkpoint blocks are currently live; freed as
     # soon as the next round's checkpoint has materialized (see

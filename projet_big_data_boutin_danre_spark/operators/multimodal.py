@@ -244,24 +244,102 @@ def perceptual_hash(
         + [StructField(hex_name, StringType())]
     )
 
+    n_px = (GRAY_H * GRAY_W) if method == "dhash" else (PHASH_N * PHASH_N)
+
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r19 (guide §4.2): batch-vectorized kernel. The old path ran
+        # decode (a 72/1024-iteration Python list comprehension) and
+        # the bit math per ROW; this one concatenates the batch's
+        # payloads into one uint8 buffer, computes every row's
+        # resample indices with one broadcasted integer expression,
+        # decodes the whole batch with one fancy-index, and runs the
+        # hash math (gradient compare / integer DCT einsum + median
+        # threshold) across the batch at once. Same integer math to
+        # the bit — the per-row scalar kernels (_dhash_bands_py /
+        # _phash_bands_py) stay as the reference the conformance
+        # tests compare against.
+        js = np.arange(n_px, dtype=np.int64)
         for pdf in batches:
-            cols: dict[str, list] = {id_field.name: pdf[id_col]}
-            bands_out: list[list] = [[] for _ in range(DHASH_BANDS)]
-            hexes: list[str | None] = []
-            for p in pdf[payload_col]:
-                px = decode(bytes(p)) if p is not None else None
-                if px is None:  # NULL or zero-byte payload
-                    for j in range(DHASH_BANDS):
-                        bands_out[j].append(None)
-                    hexes.append(None)
-                    continue
-                b = hasher(px)
+            m = len(pdf)
+            cols: dict[str, object] = {id_field.name: pdf[id_col]}
+            payloads = [
+                bytes(p) if p is not None else b""
+                for p in pdf[payload_col]
+            ]
+            ns = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=m
+            )
+            valid = ns > 0
+            bands_mat = np.zeros((m, DHASH_BANDS), dtype=np.int64)
+            if valid.any():
+                vi = np.flatnonzero(valid)
+                vbufs = [payloads[i] for i in vi]
+                vns = ns[vi]
+                offs = np.concatenate(
+                    ([0], np.cumsum(vns[:-1]))
+                )
+                big = np.frombuffer(b"".join(vbufs), dtype=np.uint8)
+                # pixel j of row i = byte (j * n_i) // n_px — the
+                # locality-preserving resample, all rows at once.
+                # int64 floor-divide is the slowest vectorized op in
+                # numpy (measured 4.1 s of a 6 s batch) — use a shift
+                # when n_px is a power of two (the 32×32 pHash grid)
+                prod = js[None, :] * vns[:, None]
+                if n_px & (n_px - 1) == 0:
+                    idx = offs[:, None] + (prod >> n_px.bit_length() - 1)
+                else:
+                    idx = offs[:, None] + prod // n_px
+                px = big[idx].astype(np.int64)
+                if method == "dhash":
+                    g = px.reshape(-1, GRAY_H, GRAY_W)
+                    bits = (g[:, :, :-1] > g[:, :, 1:]).reshape(
+                        -1, GRAY_H * (GRAY_W - 1)
+                    )
+                    # bit k = r*8 + c, packed into 4 little-endian
+                    # 16-bit bands
+                    k = (
+                        np.repeat(
+                            np.arange(GRAY_H, dtype=np.int64) * 8,
+                            GRAY_W - 1,
+                        )
+                        + np.tile(
+                            np.arange(GRAY_W - 1, dtype=np.int64), GRAY_H
+                        )
+                    )
+                else:
+                    C = _PHASH_COS_NP  # (8, 32) int64
+                    p3 = px.reshape(-1, PHASH_N, PHASH_N)
+                    # t[u][y] = Σ_x C[u][x]·px[y][x]; coef[u][v] =
+                    # Σ_y C[v][y]·t[u][y] — batched, int64-exact
+                    t = np.einsum("ux,byx->buy", C, p3)
+                    coef = np.einsum("vy,buy->buv", C, t)
+                    flat = coef.reshape(-1, 64)
+                    med = np.partition(flat[:, 1:], 31, axis=1)[:, 31]
+                    bits = flat > med[:, None]
+                    bits[:, 0] = False  # DC bit forced 0
+                    k = np.arange(64, dtype=np.int64)
+                vb = np.zeros((len(vi), DHASH_BANDS), dtype=np.int64)
+                weights = np.int64(1) << (k % 16)
                 for j in range(DHASH_BANDS):
-                    bands_out[j].append(b[j])
-                hexes.append("%04x%04x%04x%04x" % (b[3], b[2], b[1], b[0]))
+                    sel = (k // 16) == j
+                    vb[:, j] = (bits[:, sel] * weights[sel]).sum(axis=1)
+                bands_mat[vi] = vb
             for j in range(DHASH_BANDS):
-                cols[f"band{j}"] = pd.array(bands_out[j], dtype="Int32")
+                col = pd.array(bands_mat[:, j], dtype="Int32")
+                col[~valid] = None
+                cols[f"band{j}"] = col
+            hexes: list[str | None] = [
+                "%04x%04x%04x%04x"
+                % (
+                    bands_mat[i, 3],
+                    bands_mat[i, 2],
+                    bands_mat[i, 1],
+                    bands_mat[i, 0],
+                )
+                if valid[i]
+                else None
+                for i in range(m)
+            ]
             cols[hex_name] = hexes
             yield pd.DataFrame(cols)
 

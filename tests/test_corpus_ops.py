@@ -1346,3 +1346,41 @@ def test_media_seen_ids_reserved_names_complete(spark):
             odd_a, odd_a, id_col="select id"
         ).collect()
     } == {1}
+
+
+def test_perceptual_hash_vectorized_matches_scalar_reference(spark):
+    """r19: perceptual_hash's batch-vectorized kernel (one fancy-index
+    decode + batched integer DCT/gradient math) must be bit-identical
+    to the per-row scalar reference kernels for both methods, across
+    varied payload lengths including empty and NULL payloads."""
+    rows = [
+        (1, "image", bytes(range(256)) * 5),
+        (2, "image", b"\x00" * 40),
+        (3, "image", b"zebra"),          # shorter than the pixel grid
+        (4, "image", None),              # NULL payload -> NULL bands
+        (5, "image", b""),               # zero-byte -> NULL bands
+        (6, "image", bytes([7]) * 2048),
+        (7, "image", bytes(reversed(range(200))) * 11),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    for method, decode, hasher in (
+        ("dhash", multimodal._decode_gray_stub, multimodal._dhash_bands_py),
+        ("phash", multimodal._decode_gray32_stub, multimodal._phash_bands_py),
+    ):
+        got = {
+            r["media_id"]: (
+                r["band0"], r["band1"], r["band2"], r["band3"],
+                r[f"{method}_hex"],
+            )
+            for r in multimodal.perceptual_hash(media, method=method).collect()
+        }
+        for mid, _, p in rows:
+            px = decode(p) if p else None
+            if px is None:
+                assert got[mid] == (None, None, None, None, None), method
+            else:
+                b = hasher(px)
+                hexes = "%04x%04x%04x%04x" % (b[3], b[2], b[1], b[0])
+                assert got[mid] == (b[0], b[1], b[2], b[3], hexes), method
