@@ -268,3 +268,40 @@ def test_data_checks_clean_table_and_single_pass_plan(spark):
     # uniqueness check adds exactly one groupBy job — asserted by
     # the operator's shape, spot-checked here via its output size
     assert out.count() == 4
+
+
+def test_coerce_numeric_control_char_trim_matches_reference(spark):
+    """r19 regression pin (hypothesis found '1\\x1f' in the full-suite
+    run): Spark's string->double cast trims EVERY char <= 0x20 from
+    both ends; the reference contract (pandas to_numeric == DuckDB
+    TRY_CAST, verified char-by-char) trims only real whitespace
+    [\\t\\n\\x0b\\f\\r ]. Boundary control chars outside that set must
+    coerce to the fill, while the whitespace set (and interior
+    failures) keep their reference behavior."""
+    from projet_big_data_boutin_danre_spark.operators.cleaning import (
+        coerce_numeric,
+    )
+
+    cases = [
+        ("1\x1f", 0.0),   # the found counterexample
+        ("\x081", 0.0),   # leading non-ws control char
+        ("1\x00", 0.0),
+        ("1\x1e2", 0.0),  # interior control char fails either way
+        (" 1 ", 1.0),     # real whitespace trims
+        ("\t1\n", 1.0),
+        ("\x0b1\x0c", 1.0),
+        ("1\xa0", 0.0),   # unicode NBSP: rejected by both engines
+        ("nan", 0.0),     # the documented nanvl hop
+        ("2.5", 2.5),
+        ("", 0.0),
+        (None, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(cases)], "i int, v string"
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select("i", coerce_numeric("v").alias("out")).collect()
+    }
+    for i, (v, want) in enumerate(cases):
+        assert got[i] == want, (v, got[i], want)
