@@ -1631,9 +1631,20 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     (checkpoint write included) — the opposite call from the LM-gram
     case, where the materialized frame is explode-sized rather than
     table-sized (BASELINE.md r7 notes)."""
+    from projet_big_data_boutin_danre_spark.functions.hashing import (
+        stable_fingerprint,
+    )
+
+    # r19: the exact-fingerprint column rides the docs checkpoint (one
+    # materialization) instead of a SECOND serial checkpoint derived
+    # from the first — interleaved A/B min-of-3: two checkpoints
+    # 1.21–1.72 s vs fused 0.98–1.39 s on the fps-consumer subplan.
+    # The 3-regex normalize + md5 still runs ONCE (at checkpoint
+    # write); every tag branch projects its own columns, so the extra
+    # 32-hex column never reaches an output.
     docs = load_table(spark, sf, "documents").filter(
         F.col("doc_id").isNotNull()
-    ).localCheckpoint()
+    ).withColumn("__fp", stable_fingerprint("text")).localCheckpoint()
     samp = corpus_prep.stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_FRACTIONS,
         default_fraction=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED,
@@ -1725,16 +1736,11 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     # r8 widening: leakage-safe split — cluster map = exact-fingerprint
     # groups (rep = min doc_id per normalized-content group), so every
     # exact duplicate lands in its representative's split; grp = split
-    # name, same kept-count + id-checksum digest as sample/mix
-    from projet_big_data_boutin_danre_spark.functions.hashing import (
-        stable_fingerprint,
-    )
-
-    # (id, 32-hex) only — tiny; checkpointed so the 3-regex normalize
-    # + md5 runs ONCE, not once per consumer (rep aggregate + probe)
-    fps = docs.select(
-        "doc_id", stable_fingerprint("text").alias("__fp")
-    ).localCheckpoint()
+    # name, same kept-count + id-checksum digest as sample/mix.
+    # The fingerprint column was materialized WITH the docs checkpoint
+    # above (r19) — this is a plain projection of it, no second
+    # checkpoint, and the md5 still ran exactly once.
+    fps = docs.select("doc_id", "__fp")
     reps = fps.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
     members = fps.join(reps, "__fp").select(
         F.col("doc_id").alias("member"), "rep"
