@@ -636,8 +636,11 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # r19 the topwin branch re-ran its own full stride-1 explode +
     # count shuffle over every window (~3× the flagged volume;
     # measured at sf0.1 flagged = 33% of 1.39M windows). hits is
-    # checkpointed once; spans stay checkpointed too (consumed twice,
-    # and the islands merge behind them is window-over-window work).
+    # checkpointed once; spans_df is deliberately LAZY — the span tag
+    # and the cover rollup each recompute the gaps-and-islands merge
+    # from the hits checkpoint IN PARALLEL inside the union job (an
+    # r19 interleaved A/B measured checkpointing spans a tie, so the
+    # structure with one fewer serial construction job wins).
     # eager checkpoints, deliberately (r19 measured): lazy
     # (eager=False) checkpoints here let the three concurrent
     # consumers race the first materialization inside the union job
@@ -1451,10 +1454,24 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
     # checkpointed like the dhash layer: the payload-reading kernel
     # materializes once and the tag projection reads the tiny hash
     # output (also keeps the slot plan payload-scan-free — the
-    # plan-shape battery pins that)
-    ph = multimodal.perceptual_hash(
+    # plan-shape battery pins that).
+    # r20 (guide §2.6): the pHash kernel feeds NO pair/cluster stage —
+    # it is the one payload kernel outside the mcluster dependency
+    # chain — so its materialization is submitted from a background
+    # thread here and joined after connected_components below: the
+    # heaviest kernel (measured 0.73 s, the slot's largest single
+    # branch) runs concurrently with the CC jobs instead of serially
+    # inside the final union count. The thread is the checkpoint's
+    # ONLY consumer until result() returns (the r19 lazy-checkpoint
+    # race needs concurrent consumers).
+    ph_hashes = multimodal.perceptual_hash(
         with_variants, method="phash"
-    ).localCheckpoint(eager=False).select(
+    ).localCheckpoint(eager=False)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    _ph_pool = _TPE(max_workers=1)
+    _ph_fut = _ph_pool.submit(ph_hashes.count)
+    ph = ph_hashes.select(
         F.lit("phash").alias("tag"),
         "media_id",
         *[
@@ -1525,7 +1542,15 @@ def q_media_plans(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(vp_pairs.select("id_a", "id_b"))
         .unionByName(ap_pairs.select("id_a", "id_b"))
     )
-    mcluster = dedup.connected_components(medges).select(
+    # join the background pHash materialization before returning: the
+    # final union count must read its checkpoint blocks, not race a
+    # second materialization of the same lazy checkpoint
+    try:
+        mcluster_cc = dedup.connected_components(medges)
+    finally:
+        _ph_fut.result()
+        _ph_pool.shutdown()
+    mcluster = mcluster_cc.select(
         F.lit("mcluster").alias("tag"),
         F.col("node").alias("media_id"),
         F.col("component").cast("bigint").alias("v1"),
@@ -1642,9 +1667,27 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     # The 3-regex normalize + md5 still runs ONCE (at checkpoint
     # write); every tag branch projects its own columns, so the extra
     # 32-hex column never reaches an output.
-    docs = load_table(spark, sf, "documents").filter(
-        F.col("doc_id").isNotNull()
-    ).withColumn("__fp", stable_fingerprint("text")).localCheckpoint()
+    # r20 (guide §2.6): the docs checkpoint and the ORDERS profile
+    # (profile_table collects its two aggregation rows eagerly) are
+    # independent construction-time jobs over different tables —
+    # submitted from a 2-thread pool so the profile's scans back-fill
+    # the checkpoint write instead of running strictly after it.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as _pool:
+        _f_docs = _pool.submit(
+            lambda: load_table(spark, sf, "documents")
+            .filter(F.col("doc_id").isNotNull())
+            .withColumn("__fp", stable_fingerprint("text"))
+            .localCheckpoint()
+        )
+        _f_prof = _pool.submit(
+            lambda: cleaning.profile_table(
+                load_table(spark, sf, "orders").select(*_PROFILE_COLS)
+            )
+        )
+        docs = _f_docs.result()
+        _prof_rows = _f_prof.result()
     samp = corpus_prep.stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_FRACTIONS,
         default_fraction=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED,
@@ -1767,9 +1810,7 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_kept").alias("n"),
         "sum_ids",
     )
-    prof = cleaning.profile_table(
-        load_table(spark, sf, "orders").select(*_PROFILE_COLS)
-    ).select(
+    prof = _prof_rows.select(
         F.lit("profile").alias("tag"),
         F.concat_ws(
             "|",

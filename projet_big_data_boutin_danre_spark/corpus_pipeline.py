@@ -54,6 +54,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.localdf import tiny_df
 from .operators import bloom as bloom_ops
 from .operators import corpus_prep, dedup, lm, multimodal, text
 from .operators import urls as urls_ops
@@ -1132,9 +1133,12 @@ def incremental_ingest(
             1,
         )
         if recorded == legacy:
-            spark.createDataFrame([(mode,)], "mode string").coalesce(
-                1
-            ).write.mode("overwrite").parquet(marker_path)
+            # tiny_df (r20): a cores-wide parallelized 1-row frame
+            # under coalesce(1) drains every slice through ONE Python
+            # worker serially — measured 5-6 s per marker write
+            tiny_df(spark, [(mode,)], "mode string").write.mode(
+                "overwrite"
+            ).parquet(marker_path)
             recorded = mode
     if recorded is not None and recorded != mode:
         raise ValueError(
@@ -1174,9 +1178,9 @@ def incremental_ingest(
                 "otherwise repair the fingerprints layer before "
                 "ingesting"
             )
-        spark.createDataFrame([(mode,)], "mode string").coalesce(
-            1
-        ).write.mode("overwrite").parquet(marker_path)
+        tiny_df(spark, [(mode,)], "mode string").write.mode(
+            "overwrite"
+        ).parquet(marker_path)
 
     # within-batch keeper: smallest id per fingerprint (deterministic);
     # NULL text -> sentinel so the anti-join can actually match it
@@ -2845,11 +2849,15 @@ def _write_lake_stats(
     n: int | None,
     files: dict[str, int] | None = None,
 ) -> None:
-    spark.createDataFrame(
+    # tiny_df (r20): the 1-row marker was a cores-wide parallelized
+    # relation; its coalesce(1) write drained all slices through one
+    # Python worker serially — measured 5-6 s PER BATCH for this write
+    tiny_df(
+        spark,
         [(total, digest, n, files or {})],
         "total_docs long, last_digest long, last_n long, "
         "files_appended map<string,long>",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
 
 
 def recount_lake_docs(spark: SparkSession, out_root: str) -> int:

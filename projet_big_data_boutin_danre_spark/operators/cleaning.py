@@ -44,6 +44,16 @@ def coerce_numeric(col: Column | str, fill: float = 0.0) -> Column:
     yields ``fill``. Known residual divergence: pandas parses
     ``'inf'``; Spark only ``'Infinity'`` — infinities pass through
     whichever way the engine parses them.
+
+    STRING input only (r19 advisor): the control-char guard below
+    routes the value through ``regexp_replace``, which implicitly
+    casts its argument to string — a numeric-typed column would take
+    a silent double→string→double round trip (and ANSI implicit-cast
+    rules may reject it outright). A bare Column/name carries no type
+    to dispatch on here, so the contract is documented instead: pass
+    the raw string column (every call site does — raw prices,
+    ``get_json_object`` output); an already-numeric column needs no
+    coercion, use ``try_cast``/``nanvl`` directly.
     """
     c = F.col(col) if isinstance(col, str) else col
     # Control-char guard (r19 — hypothesis found '1\x1f'): Spark's
@@ -402,7 +412,10 @@ def profile_table(df, max_distinct_cols: int = 64, approx: bool = False):
                 row.asDict().get(f"__max_{i}"),
             )
         )
-    return spark.createDataFrame(
+    from ..functions.localdf import tiny_df
+
+    return tiny_df(
+        spark,
         out,
         "col_name string, col_type string, n_rows bigint, n_nulls bigint,"
         " n_distinct bigint, min_str string, max_str string",
@@ -522,7 +535,10 @@ def data_checks(
         )
 
     if not branches:
-        return df.sparkSession.createDataFrame(
+        from ..functions.localdf import tiny_df
+
+        return tiny_df(
+            df.sparkSession,
             [],
             "check string, target string, n_violations bigint,"
             " sample_key string",

@@ -287,8 +287,10 @@ def mix_underflow(
     just smaller than the ask). Empty result == the mix is exactly
     what the unfiltered sort would have produced."""
     spark = mixed.sparkSession
-    want = spark.createDataFrame(
-        list(counts.items()), f"{strata_col} string, n_want bigint"
+    from ..functions.localdf import tiny_df
+
+    want = tiny_df(
+        spark, list(counts.items()), f"{strata_col} string, n_want bigint"
     )
     got = mixed.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_got"))
     return (
@@ -880,10 +882,15 @@ def global_prefix_sum(
     # DIFFERENT range boundaries — a row landing in another partition
     # in the second job would pair partition p+1's local sum with
     # partition p's offset (silently wrong totals). One checkpoint
-    # pins the partitioning both consumers read.
+    # pins the partitioning both consumers read. LAZY (r20, guide
+    # §2.6): the totals collect right below is the checkpoint's FIRST
+    # and only consumer until it returns, so letting it materialize
+    # the blocks fuses the two serial bounded jobs into one (the r19
+    # lazy-checkpoint race needs >1 CONCURRENT consumer — here the
+    # output join runs strictly after the collect and reads blocks).
     local = local.withColumn(
         "__local_sum", F.sum(value_col).over(w)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     totals = (
         local.groupBy("__pid")
         .agg(F.sum(value_col).alias("__tot"))
@@ -894,7 +901,10 @@ def global_prefix_sum(
     for row in sorted(totals, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["__tot"] or 0
-    off_df = spark.createDataFrame(
+    from ..functions.localdf import tiny_df
+
+    off_df = tiny_df(
+        spark,
         [(pid, off) for pid, off in offsets.items()],
         "__pid int, __off bigint",
     )

@@ -1248,9 +1248,15 @@ def connected_components(
             # (≤ 2·threshold rows, a few MB) but arrives as a
             # stats-less parallelized relation, so downstream
             # anti-joins (drop_near_duplicates) would otherwise plan
-            # a SortMergeJoin and shuffle the CORPUS side against it
+            # a SortMergeJoin and shuffle the CORPUS side against it.
+            # tiny_df (r20): row-count-sized slices — the default
+            # cores-wide parallelize costs one Python worker round-trip
+            # PER SLICE on every consumer that executes the mapping
+            from ..functions.localdf import tiny_df
+
             return F.broadcast(
-                spark.createDataFrame(
+                tiny_df(
+                    spark,
                     [(n, _find(n)) for n in nodes],
                     "node long, component long",
                 )
@@ -1459,7 +1465,14 @@ def duplicate_window_hits(
     window by two flat xxhash64 longs (same dial as
     :func:`duplicate_spans`) but must still CARRY ``w`` for the
     top-window consumer — use it only when that consumer is wanted;
-    span-only callers keep the narrower in-line path."""
+    span-only callers keep the narrower in-line path. Fast-family
+    collision caveat for that consumer (r19 advisor): ``c`` counts by
+    the xxhash64 pair, so two DISTINCT window strings colliding on
+    both seeds would each surface in ``top_duplicate_windows`` as
+    separate rows carrying the combined count, where the in-line fast
+    path collapses them to one ``min(w)`` row — a divergence only on
+    a 128-bit collision (~2⁻¹²⁸ per window pair; the md5 default and
+    every oracle-checked slot are unaffected)."""
     from pyspark.sql import Window
 
     _check_hash_family(hash_family)

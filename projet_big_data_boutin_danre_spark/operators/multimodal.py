@@ -90,9 +90,34 @@ def extract_features(media: DataFrame, target_partitions: int | None = None) -> 
     session's parallelism): media scans often arrive as few large
     files, and the Python codec — not the shuffle — is the dominant
     cost, so balancing decode work across all cores wins at any scale.
-    Pass ``target_partitions=0`` to keep the input partitioning."""
+    Pass ``target_partitions=0`` to keep the input partitioning.
+
+    Size-gated (r20, guide §2/§8): the default repartition is SKIPPED
+    when Catalyst's size estimate for the input is under one scan
+    partition's worth (``spark.sql.files.maxPartitionBytes``) — the
+    exchange would ship every payload byte through a shuffle to
+    balance decode work that is bounded by a single partition of
+    input anyway (measured at sf0.1: the repartitioned extract costs
+    2× the unpartitioned one, 0.39-0.56 s vs 0.19-0.22 s noop).
+    Production inputs blow past one partition and repartition as
+    before; an explicit ``target_partitions`` always repartitions."""
     if target_partitions is None:
-        target_partitions = media.sparkSession.sparkContext.defaultParallelism
+        spark = media.sparkSession
+        target_partitions = spark.sparkContext.defaultParallelism
+        try:
+            est_bytes = int(
+                media._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+            one_part = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+            if est_bytes <= one_part:
+                target_partitions = 0
+        except Exception:
+            pass  # no estimate (e.g. Connect): keep the repartition
     if target_partitions:
         media = media.repartition(target_partitions)
 

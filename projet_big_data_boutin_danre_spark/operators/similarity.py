@@ -161,8 +161,12 @@ def cosine_topk(
     ).filter(F.col("neighbor_id").isNotNull() & F.col("cv").isNotNull())
 
     if not q_rows:
-        empty = c.sparkSession.createDataFrame(
-            [], f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+        from ..functions.localdf import tiny_df
+
+        empty = tiny_df(
+            c.sparkSession,
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, cosine double",
         )
         return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
 
@@ -675,7 +679,9 @@ def ann_topk_lsh(
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
 
     if not q_rows:
-        empty = c.sparkSession.createDataFrame([], out_schema)
+        from ..functions.localdf import tiny_df
+
+        empty = tiny_df(c.sparkSession, [], out_schema)
         return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
 
     q_ids = np.array([r["query_id"] for r in q_rows])
