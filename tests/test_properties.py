@@ -18,6 +18,12 @@ from hypothesis import strategies as st
 
 from projet_big_data_boutin_danre_spark.operators import cleaning, dedup
 
+# Long-running lake-lifecycle / maintenance / property battery
+# (r20): excluded from the default pytest run so the driver's
+# verification window fits; opt in with `-m slow` (the round-close
+# protocol runs fast + slow green). See pytest.ini.
+pytestmark = pytest.mark.slow
+
 SETTINGS = dict(
     max_examples=15,
     deadline=None,
