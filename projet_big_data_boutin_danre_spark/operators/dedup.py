@@ -1211,15 +1211,19 @@ def connected_components(
         .localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     )
     if small_graph_threshold is not None:
-        n_edges = edges.count()  # one job over the checkpoint blocks
-        if n_edges <= int(small_graph_threshold):
+        # gate + collect in ONE bounded job (r20): a separate count()
+        # before toPandas() was a second pass over the checkpoint
+        # blocks; limit(threshold+1) keeps the collect bounded by
+        # construction either way — threshold+1 rows back means "too
+        # big, take the loop" and at most ~3 MB crossed the driver
+        pdf = edges.limit(int(small_graph_threshold) + 1).toPandas()
+        if len(pdf) <= int(small_graph_threshold):
             # bounded driver-side union-find (docstring): milliseconds
             # of driver work replace ~rounds × (2 aggs + 2 joins +
             # distinct + checkpoint + collect) of per-round overhead
             if stats is not None:
                 stats["rounds"] = 0
-                stats["small_graph_edges"] = n_edges
-            pdf = edges.toPandas()
+                stats["small_graph_edges"] = len(pdf)
             parent: dict[int, int] = {}
 
             def _find(x: int) -> int:
