@@ -1667,14 +1667,21 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     # The 3-regex normalize + md5 still runs ONCE (at checkpoint
     # write); every tag branch projects its own columns, so the extra
     # 32-hex column never reaches an output.
-    # r20 (guide §2.6): the docs checkpoint and the ORDERS profile
-    # (profile_table collects its two aggregation rows eagerly) are
-    # independent construction-time jobs over different tables —
-    # submitted from a 2-thread pool so the profile's scans back-fill
-    # the checkpoint write instead of running strictly after it.
+    # r20 (guide §2.6): THREE independent eager construction jobs ran
+    # strictly serially — the docs checkpoint, the ORDERS profile
+    # (profile_table collects its two aggregation rows), and the
+    # leakage-split chain probe (a count() inside
+    # corpus_prep._canonical_cluster_map over the fingerprint map).
+    # Pool them: docs first (everything else derives from it), then
+    # the profile and the split branch overlap while the main thread
+    # builds the remaining (lazy) branches. The chain probe's lazy
+    # checkpoint has ONE consumer until its future resolves (no r19
+    # lazy-race), and each pooled job's plans/results are identical to
+    # the serial construction.
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    with _TPE(max_workers=2) as _pool:
+    _pool = _TPE(max_workers=2)
+    try:
         _f_docs = _pool.submit(
             lambda: load_table(spark, sf, "documents")
             .filter(F.col("doc_id").isNotNull())
@@ -1687,7 +1694,39 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         docs = _f_docs.result()
-        _prof_rows = _f_prof.result()
+
+        def _build_split() -> DataFrame:
+            # r8 widening: leakage-safe split — cluster map =
+            # exact-fingerprint groups (rep = min doc_id per
+            # normalized-content group), so every exact duplicate
+            # lands in its representative's split; grp = split name,
+            # same kept-count + id-checksum digest as sample/mix. The
+            # fingerprint column was materialized WITH the docs
+            # checkpoint (r19) — a plain projection, no second
+            # checkpoint, and the md5 ran exactly once.
+            fps = docs.select("doc_id", "__fp")
+            reps = fps.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
+            members = fps.join(reps, "__fp").select(
+                F.col("doc_id").alias("member"), "rep"
+            )
+            return corpus_prep.leakage_safe_split(
+                docs, "doc_id", _SPLIT_FRACS, seed=_SPLIT_SEED,
+                members=members,
+            ).select(
+                F.lit("split").alias("tag"),
+                F.col("split").alias("grp"),
+                F.col("doc_id").cast("bigint").alias("__id"),
+            ).groupBy("tag", "grp").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("__id").alias("sum_ids")
+            ).select("tag", "grp", "n", "sum_ids")
+
+        _f_split = _pool.submit(_build_split)
+    except BaseException:
+        _pool.shutdown(wait=True)
+        raise
+    # main thread: build the lazy branches below while the pooled
+    # profile scans and the chain-probe count run; both futures are
+    # resolved right before the branches that consume them
     samp = corpus_prep.stratified_sample(
         docs, "doc_id", "lang", _SAMPLE_FRACTIONS,
         default_fraction=_SAMPLE_DEFAULT, seed=_SAMPLE_SEED,
@@ -1779,24 +1818,12 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
     # r8 widening: leakage-safe split — cluster map = exact-fingerprint
     # groups (rep = min doc_id per normalized-content group), so every
     # exact duplicate lands in its representative's split; grp = split
-    # name, same kept-count + id-checksum digest as sample/mix.
-    # The fingerprint column was materialized WITH the docs checkpoint
-    # above (r19) — this is a plain projection of it, no second
-    # checkpoint, and the md5 still ran exactly once.
-    fps = docs.select("doc_id", "__fp")
-    reps = fps.groupBy("__fp").agg(F.min("doc_id").alias("rep"))
-    members = fps.join(reps, "__fp").select(
-        F.col("doc_id").alias("member"), "rep"
-    )
-    split = corpus_prep.leakage_safe_split(
-        docs, "doc_id", _SPLIT_FRACS, seed=_SPLIT_SEED, members=members
-    ).select(
-        F.lit("split").alias("tag"),
-        F.col("split").alias("grp"),
-        F.col("doc_id").cast("bigint").alias("__id"),
-    ).groupBy("tag", "grp").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("__id").alias("sum_ids")
-    ).select("tag", "grp", "n", "sum_ids")
+    # name, same kept-count + id-checksum digest as sample/mix — built
+    # by the pooled _build_split above (its chain-probe count ran
+    # concurrently with the profile scans); joined here, right where
+    # the serial construction produced it.
+    split = _f_split.result()
+    _pool.shutdown()
     # r8 widening: uniform per-source cap (prefilter=True exercises the
     # scale path; output is bit-identical to the plain window — the
     # oracle twin IS the plain window, so the prefix-exactness argument
@@ -1810,7 +1837,7 @@ def q_corpus_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_kept").alias("n"),
         "sum_ids",
     )
-    prof = _prof_rows.select(
+    prof = _f_prof.result().select(
         F.lit("profile").alias("tag"),
         F.concat_ws(
             "|",
